@@ -1,5 +1,226 @@
 package graft.operators
-import graft.QueryDef
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.1 scans + §2.2 projections / filters / scalar functions,
+  * expressed over the driver's parquet tables with DuckDB oracles.
+  * All of these stay inside one whole-stage-codegen span over the scan —
+  * no shuffle, filters and column pruning push into the parquet reader.
+  */
 object Projections {
-  val defs: Seq[QueryDef] = Seq()
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // S1: projection scan — read only the needed columns (pushed ReadSchema).
+    QueryDef(
+      "s1_scan_project",
+      (s, d) =>
+        T.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+                  col("l_returnflag"))
+          .filter(col("l_returnflag") === "R")
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+             |FROM lineitem WHERE l_returnflag = 'R'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      doc = "SURVEY S1; pirateToDatabase.py:19-27 (usecols projection)"),
+
+    // S2: filename -> column (Strain derived from source file name,
+    // pirateToDatabase.py:26).
+    QueryDef(
+      "s2_filename_column",
+      (s, d) =>
+        T.lineitem(s, d)
+          .withColumn("src_table",
+            regexp_extract(input_file_name(), "([a-z]+)\\.parquet", 1))
+          .groupBy(col("src_table")).agg(count(lit(1)).as("n"))
+          .orderBy(col("src_table")),
+      Some("SELECT 'lineitem' AS src_table, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1"),
+      doc = "SURVEY S2; pirateToDatabase.py:26"),
+
+    // S3: runtime-discovered schema — select columns by position, like the
+    // variable-width PIRATE gene-families TSV (pirateToDatabase.py:69-80).
+    QueryDef(
+      "s3_positional_select",
+      (s, d) => {
+        val df   = T.part(s, d)
+        val cols = df.columns
+        val picked = Seq(0, 1, 3).filter(_ < cols.length).map(i => col(cols(i)))
+        df.select(picked: _*).orderBy(col(cols(0)))
+      },
+      Some("SELECT p_partkey, p_name, p_type FROM part ORDER BY p_partkey"),
+      doc = "SURVEY S3; pirateToDatabase.py:69-80"),
+
+    // P1+P5: rename + typed casts (toString/toInteger/toFloat per column,
+    // 01_creatingDatabase.cypher:4-14).
+    QueryDef(
+      "p5_typed_casts",
+      (s, d) =>
+        T.supplier(s, d)
+          .select(
+            col("s_suppkey").cast("string").as("id_str"),
+            col("s_acctbal").cast("long").as("bal_int"),
+            col("s_nationkey").cast("double").as("nk_float"),
+            col("s_name").as("renamed_name"))
+          .orderBy(col("id_str")),
+      Some("""SELECT CAST(s_suppkey AS VARCHAR) AS id_str,
+             |  CAST(trunc(s_acctbal) AS BIGINT) AS bal_int,
+             |  CAST(s_nationkey AS DOUBLE) AS nk_float,
+             |  s_name AS renamed_name
+             |FROM supplier ORDER BY id_str""".stripMargin),
+      doc = "SURVEY P1/P5; 01_creatingDatabase.cypher:4-14, pirateToDatabase.py:28"),
+
+    // P2: column fold / denormalize — concat_ws over coalesced columns
+    // (fold per-genome columns into one ';'-joined string,
+    // pirateToDatabase.py:82-85).
+    QueryDef(
+      "p2_concat_fold",
+      (s, d) =>
+        T.customer(s, d)
+          .withColumn("folded",
+            concat_ws(";",
+              coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("0")),
+              col("c_name"),
+              col("c_custkey").cast("string")))
+          .select(col("c_custkey"), col("folded"))
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey,
+             |  concat_ws(';', coalesce(nullif(c_mktsegment, 'BUILDING'), '0'),
+             |            c_name, CAST(c_custkey AS VARCHAR)) AS folded
+             |FROM customer ORDER BY c_custkey""".stripMargin),
+      doc = "SURVEY P2; pirateToDatabase.py:82-85 (fillna + ;-join)"),
+
+    // P3: string sanitize via translate — '('/')' deleted, ':' -> ';'
+    // (pirateToDatabase.py:88). Mapped onto part names: vowels munged.
+    QueryDef(
+      "p3_translate",
+      (s, d) =>
+        T.part(s, d)
+          .select(col("p_partkey"),
+                  translate(col("p_name"), "ao#", "AO").as("sanitized"))
+          .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, translate(p_name, 'ao#', 'AO') AS sanitized
+             |FROM part ORDER BY p_partkey""".stripMargin),
+      doc = "SURVEY P3; pirateToDatabase.py:88"),
+
+    // P4: split + filter comprehension — [x IN split(...) WHERE x <> ...]
+    // (01_creatingDatabase.cypher:39).
+    QueryDef(
+      "p4_split_filter",
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"),
+            array_join(
+              filter(split(col("text"), " "), x => x =!= "value" && x =!= ""),
+              ";").as("kept"),
+            size(filter(split(col("text"), " "), x => x === "value")).as("n_dropped"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  array_to_string(list_filter(str_split(text, ' '),
+             |                  x -> x <> 'value' AND x <> ''), ';') AS kept,
+             |  len(list_filter(str_split(text, ' '), x -> x = 'value')) AS n_dropped
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "SURVEY P4; 01_creatingDatabase.cypher:39"),
+
+    // P6: substring by coordinates — fullSequence[start-1:end]
+    // (pirateToDatabase.py:264-269).
+    QueryDef(
+      "p6_substring_coords",
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"),
+            substring(col("text"), 5, 20).as("excerpt"),
+            length(col("text")).as("len"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, substring(text, 5, 20) AS excerpt,
+             |  length(text) AS len
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "SURVEY P6; pirateToDatabase.py:264-269"),
+
+    // P9: GC-content formula via built-ins (no UDF):
+    // length(regexp_replace(upper(s), '[^GC]', '')) * 100 / length(s)
+    // — the reference computes GC% per sequence
+    // (extendingDB_FeatureAndStrainMetrics.py:52). Applied to document text
+    // over the letters g/c; same arithmetic shape.
+    QueryDef(
+      "p9_gc_content",
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"),
+            (length(regexp_replace(upper(col("text")), "[^GC]", "")) * lit(100.0) /
+             length(col("text"))).as("gc_pct"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  length(regexp_replace(upper(text), '[^GC]', '', 'g')) * 100.0
+             |    / length(text) AS gc_pct
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "SURVEY P9; extendingDB_FeatureAndStrainMetrics.py:52"),
+
+    // P13: gap strip — replace('-','') before metrics/BLAST
+    // (extendingDB_performingBlast.py:56).
+    QueryDef(
+      "p13_gap_strip",
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"),
+            length(regexp_replace(col("text"), " ", "")).as("stripped_len"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  length(regexp_replace(text, ' ', '', 'g')) AS stripped_len
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "SURVEY P13; extendingDB_performingBlast.py:56"),
+
+    // P14: substring predicates — CONTAINS 'integrase' OR 'transposase';
+    // <> 'hypothetical protein' (RGPs.ipynb cell 8).
+    QueryDef(
+      "p14_contains_predicate",
+      (s, d) =>
+        T.part(s, d)
+          .filter((col("p_name").contains("red") || col("p_name").contains("blue")) &&
+                  col("p_type") =!= "ECONOMY")
+          .select(col("p_partkey"), col("p_name"), col("p_type"))
+          .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, p_name, p_type FROM part
+             |WHERE (contains(p_name, 'red') OR contains(p_name, 'blue'))
+             |  AND p_type <> 'ECONOMY'
+             |ORDER BY p_partkey""".stripMargin),
+      doc = "SURVEY P14; RGPs.ipynb:466,487 cell 8"),
+
+    // P15: null predicates — IS NULL / IS NOT NULL
+    // (01_creatingDatabase.cypher:130-131).
+    QueryDef(
+      "p15_null_predicates",
+      (s, d) => {
+        val df = T.orders(s, d)
+          .withColumn("maybe", nullif(col("o_orderstatus"), lit("P")))
+        df.select(
+            sum(when(col("maybe").isNull, 1).otherwise(0)).as("n_null"),
+            sum(when(col("maybe").isNotNull, 1).otherwise(0)).as("n_not_null"))
+      },
+      Some("""SELECT
+             |  CAST(sum(CASE WHEN nullif(o_orderstatus, 'P') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |  CAST(sum(CASE WHEN nullif(o_orderstatus, 'P') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_not_null
+             |FROM orders""".stripMargin),
+      doc = "SURVEY P15; 01_creatingDatabase.cypher:130-131"),
+
+    // P16: arithmetic projections — insertion size End-Start, ratios,
+    // scaled thresholds (RGPs.ipynb cells 8,13,16).
+    QueryDef(
+      "p16_arithmetic",
+      (s, d) =>
+        T.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount")) *
+             (lit(1) + col("l_tax"))).as("charged"),
+            (col("l_quantity") * lit(0.95)).as("scaled"),
+            (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged,
+             |  l_quantity * 0.95 AS scaled,
+             |  l_extendedprice / l_quantity AS unit_price
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      doc = "SURVEY P16; RGPs.ipynb:452,462,920-921,1006")
+  )
 }

@@ -1,5 +1,59 @@
 package graft.operators
-import graft.QueryDef
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY §2.6 — the pandas trailing rolling windows over genome order
+  * (GIsInStrain.ipynb cell 8) as Spark window frames. All frames are
+  * rowsBetween trailing, matching pandas rolling(n) inclusive semantics.
+  * Partitioning by the sequence key (strain/user) means each genome's
+  * window computation is shuffle-local — one exchange, then linear scans.
+  */
 object Windows {
-  val defs: Seq[QueryDef] = Seq()
+
+  private def w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // W2: rolling sum over a 0/1 flag + threshold -> genomic-island flag
+    // (deviating.rolling(20).sum() > 5, GIsInStrain.ipynb cell 8).
+    QueryDef(
+      "w2_rolling_sum_flag",
+      (s, d) =>
+        T.events(s, d)
+          .withColumn("flag", (col("value") > 75).cast("int"))
+          .withColumn("roll20",
+            sum(col("flag")).over(w.rowsBetween(-19, 0)))
+          .withColumn("island", (col("roll20") > 5).cast("int"))
+          .select(col("event_id"), col("user_id"), col("roll20"), col("island"))
+          .orderBy(col("user_id"), col("event_id")),
+      Some("""SELECT event_id, user_id,
+             |  CAST(sum(CAST(value > 75 AS INT)) OVER win AS BIGINT) AS roll20,
+             |  CAST(sum(CAST(value > 75 AS INT)) OVER win > 5 AS INT) AS island
+             |FROM events
+             |WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin),
+      doc = "SURVEY W2; GIsInStrain.ipynb:160,168 cell 8"),
+
+    // W3: rolling max + threshold -> rare-region flag
+    // (number_genomes.rolling(5).max() <= 600, GIsInStrain.ipynb cell 8).
+    QueryDef(
+      "w3_rolling_max_flag",
+      (s, d) =>
+        T.events(s, d)
+          .withColumn("roll_max", max(col("value")).over(w.rowsBetween(-4, 0)))
+          .withColumn("rare", (col("roll_max") <= 60).cast("int"))
+          .select(col("event_id"), col("user_id"), col("roll_max"), col("rare"))
+          .orderBy(col("user_id"), col("event_id")),
+      Some("""SELECT event_id, user_id,
+             |  max(value) OVER win AS roll_max,
+             |  CAST(max(value) OVER win <= 60 AS INT) AS rare
+             |FROM events
+             |WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin),
+      doc = "SURVEY W3; GIsInStrain.ipynb:176 cell 8")
+  )
 }
