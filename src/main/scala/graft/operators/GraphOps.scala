@@ -1,5 +1,294 @@
 package graft.operators
-import graft.QueryDef
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Exact._
+
+/** SURVEY §2.4 — the reference's graph/path surface, re-expressed on the
+  * positional model.
+  *
+  * The reference's feature-level NEIGHBOUR edges form one directed linear
+  * chain per strain (pirateToDatabase.py:299-327), so every Cypher path
+  * query (`shortestPath`, `-[:NEIGHBOUR*5..200]->`) collapses to window
+  * functions over `row_number() OVER (PARTITION BY strain ORDER BY start)`.
+  * No traversal, no iteration: one shuffle on the strain key, then linear
+  * scans — this is what survives a 1000-executor / 100 TB scale-up, where a
+  * Pregel walk over the same chain would take O(chain length) supersteps.
+  *
+  * Test mapping: strain → user_id, genome order → (ts, event_id), feature
+  * → event, cluster/feature_type → event_type, GC → value.
+  */
 object GraphOps {
-  val defs: Seq[QueryDef] = Seq()
+
+  private def wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+
+  /** Events with the materialized genome-order position column (W5). */
+  private def positioned(s: SparkSession, d: String): DataFrame =
+    T.events(s, d).withColumn("pos", row_number().over(wOrd))
+
+  private val posSql =
+    """p AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+      |  FROM events)""".stripMargin
+
+  /** G7 span join: all anchor pairs (a1, a2) of the same chain with
+    * 2 <= pos2-pos1 <= 50 intervening-path bound (reference: *5..200,
+    * RGPs.ipynb:463-465; bounds scaled to the test chains). Anchors are
+    * 'signup' events. Non-equi self-join stays within one partition key
+    * (user_id equi-clause) so it shuffles once and never explodes cross-user.
+    */
+  private def spans(s: SparkSession, d: String): DataFrame = {
+    val p = positioned(s, d)
+    val a1 = p.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("pos").as("pos1"))
+    val a2 = p.filter(col("event_type") === "signup")
+      .select(col("user_id").as("uid2"), col("pos").as("pos2"))
+    a1.join(a2,
+        col("user_id") === col("uid2") &&
+        (col("pos2") - col("pos1")).between(2, 50))
+      .select(col("user_id"), col("pos1"), col("pos2"))
+  }
+
+  private val spansSql =
+    s"""$posSql,
+       |anch AS (SELECT user_id, pos FROM p WHERE event_type = 'signup'),
+       |spans AS (
+       |  SELECT a1.user_id, a1.pos AS pos1, a2.pos AS pos2
+       |  FROM anch a1 JOIN anch a2
+       |    ON a1.user_id = a2.user_id AND a2.pos - a1.pos BETWEEN 2 AND 50)""".stripMargin
+
+  /** Intervening features of each span (`nodes(path)[1..-1]` exclusive of
+    * both anchors), ordered. One range-join per strain partition.
+    */
+  private def spanRows(s: SparkSession, d: String): DataFrame = {
+    val p = positioned(s, d)
+      .select(col("user_id").as("uid"), col("pos"), col("event_type"), col("value"))
+    spans(s, d).join(p,
+        col("user_id") === col("uid") &&
+        col("pos") > col("pos1") && col("pos") < col("pos2"))
+      .drop("uid")
+  }
+
+  private val spanRowsSql =
+    s"""$spansSql,
+       |sr AS (
+       |  SELECT s.user_id, s.pos1, s.pos2, p.pos, p.event_type, p.value
+       |  FROM spans s JOIN p
+       |    ON p.user_id = s.user_id AND p.pos > s.pos1 AND p.pos < s.pos2)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // G2: grouped edge contraction — feature-level neighbour edges become
+    // cluster-level edges with member counts + member list
+    // (01_creatingDatabase.cypher:91-106, incl. the ON MATCH duplicate-append
+    // semantics: members keeps one entry per contributing feature edge).
+    QueryDef(
+      "g2_edge_contraction",
+      (s, d) => {
+        val e = T.events(s, d)
+          .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
+          .filter(col("prev").isNotNull)
+        e.groupBy(col("prev").as("c1"), col("event_type").as("c2"))
+          .agg(count(lit(1)).as("number_of_members"),
+            array_join(sort_array(collect_list(col("user_id").cast("string"))), ";")
+              .as("members"))
+          .orderBy(col("c1"), col("c2"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events)
+             |SELECT prev AS c1, event_type AS c2, count(*) AS number_of_members,
+             |  string_agg(CAST(user_id AS VARCHAR), ';'
+             |             ORDER BY CAST(user_id AS VARCHAR)) AS members
+             |FROM e WHERE prev IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY c1, c2""".stripMargin),
+      doc = "SURVEY G2; 01_creatingDatabase.cypher:91-106"),
+
+    // G3: label propagation with last-write-wins priority — the reference
+    // runs 3 sequential passes (pseudogene, tRNA, CDS) so CDS wins on mixed
+    // groups (01_creatingDatabase.cypher:121-127). One pass: max(priority).
+    QueryDef(
+      "g3_label_priority",
+      (s, d) => {
+        val prio = when(col("event_type") === "purchase", 3)
+          .when(col("event_type") === "click", 2).otherwise(1)
+        T.events(s, d)
+          .withColumn("prio", prio)
+          .groupBy(col("user_id"))
+          .agg(max(col("prio")).as("max_prio"))
+          .withColumn("label",
+            when(col("max_prio") === 3, "purchase")
+              .when(col("max_prio") === 2, "click").otherwise("other"))
+          .select(col("user_id"), col("label"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+             |  CASE max(CASE event_type WHEN 'purchase' THEN 3
+             |           WHEN 'click' THEN 2 ELSE 1 END)
+             |    WHEN 3 THEN 'purchase' WHEN 2 THEN 'click' ELSE 'other' END AS label
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      doc = "SURVEY G3; 01_creatingDatabase.cypher:121-127"),
+
+    // G4: degree aggregation — total outgoing member-weight per node
+    // (reduce-sum over [(c1)-[n]->() | n.number_of_members], RGPs.ipynb:455-460).
+    QueryDef(
+      "g4_degree_agg",
+      (s, d) => {
+        val e = T.events(s, d)
+          .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
+          .filter(col("prev").isNotNull)
+        e.groupBy(col("prev").as("src"))
+          .agg(count(lit(1)).as("nb_out"))
+          .orderBy(col("src"))
+      },
+      Some("""WITH e AS (
+             |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events)
+             |SELECT prev AS src, count(*) AS nb_out FROM e
+             |WHERE prev IS NOT NULL GROUP BY 1 ORDER BY src""".stripMargin),
+      doc = "SURVEY G4; RGPs.ipynb:455-460 cell 8"),
+
+    // G5: majority-edge (anchor-pair) filter — undirected edge match means
+    // each directed edge is scanned in both orientations; keep pairs whose
+    // weight clears 70% of the source's out-degree (RGPs.ipynb:451-462).
+    QueryDef(
+      "g5_majority_filter",
+      (s, d) => {
+        val e = T.events(s, d)
+          .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
+          .filter(col("prev").isNotNull)
+          .select(col("prev").as("c1"), col("event_type").as("c2"))
+        val dir = e.groupBy(col("c1"), col("c2")).agg(count(lit(1)).as("w"))
+        // undirected view: union of both orientations
+        val undir = dir.unionByName(
+          dir.select(col("c2").as("c1"), col("c1").as("c2"), col("w")))
+          .groupBy(col("c1"), col("c2")).agg(sum(col("w")).as("w"))
+        val deg = undir.groupBy(col("c1")).agg(sum(col("w")).as("nb_out"))
+        undir.join(deg, "c1")
+          .filter(col("c1") =!= col("c2") && col("w") > col("nb_out") * 0.2)
+          .select(col("c1"), col("c2"), col("w"), col("nb_out"))
+          .orderBy(col("c1"), col("c2"))
+      },
+      Some("""WITH e AS (
+             |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c1,
+             |         event_type AS c2
+             |  FROM events),
+             |dir AS (SELECT c1, c2, count(*) AS w FROM e WHERE c1 IS NOT NULL GROUP BY 1, 2),
+             |undir AS (
+             |  SELECT c1, c2, CAST(sum(w) AS BIGINT) AS w FROM (
+             |    SELECT c1, c2, w FROM dir
+             |    UNION ALL SELECT c2 AS c1, c1 AS c2, w FROM dir) u
+             |  GROUP BY 1, 2),
+             |deg AS (SELECT c1, CAST(sum(w) AS BIGINT) AS nb_out FROM undir GROUP BY 1)
+             |SELECT u.c1, u.c2, u.w, deg.nb_out
+             |FROM undir u JOIN deg ON u.c1 = deg.c1
+             |WHERE u.c1 <> u.c2 AND u.w > deg.nb_out * 0.2
+             |ORDER BY u.c1, u.c2""".stripMargin),
+      doc = "SURVEY G5; RGPs.ipynb:451-462 cell 8"),
+
+    // G6: whole-genome walk — shortestPath((first)-[*]->(last)) + UNWIND
+    // collapses to the ordered listing itself (GIsInStrain.ipynb:45-61).
+    // Emitted as one ordered string per chain to keep the oracle exact.
+    QueryDef(
+      "g6_genome_walk",
+      (s, d) =>
+        positioned(s, d)
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("chain_len"),
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("pos"), col("event_type")))),
+                x => x.getField("event_type")),
+              ",").as("walk"))
+          .orderBy(col("user_id")),
+      Some(s"""WITH $posSql
+              |SELECT user_id, count(*) AS chain_len,
+              |  string_agg(event_type, ',' ORDER BY pos) AS walk
+              |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin),
+      doc = "SURVEY G6; GIsInStrain.ipynb:45-61 cell 3"),
+
+    // G7: bounded variable-length path between anchors -> positional span
+    // join (RGPs.ipynb:463-465). InsertionNbFeatures = length(path)-2 =
+    // pos2-pos1-1 (edge-vs-node counting per SURVEY §7 fidelity note).
+    QueryDef(
+      "g7_bounded_spans",
+      (s, d) =>
+        spans(s, d)
+          .withColumn("insertion_nb_features", col("pos2") - col("pos1") - 1)
+          .orderBy(col("user_id"), col("pos1"), col("pos2")),
+      Some(s"""WITH $spansSql
+              |SELECT user_id, pos1, pos2, pos2 - pos1 - 1 AS insertion_nb_features
+              |FROM spans ORDER BY user_id, pos1, pos2""".stripMargin),
+      doc = "SURVEY G7; RGPs.ipynb:463-465 cell 8"),
+
+    // G8: per-path subquery collect — ordered cluster-id list of each span's
+    // intervening features (RGPs.ipynb:467-472); order preserved via
+    // sort_array(collect_list(struct(pos, x))).
+    QueryDef(
+      "g8_span_collect",
+      (s, d) =>
+        spanRows(s, d)
+          .groupBy(col("user_id"), col("pos1"), col("pos2"))
+          .agg(
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("pos"), col("event_type")))),
+                x => x.getField("event_type")),
+              ",").as("cluster_ids"))
+          .orderBy(col("user_id"), col("pos1"), col("pos2")),
+      Some(s"""WITH $spanRowsSql
+              |SELECT user_id, pos1, pos2,
+              |  string_agg(event_type, ',' ORDER BY pos) AS cluster_ids
+              |FROM sr GROUP BY user_id, pos1, pos2
+              |ORDER BY user_id, pos1, pos2""".stripMargin),
+      doc = "SURVEY G8; RGPs.ipynb:467-472 cell 8"),
+
+    // G9: path slicing + list projections — first/last intervening feature,
+    // per-span GC list mean, tRNA-ish count (RGPs.ipynb:481-488). All from
+    // one grouped pass over the span rows; no array re-shuffling.
+    QueryDef(
+      "g9_span_projections",
+      (s, d) =>
+        spanRows(s, d)
+          .groupBy(col("user_id"), col("pos1"), col("pos2"))
+          .agg(
+            min_by(col("event_type"), col("pos")).as("first_feature"),
+            max_by(col("event_type"), col("pos")).as("last_feature"),
+            eavg(col("value")).as("mean_gc"),
+            sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_trna"))
+          .orderBy(col("user_id"), col("pos1"), col("pos2")),
+      Some(s"""WITH $spanRowsSql
+              |SELECT user_id, pos1, pos2,
+              |  min_by(event_type, pos) AS first_feature,
+              |  max_by(event_type, pos) AS last_feature,
+              |  ${sqlAvg("value")} AS mean_gc,
+              |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_trna
+              |FROM sr GROUP BY user_id, pos1, pos2
+              |ORDER BY user_id, pos1, pos2""".stripMargin),
+      doc = "SURVEY G9; RGPs.ipynb:481-488 cell 8"),
+
+    // G10: path predicate — any(node in path WHERE name CONTAINS ...)
+    // (RGPs.ipynb:466): bool_or over the span rows; the collected-array
+    // equivalent is exists(arr, x -> ...), same plan shape.
+    QueryDef(
+      "g10_path_predicate",
+      (s, d) =>
+        spanRows(s, d)
+          .groupBy(col("user_id"), col("pos1"), col("pos2"))
+          .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).cast("int")
+            .as("has_mobile"))
+          .filter(col("has_mobile") === 1)
+          .orderBy(col("user_id"), col("pos1"), col("pos2")),
+      Some(s"""WITH $spanRowsSql
+              |SELECT user_id, pos1, pos2,
+              |  CAST(bool_or(event_type = 'purchase') AS INT) AS has_mobile
+              |FROM sr GROUP BY user_id, pos1, pos2
+              |HAVING bool_or(event_type = 'purchase')
+              |ORDER BY user_id, pos1, pos2""".stripMargin),
+      doc = "SURVEY G10; RGPs.ipynb:466 cell 8")
+  )
 }
