@@ -1,0 +1,98 @@
+package graft.functions
+
+/** Codon Adaptation Index (Sharp & Li 1987) with Biopython-compatible
+  * semantics, reproducing the reference's enrichment step
+  * (extendingDB_FeatureAndStrainMetrics.py:45,54-68):
+  *
+  *  - weights: the published Sharp & Li E. coli reference index (the
+  *    Biopython `SharpEcoliIndex` default the reference relies on);
+  *  - ATG / TGG (single-codon amino acids) are excluded from the mean;
+  *  - stop codons TGA/TAA/TAG are skipped; any other unknown codon makes
+  *    the whole gene undefined (reference catches → NaN, we return None);
+  *  - the mean divides by (count − 1) — a Biopython quirk the reference
+  *    inherits, kept for output fidelity;
+  *  - pre-steps replicated: codons containing 'N' are dropped (whole
+  *    triplet), trailing non-multiple-of-3 bases trimmed.
+  */
+object Cai {
+
+  /** Sharp & Li (1987) E. coli codon adaptation weights, DNA alphabet. */
+  val SharpEcoliIndex: Map[String, Double] = Map(
+    "GCA" -> 0.586, "GCC" -> 0.122, "GCG" -> 0.424, "GCT" -> 1.0,
+    "AGA" -> 0.004, "AGG" -> 0.002, "CGA" -> 0.004, "CGC" -> 0.356,
+    "CGG" -> 0.004, "CGT" -> 1.0,
+    "AAC" -> 1.0, "AAT" -> 0.051,
+    "GAC" -> 1.0, "GAT" -> 0.434,
+    "TGC" -> 1.0, "TGT" -> 0.5,
+    "CAA" -> 0.124, "CAG" -> 1.0,
+    "GAA" -> 1.0, "GAG" -> 0.259,
+    "GGA" -> 0.010, "GGC" -> 0.724, "GGG" -> 0.019, "GGT" -> 1.0,
+    "CAC" -> 1.0, "CAT" -> 0.291,
+    "ATA" -> 0.003, "ATC" -> 1.0, "ATT" -> 0.185,
+    "CTA" -> 0.007, "CTC" -> 0.037, "CTG" -> 1.0, "CTT" -> 0.042,
+    "TTA" -> 0.020, "TTG" -> 0.020,
+    "AAA" -> 1.0, "AAG" -> 0.253,
+    "ATG" -> 1.0,
+    "TTC" -> 1.0, "TTT" -> 0.296,
+    "CCA" -> 0.135, "CCC" -> 0.012, "CCG" -> 1.0, "CCT" -> 0.070,
+    "AGC" -> 0.410, "AGT" -> 0.085,
+    "TCA" -> 0.077, "TCC" -> 0.744, "TCG" -> 0.017, "TCT" -> 1.0,
+    "ACA" -> 0.076, "ACC" -> 1.0, "ACG" -> 0.099, "ACT" -> 0.965,
+    "TGG" -> 1.0,
+    "TAC" -> 1.0, "TAT" -> 0.239,
+    "GTA" -> 0.495, "GTC" -> 0.066, "GTG" -> 0.221, "GTT" -> 1.0)
+
+  private val Skipped = Set("ATG", "TGG")
+  private val Stops   = Set("TGA", "TAA", "TAG")
+
+  /** Reference pre-filter: drop N-containing codons, else trim to ×3. */
+  def preFilter(seq: String): String = {
+    val s = seq.toUpperCase
+    if (s.contains('N')) {
+      val sb = new StringBuilder
+      var i = 0
+      while (i <= s.length - 3) {
+        val part = s.substring(i, i + 3)
+        if (!part.contains('N')) sb.append(part)
+        i += 3
+      }
+      sb.toString
+    } else if (s.length % 3 != 0) s.substring(0, s.length - s.length % 3)
+    else s
+  }
+
+  /** CAI of a gene; None where the reference records NaN. */
+  def caiForGene(dnaSequence: String): Option[Double] = {
+    if (dnaSequence == null) return None
+    val s = preFilter(dnaSequence)
+    var logSum = 0.0
+    var n = 0
+    var i = 0
+    while (i + 3 <= s.length) {
+      val codon = s.substring(i, i + 3)
+      SharpEcoliIndex.get(codon) match {
+        case Some(w) =>
+          if (!Skipped.contains(codon)) { logSum += math.log(w); n += 1 }
+        case None =>
+          if (!Stops.contains(codon)) return None // illegal codon -> NaN path
+      }
+      i += 3
+    }
+    if (n == 0) Some(1.0) // exp(0 / -1)
+    else if (n == 1) None // division by zero in the (n-1) mean -> NaN path
+    else Some(math.exp(logSum / (n - 1.0)))
+  }
+
+  /** GC percentage (Biopython `GC`): G/C/S over total, 0 for empty. */
+  def gcContent(seq: String): Double = {
+    if (seq == null || seq.isEmpty) return 0.0
+    var gc = 0
+    var i = 0
+    while (i < seq.length) {
+      val c = seq.charAt(i)
+      if (c == 'G' || c == 'C' || c == 'g' || c == 'c' || c == 'S' || c == 's') gc += 1
+      i += 1
+    }
+    gc * 100.0 / seq.length
+  }
+}

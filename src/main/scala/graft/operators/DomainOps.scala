@@ -1,5 +1,240 @@
 package graft.operators
-import graft.QueryDef
+
+import graft.{QueryDef, Tables => T}
+import graft.functions.{Agglomerative, GraftFunctions, Newick}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Exact._
+
+/** SURVEY §2's domain-specific surface: the variation codec (P7/P8), CAI
+  * (P10), deviation flags (P11), phylo tree distance (A12), Welch test with
+  * p-value (A17), and the similarity/clustering pack (C1-C3).
+  *
+  * Where the computation is not SQL-expressible the oracle is either a
+  * *self-checking invariant* (round-trip identity ⇒ constant expected
+  * output) or a hand-computed golden table — both run distributed on the
+  * executors, so the check still exercises the real 100 TB code path.
+  */
 object DomainOps {
-  val defs: Seq[QueryDef] = Seq()
+
+  /** Deterministic DNA derived from document text (test carrier for the
+    * genomic functions: every letter mapped onto A/C/G/T cyclically).
+    */
+  private def dnaOf(c: org.apache.spark.sql.Column) =
+    translate(regexp_replace(upper(c), "[^A-Z]", ""),
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "ACGTACGTACGTACGTACGTACGTAC")
+
+  /** Fixed phylogeny over the five event types (A12 test tree);
+    * pairwise distances hand-verified in FunctionsSpec and the oracle.
+    */
+  val TestTree = "((click:1,view:2):1,(purchase:3,signup:1):2,error:5);"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // P7+P8: variation codec round-trip as a distributed invariant —
+    // decode(encode(seq, ref), ref) == seq for equal-length gap-free pairs,
+    // so the expected output is exactly one row per document with ok=1
+    // (pirateToDatabase.py:175-197; extendingDB_FeatureAndStrainMetrics.py:21-29).
+    QueryDef(
+      "p7_variation_roundtrip",
+      (s, d) => {
+        GraftFunctions.register(s)
+        T.documents(s, d)
+          .withColumn("seq", substring(col("text"), 1, 80))
+          .withColumn("ref", translate(col("seq"), "aeiou", "eioua"))
+          .withColumn("enc", expr("variation_encode(seq, ref)"))
+          .withColumn("dec", expr("variation_decode(enc, ref)"))
+          .select(col("doc_id"),
+            (col("dec") === col("seq")).cast("int").as("roundtrip_ok"))
+          .orderBy(col("doc_id"))
+      },
+      Some("SELECT doc_id, 1 AS roundtrip_ok FROM documents ORDER BY doc_id"),
+      doc = "SURVEY P7/P8; pirateToDatabase.py:175-197"),
+
+    // P10: CAI over derived DNA (extendingDB_FeatureAndStrainMetrics.py:45-68).
+    // Not SQL-expressible -> rows-only driver check; exactness pinned by
+    // FunctionsSpec goldens against the Sharp & Li table.
+    QueryDef(
+      "p10_cai",
+      (s, d) => {
+        GraftFunctions.register(s)
+        T.documents(s, d)
+          .withColumn("dna", dnaOf(col("text")))
+          .select(col("doc_id"), expr("cai(dna)").as("cai"),
+            expr("gc_content(dna)").as("gc"))
+          .orderBy(col("doc_id"))
+      },
+      None,
+      doc = "SURVEY P10; extendingDB_FeatureAndStrainMetrics.py:45,54-68"),
+
+    // P11+P12: z-score vs group stats + deviation threshold flag
+    // (deviating = |z| >= 1.5, GIsInStrain.ipynb cells 3-4).
+    QueryDef(
+      "p11_deviation_flag",
+      (s, d) => {
+        val stats = T.events(s, d).groupBy(col("event_type"))
+          .agg(eavg(col("value")).as("m"), estddev(col("value")).as("sd"))
+        T.events(s, d)
+          .join(broadcast(stats), "event_type")
+          .select(col("event_id"),
+            ((col("value") - col("m")) / col("sd")).as("z"),
+            (abs((col("value") - col("m")) / col("sd")) >= 1.5).cast("int")
+              .as("deviating"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""WITH st AS (
+              |  SELECT event_type, ${sqlAvg("value")} AS m, ${sqlStddev("value")} AS sd
+              |  FROM events GROUP BY event_type)
+              |SELECT event_id, (value - m) / sd AS z,
+              |  CAST(abs((value - m) / sd) >= 1.5 AS INT) AS deviating
+              |FROM events JOIN st USING (event_type)
+              |ORDER BY event_id""".stripMargin),
+      doc = "SURVEY P11/P12; GIsInStrain.ipynb:64-65,90-98"),
+
+    // A12: phylogenetic pairwise distances — broadcast LCA-indexed Newick
+    // tree + scalar distance over the J14 pair join (RGPs.ipynb:1618,1657).
+    // Oracle = the hand-computed patristic distances of the fixed tree.
+    QueryDef(
+      "a12_tree_distance",
+      (s, d) => {
+        val idx = s.sparkContext.broadcast(Newick.index(TestTree))
+        val dist = udf((a: String, b: String) => idx.value.distance(a, b))
+        val types = T.events(s, d).select(col("event_type")).distinct()
+        val a = types.select(col("event_type").as("a"))
+        val b = types.select(col("event_type").as("b"))
+        a.join(b, col("a") < col("b"))
+          .select(col("a"), col("b"), dist(col("a"), col("b")).as("dist"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH t AS (SELECT DISTINCT event_type FROM events),
+             |p AS (SELECT a.event_type AS a, b.event_type AS b
+             |      FROM t a JOIN t b ON a.event_type < b.event_type),
+             |g AS (SELECT * FROM (VALUES
+             |  ('click','error',7.0),('click','purchase',7.0),
+             |  ('click','signup',5.0),('click','view',3.0),
+             |  ('error','purchase',10.0),('error','signup',8.0),
+             |  ('error','view',8.0),('purchase','signup',4.0),
+             |  ('purchase','view',8.0),('signup','view',6.0)) AS g(a, b, dist))
+             |SELECT p.a, p.b, g.dist FROM p JOIN g ON p.a = g.a AND p.b = g.b
+             |ORDER BY p.a, p.b""".stripMargin),
+      doc = "SURVEY A12; RGPs.ipynb:1618,1657 cells 47-48"),
+
+    // A17 (full): Welch t + Satterthwaite df + two-sided p — the p-value
+    // needs the Student-t CDF (graft.functions.Stats), so the driver check
+    // is rows-only; the CDF itself is pinned against published t-table
+    // critical values in FunctionsSpec.
+    QueryDef(
+      "a17_welch_pvalue",
+      (s, d) => {
+        GraftFunctions.register(s)
+        val e = T.events(s, d)
+        val g = e.groupBy(col("event_type"))
+          .agg(eavg(col("value")).as("m"), estddev(col("value")).as("sd"),
+               count(lit(1)).as("n"))
+        val bg = e.filter(col("event_type") === "view")
+          .agg(eavg(col("value")).as("m2"), estddev(col("value")).as("sd2"),
+               count(lit(1)).as("n2"))
+        g.crossJoin(broadcast(bg))
+          .withColumn("t_stat",
+            (col("m") - col("m2")) /
+            sqrt(col("sd") * col("sd") / col("n") + col("sd2") * col("sd2") / col("n2")))
+          .withColumn("df", expr("welch_df(sd, n, sd2, n2)"))
+          .withColumn("p_two_sided", expr("welch_p(t_stat, df)"))
+          .select(col("event_type"), col("t_stat"), col("df"), col("p_two_sided"))
+          .orderBy(col("event_type"))
+      },
+      None,
+      doc = "SURVEY A17; RGPs.ipynb:1033-1069 cells 19-20"),
+
+    // C1: Dice similarity over per-user event-type sets — the all-pairs
+    // form the reference runs at N≈5k (RGPs.ipynb cell 70). The LSH-pruned
+    // scale path is PipelineOps d2_minhash_lsh.
+    QueryDef(
+      "c1_dice_similarity",
+      (s, d) => {
+        val sets = T.events(s, d).groupBy(col("user_id"))
+          .agg(collect_set(concat(col("event_type"), lit("#"),
+            floor(col("value") / 20).cast("long"))).as("types"))
+        val a = sets.select(col("user_id").as("u1"), col("types").as("t1"))
+        val b = sets.select(col("user_id").as("u2"), col("types").as("t2"))
+        a.join(b, col("u1") < col("u2"))
+          .select(col("u1"), col("u2"),
+            (size(array_intersect(col("t1"), col("t2"))) * 2.0 /
+             (size(col("t1")) + size(col("t2")))).as("dice"))
+          .filter(col("dice") < 1.0)
+          .orderBy(col("u1"), col("u2"))
+      },
+      Some("""WITH sets AS (
+             |  SELECT user_id, list_distinct(list(event_type || '#' ||
+             |    CAST(CAST(floor(value / 20) AS BIGINT) AS VARCHAR))) AS types
+             |  FROM events GROUP BY user_id)
+             |SELECT a.user_id AS u1, b.user_id AS u2,
+             |  len(list_intersect(a.types, b.types)) * 2.0
+             |    / (len(a.types) + len(b.types)) AS dice
+             |FROM sets a JOIN sets b ON a.user_id < b.user_id
+             |WHERE len(list_intersect(a.types, b.types)) * 2.0
+             |    / (len(a.types) + len(b.types)) < 1.0
+             |ORDER BY u1, u2""".stripMargin),
+      doc = "SURVEY C1; RGPs.ipynb:2073-2091 cell 70"),
+
+    // C2: binary Jaccard distance over the same sets (pdist 'jaccard',
+    // RGPs.ipynb cell 80); |∪| computed as |A|+|B|−|∩| — one pass.
+    QueryDef(
+      "c2_jaccard_distance",
+      (s, d) => {
+        val sets = T.events(s, d).groupBy(col("user_id"))
+          .agg(collect_set(concat(col("event_type"), lit("#"),
+            floor(col("value") / 20).cast("long"))).as("types"))
+        val a = sets.select(col("user_id").as("u1"), col("types").as("t1"))
+        val b = sets.select(col("user_id").as("u2"), col("types").as("t2"))
+        val inter = size(array_intersect(col("t1"), col("t2")))
+        val uni = size(col("t1")) + size(col("t2")) - inter
+        a.join(b, col("u1") < col("u2"))
+          .select(col("u1"), col("u2"),
+            (lit(1.0) - inter.cast("double") / uni).as("jaccard_dist"))
+          .filter(col("jaccard_dist") > 0.0)
+          .orderBy(col("u1"), col("u2"))
+      },
+      Some("""WITH sets AS (
+             |  SELECT user_id, list_distinct(list(event_type || '#' ||
+             |    CAST(CAST(floor(value / 20) AS BIGINT) AS VARCHAR))) AS types
+             |  FROM events GROUP BY user_id)
+             |SELECT u1, u2, jaccard_dist FROM (
+             |  SELECT a.user_id AS u1, b.user_id AS u2,
+             |    1.0 - CAST(len(list_intersect(a.types, b.types)) AS DOUBLE)
+             |      / (len(a.types) + len(b.types) - len(list_intersect(a.types, b.types)))
+             |      AS jaccard_dist
+             |  FROM sets a JOIN sets b ON a.user_id < b.user_id) s
+             |WHERE jaccard_dist > 0.0
+             |ORDER BY u1, u2""".stripMargin),
+      doc = "SURVEY C2; RGPs.ipynb:2598 cell 80"),
+
+    // C3+C4: complete-linkage clustering, flat cut, label histogram
+    // (linkage + fcluster, RGPs.ipynb cells 85-93). The condensed distance
+    // matrix is computed distributed, collected at reference scale (N≈5k),
+    // clustered on the driver — same split as the reference; labels made
+    // deterministic by first-member ordering.
+    QueryDef(
+      "c3_hierarchical_clustering",
+      (s, d) => {
+        import s.implicits._
+        val sets = T.events(s, d).groupBy(col("user_id"))
+          .agg(collect_set(concat(col("event_type"), lit("#"),
+            floor(col("value") / 20).cast("long"))).as("types"))
+          .orderBy(col("user_id"))
+          .collect()
+        val ids = sets.map(_.getLong(0))
+        val types = sets.map(_.getSeq[String](1).toSet)
+        def dist(i: Int, j: Int): Double = {
+          val inter = (types(i) & types(j)).size
+          1.0 - inter.toDouble / (types(i).size + types(j).size - inter)
+        }
+        val labels = Agglomerative.completeLinkageCut(ids.length, dist, 0.3)
+        labels.groupBy(identity).map { case (l, xs) => (l, xs.length.toLong) }
+          .toSeq.sortBy(_._1)
+          .toDF("label", "cluster_size")
+      },
+      None,
+      doc = "SURVEY C3/C4; RGPs.ipynb:2671,2712,2895 cells 85-93")
+  )
 }
