@@ -1,5 +1,412 @@
 package graft.operators
-import graft.QueryDef
+
+import graft.{QueryDef, Tables => T}
+import graft.functions.Sketches
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data pipeline operators over `documents` / `embeddings` — the
+  * 100 TB-scale extension surface (dedup, similarity search, text analysis,
+  * multimodal plumbing). Design rules applied throughout:
+  *
+  *  - sketches (MinHash/SimHash/hyperplane-LSH) turn all-pairs O(N²) work
+  *    into bucket-local candidate joins — the only shape that survives a
+  *    billion-document corpus;
+  *  - candidate verification recomputes the exact measure, so sketches can
+  *    only lose recall, never precision;
+  *  - every non-sketch operator is a single scan + hash agg / bucket join,
+  *    no driver-side loops; doubles that cross the oracle boundary come
+  *    from exact-integer arithmetic.
+  */
 object PipelineOps {
-  val defs: Seq[QueryDef] = Seq()
+
+  /** Canonical text normalization shared by the dedup family. */
+  private def norm(c: Column): Column =
+    regexp_replace(trim(lower(c)), " +", " ")
+
+  /** Character trigram set of a normalized `text` column (empty-safe —
+    * guarded because Spark's sequence(1, 0) would *descend*).
+    */
+  private val normSql = "regexp_replace(trim(lower(text)), ' +', ' ')"
+  private def trigramsOfText: Column = expr(
+    s"""CASE WHEN length($normSql) < 3 THEN CAST(array() AS ARRAY<STRING>)
+       |ELSE array_distinct(transform(sequence(1, length($normSql) - 2),
+       |       i -> substring($normSql, i, 3))) END""".stripMargin)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // D1: exact dedup — hash-groupBy on normalized text; canonical row =
+    // min doc_id, duplicates counted. One shuffle on the 16-byte digest
+    // (never on the text itself — at 100 TB the digest is what moves).
+    QueryDef(
+      "d1_exact_dedup",
+      (s, d) =>
+        T.documents(s, d)
+          .withColumn("h", md5(norm(col("text"))))
+          .groupBy(col("h"))
+          .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+          .select(col("canonical_id"), col("n_copies"))
+          .orderBy(col("canonical_id")),
+      Some("""SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+             |FROM (SELECT doc_id,
+             |        md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS h
+             |      FROM documents) t
+             |GROUP BY h ORDER BY canonical_id""".stripMargin),
+      doc = "dedup/exact; BASELINE.json north star (SURVEY §7 step 10)"),
+
+    // D2: MinHash + LSH near-dup detection — shingle -> 32-perm signature
+    // -> 8 banded keys -> bucket join -> exact-Jaccard verification.
+    // Candidate generation is linear in corpus size; only bucket-colliding
+    // pairs are compared. Portable hashing (graft.functions.Sketches), so
+    // the signature of a document is stable across runs/partitions.
+    QueryDef(
+      "d2_minhash_lsh",
+      (s, d) => {
+        val shingleUdf = udf((text: String) =>
+          if (text == null) Array.empty[String]
+          else {
+            val toks = text.toLowerCase.split(" +").filter(_.nonEmpty)
+            if (toks.length < 2) toks
+            else toks.sliding(2).map(_.mkString(" ")).toArray.distinct
+          })
+        val bandsUdf = udf((sh: Seq[String]) =>
+          Sketches.bandKeys(Sketches.minHash(sh, 32), 4))
+        val docs = T.documents(s, d)
+          .select(col("doc_id"), shingleUdf(col("text")).as("shingles"))
+          .withColumn("bands", bandsUdf(col("shingles")))
+        val buckets = docs.select(col("doc_id"), col("shingles"),
+          posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+        val a = buckets.select(col("band_idx"), col("band_key"),
+          col("doc_id").as("id1"), col("shingles").as("sh1"))
+        val b = buckets.select(col("band_idx").as("bi2"), col("band_key").as("bk2"),
+          col("doc_id").as("id2"), col("shingles").as("sh2"))
+        val cand = a.join(b,
+            col("band_idx") === col("bi2") && col("band_key") === col("bk2") &&
+            col("id1") < col("id2"))
+          .select(col("id1"), col("id2"), col("sh1"), col("sh2"))
+          .dropDuplicates("id1", "id2")
+        val inter = size(array_intersect(col("sh1"), col("sh2")))
+        val uni = size(col("sh1")) + size(col("sh2")) - inter
+        cand
+          .withColumn("jaccard", inter.cast("double") / uni)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("id1"), col("id2"), col("jaccard"))
+          .orderBy(col("id1"), col("id2"))
+      },
+      None, // recall-bounded sketch: pinned by SketchesSpec planted-dup tests
+      doc = "dedup/minhash-lsh; SURVEY C1/C2 scale path (RGPs.ipynb cell 70)"),
+
+    // D3: SimHash near-dup — 64-bit signature, banded into 4×16-bit keys;
+    // pairs whose signatures agree on ≥1 band are verified by Hamming
+    // distance ≤ 6 (≈ 90% token overlap).
+    QueryDef(
+      "d3_simhash",
+      (s, d) => {
+        val simUdf = udf((text: String) =>
+          Sketches.simHash(
+            if (text == null) Seq.empty[String]
+            else text.toLowerCase.split(" +").filter(_.nonEmpty).toSeq))
+        val docs = T.documents(s, d)
+          .select(col("doc_id"), simUdf(col("text")).as("sim"))
+        val banded = docs.select(col("doc_id"), col("sim"),
+          explode(expr("transform(sequence(0, 3), b -> " +
+            "concat(b, ':', CAST(shiftright(sim, b * 16) & 65535 AS STRING)))"))
+            .as("band"))
+        val a = banded.select(col("band"), col("doc_id").as("id1"), col("sim").as("s1"))
+        val b = banded.select(col("band").as("b2"), col("doc_id").as("id2"), col("sim").as("s2"))
+        val hamUdf = udf((x: Long, y: Long) => Sketches.hammingDistance(x, y))
+        a.join(b, col("band") === col("b2") && col("id1") < col("id2"))
+          .dropDuplicates("id1", "id2")
+          .withColumn("hamming", hamUdf(col("s1"), col("s2")))
+          .filter(col("hamming") <= 6)
+          .select(col("id1"), col("id2"), col("hamming"))
+          .orderBy(col("id1"), col("id2"))
+      },
+      None, // signature-dependent: pinned by SketchesSpec
+      doc = "dedup/simhash; Charikar 2002 random-projection sketch"),
+
+    // D4: exact n-gram Jaccard near-dup, blocked by lang — the exact
+    // counterpart the sketches approximate; blocking caps the pair count
+    // (full cross join only within a block, never across the corpus).
+    QueryDef(
+      "d4_ngram_jaccard",
+      (s, d) => {
+        val docs = T.documents(s, d)
+          .select(col("lang"), col("doc_id"), trigramsOfText.as("g"))
+        val a = docs.select(col("lang"), col("doc_id").as("id1"), col("g").as("g1"))
+        val b = docs.select(col("lang").as("l2"), col("doc_id").as("id2"), col("g").as("g2"))
+        val inter = size(array_intersect(col("g1"), col("g2")))
+        val uni = size(col("g1")) + size(col("g2")) - inter
+        a.join(b, col("lang") === col("l2") && col("id1") < col("id2"))
+          .withColumn("jaccard", inter.cast("double") / uni)
+          .filter(col("jaccard") >= 0.35)
+          .select(col("lang"), col("id1"), col("id2"), col("jaccard"))
+          .orderBy(col("lang"), col("id1"), col("id2"))
+      },
+      Some("""WITH g AS (
+             |  SELECT lang, doc_id,
+             |    list_distinct(list_transform(
+             |      range(1, greatest(length(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) - 2, 0) + 1),
+             |      i -> substring(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), CAST(i AS INT), 3))) AS gr
+             |  FROM documents)
+             |SELECT a.lang AS lang, a.doc_id AS id1, b.doc_id AS id2,
+             |  CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+             |    / (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) AS jaccard
+             |FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+             |    / (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) >= 0.35
+             |ORDER BY a.lang, id1, id2""".stripMargin),
+      doc = "dedup/ngram-jaccard exact; SURVEY C2"),
+
+    // D5: brute-force cosine top-k over the embedding column — the exact
+    // ANN baseline. Embeddings are quantized to an integer grid first so
+    // dot/norm sums are exact integers (engine-portable doubles); ranking
+    // ties break on vec_id. Query side is broadcast; corpus side streams.
+    QueryDef(
+      "d5_cosine_topk",
+      (s, d) => {
+        val q = expr("transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))")
+        val base = T.embeddings(s, d).select(col("vec_id"), q.as("q"))
+          .withColumn("nn",
+            expr("aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        val queries = base.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("q").as("qq"), col("nn").as("qn"))
+        val pairs = base.join(broadcast(queries), col("vec_id") =!= col("qid"))
+          .withColumn("dot",
+            expr("aggregate(zip_with(q, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+          .withColumn("cos",
+            col("dot").cast("double") /
+              sqrt(col("qn").cast("double") * col("nn").cast("double")))
+        pairs
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("vec_id").as("eid"), col("cos"), col("rk"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS q
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, q, list_dot_product(q, q) AS nn FROM e),
+             |qs AS (SELECT vec_id AS qid, q AS qq, nn AS qn FROM n WHERE vec_id < 10),
+             |pairs AS (
+             |  SELECT qs.qid, n.vec_id AS eid,
+             |    list_dot_product(n.q, qs.qq) / sqrt(qs.qn * n.nn) AS cos
+             |  FROM qs JOIN n ON n.vec_id <> qs.qid),
+             |r AS (SELECT qid, eid, cos,
+             |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, eid) AS rk
+             |      FROM pairs)
+             |SELECT qid, eid, cos, rk FROM r WHERE rk <= 5
+             |ORDER BY qid, rk""".stripMargin),
+      doc = "similarity/brute-force cosine top-k (ANN baseline)"),
+
+    // D6: LSH-bucketed approximate nearest neighbours — 8-bit deterministic
+    // random-hyperplane signature; candidates share a signature, verified by
+    // exact cosine ≥ 0.2. The scale path: bucket join replaces the N×Q
+    // cross join of d5.
+    QueryDef(
+      "d6_ann_lsh",
+      (s, d) => {
+        val sigUdf = udf((v: Seq[Float]) =>
+          Sketches.hyperplaneSignature(v.toArray, 8))
+        val q = expr("transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))")
+        val base = T.embeddings(s, d)
+          .select(col("vec_id"), q.as("q"), sigUdf(col("embedding")).as("sig"))
+          .withColumn("nn",
+            expr("aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        val a = base.select(col("sig"), col("vec_id").as("id1"),
+          col("q").as("q1"), col("nn").as("n1"))
+        val b = base.select(col("sig").as("sig2"), col("vec_id").as("id2"),
+          col("q").as("q2"), col("nn").as("n2"))
+        a.join(b, col("sig") === col("sig2") && col("id1") < col("id2"))
+          .withColumn("dot",
+            expr("aggregate(zip_with(q1, q2, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+          .withColumn("cos",
+            col("dot").cast("double") /
+              sqrt(col("n1").cast("double") * col("n2").cast("double")))
+          .filter(col("cos") >= 0.2)
+          .select(col("id1"), col("id2"), col("cos"))
+          .orderBy(col("id1"), col("id2"))
+      },
+      None, // recall-bounded sketch: pinned by SketchesSpec
+      doc = "similarity/ann hyperplane-LSH; scale path for d5"),
+
+    // T1: language identification — stopword-overlap scoring against
+    // per-language seed lists, deterministic argmax (alphabetical tiebreak).
+    QueryDef(
+      "t1_lang_id",
+      (s, d) => {
+        def score(words: Seq[String]) =
+          size(array_intersect(array_distinct(split(lower(col("text")), " ")),
+            array(words.map(lit): _*)))
+        val scored = T.documents(s, d)
+          .withColumn("s_de", score(Seq("der", "die", "und", "ist", "von")))
+          .withColumn("s_en", score(Seq("the", "a", "of", "and", "is")))
+          .withColumn("s_es", score(Seq("el", "los", "y", "de", "es")))
+          .withColumn("s_fr", score(Seq("le", "la", "et", "de", "est")))
+        val best = greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr"))
+        scored.select(col("doc_id"),
+            when(best === 0, "unknown")
+              .when(col("s_de") === best, "de")
+              .when(col("s_en") === best, "en")
+              .when(col("s_es") === best, "es")
+              .otherwise("fr").as("pred_lang"),
+            best.as("score"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sc AS (
+             |  SELECT doc_id,
+             |    len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+             |        ['der','die','und','ist','von'])) AS s_de,
+             |    len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+             |        ['the','a','of','and','is'])) AS s_en,
+             |    len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+             |        ['el','los','y','de','es'])) AS s_es,
+             |    len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+             |        ['le','la','et','de','est'])) AS s_fr
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+             |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+             |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+             |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+             |       ELSE 'fr' END AS pred_lang,
+             |  greatest(s_de, s_en, s_es, s_fr) AS score
+             |FROM sc ORDER BY doc_id""".stripMargin),
+      doc = "text/lang-id n-gram heuristic"),
+
+    // T2: quality scoring — length, mean token length, stopword ratio,
+    // alpha ratio folded into one score. Integer-derived doubles keep the
+    // oracle exact.
+    QueryDef(
+      "t2_quality_score",
+      (s, d) => {
+        val toks = filter(split(col("text"), " "), x => x =!= "")
+        val nToks = size(toks)
+        val nChars = length(col("text"))
+        val stop = size(array_intersect(array_distinct(toks),
+          array(Seq("the", "a", "of", "and", "is", "table", "row").map(lit): _*)))
+        T.documents(s, d)
+          .withColumn("n_toks", nToks)
+          .withColumn("mean_tok_len",
+            when(nToks > 0, (nChars - (nToks - 1)).cast("double") / nToks).otherwise(0.0))
+          .withColumn("stop_ratio",
+            when(nToks > 0, stop.cast("double") / nToks).otherwise(0.0))
+          .withColumn("quality",
+            when(col("n_toks") >= 5, 1.0).otherwise(0.0) * 0.4 +
+              when(col("mean_tok_len").between(3.0, 10.0), 1.0).otherwise(0.0) * 0.3 +
+              when(col("stop_ratio") > 0, 1.0).otherwise(0.0) * 0.3)
+          .select(col("doc_id"), col("n_toks"), col("mean_tok_len"),
+            col("stop_ratio"), col("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |    len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_toks,
+             |    len(list_intersect(
+             |      list_distinct(list_filter(str_split(text, ' '), x -> x <> '')),
+             |      ['the','a','of','and','is','table','row'])) AS stop
+             |  FROM documents)
+             |SELECT doc_id, n_toks,
+             |  CASE WHEN n_toks > 0
+             |       THEN CAST(length(text) - (n_toks - 1) AS DOUBLE) / n_toks
+             |       ELSE 0.0 END AS mean_tok_len,
+             |  CASE WHEN n_toks > 0 THEN CAST(stop AS DOUBLE) / n_toks
+             |       ELSE 0.0 END AS stop_ratio,
+             |  CASE WHEN n_toks >= 5 THEN 1.0 ELSE 0.0 END * 0.4 +
+             |  CASE WHEN (CASE WHEN n_toks > 0
+             |             THEN CAST(length(text) - (n_toks - 1) AS DOUBLE) / n_toks
+             |             ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END * 0.3 +
+             |  CASE WHEN stop > 0 THEN 1.0 ELSE 0.0 END * 0.3 AS quality
+             |FROM t ORDER BY doc_id""".stripMargin),
+      doc = "text/quality scoring"),
+
+    // T3: token counting — whitespace tokens and a BPE-ish regex pass
+    // (letter runs / digit runs / single other chars).
+    QueryDef(
+      "t3_token_count",
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"),
+            size(filter(split(col("text"), " "), x => x =!= "")).as("ws_tokens"),
+            size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("re_tokens"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  len(list_filter(str_split(text, ' '), x -> x <> '')) AS ws_tokens,
+             |  len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "text/token counting"),
+
+    // T4: document fingerprint — rolling polynomial hash (base 31 mod
+    // 1e9+7) over the character codes, as a single array fold. The same
+    // portable hash the sketches use, expressed relationally.
+    QueryDef(
+      "t4_fingerprint",
+      (s, d) =>
+        T.documents(s, d)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"),
+            expr("aggregate(transform(split(text, ''), x -> ascii(x)), 0L, " +
+              "(acc, c) -> (acc * 31 + c) % 1000000007)").as("fingerprint"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT), list_transform(split(text, ''), x -> CAST(unicode(x) AS BIGINT))),
+             |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+             |FROM documents WHERE length(text) > 0 ORDER BY doc_id""".stripMargin),
+      doc = "text/fingerprint rolling hash"),
+
+    // M1: multimodal metadata — media as opaque binary + typed metadata;
+    // content digest and a deterministic stand-in for decoded dimensions
+    // (the real decoder is pluggable per SURVEY §2.9 / X1: external codecs
+    // run via mapPartitions, stubbed in this container).
+    QueryDef(
+      "m1_multimodal_meta",
+      (s, d) =>
+        T.documents(s, d)
+          .withColumn("blob", col("text").cast("binary"))
+          .withColumn("sha", sha2(col("blob"), 256))
+          .select(col("doc_id"),
+            length(col("blob")).as("n_bytes"),
+            col("sha"),
+            ((ascii(substring(col("sha"), 1, 1)) * 256 +
+              ascii(substring(col("sha"), 2, 1))) % 1024).as("fake_width"),
+            ((ascii(substring(col("sha"), 3, 1)) * 256 +
+              ascii(substring(col("sha"), 4, 1))) % 1024).as("fake_height"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  length(text) AS n_bytes,
+             |  sha256(text) AS sha,
+             |  (ascii(substring(sha256(text), 1, 1)) * 256 +
+             |   ascii(substring(sha256(text), 2, 1))) % 1024 AS fake_width,
+             |  (ascii(substring(sha256(text), 3, 1)) * 256 +
+             |   ascii(substring(sha256(text), 4, 1))) % 1024 AS fake_height
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "multimodal/binary metadata + digest (decode stubbed)"),
+
+    // M2: frame sampling — every-kth-offset windows over the binary payload
+    // (video frame-sample analogue): one generator row per frame, digest per
+    // frame. posexplode(sequence(...)) keeps the fan-out inside codegen.
+    QueryDef(
+      "m2_frame_sample",
+      (s, d) =>
+        T.documents(s, d)
+          .filter(length(col("text")) >= 64)
+          .select(col("doc_id"), col("text"),
+            posexplode(expr("sequence(1, length(text) - 31, 50)"))
+              .as(Seq("frame_idx", "off")))
+          .select(col("doc_id"), col("frame_idx"),
+            md5(expr("CAST(substring(text, off, 32) AS BINARY)")).as("frame_digest"))
+          .orderBy(col("doc_id"), col("frame_idx")),
+      Some("""WITH f AS (
+             |  SELECT doc_id, text,
+             |    unnest(range(1, length(text) - 30, 50)) AS off,
+             |    unnest(range(0, (length(text) - 32) // 50 + 1)) AS frame_idx
+             |  FROM documents WHERE length(text) >= 64)
+             |SELECT doc_id, frame_idx, md5(substring(text, CAST(off AS INT), 32)) AS frame_digest
+             |FROM f ORDER BY doc_id, frame_idx""".stripMargin),
+      doc = "multimodal/frame sampling over opaque payloads")
+  )
 }
