@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** SURVEY §2.10 — the reference has no streaming, but its enrichment
+  * scripts are incremental batch upserts (MERGE ... ON MATCH SET,
+  * 02_addNucleotideCompositionMetrics.cypher:4-11). This module exposes the
+  * same surface through Structured Streaming:
+  *
+  *  - watermarked tumbling/sliding windowed aggregates (streaming analogue
+  *    of the W1-W3 trailing windows);
+  *  - `foreachBatch` keyed merge — the J11 upsert pattern against a
+  *    parquet-backed state table;
+  *  - stateful chain building (`flatMapGroupsWithState`) — the G1
+  *    neighbour-edge derivation on a live feed (SURVEY §2.10 stretch goal).
+  *
+  * All operators are partitioned by the natural key (user/strain), so state
+  * scales horizontally with executors; watermarks bound state size.
+  */
+object StreamingJobs {
+
+  /** Tumbling windowed counts/means with a 10-minute watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding windowed counts (1h window, 30m slide). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"))
+
+  /** J11 upsert as a foreachBatch merge: each micro-batch's per-key counts
+    * are merged into `statePath` (coalesce(new,old) per column — the
+    * MERGE ... ON MATCH SET semantics; Delta MERGE INTO on a real lake).
+    */
+  def upsertQuery(events: DataFrame, statePath: String, checkpoint: String) = {
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val upd = batch.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_new"), max(col("ts")).as("last_ts"))
+        val old =
+          try spark.read.parquet(statePath)
+          catch { case _: Exception =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              upd.withColumnRenamed("n_new", "n").schema)
+          }
+        val merged = old.withColumnRenamed("n", "n_old")
+          .withColumnRenamed("last_ts", "ts_old")
+          .join(upd, Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_new"), lit(0L))).as("n"),
+            coalesce(col("last_ts"), col("ts_old")).as("last_ts"))
+        // rewrite state (small keyed table; real deployments use Delta MERGE)
+        merged.write.mode("overwrite").parquet(statePath + "_next")
+        spark.read.parquet(statePath + "_next")
+          .write.mode("overwrite").parquet(statePath)
+      }
+  }
+
+  case class FeatureEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+  case class ChainEdge(user_id: Long, src: Long, dst: Long)
+  case class LastSeen(eventId: Long)
+
+  /** G1 on a live feed: per-strain chain building. Each group (strain)
+    * remembers its last feature and emits one edge per arriving feature.
+    * Assumes per-key event-time order within a micro-batch (sorted below);
+    * production hardening would buffer out-of-order arrivals by watermark.
+    */
+  def chainEdges(events: Dataset[FeatureEvent]): Dataset[ChainEdge] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastSeen, ChainEdge](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[FeatureEvent], state: GroupState[LastSeen]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var last = state.getOption.map(_.eventId)
+          val edges = sorted.flatMap { e =>
+            val out = last.map(l => ChainEdge(userId, l, e.event_id))
+            last = Some(e.event_id)
+            out
+          }
+          last.foreach(l => state.update(LastSeen(l)))
+          edges.iterator
+      }
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.streaming.StreamingJobs
+import graft.streaming.StreamingJobs.{ChainEdge, FeatureEvent}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(minutes: Int): java.sql.Timestamp =
+    new java.sql.Timestamp(1704067200000L + minutes * 60000L) // 2024-01-01 UTC
+
+  test("tumbling window aggregate over a memory stream") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingJobs.tumblingCounts(events)
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    input.addData((ts(5), "click", 1.0), (ts(20), "click", 2.0), (ts(65), "view", 3.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM tumbling ORDER BY win_start, event_type")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+    q.stop()
+    assert(rows.toSeq == Seq(
+      (ts(0).getTime, "click", 2L),
+      (ts(60).getTime, "view", 1L)))
+  }
+
+  test("foreachBatch upsert merges counts across micro-batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    val q = StreamingJobs.upsertQuery(events, s"$dir/state", s"$dir/ckpt").start()
+    input.addData((1L, ts(0)), (1L, ts(1)), (2L, ts(2)))
+    q.processAllAvailable()
+    input.addData((1L, ts(10)), (3L, ts(11)))
+    q.processAllAvailable()
+    q.stop()
+    val state = spark.read.parquet(s"$dir/state")
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(state.toSeq == Seq((1L, 3L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("stateful chain building emits G1 neighbour edges across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[FeatureEvent]
+    val q = StreamingJobs.chainEdges(input.toDS())
+      .writeStream.format("memory").queryName("chains")
+      .outputMode("append").start()
+    input.addData(FeatureEvent(1, 10, ts(0)), FeatureEvent(1, 11, ts(1)),
+      FeatureEvent(2, 20, ts(0)))
+    q.processAllAvailable()
+    input.addData(FeatureEvent(1, 12, ts(2)), FeatureEvent(2, 21, ts(3)))
+    q.processAllAvailable()
+    q.stop()
+    val edges = spark.sql("SELECT * FROM chains ORDER BY user_id, src")
+      .as[ChainEdge].collect().toSeq
+    assert(edges == Seq(ChainEdge(1, 10, 11), ChainEdge(1, 11, 12),
+      ChainEdge(2, 20, 21)))
+  }
+}
