@@ -1,0 +1,402 @@
+package graft.pangenome
+
+import graft.functions.{Cai, GraftFunctions, Stats, VariationCodec}
+import graft.sources.PirateSources
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The domain pipeline: PIRATE output -> node/edge tables -> enrichment ->
+  * analyses, reproducing the reference end to end (SURVEY §3 lifecycle
+  * 1-3) as lazy DataFrame plans over Parquet-able tables.
+  *
+  * Scale posture: every table is partitionable by `Strain` (features,
+  * edges) or `cluster_id`; per-strain work (ordering, windows, chains)
+  * shuffles once on the strain key and stays partition-local after that.
+  * Genome strings (S6) are substring-extracted immediately (P6) and never
+  * broadcast or shuffled with the wide tables.
+  */
+object Pangenome {
+
+  // ------------------------------------------------------------------
+  // ETL job  (pirateToDatabase.py __main__, SURVEY §3 entry point 1)
+  // ------------------------------------------------------------------
+
+  case class EtlTables(features: DataFrame, clusters: DataFrame, neighbourEdges: DataFrame)
+
+  def etl(spark: SparkSession, pirateDir: String): EtlTables = {
+    val coords = PirateSources.readCoords(spark, s"$pirateDir/co-ords")
+    val reprSeq = PirateSources.readRepresentativeHeaders(
+      spark, s"$pirateDir/representative_sequences.ffn")
+    val families = PirateSources.readGeneFamilies(
+      spark, s"$pirateDir/PIRATE.gene_families.tsv")
+    val aligned = PirateSources.readAlignedSequences(spark, s"$pirateDir/feature_sequences")
+    val genomes = PirateSources.readStrainGenomes(spark, s"$pirateDir/modified_gffs")
+
+    // J1: clusters ⋈ representative headers (m:1, broadcast the small side)
+    val clusters0 = families.join(broadcast(reprSeq),
+      col("gene_family") === col("cluster_name")).drop("cluster_name")
+
+    // J2+J3: aligned members ⋈ repr headers, then self-join to pull the
+    // reference member's sequence onto every row of its cluster
+    val withRef = aligned.join(broadcast(reprSeq),
+      col("Cluster") === col("cluster_name")).drop("cluster_name")
+    val refRows = withRef.filter(col("Feature") === col("reference_locus"))
+      .select(col("Cluster").as("rc"), col("Seq").as("Seq_reference"))
+    val alignedRef = withRef.join(refRows, col("Cluster") === col("rc")).drop("rc")
+
+    // A11+P7: variation once per distinct (cluster, seq), mapped back
+    val encodeUdf = udf((s: String, r: String) => VariationCodec.encode(s, r))
+    val distinctSeqs = alignedRef.select(col("Cluster").as("dc"),
+        col("Seq").as("ds"), col("Seq_reference").as("dr")).distinct()
+      .withColumn("Variation", encodeUdf(col("ds"), col("dr")))
+      .drop("dr")
+    val variation = alignedRef.join(distinctSeqs,
+        col("Cluster") === col("dc") && col("Seq") === col("ds"))
+      .select(col("Feature"), col("Variation"))
+
+    // J4: features ⟕ variation; left-only rows (no aligned sequence) get
+    // their genome substring as FullSequences (J5+P6); others keep null
+    val feats = coords.join(variation, col("Name") === col("Feature"), "left")
+      .drop("Feature")
+    val features = feats.join(genomes, Seq("Strain"), "left")
+      .withColumn("FullSequences",
+        when(col("Variation").isNull,
+          expr("substring(Sequence, CAST(Start AS INT), CAST(End - Start + 1 AS INT))")))
+      .drop("Sequence")
+      .select(col("Name"), col("Start"), col("End"), col("Length"), col("Strand"),
+        col("Product"), col("Strain"), col("FeatureType"), col("Variation"),
+        col("FullSequences"))
+
+    // J6: cluster reference sequence (null when the cluster has no
+    // aligned-seq file -> repaired later, 01_creatingDatabase.cypher:129)
+    val clusters = clusters0.join(
+        alignedRef.select(col("Feature").as("rf"), col("Seq").as("Seq")).distinct(),
+        col("reference_locus") === col("rf"), "left")
+      .drop("rf")
+
+    // O1+W4+G1: neighbour edges — consecutive features per strain in
+    // genome order. Partitioned lag (the strain-boundary fix per SURVEY G1).
+    val w = Window.partitionBy(col("Strain")).orderBy(col("Start"), col("Name"))
+    val neighbourEdges = features
+      .withColumn("sourceFeature", lag(col("Name"), 1).over(w))
+      .filter(col("sourceFeature").isNotNull)
+      .select(col("sourceFeature"), col("Name").as("receivingFeature"),
+        col("Strain").as("strain"))
+
+    EtlTables(features, clusters, neighbourEdges)
+  }
+
+  // ------------------------------------------------------------------
+  // Graph build job  (01_creatingDatabase.cypher, SURVEY §3 entry point 2)
+  // ------------------------------------------------------------------
+
+  case class GraphTables(
+      features: DataFrame,        // FEATURE nodes (full_sequence nulled for lonely)
+      clusters: DataFrame,        // CLUSTER nodes incl. lonely + repaired ref seqs
+      strains: DataFrame,         // STRAIN nodes
+      ortholog: DataFrame,        // feature_id -> cluster_id
+      clusterNeighbours: DataFrame, // c1, c2, number_of_members, members
+      featureNeighbours: DataFrame, // src, dst, strain
+      featureInStrain: DataFrame, // feature_id -> strain
+      clusterInStrain: DataFrame) // cluster_id -> strain (deduped 2-hop)
+
+  def buildGraph(spark: SparkSession, t: EtlTables): GraphTables = {
+    val features0 = t.features
+    // J7: UNWIND feature ids (P4 split+filter) ⋈ features
+    val clustered = t.clusters
+      .select(col("allele_name").as("cluster_id"),
+        explode(filter(split(col("feature"), ";"), x => x =!= "0" && x =!= ""))
+          .as("feature_id"))
+    val ortholog0 = clustered.join(
+      features0.select(col("Name").as("feature_id")), Seq("feature_id"))
+
+    // J12: lonely features -> their own single-member clusters
+    // (01_creatingDatabase.cypher:70-89); feature.full_sequence moves onto
+    // the lonely cluster's reference_sequence and is nulled on the feature
+    val lonely = features0.join(ortholog0.select(col("feature_id")),
+        col("Name") === col("feature_id"), "left_anti")
+    val lonelyClusters = lonely.select(
+      col("Name").as("cluster_id"), col("Product").as("description"),
+      lit(50L).as("threshold"), lit(1L).as("number_genomes"),
+      col("Length").as("min_length"), col("Length").as("max_length"),
+      col("Length").cast("double").as("average_length"),
+      col("Name").as("reference_locus"), col("FullSequences").as("reference_sequence"),
+      lit(true).as("lonely_cluster"))
+    val ortholog = ortholog0.unionByName(
+      lonely.select(col("Name").as("cluster_id"), col("Name").as("feature_id")))
+
+    val features = features0.join(
+        lonely.select(col("Name").as("ln")), col("Name") === col("ln"), "left")
+      .withColumn("FullSequences",
+        when(col("ln").isNotNull, lit(null).cast("string")).otherwise(col("FullSequences")))
+      .drop("ln")
+
+    // G3: cluster feature_type — the reference's 3 sequential passes mean
+    // CDS overwrites tRNA overwrites pseudogene; one pass with that priority
+    val typePrio = when(col("FeatureType") === "CDS", 3)
+      .when(col("FeatureType") === "tRNA", 2)
+      .when(col("FeatureType") === "pseudogene", 1).otherwise(0)
+    val clusterType = ortholog
+      .join(features.select(col("Name").as("feature_id"), col("FeatureType")),
+        Seq("feature_id"))
+      .groupBy(col("cluster_id")).agg(max(typePrio).as("tp"))
+      .withColumn("feature_type",
+        when(col("tp") === 3, "CDS").when(col("tp") === 2, "tRNA")
+          .when(col("tp") === 1, "pseudogene"))
+      .drop("tp")
+
+    // assemble CLUSTER nodes: real + lonely, ref-seq repair (J10:
+    // null reference_sequence <- the reference feature's full_sequence)
+    val realClusters = t.clusters.select(
+      col("allele_name").as("cluster_id"), col("consensus_product").as("description"),
+      col("threshold"), col("number_genomes"), col("min_length"), col("max_length"),
+      col("min_length").cast("double").as("average_length"),
+      col("reference_locus"), col("Seq").as("reference_sequence"),
+      lit(false).as("lonely_cluster"))
+    val allClusters = realClusters.unionByName(lonelyClusters)
+    val repairSrc = features0.select(col("Name").as("rl"),
+      col("FullSequences").as("repair_seq"))
+    val clusters = allClusters
+      .join(repairSrc, col("reference_locus") === col("rl"), "left")
+      .withColumn("reference_sequence",
+        coalesce(col("reference_sequence"), col("repair_seq")))
+      .drop("rl", "repair_seq")
+      .join(clusterType, Seq("cluster_id"), "left")
+
+    // G2+J8: cluster-level NEIGHBOUR edges with accumulated members
+    val o1 = ortholog.select(col("feature_id").as("sf"), col("cluster_id").as("c1"))
+    val o2 = ortholog.select(col("feature_id").as("rf"), col("cluster_id").as("c2"))
+    val clusterNeighbours = t.neighbourEdges
+      .join(o1, col("sourceFeature") === col("sf"))
+      .join(o2, col("receivingFeature") === col("rf"))
+      .groupBy(col("c1"), col("c2"))
+      .agg(count(lit(1)).as("number_of_members"),
+        sort_array(collect_list(col("strain"))).as("members"))
+
+    val featureNeighbours = t.neighbourEdges.select(
+      col("sourceFeature").as("src"), col("receivingFeature").as("dst"), col("strain"))
+
+    // O6+J9: STRAIN nodes, membership edges, deduped 2-hop cluster⋈strain
+    val strains = features.select(col("Strain").as("name")).distinct()
+    val featureInStrain = features.select(col("Name").as("feature_id"),
+      col("Strain").as("strain"))
+    val clusterInStrain = ortholog.join(featureInStrain, Seq("feature_id"))
+      .select(col("cluster_id"), col("strain")).distinct()
+
+    GraphTables(features, clusters, strains, ortholog, clusterNeighbours,
+      featureNeighbours, featureInStrain, clusterInStrain)
+  }
+
+  // ------------------------------------------------------------------
+  // Enrichment job  (extendingDB_FeatureAndStrainMetrics.py + 02_*.cypher)
+  // ------------------------------------------------------------------
+
+  case class EnrichedTables(features: DataFrame, strains: DataFrame)
+
+  /** P8 decode -> P9 GC -> P10 CAI per CDS feature, J11 upsert onto the
+    * feature table, A1 per-strain avg/stddev written onto strains.
+    * Null CAI (reference: NaN) is skipped by the strain aggregates —
+    * Neo4j's avg/stDev ignore missing properties the same way.
+    */
+  def enrich(spark: SparkSession, g: GraphTables): EnrichedTables = {
+    val decodeUdf = udf((v: String, r: String) => VariationCodec.decode(v, r))
+    val gcUdf = udf((s: String) => Cai.gcContent(s))
+    val caiUdf = udf((s: String) =>
+      Cai.caiForGene(s).map(java.lang.Double.valueOf).orNull)
+
+    val metrics = g.features.filter(col("FeatureType") === "CDS")
+      .join(g.ortholog.withColumnRenamed("feature_id", "Name"), Seq("Name"))
+      .join(g.clusters.select(col("cluster_id"), col("reference_sequence")),
+        Seq("cluster_id"))
+      .withColumn("full_seq", decodeUdf(col("Variation"), col("reference_sequence")))
+      .select(col("Name").as("featureID"),
+        gcUdf(col("full_seq")).as("GC"), caiUdf(col("full_seq")).as("CAI"))
+
+    // J11: MERGE ... ON MATCH SET — keyed upsert via left join + coalesce
+    val features = g.features
+      .join(metrics, col("Name") === col("featureID"), "left")
+      .drop("featureID")
+
+    // A1: per-strain sample stddev/avg (Neo4j stDev = sample)
+    val strains = features.groupBy(col("Strain").as("name"))
+      .agg(avg(col("GC")).as("avg_GC"), stddev_samp(col("GC")).as("stDev_GC"),
+        avg(col("CAI")).as("avg_CAI"), stddev_samp(col("CAI")).as("stDev_CAI"))
+
+    EnrichedTables(features, strains)
+  }
+
+  // ------------------------------------------------------------------
+  // Analyses  (GIsInStrain.ipynb + RGPs.ipynb, SURVEY §3 entry point 3)
+  // ------------------------------------------------------------------
+
+  /** Genome-track query (lifecycle #1): per-strain ordered features with
+    * z-scored GC/CAI, deviation flags and the W1-W3 rolling windows —
+    * GIsInStrain.ipynb cells 3-8 as one plan: join -> position -> windows.
+    */
+  def genomeTrack(e: EnrichedTables, g: GraphTables): DataFrame = {
+    val pos = Window.partitionBy(col("Strain")).orderBy(col("Start"), col("Name"))
+    val nGenomes = g.ortholog
+      .join(g.clusters.select(col("cluster_id"), col("number_genomes")), Seq("cluster_id"))
+      .select(col("feature_id"), col("number_genomes"))
+    val tracked = e.features
+      .join(e.strains.withColumnRenamed("name", "strain_name"),
+        col("Strain") === col("strain_name"))
+      .join(nGenomes, col("Name") === col("feature_id"), "left")
+      .withColumn("position", row_number().over(pos))
+      .withColumn("z_GC", (col("GC") - col("avg_GC")) / col("stDev_GC"))
+      .withColumn("z_CAI", (col("CAI") - col("avg_CAI")) / col("stDev_CAI"))
+      .withColumn("deviating_GC", (abs(col("z_GC")) >= 1.5).cast("int"))
+      .withColumn("deviating_CAI", (abs(col("z_CAI")) >= 1.5).cast("int"))
+    val wp = Window.partitionBy(col("Strain")).orderBy(col("position"))
+    tracked
+      .withColumn("smooth_GC", avg(col("z_GC")).over(wp.rowsBetween(-9, 0)))
+      .withColumn("gi_flag",
+        (sum(coalesce(col("deviating_GC"), lit(0))).over(wp.rowsBetween(-19, 0)) > 5)
+          .cast("int"))
+      .withColumn("rare_flag",
+        (max(col("number_genomes")).over(wp.rowsBetween(-4, 0)) <= 600).cast("int"))
+      .select(col("Strain"), col("position"), col("Name"), col("GC"), col("CAI"),
+        col("z_GC"), col("z_CAI"), col("deviating_GC"), col("deviating_CAI"),
+        col("smooth_GC"), col("gi_flag"), col("rare_flag"), col("number_genomes"))
+  }
+
+  /** RGP miner (lifecycle #2): anchor selection (G4+G5) -> positional span
+    * join (G7) -> span projections (G8-G10) -> Welch t significance (A17).
+    *
+    * Parameters mirror the notebook constants: coreFrac 0.95 (number_genomes
+    * > coreFrac·nStrains), majorityFrac 0.7 (r.number_of_members >
+    * majorityFrac·nb_out), path bounds *minEdges..maxEdges* in edge counts
+    * (reference *5..200), requireMobile = the notebook's any(integrase|
+    * transposase) predicate, background n2 = 5000 (RGPs.ipynb cell 19).
+    */
+  def rgpMine(
+      e: EnrichedTables, g: GraphTables,
+      coreFrac: Double = 0.95, majorityFrac: Double = 0.7,
+      minEdges: Int = 5, maxEdges: Int = 200,
+      requireMobile: Boolean = true): DataFrame = {
+
+    val nStrains = g.strains.count().toDouble
+
+    // G4: undirected out-degree weights; G5: anchor pairs (both-core +
+    // majority edge), matched in both orientations like Cypher's (c1)-[r]-(c2)
+    val dirEdges = g.clusterNeighbours.select(col("c1"), col("c2"),
+      col("number_of_members").as("w"))
+    val bothDirs = dirEdges.unionByName(
+      dirEdges.select(col("c2").as("c1"), col("c1").as("c2"), col("w")))
+    // nb_out is the *directed* outgoing weight (reduce over (c1)-[n]->(),
+    // RGPs.ipynb:455-460) even though the pair match itself is undirected
+    val nbOut = dirEdges.groupBy(col("c1")).agg(sum(col("w")).as("nb_out"))
+    val core = g.clusters.filter(col("number_genomes") > coreFrac * nStrains)
+      .select(col("cluster_id"))
+    val anchorPairs = bothDirs
+      .join(nbOut, Seq("c1"))
+      .filter(col("c1") =!= col("c2") && col("w") > col("nb_out") * majorityFrac)
+      .join(core.withColumnRenamed("cluster_id", "c1"), Seq("c1"), "left_semi")
+      .join(core.withColumnRenamed("cluster_id", "c2"), Seq("c2"), "left_semi")
+      .select(col("c1"), col("c2")).distinct()
+
+    // positional model: feature positions per strain (W5)
+    val pos = Window.partitionBy(col("Strain")).orderBy(col("Start"), col("Name"))
+    val positioned = e.features
+      .withColumn("position", row_number().over(pos))
+      .join(g.ortholog.withColumnRenamed("feature_id", "Name"), Seq("Name"))
+
+    // G7: anchor occurrences of c1/c2 in the same strain within path bounds
+    // (per-occurrence multiplicity: every qualifying f1/f2 pair is a path)
+    val f1 = positioned.select(col("Strain"), col("cluster_id").as("c1"),
+      col("Name").as("anchor1"), col("position").as("pos1"))
+    val f2 = positioned.select(col("Strain").as("st2"), col("cluster_id").as("c2b"),
+      col("Name").as("anchor2"), col("position").as("pos2"))
+    val spans = anchorPairs
+      .join(f1, Seq("c1"))
+      .join(f2, col("Strain") === col("st2") && col("c2b") === col("c2") &&
+        (col("pos2") - col("pos1")).between(minEdges, maxEdges))
+      .select(col("Strain"), col("c1"), col("c2"), col("anchor1"), col("anchor2"),
+        col("pos1"), col("pos2"))
+
+    // G8+G9+G10: intervening features (nodes(path)[1..-1] minus both
+    // anchors), ordered collects + list projections, mobile-gene predicate
+    val body = positioned.select(col("Strain").as("bs"), col("position").as("bpos"),
+      col("Name").as("bname"), col("Product").as("bprod"),
+      col("FeatureType").as("btype"), col("cluster_id").as("bcluster"),
+      col("GC").as("bGC"), col("CAI").as("bCAI"))
+    val spanRows = spans.join(body,
+      col("Strain") === col("bs") &&
+      col("bpos") > col("pos1") && col("bpos") < col("pos2"))
+
+    val insertions = spanRows
+      .groupBy(col("Strain"), col("c1"), col("c2"), col("anchor1"), col("anchor2"),
+        col("pos1"), col("pos2"))
+      .agg(
+        (col("pos2") - col("pos1") - 1).as("InsertionNbFeatures"),
+        min_by(struct(col("bpos"), col("bname")), col("bpos"))
+          .getField("bname").as("first_feature"),
+        expr("transform(array_sort(collect_list(struct(bpos, bcluster))), x -> x.bcluster)")
+          .as("InsertionListClusterID"),
+        expr("transform(array_sort(collect_list(struct(bpos, bGC))), x -> x.bGC)")
+          .as("InsertionListGC"),
+        expr("transform(array_sort(collect_list(struct(bpos, bCAI))), x -> x.bCAI)")
+          .as("InsertionListCAI"),
+        expr("sort_array(collect_list(CASE WHEN bprod LIKE '%integrase%' " +
+          "OR bprod LIKE '%transposase%' THEN bprod END))")
+          .as("InsertionListMobileNames"),
+        sum(when(col("btype") === "tRNA", 1).otherwise(0)).as("n_tRNA"))
+      .withColumn("has_mobile", size(col("InsertionListMobileNames")) > 0)
+
+    val filtered = if (requireMobile) insertions.filter(col("has_mobile")) else insertions
+
+    // A17: Welch t of the insertion's GC/CAI lists vs the strain background
+    // (mean/stddev from strain stats, n2 = 5000), nulls skipped like the
+    // notebook's None-filtering (RGPs.ipynb:1044-1045). Mean/stddev of the
+    // span list are array folds (codegen, no UDF); only the t-CDF p-value
+    // goes through the registered scalar function.
+    GraftFunctions.register(e.features.sparkSession)
+    def welch(listCol: String, mCol: String, sdCol: String, p: String)(df: DataFrame): DataFrame = {
+      val clean = s"filter($listCol, x -> x IS NOT NULL)"
+      df
+        .withColumn(s"${p}_n1", expr(s"size($clean)").cast("double"))
+        .withColumn(s"${p}_s1", expr(s"aggregate($clean, 0D, (a, x) -> a + x)"))
+        .withColumn(s"${p}_s2", expr(s"aggregate($clean, 0D, (a, x) -> a + x * x)"))
+        .withColumn(s"${p}_m1",
+          when(col(s"${p}_n1") >= 2, col(s"${p}_s1") / col(s"${p}_n1")))
+        .withColumn(s"${p}_sd1", when(col(s"${p}_n1") >= 2, sqrt(greatest(
+          (col(s"${p}_s2") - col(s"${p}_s1") * col(s"${p}_s1") / col(s"${p}_n1")) /
+            (col(s"${p}_n1") - 1.0), lit(0.0)))))
+        .withColumn(s"t_$p",
+          when(col(s"${p}_n1") >= 2 && col(mCol).isNotNull && col(sdCol).isNotNull,
+            (col(s"${p}_m1") - col(mCol)) /
+              sqrt(col(s"${p}_sd1") * col(s"${p}_sd1") / col(s"${p}_n1") +
+                col(sdCol) * col(sdCol) / lit(5000.0))))
+        .withColumn(s"df_$p",
+          when(col(s"t_$p").isNotNull,
+            expr(s"welch_df(${p}_sd1, ${p}_n1, $sdCol, 5000.0)")))
+        .withColumn(s"p_$p",
+          when(col(s"t_$p").isNotNull, expr(s"welch_p(t_$p, df_$p)")))
+    }
+
+    filtered
+      .join(e.strains, col("Strain") === col("name"))
+      .transform(welch("InsertionListGC", "avg_GC", "stDev_GC", "GC"))
+      .transform(welch("InsertionListCAI", "avg_CAI", "stDev_CAI", "CAI"))
+      .select(col("Strain"), col("c1"), col("c2"), col("anchor1"), col("anchor2"),
+        col("pos1"), col("pos2"), col("InsertionNbFeatures"),
+        col("InsertionListClusterID"), col("InsertionListGC"), col("InsertionListCAI"),
+        col("InsertionListMobileNames"), col("n_tRNA"), col("has_mobile"),
+        col("t_GC"), col("p_GC"), col("t_CAI"), col("p_CAI"))
+  }
+
+  /** C1: Dice similarity between insertions' cluster-ID sets (all pairs —
+    * reference scale; MinHash-LSH in PipelineOps is the 100 TB path).
+    */
+  def insertionDice(insertions: DataFrame): DataFrame = {
+    val withSet = insertions.withColumn("cset", array_distinct(col("InsertionListClusterID")))
+      .withColumn("iid", concat_ws("|", col("Strain"), col("pos1"), col("pos2")))
+    val a = withSet.select(col("iid").as("i1"), col("cset").as("s1"))
+    val b = withSet.select(col("iid").as("i2"), col("cset").as("s2"))
+    a.join(b, col("i1") < col("i2"))
+      .select(col("i1"), col("i2"),
+        (size(array_intersect(col("s1"), col("s2"))) * 2.0 /
+          (size(col("s1")) + size(col("s2")))).as("dice"))
+  }
+}
