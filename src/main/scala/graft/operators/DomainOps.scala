@@ -153,8 +153,8 @@ object DomainOps {
       "c1_dice_similarity",
       (s, d) => {
         val sets = T.events(s, d).groupBy(col("user_id"))
-          .agg(collect_set(concat(col("event_type"), lit("#"),
-            floor(col("value") / 20).cast("long"))).as("types"))
+          .agg(collect_set(xxhash64(concat(col("event_type"), lit("#"),
+            floor(col("value") / 20).cast("long")))).as("types"))
         val a = sets.select(col("user_id").as("u1"), col("types").as("t1"))
         val b = sets.select(col("user_id").as("u2"), col("types").as("t2"))
         a.join(b, col("u1") < col("u2"))
@@ -183,8 +183,8 @@ object DomainOps {
       "c2_jaccard_distance",
       (s, d) => {
         val sets = T.events(s, d).groupBy(col("user_id"))
-          .agg(collect_set(concat(col("event_type"), lit("#"),
-            floor(col("value") / 20).cast("long"))).as("types"))
+          .agg(collect_set(xxhash64(concat(col("event_type"), lit("#"),
+            floor(col("value") / 20).cast("long")))).as("types"))
         val a = sets.select(col("user_id").as("u1"), col("types").as("t1"))
         val b = sets.select(col("user_id").as("u2"), col("types").as("t2"))
         val inter = size(array_intersect(col("t1"), col("t2")))

