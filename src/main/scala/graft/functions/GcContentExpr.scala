@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen GC-content (SURVEY P9): the hot inner-loop scalar of the
+  * enrichment pass, as a Catalyst `UnaryExpression` instead of a Scala UDF —
+  * no serialization boundary, stays inside the whole-stage-codegen span of
+  * the surrounding projection (prompt preference order: built-ins >
+  * Expression > UDF).
+  *
+  * Operates on the UTF-8 bytes directly (DNA alphabets are ASCII); counts
+  * G/C plus the IUPAC 'S' (strong) code, matching [[Cai.gcContent]] /
+  * Biopython's `GC`.
+  */
+case class GcContentExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "gc_content_native"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var gc = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b == 'G' || b == 'C' || b == 'g' || b == 'c' || b == 'S' || b == 's') gc += 1
+      i += 1
+    }
+    if (bytes.length == 0) 0.0 else gc * 100.0 / bytes.length
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val gc = ctx.freshName("gc")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |int $gc = 0;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  byte b = $bytes[$i];
+         |  if (b == 'G' || b == 'C' || b == 'g' || b == 'c' || b == 'S' || b == 's') $gc++;
+         |}
+         |${ev.value} = $bytes.length == 0 ? 0.0 : $gc * 100.0 / $bytes.length;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GcContentExpr =
+    copy(child = newChild)
+}
+
+/** `SparkSessionExtensions` hook: `--conf spark.sql.extensions=
+  * graft.functions.GraftExtensions` makes `gc_content_native` available in
+  * every session; [[GraftExtensions.registerInto]] does the same for an
+  * already-running session (used by the driver-contract queries).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.fn)
+}
+
+object GraftExtensions {
+  val fn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("gc_content_native"),
+    new ExpressionInfo(classOf[GcContentExpr].getName, "gc_content_native"),
+    (exprs: Seq[Expression]) => GcContentExpr(exprs.head))
+
+  def registerInto(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("gc_content_native", fn._3, "built-in")
+}

@@ -157,6 +157,25 @@ object Projections {
              |FROM documents ORDER BY doc_id""".stripMargin),
       doc = "SURVEY P9; extendingDB_FeatureAndStrainMetrics.py:52"),
 
+    // P9 (native): the same scalar as a codegen Catalyst Expression
+    // (graft.functions.GcContentExpr) registered via the session's
+    // FunctionRegistry / GraftExtensions — counts G/C/S per IUPAC.
+    QueryDef(
+      "p9_gc_native_expr",
+      (s, d) => {
+        graft.functions.GraftExtensions.registerInto(s)
+        T.documents(s, d)
+          .select(col("doc_id"),
+            expr("gc_content_native(text)").as("gc_pct"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN length(text) = 0 THEN 0.0
+             |       ELSE length(regexp_replace(upper(text), '[^GCS]', '', 'g')) * 100.0
+             |            / length(text) END AS gc_pct
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "SURVEY P9 + §4 custom Expression; extendingDB_FeatureAndStrainMetrics.py:52"),
+
     // P13: gap strip — replace('-','') before metrics/BLAST
     // (extendingDB_performingBlast.py:56).
     QueryDef(
