@@ -25,14 +25,11 @@ object PipelineOps {
   private def norm(c: Column): Column =
     regexp_replace(trim(lower(c)), " +", " ")
 
-  /** Character trigram set of a normalized `text` column (empty-safe —
-    * guarded because Spark's sequence(1, 0) would *descend*).
+  /** SQL text of the canonical normalization (hoist into a column before
+    * using inside lambdas — a regex inside a per-trigram lambda re-executes
+    * per element).
     */
   private val normSql = "regexp_replace(trim(lower(text)), ' +', ' ')"
-  private def trigramsOfText: Column = expr(
-    s"""CASE WHEN length($normSql) < 3 THEN CAST(array() AS ARRAY<STRING>)
-       |ELSE array_distinct(transform(sequence(1, length($normSql) - 2),
-       |       i -> substring($normSql, i, 3))) END""".stripMargin)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -135,22 +132,28 @@ object PipelineOps {
     QueryDef(
       "d4_ngram_jaccard",
       (s, d) => {
-        // trigrams hashed to 64-bit ints: set cardinalities (and hence the
-        // Jaccard) are unchanged (collision-free at these set sizes), while
-        // the per-pair intersection works on longs instead of strings.
+        // Normalization is hoisted into its own column so the regex runs
+        // once per document, NOT once per trigram inside the lambda (a 20x
+        // plan bug caught by stage profiling); trigrams are then hashed to
+        // 64-bit ints so the per-pair intersection hashes longs, not
+        // strings. Set cardinalities — hence the Jaccard — are unchanged.
         val docs = T.documents(s, d)
           .select(col("lang"), floor(col("n_chars") / 32).as("lb"),
-            col("doc_id"), trigramsOfText.as("tg"))
-          .select(col("lang"), col("lb"), col("doc_id"),
-            expr("transform(tg, x -> xxhash64(x))").as("g"))
+            col("doc_id"), expr(normSql).as("nt"))
+          .withColumn("g", expr(
+            """CASE WHEN length(nt) < 3 THEN CAST(array() AS ARRAY<BIGINT>)
+              |ELSE array_distinct(transform(sequence(1, length(nt) - 2),
+              |       i -> xxhash64(substring(nt, i, 3)))) END""".stripMargin))
+          .drop("nt")
         val a = docs.select(col("lang"), col("lb"), col("doc_id").as("id1"), col("g").as("g1"))
         val b = docs.select(col("lang").as("l2"), col("lb").as("lb2"),
           col("doc_id").as("id2"), col("g").as("g2"))
         val inter = size(array_intersect(col("g1"), col("g2")))
-        val uni = size(col("g1")) + size(col("g2")) - inter
         a.join(b, col("lang") === col("l2") && col("lb") === col("lb2") &&
             col("id1") < col("id2"))
-          .withColumn("jaccard", inter.cast("double") / uni)
+          .withColumn("inter", inter)
+          .withColumn("jaccard",
+            col("inter").cast("double") / (size(col("g1")) + size(col("g2")) - col("inter")))
           .filter(col("jaccard") >= 0.35)
           .select(col("lang"), col("id1"), col("id2"), col("jaccard"))
           .orderBy(col("lang"), col("id1"), col("id2"))
