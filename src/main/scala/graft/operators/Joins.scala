@@ -34,9 +34,11 @@ object Joins {
       "j3_self_join_reference",
       (s, d) => {
         val li  = T.lineitem(s, d)
-        val ref = li.filter(col("l_linenumber") === 1)
+        // the reference rows are 1-per-group (a small fraction of the fact
+        // table) — broadcast them so the fact side never shuffles
+        val ref = broadcast(li.filter(col("l_linenumber") === 1)
           .select(col("l_orderkey").as("ref_ok"),
-                  col("l_extendedprice").as("ref_price"))
+                  col("l_extendedprice").as("ref_price")))
         li.join(ref, col("l_orderkey") === col("ref_ok"))
           .select(col("l_orderkey"), col("l_linenumber"),
             (col("l_extendedprice") - col("ref_price")).as("delta_vs_ref"))
