@@ -40,6 +40,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       (ts(60).getTime, "view", 1L)))
   }
 
+  test("watermark drops late rows once the window is past") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingJobs.tumblingCounts(events)
+      .writeStream.format("memory").queryName("late_drop")
+      .outputMode("update").start()
+    input.addData((ts(5), "click", 1.0))
+    q.processAllAvailable()
+    // advance the watermark past the [0h,1h) window end (75m - 10m = 65m)
+    input.addData((ts(75), "view", 1.0))
+    q.processAllAvailable()
+    // this row is now later than the watermark -> dropped, no new update
+    input.addData((ts(6), "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val updates = spark.sql(
+      "SELECT n FROM late_drop WHERE event_type = 'click'").collect().map(_.getLong(0))
+    assert(updates.toSeq == Seq(1L), "late row must not re-update the closed window")
+  }
+
   test("foreachBatch upsert merges counts across micro-batches") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
