@@ -1,0 +1,42 @@
+package graft
+
+import graft.pangenome.{Pangenome, Schemas}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class SchemasSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val fixture = getClass.getResource("/minipan").getPath
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("typed views + strain-partitioned round-trip with partition pruning") {
+    val g = Pangenome.buildGraph(spark, Pangenome.etl(spark, fixture))
+    val dir = java.nio.file.Files.createTempDirectory("graft_graph").toString
+    Schemas.writeGraph(g, dir)
+    val back = Schemas.readGraph(spark, dir)
+
+    // typed datasets materialize with correct option semantics
+    val feats = Schemas.features(back.features).collect()
+    assert(feats.length == 20)
+    assert(feats.find(_.Name == "S1_001").get.Variation.contains(""))
+    assert(feats.find(_.Name == "S1_008").get.Variation.isEmpty)
+    val cls = Schemas.clusters(back.clusters).collect()
+    assert(cls.count(_.lonely_cluster) == 1)
+
+    // the on-disk layout is partitioned by strain and prunes
+    assert(new java.io.File(s"$dir/features/Strain=S1").isDirectory)
+    val plan = back.features.filter(col("Strain") === "S1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("S1"), "partition filter must reach the scan")
+    assert(back.features.filter(col("Strain") === "S1").count() == 8)
+  }
+}
