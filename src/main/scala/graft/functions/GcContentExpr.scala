@@ -61,8 +61,10 @@ case class GcContentExpr(child: Expression) extends UnaryExpression {
   * already-running session (used by the driver-contract queries).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.fn)
+    ext.injectOptimizerRule(_ => graft.plans.StripCaseChangeUnderGc)
+  }
 }
 
 object GraftExtensions {

@@ -216,6 +216,50 @@ object PipelineOps {
              |ORDER BY qid, rk""".stripMargin),
       doc = "similarity/brute-force cosine top-k (ANN baseline)"),
 
+    // D5b: the same top-k ANN answer via the bounded-heap Aggregator
+    // (functions/TopK) instead of window row_number: map-side combine keeps
+    // ≤k rows per query per partition, so the shuffle carries k·partitions
+    // rows instead of the full candidate set, and nothing is globally
+    // sorted. Same oracle as d5 — identical output proves the rewrite.
+    QueryDef(
+      "d5b_cosine_topk_agg",
+      (s, d) => {
+        val q = expr("transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))")
+        val base = T.embeddings(s, d).select(col("vec_id"), q.as("q"))
+          .withColumn("nn",
+            expr("aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        val queries = base.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("q").as("qq"), col("nn").as("qn"))
+        val pairs = base.join(broadcast(queries), col("vec_id") =!= col("qid"))
+          .withColumn("dot",
+            expr("aggregate(zip_with(q, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+          .withColumn("cos",
+            col("dot").cast("double") /
+              sqrt(col("qn").cast("double") * col("nn").cast("double")))
+        pairs.groupBy(col("qid"))
+          .agg(graft.functions.TopK.udaf(5)(col("cos"), col("vec_id")).as("top"))
+          .select(col("qid"), posexplode(col("top")).as(Seq("rk0", "sc")))
+          .select(col("qid"), col("sc._2").as("eid"), col("sc._1").as("cos"),
+            (col("rk0") + 1).cast("int").as("rk"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS q
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, q, list_dot_product(q, q) AS nn FROM e),
+             |qs AS (SELECT vec_id AS qid, q AS qq, nn AS qn FROM n WHERE vec_id < 10),
+             |pairs AS (
+             |  SELECT qs.qid, n.vec_id AS eid,
+             |    list_dot_product(n.q, qs.qq) / sqrt(qs.qn * n.nn) AS cos
+             |  FROM qs JOIN n ON n.vec_id <> qs.qid),
+             |r AS (SELECT qid, eid, cos,
+             |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, eid) AS rk
+             |      FROM pairs)
+             |SELECT qid, eid, cos, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5
+             |ORDER BY qid, rk""".stripMargin),
+      doc = "similarity/top-k via bounded-heap Aggregator (no window sort)"),
+
     // D6: LSH-bucketed approximate nearest neighbours — 8-bit deterministic
     // random-hyperplane signature; candidates share a signature, verified by
     // exact cosine ≥ 0.2. The scale path: bucket join replaces the N×Q
