@@ -291,6 +291,57 @@ object PipelineOps {
       None, // recall-bounded sketch: pinned by SketchesSpec
       doc = "similarity/ann hyperplane-LSH; scale path for d5"),
 
+    // D7: IVF-style ANN — coarse quantizer (sampled centroids, no Lloyd
+    // iterations: deterministic `vec_id % 50` seeds; production retrains
+    // offline) assigns every vector to its nearest centroid; queries probe
+    // the 2 nearest inverted lists and run exact cosine + bounded-heap
+    // top-k inside them. Search cost scales with list size, not corpus
+    // size — the complementary scale path to d6's hyperplane LSH.
+    QueryDef(
+      "d7_ann_ivf",
+      (s, d) => {
+        val q = expr("transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))")
+        val base = T.embeddings(s, d).select(col("vec_id"), q.as("q"))
+          .withColumn("nn",
+            expr("aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        val cents = base.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
+        val simToCent =
+          expr("aggregate(zip_with(q, cq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+            .cast("double") / sqrt(col("nn").cast("double") * col("cn").cast("double"))
+        // inverted lists: every vector -> nearest centroid
+        val assigned = base.join(broadcast(cents))
+          .withColumn("sim", simToCent)
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("list_id"))
+        val listed = base.join(assigned, "vec_id")
+        // queries probe their 2 nearest lists
+        val probes = base.filter(col("vec_id") < 10).join(broadcast(cents))
+          .withColumn("sim", simToCent)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))))
+          .filter(col("rk") <= 2)
+          .select(col("vec_id").as("qid"), col("q").as("qq"), col("nn").as("qn"),
+            col("cid").as("probe_list"))
+        val cand = probes.join(listed,
+          col("list_id") === col("probe_list") && col("vec_id") =!= col("qid"))
+        cand
+          .withColumn("dot",
+            expr("aggregate(zip_with(q, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+          .withColumn("cos",
+            col("dot").cast("double") /
+              sqrt(col("qn").cast("double") * col("nn").cast("double")))
+          .dropDuplicates("qid", "vec_id")
+          .groupBy(col("qid"))
+          .agg(graft.functions.TopK.udaf(5)(col("cos"), col("vec_id")).as("top"))
+          .select(col("qid"), posexplode(col("top")).as(Seq("rk0", "sc")))
+          .select(col("qid"), col("sc._2").as("eid"), col("sc._1").as("cos"),
+            (col("rk0") + 1).cast("int").as("rk"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      None, // recall-bounded index: pinned vs brute force in AnnSpec
+      doc = "similarity/ann IVF inverted lists + bounded-heap top-k"),
+
     // T1: language identification — stopword-overlap scoring against
     // per-language seed lists, deterministic argmax (alphabetical tiebreak).
     QueryDef(

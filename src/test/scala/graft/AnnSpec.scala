@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN family: IVF probing must return a subset of the brute-force ranking
+  * with reasonable recall, and identical results on re-run (determinism).
+  */
+class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.01"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def pairsOf(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("eid"))).toSet
+
+  test("d5b aggregator top-k equals d5 window top-k exactly") {
+    assert(pairsOf("d5b_cosine_topk_agg") == pairsOf("d5_cosine_topk"))
+  }
+
+  test("IVF results are deterministic and recall brute-force neighbours") {
+    val exact = pairsOf("d5_cosine_topk")
+    val ivf1 = pairsOf("d7_ann_ivf")
+    val ivf2 = pairsOf("d7_ann_ivf")
+    assert(ivf1 == ivf2, "IVF must be deterministic")
+    assert(ivf1.nonEmpty)
+    val recall = (exact & ivf1).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall@5 too low: $recall")
+    // every IVF hit must carry the exact cosine (verified path): spot check
+    // by asserting IVF top-1 per query exists in the exact table or has
+    // lower similarity (never higher) — IVF cannot invent better neighbours
+    val exactRows = SparkEntry.queries("d5_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rk")) -> r.getAs[Double]("cos")).toMap
+    val ivfTop = SparkEntry.queries("d7_ann_ivf")(spark, sf).collect()
+      .filter(_.getAs[Int]("rk") == 1)
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Double]("cos"))
+    ivfTop.foreach { case (qid, cos) =>
+      assert(cos <= exactRows((qid, 1)) + 1e-12, s"query $qid: IVF cos above exact best")
+    }
+  }
+}
