@@ -79,6 +79,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state.toSeq == Seq((1L, 3L), (2L, 1L), (3L, 1L)))
   }
 
+  test("events parquet drives the windowed aggregate as a file-source stream") {
+    // the driver's events table as a file stream (FIXTURES.md §2): same
+    // window definition, streaming execution must converge to the batch
+    // answer on the closed input.
+    val dir = "/root/testdata/sf0.001"
+    val nanosSpark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val batchRaw = graft.Tables.events(nanosSpark, dir)
+    val schema = nanosSpark.read.parquet(s"$dir/events.parquet").schema
+    // file streams watch a directory; stage the (read-only) table file
+    val stage = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val streamRaw = nanosSpark.readStream.schema(schema)
+      .parquet(stage.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = StreamingJobs.tumblingCounts(streamRaw)
+      .writeStream.format("memory").queryName("file_stream")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = nanosSpark.sql(
+        "SELECT win_start, event_type, n FROM file_stream ORDER BY win_start, event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val batch = batchRaw
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .orderBy("start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("stateful chain building emits G1 neighbour edges across batches") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
