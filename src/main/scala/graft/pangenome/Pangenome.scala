@@ -15,6 +15,15 @@ import org.apache.spark.sql.expressions.Window
   * shuffles once on the strain key and stays partition-local after that.
   * Genome strings (S6) are substring-extracted immediately (P6) and never
   * broadcast or shuffled with the wide tables.
+  *
+  * **Materialization contract**: build stages persist their outputs
+  * ([[Schemas.writeGraph]] — strain-partitioned parquet) and analyses run
+  * over the *stored* tables ([[Schemas.readGraph]]). Chaining the lazy
+  * builders straight into the analyses re-expands the whole ETL lineage at
+  * every table reference (measured: 1678 exchanges in the rgpMine plan vs
+  * 18 over materialized tables — genomeTrack 605 vs 4). This mirrors the
+  * reference, where the Neo4j store is the boundary between build and
+  * query (SURVEY §3).
   */
 object Pangenome {
 

@@ -39,4 +39,26 @@ class SchemasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("S1"), "partition filter must reach the scan")
     assert(back.features.filter(col("Strain") === "S1").count() == 8)
   }
+
+  test("analyses over materialized tables equal the lineage path and stay flat") {
+    val g0 = Pangenome.buildGraph(spark, Pangenome.etl(spark, fixture))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mat").toString
+    Schemas.writeGraph(g0, dir)
+    val g = Schemas.readGraph(spark, dir)
+    val e = Pangenome.enrich(spark, g)
+    def rgpKeys(rgps: org.apache.spark.sql.DataFrame) =
+      rgps.select("Strain", "c1", "c2", "pos1", "pos2").collect()
+        .map(_.toSeq).toSet
+    val viaLineage = Pangenome.rgpMine(Pangenome.enrich(spark, g0), g0,
+      majorityFrac = 0.3, minEdges = 2, maxEdges = 10, requireMobile = false)
+    val viaStore = Pangenome.rgpMine(e, g,
+      majorityFrac = 0.3, minEdges = 2, maxEdges = 10, requireMobile = false)
+    assert(rgpKeys(viaStore) == rgpKeys(viaLineage))
+    // the materialized plan must not re-expand the build lineage
+    val nExchanges = "Exchange".r
+      .findAllIn(viaStore.queryExecution.executedPlan.toString).length
+    // lineage path measures ~1678 exchanges; the stored path stays ~50
+    // (enrichment is still lazy here — fully materialized it is ~18)
+    assert(nExchanges < 100, s"plan re-expands lineage: $nExchanges exchanges")
+  }
 }
