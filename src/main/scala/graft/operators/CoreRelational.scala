@@ -19,6 +19,28 @@ object CoreRelational {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // SQL facade: the same engine surface through spark.sql over temp
+    // views — users of the reference's notebooks can keep writing SQL text
+    // while Catalyst plans it identically to the DataFrame forms.
+    QueryDef(
+      "q0_sql_facade",
+      (s, d) => {
+        T.orders(s, d).createOrReplaceTempView("orders_v")
+        T.customer(s, d).createOrReplaceTempView("customer_v")
+        s.sql("""
+          SELECT c_mktsegment, count(*) AS n_orders,
+                 count(DISTINCT o_custkey) AS n_customers
+          FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+          WHERE o_orderstatus <> 'F'
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |  count(DISTINCT o_custkey) AS n_customers
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_orderstatus <> 'F'
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      doc = "SQL text entry point (SURVEY §7: the API is the query language; spark.sql for SQL users)"),
+
     // A1-style grouped aggregation — reference: per-strain avg/stddev GC/CAI,
     // 02_addNucleotideCompositionMetrics.cypher:13-28. TPC-H Q1 shape.
     QueryDef(
