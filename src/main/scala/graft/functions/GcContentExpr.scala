@@ -63,6 +63,7 @@ case class GcContentExpr(child: Expression) extends UnaryExpression {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.fn)
+    ext.injectFunction(GraftExtensions.encodeFn)
     ext.injectOptimizerRule(_ => graft.plans.StripCaseChangeUnderGc)
   }
 }
@@ -73,7 +74,15 @@ object GraftExtensions {
     new ExpressionInfo(classOf[GcContentExpr].getName, "gc_content_native"),
     (exprs: Seq[Expression]) => GcContentExpr(exprs.head))
 
-  def registerInto(spark: SparkSession): Unit =
+  val encodeFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("variation_encode_native"),
+    new ExpressionInfo(classOf[VariationEncodeExpr].getName, "variation_encode_native"),
+    (exprs: Seq[Expression]) => VariationEncodeExpr(exprs.head, exprs(1)))
+
+  def registerInto(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("gc_content_native", fn._3, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("variation_encode_native", encodeFn._3, "built-in")
+  }
 }

@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
 object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
+    GraftExtensions.registerInto(spark) // native Expression forms
     val u = spark.udf
     u.register("variation_encode", (seq: String, ref: String) => VariationCodec.encode(seq, ref))
     u.register("variation_decode", (v: String, ref: String) => VariationCodec.decode(v, ref))

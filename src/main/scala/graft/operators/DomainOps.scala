@@ -42,7 +42,7 @@ object DomainOps {
         T.documents(s, d)
           .withColumn("seq", substring(col("text"), 1, 80))
           .withColumn("ref", translate(col("seq"), "aeiou", "eioua"))
-          .withColumn("enc", expr("variation_encode(seq, ref)"))
+          .withColumn("enc", expr("variation_encode_native(seq, ref)"))
           .withColumn("dec", expr("variation_decode(enc, ref)"))
           .select(col("doc_id"),
             (col("dec") === col("seq")).cast("int").as("roundtrip_ok"))

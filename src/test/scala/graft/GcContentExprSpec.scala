@@ -33,6 +33,25 @@ class GcContentExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nullRow.isNullAt(0))
   }
 
+  test("native variation encoder matches the scala kernel on random pairs") {
+    import spark.implicits._
+    import graft.functions.VariationCodec
+    GraftExtensions.registerInto(spark)
+    val rnd = new scala.util.Random(11)
+    val alpha = "ACGT-"
+    val pairs = (1 to 300).map { _ =>
+      val n = 1 + rnd.nextInt(90)
+      (Array.fill(n)(alpha(rnd.nextInt(5))).mkString,
+        Array.fill(n)(alpha(rnd.nextInt(5))).mkString)
+    }
+    val got = pairs.toDF("s", "r")
+      .selectExpr("s", "r", "variation_encode_native(s, r) AS e")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    pairs.foreach { case (s, r) =>
+      assert(got((s, r)) == VariationCodec.encode(s, r), s"seq=$s ref=$r")
+    }
+  }
+
   test("extension class wires the function builder") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext) // must not throw
