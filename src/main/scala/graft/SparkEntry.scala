@@ -21,6 +21,7 @@ object SparkEntry {
       operators.GraphOps.defs ++
       operators.PipelineOps.defs ++
       operators.DomainOps.defs ++
+      operators.Analyses.defs ++
       operators.StreamingOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -11,8 +11,12 @@ package graft.functions
   *    the whole gene undefined (reference catches → NaN, we return None);
   *  - the mean divides by (count − 1) — a Biopython quirk the reference
   *    inherits, kept for output fidelity;
-  *  - pre-steps replicated: codons containing 'N' are dropped (whole
-  *    triplet), trailing non-multiple-of-3 bases trimmed.
+  *  - the reference builds a filteredSeq (N-codons dropped, trailing
+  *    bases trimmed) but then calls cai_for_gene on the RAW sequence
+  *    (extendingDB_FeatureAndStrainMetrics.py:54-68 — filteredSeq is dead
+  *    code), so an N-containing or non-multiple-of-3 sequence raises and
+  *    records NaN. We reproduce that: such sequences return None. The
+  *    dead pre-filter is kept as [[preFilter]] for documentation only.
   */
 object Cai {
 
@@ -45,7 +49,12 @@ object Cai {
   private val Skipped = Set("ATG", "TGG")
   private val Stops   = Set("TGA", "TAA", "TAG")
 
-  /** Reference pre-filter: drop N-containing codons, else trim to ×3. */
+  /** The reference's pre-filter (drop N-containing codons, else trim to
+    * ×3) — DEAD CODE there: computed but never passed to cai_for_gene
+    * (extendingDB_FeatureAndStrainMetrics.py:54-68). Kept only so the
+    * deviation-vs-fidelity choice stays documented; [[caiForGene]] does
+    * NOT call it.
+    */
   def preFilter(seq: String): String = {
     val s = seq.toUpperCase
     if (s.contains('N')) {
@@ -61,15 +70,19 @@ object Cai {
     else s
   }
 
-  /** CAI of a gene; None where the reference records NaN. */
+  /** CAI of a gene; None where the reference records NaN. Operates on the
+    * RAW sequence like Biopython's cai_for_gene on the reference's call
+    * path: a trailing 1-2-base partial codon or any codon containing 'N'
+    * is an illegal codon -> raise -> NaN (None here).
+    */
   def caiForGene(dnaSequence: String): Option[Double] = {
     if (dnaSequence == null) return None
-    val s = preFilter(dnaSequence)
+    val s = dnaSequence.toUpperCase
     var logSum = 0.0
     var n = 0
     var i = 0
-    while (i + 3 <= s.length) {
-      val codon = s.substring(i, i + 3)
+    while (i < s.length) {
+      val codon = s.substring(i, math.min(i + 3, s.length))
       SharpEcoliIndex.get(codon) match {
         case Some(w) =>
           if (!Skipped.contains(codon)) { logSum += math.log(w); n += 1 }
@@ -82,6 +95,14 @@ object Cai {
     else if (n == 1) None // division by zero in the (n-1) mean -> NaN path
     else Some(math.exp(logSum / (n - 1.0)))
   }
+
+  /** GC as Option: None for null/missing sequence, so enrichment skips the
+    * row in per-strain aggregates exactly like the null-CAI path (Neo4j
+    * avg/stDev ignore missing properties; a fabricated GC=0.0 would skew
+    * the strain z-scores).
+    */
+  def gcContentOpt(seq: String): Option[Double] =
+    if (seq == null || seq.isEmpty) None else Some(gcContent(seq))
 
   /** GC percentage (Biopython `GC`): G/C/S over total, 0 for empty. */
   def gcContent(seq: String): Double = {

@@ -40,12 +40,13 @@ case class GcContentExpr(child: Expression) extends UnaryExpression {
       val bytes = ctx.freshName("bytes")
       val gc = ctx.freshName("gc")
       val i = ctx.freshName("i")
+      val bv = ctx.freshName("b")
       s"""
          |byte[] $bytes = $c.getBytes();
          |int $gc = 0;
          |for (int $i = 0; $i < $bytes.length; $i++) {
-         |  byte b = $bytes[$i];
-         |  if (b == 'G' || b == 'C' || b == 'g' || b == 'c' || b == 'S' || b == 's') $gc++;
+         |  byte $bv = $bytes[$i];
+         |  if ($bv == 'G' || $bv == 'C' || $bv == 'g' || $bv == 'c' || $bv == 'S' || $bv == 's') $gc++;
          |}
          |${ev.value} = $bytes.length == 0 ? 0.0 : $gc * 100.0 / $bytes.length;
        """.stripMargin

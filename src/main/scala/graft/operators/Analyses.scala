@@ -1,0 +1,243 @@
+package graft.operators
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Exact._
+
+/** SURVEY §3 flagship analyses as driver-contract queries.
+  *
+  * The domain pipeline's two composite plans — the genome track
+  * (GIsInStrain.ipynb cells 3-8) and the RGP miner (RGPs.ipynb cell 8) —
+  * are golden-tested on the mini-pangenome fixture in PangenomeSpec, but
+  * those goldens can't be DuckDB-hash-checked. These two entries compose
+  * the *same plan shapes* over the events table (strain → user_id, cluster
+  * → event_type, GC → value, genome order → (ts, event_id)) so the
+  * hardest composite plans get an oracle row too.
+  *
+  * Scale posture (same as the domain originals): per-user stats and
+  * per-type counts are tiny aggregates broadcast back onto the fact
+  * table; the positional model shuffles once on user_id and every window/
+  * span step after that is partition-local. The distinct-user scalar is a
+  * broadcast single-row join, never a driver-side count (the de-eager
+  * contract — building these plans runs zero Spark jobs).
+  */
+object Analyses {
+
+  private def wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Genome track: join -> position -> z-scores -> rolling flags ----
+    // One plan: per-strain stats (A1) + per-cluster presence + position
+    // (W5) + z/deviation (P11/P12) + smoothing and island/rare flags
+    // (W1-W3) — GIsInStrain.ipynb cells 3-8 end-to-end.
+    QueryDef(
+      "x1_genome_track",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val stats = ev.groupBy(col("user_id").as("uid"))
+          .agg(eavg(col("value")).as("mu"), estddev(col("value")).as("sd"))
+        val typeOcc = ev.groupBy(col("event_type").as("et"))
+          .agg(count(lit(1)).as("n_occ"))
+        val tracked = ev
+          .join(broadcast(stats), col("user_id") === col("uid"))
+          .join(broadcast(typeOcc), col("event_type") === col("et"))
+          .withColumn("position", row_number().over(wOrd))
+          .withColumn("z", (col("value") - col("mu")) / col("sd"))
+          .withColumn("deviating", (abs(col("z")) >= 1.5).cast("int"))
+        val wp = Window.partitionBy(col("user_id")).orderBy(col("position"))
+        val w10 = wp.rowsBetween(-9, 0)
+        val w20 = wp.rowsBetween(-19, 0)
+        val w5 = wp.rowsBetween(-4, 0)
+        tracked
+          // quantized windowed mean: window accumulation order differs per
+          // engine; integer sums are order-free (same trick as W1)
+          .withColumn("smooth_z",
+            sum(floor(col("z") * lit(1e6) + lit(0.5)).cast("long")).over(w10)
+              .cast("double") / lit(1e6) / count(col("z")).over(w10))
+          .withColumn("gi_flag", (sum(col("deviating")).over(w20) > 5).cast("int"))
+          .withColumn("rare_flag", (max(col("n_occ")).over(w5) <= 1990).cast("int"))
+          .select(col("user_id"), col("position"), col("event_type"), col("value"),
+            col("z"), col("deviating"), col("smooth_z"), col("gi_flag"),
+            col("rare_flag"))
+          .orderBy(col("user_id"), col("position"))
+      },
+      Some(s"""WITH stats AS (
+              |  SELECT user_id AS uid, ${sqlAvg("value")} AS mu,
+              |         ${sqlStddev("value")} AS sd
+              |  FROM events GROUP BY user_id),
+              |tp AS (SELECT event_type AS et, count(*) AS n_occ FROM events GROUP BY 1),
+              |p AS (
+              |  SELECT e.user_id, e.event_type, e.value, tp.n_occ,
+              |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id)
+              |      AS position,
+              |    (e.value - s.mu) / s.sd AS z
+              |  FROM events e
+              |  JOIN stats s ON e.user_id = s.uid
+              |  JOIN tp ON e.event_type = tp.et)
+              |SELECT user_id, position, event_type, value, z,
+              |  CAST(abs(z) >= 1.5 AS INT) AS deviating,
+              |  CAST(sum(CAST(floor(z * 1e6 + 0.5) AS BIGINT)) OVER w10 AS DOUBLE)
+              |    / 1e6 / count(z) OVER w10 AS smooth_z,
+              |  CAST(sum(CAST(abs(z) >= 1.5 AS INT)) OVER w20 > 5 AS INT) AS gi_flag,
+              |  CAST(max(n_occ) OVER w5 <= 1990 AS INT) AS rare_flag
+              |FROM p
+              |WINDOW
+              |  w10 AS (PARTITION BY user_id ORDER BY position
+              |          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+              |  w20 AS (PARTITION BY user_id ORDER BY position
+              |          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+              |  w5 AS (PARTITION BY user_id ORDER BY position
+              |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+              |ORDER BY user_id, position""".stripMargin),
+      doc = "SURVEY §3 lifecycle 1 (Pangenome.genomeTrack); GIsInStrain.ipynb cells 3-8"),
+
+    // ---- RGP miner: anchors -> spans -> projections -> Welch t ----
+    // Anchor selection (G4+G5 + core via broadcast scalar), positional
+    // span join (G7), ordered collect + list projections + mobile
+    // predicate (G8-G10), Welch t vs the strain background (A17) —
+    // RGPs.ipynb cell 8 + cell 19 as one oracle-checked plan.
+    QueryDef(
+      "x2_rgp_mine",
+      (s, d) => {
+        val coreFrac = 0.95; val majorityFrac = 0.15
+        val minGap = 3; val maxGap = 6
+        val ev = T.events(s, d)
+
+        // directed cluster-level edges from consecutive events (G1/G2)
+        val edges = ev
+          .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
+          .filter(col("prev").isNotNull)
+          .select(col("prev").as("c1"), col("event_type").as("c2"))
+        val dir = edges.groupBy(col("c1"), col("c2")).agg(count(lit(1)).as("w"))
+        val bothDirs = dir.unionByName(
+          dir.select(col("c2").as("c1"), col("c1").as("c2"), col("w")))
+        val nbOut = dir.groupBy(col("c1")).agg(sum(col("w")).as("nb_out"))
+
+        // core filter: types present in > coreFrac of strains; the strain
+        // count is a broadcast single-row scalar, not a driver action
+        val nUsers = ev.agg(countDistinct(col("user_id")).as("n_users"))
+        val core = ev.groupBy(col("event_type").as("ct"))
+          .agg(countDistinct(col("user_id")).as("ng"))
+          .crossJoin(broadcast(nUsers))
+          .filter(col("ng") > col("n_users") * coreFrac)
+          .select(col("ct"))
+
+        val anchorPairs = bothDirs
+          .join(nbOut, Seq("c1"))
+          .filter(col("c1") =!= col("c2") && col("w") > col("nb_out") * majorityFrac)
+          .join(core.withColumnRenamed("ct", "c1"), Seq("c1"), "left_semi")
+          .join(core.withColumnRenamed("ct", "c2"), Seq("c2"), "left_semi")
+          .select(col("c1"), col("c2")).distinct()
+
+        // positional span join between anchor occurrences (G7)
+        val p = ev.withColumn("pos", row_number().over(wOrd))
+          .select(col("user_id"), col("pos"), col("event_type"), col("value"))
+        val f1 = p.select(col("user_id"), col("event_type").as("c1"),
+          col("pos").as("pos1"))
+        val f2 = p.select(col("user_id").as("uid2"), col("event_type").as("c2b"),
+          col("pos").as("pos2"))
+        val spans = broadcast(anchorPairs)
+          .join(f1, Seq("c1"))
+          .join(f2, col("user_id") === col("uid2") && col("c2b") === col("c2") &&
+            (col("pos2") - col("pos1")).between(minGap, maxGap))
+          .select(col("user_id"), col("c1"), col("c2"), col("pos1"), col("pos2"))
+
+        // intervening rows + grouped projections + Welch t (G8-G10 + A17)
+        val body = p.select(col("user_id").as("bu"), col("pos").as("bpos"),
+          col("event_type").as("btype"), col("value").as("bval"))
+        val spanRows = spans.join(body,
+          col("user_id") === col("bu") &&
+          col("bpos") > col("pos1") && col("bpos") < col("pos2"))
+
+        val bg = ev.groupBy(col("user_id").as("su"))
+          .agg(eavg(col("value")).as("mu0"), estddev(col("value")).as("sd0"))
+
+        spanRows
+          .groupBy(col("user_id"), col("c1"), col("c2"), col("pos1"), col("pos2"))
+          .agg(
+            (col("pos2") - col("pos1") - 1).as("insertion_nb_features"),
+            min_by(col("btype"), col("bpos")).as("first_feature"),
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("bpos"), col("btype")))),
+                x => x.getField("btype")),
+              ",").as("cluster_ids"),
+            sum(when(col("btype") === "error", 1).otherwise(0)).as("n_trna"),
+            max(when(col("btype") === "purchase", 1).otherwise(0)).as("has_mobile"),
+            count(col("bval")).cast("double").as("n1"),
+            eavg(col("bval")).as("m1"),
+            estddev(col("bval")).as("sd1"))
+          .filter(col("has_mobile") === 1) // requireMobile
+          .join(broadcast(bg), col("user_id") === col("su")).drop("su")
+          .withColumn("t_value",
+            when(col("sd1").isNotNull,
+              (col("m1") - col("mu0")) /
+                sqrt(col("sd1") * col("sd1") / col("n1") +
+                  col("sd0") * col("sd0") / lit(5000.0))))
+          .select(col("user_id"), col("c1"), col("c2"), col("pos1"), col("pos2"),
+            col("insertion_nb_features"), col("first_feature"), col("cluster_ids"),
+            col("n_trna"), col("m1"), col("t_value"))
+          .orderBy(col("user_id"), col("pos1"), col("pos2"), col("c1"), col("c2"))
+      },
+      Some(s"""WITH ord AS (
+              |  SELECT user_id, event_type, value,
+              |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+              |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              |  FROM events),
+              |dir AS (
+              |  SELECT prev AS c1, event_type AS c2, count(*) AS w
+              |  FROM ord WHERE prev IS NOT NULL GROUP BY 1, 2),
+              |both_dirs AS (
+              |  SELECT c1, c2, w FROM dir
+              |  UNION ALL SELECT c2 AS c1, c1 AS c2, w FROM dir),
+              |nb_out AS (SELECT c1, sum(w) AS nb_out FROM dir GROUP BY 1),
+              |nu AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+              |core AS (
+              |  SELECT event_type AS ct FROM events, nu
+              |  GROUP BY event_type, n_users
+              |  HAVING count(DISTINCT user_id) > n_users * 0.95),
+              |anchor_pairs AS (
+              |  SELECT DISTINCT b.c1, b.c2
+              |  FROM both_dirs b JOIN nb_out n ON b.c1 = n.c1
+              |  WHERE b.c1 <> b.c2 AND b.w > n.nb_out * 0.15
+              |    AND b.c1 IN (SELECT ct FROM core)
+              |    AND b.c2 IN (SELECT ct FROM core)),
+              |spans AS (
+              |  SELECT f1.user_id, a.c1, a.c2, f1.pos AS pos1, f2.pos AS pos2
+              |  FROM anchor_pairs a
+              |  JOIN ord f1 ON f1.event_type = a.c1
+              |  JOIN ord f2 ON f2.user_id = f1.user_id AND f2.event_type = a.c2
+              |    AND f2.pos - f1.pos BETWEEN 3 AND 6),
+              |bg AS (
+              |  SELECT user_id AS su, ${sqlAvg("value")} AS mu0,
+              |         ${sqlStddev("value")} AS sd0
+              |  FROM events GROUP BY user_id),
+              |grouped AS (
+              |  SELECT s.user_id, s.c1, s.c2, s.pos1, s.pos2,
+              |    s.pos2 - s.pos1 - 1 AS insertion_nb_features,
+              |    min_by(b.event_type, b.pos) AS first_feature,
+              |    string_agg(b.event_type, ',' ORDER BY b.pos) AS cluster_ids,
+              |    CAST(sum(CASE WHEN b.event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_trna,
+              |    max(CASE WHEN b.event_type = 'purchase' THEN 1 ELSE 0 END) AS has_mobile,
+              |    CAST(count(b.value) AS DOUBLE) AS n1,
+              |    ${sqlAvg("b.value")} AS m1,
+              |    ${sqlStddev("b.value")} AS sd1
+              |  FROM spans s JOIN ord b
+              |    ON b.user_id = s.user_id AND b.pos > s.pos1 AND b.pos < s.pos2
+              |  GROUP BY 1, 2, 3, 4, 5)
+              |SELECT g.user_id, g.c1, g.c2, g.pos1, g.pos2,
+              |  g.insertion_nb_features, g.first_feature, g.cluster_ids, g.n_trna,
+              |  g.m1,
+              |  CASE WHEN g.sd1 IS NOT NULL THEN
+              |    (g.m1 - bg.mu0) /
+              |      sqrt(g.sd1 * g.sd1 / g.n1 + bg.sd0 * bg.sd0 / 5000.0)
+              |  END AS t_value
+              |FROM grouped g JOIN bg ON g.user_id = bg.su
+              |WHERE g.has_mobile = 1
+              |ORDER BY g.user_id, g.pos1, g.pos2, g.c1, g.c2""".stripMargin),
+      doc = "SURVEY §3 lifecycle 2 (Pangenome.rgpMine); RGPs.ipynb cells 8+19")
+  )
+}

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables => T}
-import graft.functions.{Agglomerative, GraftFunctions, Newick}
+import graft.functions.{GraftFunctions, Newick}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import Exact._
@@ -210,29 +210,19 @@ object DomainOps {
       doc = "SURVEY C2; RGPs.ipynb:2598 cell 80"),
 
     // C3+C4: complete-linkage clustering, flat cut, label histogram
-    // (linkage + fcluster, RGPs.ipynb cells 85-93). The condensed distance
-    // matrix is computed distributed, collected at reference scale (N≈5k),
-    // clustered on the driver — same split as the reference; labels made
-    // deterministic by first-member ordering.
+    // (linkage + fcluster, RGPs.ipynb cells 85-93) — size-dispatched via
+    // Similarity.cluster: exact driver-side linkage at reference scale
+    // (scipy fidelity), MinHash-LSH similarity graph + connected
+    // components above the driver-safe threshold.
     QueryDef(
       "c3_hierarchical_clustering",
       (s, d) => {
-        import s.implicits._
         val sets = T.events(s, d).groupBy(col("user_id"))
           .agg(collect_set(concat(col("event_type"), lit("#"),
             floor(col("value") / 20).cast("long"))).as("types"))
-          .orderBy(col("user_id"))
-          .collect()
-        val ids = sets.map(_.getLong(0))
-        val types = sets.map(_.getSeq[String](1).toSet)
-        def dist(i: Int, j: Int): Double = {
-          val inter = (types(i) & types(j)).size
-          1.0 - inter.toDouble / (types(i).size + types(j).size - inter)
-        }
-        val labels = Agglomerative.completeLinkageCut(ids.length, dist, 0.3)
-        labels.groupBy(identity).map { case (l, xs) => (l, xs.length.toLong) }
-          .toSeq.sortBy(_._1)
-          .toDF("label", "cluster_size")
+        Similarity.cluster(sets, "user_id", "types", cutoff = 0.3)
+          .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+          .orderBy(col("label"))
       },
       None,
       doc = "SURVEY C3/C4; RGPs.ipynb:2671,2712,2895 cells 85-93")

@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.functions.{Agglomerative, Sketches}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Size-dispatched set-similarity: the library behind C1/C2 (Dice/Jaccard
+  * over per-entity sets, RGPs.ipynb cells 70/80) and the dice step of the
+  * insertion analysis ([[graft.pangenome.Pangenome.insertionDice]]).
+  *
+  * Two physical shapes, one semantic:
+  *
+  *  - **exact**: self-join on `id1 < id2` — the reference's own all-pairs
+  *    form, correct and fastest below ~10^5 rows (the reference runs it at
+  *    N≈5k);
+  *  - **lsh**: MinHash band keys -> bucket equi-join -> exact metric on the
+  *    *candidates* only. Candidate generation is linear in N; the pair
+  *    explosion never happens. This is the only shape that survives 100×.
+  *
+  * The dispatcher picks per call: an explicit row-count threshold
+  * (`maxExactRows`) and one cheap count() aggregate decide. A similarity
+  * floor (`minSim > 0`) is required for the LSH branch — a *full*
+  * similarity matrix is inherently quadratic output and only the exact
+  * branch can produce it (at scale a full matrix is not a meaningful
+  * artifact; the thresholded near-pair list is).
+  */
+object Similarity {
+
+  /** MinHash-LSH candidate pairs: (id1, id2, s1, s2), each candidate once.
+    * 32 perms / 4 rows-per-band = 8 bands -> ≥ 0.5-Jaccard pairs collide
+    * with probability ≈ 1 − (1 − 0.5⁴)⁸ ≈ 0.42 per band family; planted-dup
+    * recall is pinned in SimilaritySpec/SketchesSpec.
+    */
+  def lshCandidates(
+      sets: DataFrame, idCol: String, setCol: String,
+      numPerms: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    val bandsUdf = udf((toks: Seq[String]) =>
+      Sketches.bandKeys(Sketches.minHash(toks, numPerms), rowsPerBand))
+    val withBands = sets
+      .select(col(idCol).as("id"), col(setCol).as("st"))
+      .withColumn("bands", bandsUdf(transform(col("st"), x => x.cast("string"))))
+    val buckets = withBands.select(col("id"), col("st"),
+      posexplode(col("bands")).as(Seq("bi", "bk")))
+    val a = buckets.select(col("bi"), col("bk"),
+      col("id").as("id1"), col("st").as("s1"))
+    val b = buckets.select(col("bi").as("bi2"), col("bk").as("bk2"),
+      col("id").as("id2"), col("st").as("s2"))
+    a.join(b,
+        col("bi") === col("bi2") && col("bk") === col("bk2") &&
+        col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("s1"), col("s2"))
+      .dropDuplicates("id1", "id2")
+  }
+
+  private def allPairs(sets: DataFrame, idCol: String, setCol: String): DataFrame = {
+    val a = sets.select(col(idCol).as("id1"), col(setCol).as("s1"))
+    val b = sets.select(col(idCol).as("id2"), col(setCol).as("s2"))
+    a.join(b, col("id1") < col("id2"))
+  }
+
+  private def diceExpr: Column = {
+    val inter = size(array_intersect(col("s1"), col("s2")))
+    inter * 2.0 / (size(col("s1")) + size(col("s2")))
+  }
+
+  private def jaccardExpr: Column = {
+    val inter = size(array_intersect(col("s1"), col("s2")))
+    inter.cast("double") / (size(col("s1")) + size(col("s2")) - inter)
+  }
+
+  private def pairs(
+      sets: DataFrame, idCol: String, setCol: String, simCol: String,
+      sim: Column, minSim: Double, maxExactRows: Long,
+      forceLsh: Boolean): DataFrame = {
+    // dispatch: one cheap count() over the (normally materialized) sets
+    // table; the LSH branch needs a floor to be meaningful (see scaladoc)
+    val useLsh = forceLsh || (minSim > 0.0 && sets.count() > maxExactRows)
+    val cand =
+      if (useLsh) lshCandidates(sets, idCol, setCol)
+      else allPairs(sets, idCol, setCol)
+    cand
+      .withColumn(simCol, sim)
+      .filter(col(simCol) >= minSim)
+      .select(col("id1"), col("id2"), col(simCol))
+  }
+
+  /** Dice pairs ≥ minDice (C1). minDice = 0 always takes the exact branch
+    * (full matrix demanded); dice ≥ t ⟺ jaccard ≥ t/(2−t), so the 0.5-ish
+    * LSH tuning holds for the dice floor too.
+    */
+  def dicePairs(
+      sets: DataFrame, idCol: String, setCol: String,
+      minDice: Double = 0.0, maxExactRows: Long = 100000,
+      forceLsh: Boolean = false): DataFrame =
+    pairs(sets, idCol, setCol, "dice", diceExpr, minDice, maxExactRows, forceLsh)
+
+  /** Jaccard-similarity pairs ≥ minSim (C2 complement). */
+  def jaccardPairs(
+      sets: DataFrame, idCol: String, setCol: String,
+      minSim: Double = 0.0, maxExactRows: Long = 100000,
+      forceLsh: Boolean = false): DataFrame =
+    pairs(sets, idCol, setCol, "jaccard", jaccardExpr, minSim, maxExactRows, forceLsh)
+
+  /** Flat clustering at jaccard-distance `cutoff` (C3/C4). Below
+    * `maxDriverN` rows: the reference's exact complete-linkage on the
+    * driver (scipy linkage+fcluster fidelity). Above: MinHash-LSH
+    * similarity graph + GraphX connected components — single-linkage
+    * semantics, the documented 100 TB analogue (a complete-linkage
+    * dendrogram needs the full distance matrix by definition).
+    * Returns (id, label); labels are dense, ordered by each cluster's
+    * minimum id, so both branches are deterministic.
+    */
+  def cluster(
+      sets: DataFrame, idCol: String, setCol: String,
+      cutoff: Double, maxDriverN: Long = 100000): DataFrame = {
+    val spark = sets.sparkSession
+    import spark.implicits._
+    val n = sets.count()
+    if (n <= maxDriverN) {
+      val rows = sets
+        .select(col(idCol).cast("string"), transform(col(setCol), _.cast("string")))
+        .orderBy(col(idCol))
+        .as[(String, Seq[String])].collect()
+      val ids = rows.map(_._1)
+      val tok = rows.map(_._2.toSet)
+      def dist(i: Int, j: Int): Double = {
+        val inter = (tok(i) & tok(j)).size
+        1.0 - inter.toDouble / (tok(i).size + tok(j).size - inter)
+      }
+      val labels = Agglomerative.completeLinkageCut(ids.length, dist, cutoff)
+      ids.zip(labels).toSeq.toDF("id", "label")
+        .select(col("id"), col("label").cast("long").as("label"))
+    } else {
+      val minSim = 1.0 - cutoff
+      val edges = jaccardPairs(sets, idCol, setCol, minSim, maxExactRows = 0,
+        forceLsh = true)
+      val ids = sets.select(col(idCol).cast("string").as("id"))
+      val comp = graft.pangenome.GraphFallback
+        .similarityComponents(spark, edges)
+        .select(col("member").as("id"), col("component"))
+      // singletons (no qualifying edge) keep their own cluster
+      val withComp = ids.join(comp, Seq("id"), "left")
+        .withColumn("comp", coalesce(col("component"), xxhash64(col("id"))))
+      // dense labels ordered by each component's min id
+      val rep = withComp.groupBy(col("comp")).agg(min(col("id")).as("rep"))
+      val labeled = rep.withColumn("label",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("rep")))
+          .cast("long"))
+      withComp.join(labeled, "comp").select(col("id"), col("label"))
+    }
+  }
+}

@@ -36,6 +36,27 @@ object BlastShell {
       .toDF("cluster_id", "title", "score")
   }
 
+  /** Pipe FASTA through a blastn invocation producing outfmt-5 XML on
+    * stdout (`-outfmt 5`, the reference's format —
+    * extendingDB_performingBlast.py:63-80 writes the same XML to a file),
+    * then pull-parse each partition's document with
+    * [[graft.sources.BlastXml]]. One blastn run per partition, one
+    * streaming parse per run — no driver-side collect at any size.
+    */
+  def runBlastXml(spark: SparkSession, clusters: DataFrame, command: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val fasta = clusters
+      .filter(col("reference_sequence").isNotNull)
+      .select(col("cluster_id"),
+        regexp_replace(col("reference_sequence"), "-", "").as("seq"))
+      .as[(String, String)]
+      .rdd
+      .flatMap { case (id, seq) => Iterator(s">$id", seq) }
+    fasta.pipe(command)
+      .mapPartitions(lines => graft.sources.BlastXml.parseString(lines.mkString("\n")))
+      .toDF("cluster_id", "title", "score", "e", "num_alignments")
+  }
+
   /** A2 + J11: collect hits per cluster, upsert annotation columns. */
   def annotate(clusters: DataFrame, hits: DataFrame): DataFrame = {
     val agg = hits.groupBy(col("cluster_id"))

@@ -125,11 +125,15 @@ object Pangenome {
     // the lonely cluster's reference_sequence and is nulled on the feature
     val lonely = features0.join(ortholog0.select(col("feature_id")),
         col("Name") === col("feature_id"), "left_anti")
+    // Lonely clusters carry the single member as scalar CDS_ids (not a
+    // feature_ids list) and no reference_locus, 01_creatingDatabase.cypher:83
     val lonelyClusters = lonely.select(
       col("Name").as("cluster_id"), col("Product").as("description"),
       lit(50L).as("threshold"), lit(1L).as("number_genomes"),
       col("Length").as("min_length"), col("Length").as("max_length"),
       col("Length").cast("double").as("average_length"),
+      lit(null).cast("array<string>").as("feature_ids"),
+      col("Name").as("CDS_ids"),
       col("Name").as("reference_locus"), col("FullSequences").as("reference_sequence"),
       lit(true).as("lonely_cluster"))
     val ortholog = ortholog0.unionByName(
@@ -160,7 +164,10 @@ object Pangenome {
     val realClusters = t.clusters.select(
       col("allele_name").as("cluster_id"), col("consensus_product").as("description"),
       col("threshold"), col("number_genomes"), col("min_length"), col("max_length"),
-      col("min_length").cast("double").as("average_length"),
+      col("average_length"), // PIRATE-supplied, 01_creatingDatabase.cypher:38
+      // member-id list property, 01_creatingDatabase.cypher:39-40
+      filter(split(col("feature"), ";"), x => x =!= "0" && x =!= "").as("feature_ids"),
+      lit(null).cast("string").as("CDS_ids"),
       col("reference_locus"), col("Seq").as("reference_sequence"),
       lit(false).as("lonely_cluster"))
     val allClusters = realClusters.unionByName(lonelyClusters)
@@ -210,7 +217,8 @@ object Pangenome {
     */
   def enrich(spark: SparkSession, g: GraphTables): EnrichedTables = {
     val decodeUdf = udf((v: String, r: String) => VariationCodec.decode(v, r))
-    val gcUdf = udf((s: String) => Cai.gcContent(s))
+    val gcUdf = udf((s: String) =>
+      Cai.gcContentOpt(s).map(java.lang.Double.valueOf).orNull)
     val caiUdf = udf((s: String) =>
       Cai.caiForGene(s).map(java.lang.Double.valueOf).orNull)
 
@@ -283,9 +291,8 @@ object Pangenome {
       e: EnrichedTables, g: GraphTables,
       coreFrac: Double = 0.95, majorityFrac: Double = 0.7,
       minEdges: Int = 5, maxEdges: Int = 200,
-      requireMobile: Boolean = true): DataFrame = {
-
-    val nStrains = g.strains.count().toDouble
+      requireMobile: Boolean = true,
+      nStrains: Option[Long] = None): DataFrame = {
 
     // G4: undirected out-degree weights; G5: anchor pairs (both-core +
     // majority edge), matched in both orientations like Cypher's (c1)-[r]-(c2)
@@ -296,8 +303,19 @@ object Pangenome {
     // nb_out is the *directed* outgoing weight (reduce over (c1)-[n]->(),
     // RGPs.ipynb:455-460) even though the pair match itself is undirected
     val nbOut = dirEdges.groupBy(col("c1")).agg(sum(col("w")).as("nb_out"))
-    val core = g.clusters.filter(col("number_genomes") > coreFrac * nStrains)
-      .select(col("cluster_id"))
+    // Core selection stays lazy: nStrains is either caller-supplied (the
+    // reference hardcodes 770) or a broadcast single-row scalar joined in —
+    // never a driver-side count(), so *building* this plan runs zero jobs.
+    val core = nStrains match {
+      case Some(n) =>
+        g.clusters.filter(col("number_genomes") > coreFrac * n)
+          .select(col("cluster_id"))
+      case None =>
+        g.clusters
+          .crossJoin(broadcast(g.strains.agg(count(lit(1)).as("n_strains"))))
+          .filter(col("number_genomes") > lit(coreFrac) * col("n_strains"))
+          .select(col("cluster_id"))
+    }
     val anchorPairs = bothDirs
       .join(nbOut, Seq("c1"))
       .filter(col("c1") =!= col("c2") && col("w") > col("nb_out") * majorityFrac)
@@ -395,17 +413,32 @@ object Pangenome {
         col("t_GC"), col("p_GC"), col("t_CAI"), col("p_CAI"))
   }
 
-  /** C1: Dice similarity between insertions' cluster-ID sets (all pairs —
-    * reference scale; MinHash-LSH in PipelineOps is the 100 TB path).
+  /** C1: Dice similarity between insertions' cluster-ID sets, dispatched by
+    * size ([[graft.operators.Similarity.dicePairs]]): all-pairs at the
+    * reference's N≈5k, MinHash-LSH candidates + exact Dice above
+    * `maxExactRows` (requires a `minDice` floor — a full quadratic matrix
+    * is only producible by the exact branch).
     */
-  def insertionDice(insertions: DataFrame): DataFrame = {
+  def insertionDice(
+      insertions: DataFrame,
+      minDice: Double = 0.0, maxExactRows: Long = 100000): DataFrame = {
     val withSet = insertions.withColumn("cset", array_distinct(col("InsertionListClusterID")))
       .withColumn("iid", concat_ws("|", col("Strain"), col("pos1"), col("pos2")))
-    val a = withSet.select(col("iid").as("i1"), col("cset").as("s1"))
-    val b = withSet.select(col("iid").as("i2"), col("cset").as("s2"))
-    a.join(b, col("i1") < col("i2"))
-      .select(col("i1"), col("i2"),
-        (size(array_intersect(col("s1"), col("s2"))) * 2.0 /
-          (size(col("s1")) + size(col("s2")))).as("dice"))
+    graft.operators.Similarity
+      .dicePairs(withSet, "iid", "cset", minDice, maxExactRows)
+      .select(col("id1").as("i1"), col("id2").as("i2"), col("dice"))
+  }
+
+  /** C3/C4 over insertions: flat clustering of the Dice/Jaccard structure,
+    * size-dispatched ([[graft.operators.Similarity.cluster]]) — exact
+    * complete-linkage (scipy fidelity, RGPs.ipynb cells 85-93) on the
+    * driver at reference scale, LSH graph + connected components beyond.
+    */
+  def insertionClusters(
+      insertions: DataFrame, cutoff: Double = 0.3,
+      maxDriverN: Long = 100000): DataFrame = {
+    val withSet = insertions.withColumn("cset", array_distinct(col("InsertionListClusterID")))
+      .withColumn("iid", concat_ws("|", col("Strain"), col("pos1"), col("pos2")))
+    graft.operators.Similarity.cluster(withSet, "iid", "cset", cutoff, maxDriverN)
   }
 }

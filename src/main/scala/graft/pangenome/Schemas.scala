@@ -23,7 +23,10 @@ object Schemas {
   final case class ClusterNode(
       cluster_id: String, description: String, threshold: Long,
       number_genomes: Long, min_length: Long, max_length: Long,
-      average_length: Double, reference_locus: String,
+      average_length: Double,
+      feature_ids: Option[Seq[String]], // real clusters, cypher:39-40
+      CDS_ids: Option[String],          // lonely clusters, cypher:83
+      reference_locus: String,
       reference_sequence: Option[String], lonely_cluster: Boolean,
       feature_type: Option[String])
 
@@ -40,8 +43,9 @@ object Schemas {
   def clusters(df: DataFrame): Dataset[ClusterNode] = {
     import df.sparkSession.implicits._
     df.select("cluster_id", "description", "threshold", "number_genomes",
-      "min_length", "max_length", "average_length", "reference_locus",
-      "reference_sequence", "lonely_cluster", "feature_type").as[ClusterNode]
+      "min_length", "max_length", "average_length", "feature_ids", "CDS_ids",
+      "reference_locus", "reference_sequence", "lonely_cluster",
+      "feature_type").as[ClusterNode]
   }
 
   def strains(df: DataFrame): Dataset[Strain] = {

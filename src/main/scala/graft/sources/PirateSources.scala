@@ -27,15 +27,22 @@ object PirateSources {
         col("Strand"), col("Product"), col("Strain"))
 
   /** S3+P1-P3: PIRATE.gene_families.tsv — fixed columns by position
-    * (0,1,3,4,6 + the length columns), the variable per-genome tail folded
-    * into one sanitized `;`-joined `feature` string
+    * (0,1,3,4,6 + the three length columns by name), the variable
+    * per-genome tail folded into one sanitized `;`-joined `feature` string
     * (pirateToDatabase.py:69-88: fillna "0", join on ';', strip parens,
-    * ':' -> ';'). The first 17 columns are PIRATE-fixed; 17.. are genomes.
+    * ':' -> ';'). The genome columns are everything *after*
+    * `average_length(bp)` — PIRATE's fixed prefix ends there, so the start
+    * is derived from the header rather than hardcoded (the reference uses
+    * `range(17, num_cols)` then keeps min/max/average by position, which
+    * amounts to the same split on real PIRATE files).
     */
-  def readGeneFamilies(spark: SparkSession, path: String, nFixedCols: Int = 17): DataFrame = {
+  def readGeneFamilies(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.option("sep", "\t").option("header", "true").csv(path)
     val cols = raw.columns
-    val genomeCols = cols.drop(nFixedCols)
+    val avgIdx = cols.indexOf("average_length(bp)")
+    require(avgIdx >= 0,
+      s"PIRATE.gene_families.tsv at $path lacks the average_length(bp) column")
+    val genomeCols = cols.drop(avgIdx + 1)
     val folded = concat_ws(";",
       genomeCols.map(c => coalesce(col(s"`$c`"), lit("0"))): _*)
     raw.select(
@@ -46,6 +53,7 @@ object PirateSources {
       col(cols(6)).cast("long").as("number_genomes"),
       col("`min_length(bp)`").cast("long").as("min_length"),
       col("`max_length(bp)`").cast("long").as("max_length"),
+      col("`average_length(bp)`").cast("double").as("average_length"),
       translate(folded, ":()", ";").as("feature")) // ':'->';', parens deleted
   }
 
@@ -112,9 +120,9 @@ object PirateSources {
       .as("value"))
       .write.mode("overwrite").text(path)
 
-  /** S10 (stub shape): BLAST XML rows — the external-process integration
-    * point (X1). The engine ships the operator shell: callers provide
-    * pre-parsed rows or a `mapPartitions` pipe to the real binary.
+  /** S10: BLAST outfmt-5 XML rows — real pull-parser in [[BlastXml]]
+    * (`BlastXml.read` for files on disk, `BlastShell.runBlastXml` for the
+    * external-process pipe, X1). This is the row schema both produce.
     */
   def blastResultSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType.fromDDL(

@@ -49,4 +49,64 @@ class BlastShellSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("blastTitlesVirus").head().getSeq[String](0)
     assert(titles == Seq("fake phage"))
   }
+
+  test("outfmt-5 XML pull-parser matches NCBIXML description semantics") {
+    import graft.sources.BlastXml
+    val xml = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      getClass.getResource("/blast/sample_blast.xml").getPath))
+    val hits = BlastXml.parseString(xml).toSeq
+    // one row per (query, hit); query with no hits contributes nothing
+    assert(hits.length == 3)
+    val h1 = hits.head
+    // cluster_id = query-def up to first space (extendingDB_performingBlast.py:97)
+    assert(h1.cluster_id == "g1")
+    // title = "Hit_id Hit_def" (NCBIXML description.title)
+    assert(h1.title == "gnl|BL_ORD_ID|0 Pseudomonas phage Pf1, complete genome")
+    // score/e come from the FIRST HSP only; num_alignments counts HSPs
+    assert(h1.score == 12.0 && h1.e == 0.001 && h1.num_alignments == 2)
+    assert(hits(1) == BlastXml.Hit("g1",
+      "gnl|BL_ORD_ID|3 Pseudomonas phage JBD30", 9.0, 0.2, 1))
+    assert(hits(2) == BlastXml.Hit("g5",
+      "gnl|BL_ORD_ID|7 Pseudomonas phage D3112", 15.0, 1e-5, 1))
+  }
+
+  test("XML hits flow through the distributed read and the annotate upsert") {
+    import spark.implicits._
+    val dir = getClass.getResource("/blast").getPath
+    val hits = graft.sources.BlastXml.read(spark, dir)
+    assert(hits.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      graft.sources.PirateSources.blastResultSchema.fields
+        .map(f => (f.name, f.dataType)).toSeq)
+    assert(hits.count() == 3)
+
+    val clusters = Seq("g1", "g5", "g9").toDF("cluster_id")
+    val annotated = BlastShell.annotate(clusters, hits)
+    val g1 = annotated.filter(col("cluster_id") === "g1").head()
+    // scores sorted descending like the title/score list pairing (A2)
+    assert(g1.getSeq[Double](g1.fieldIndex("blastScoresVirus")).toSeq == Seq(12.0, 9.0))
+    assert(g1.getAs[Boolean]("hasBlastVirusHit"))
+    assert(!annotated.filter(col("cluster_id") === "g9").head()
+      .getAs[Boolean]("hasBlastVirusHit"))
+  }
+
+  test("pipe -> XML parse: stub blastn emitting outfmt-5 on stdout") {
+    import spark.implicits._
+    // stub: swallow stdin, emit the sample document (the stdout contract
+    // of `blastn -outfmt 5`)
+    val stub = java.nio.file.Files.createTempFile("stub_blastx", ".sh")
+    val sample = getClass.getResource("/blast/sample_blast.xml").getPath
+    java.nio.file.Files.writeString(stub,
+      s"""#!/bin/sh
+         |cat > /dev/null
+         |cat '$sample'
+         |""".stripMargin)
+    stub.toFile.setExecutable(true)
+
+    val clusters = Seq(("g1", "ATGGCA"), ("g5", "CCCC"))
+      .toDF("cluster_id", "reference_sequence").coalesce(1)
+    val hits = BlastShell.runBlastXml(spark, clusters, Seq(stub.toString))
+    assert(hits.count() == 3)
+    assert(hits.select("cluster_id").distinct().collect()
+      .map(_.getString(0)).toSet == Set("g1", "g5"))
+  }
 }

@@ -49,17 +49,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(got - math.pow(0.586, 1.5)) < 1e-12)
   }
 
-  test("cai: ATG/TGG excluded, stops skipped, trailing bases trimmed") {
-    // ATG skipped; GCA,GCG counted; TAA stop skipped; trailing 'GC' trimmed
-    val got = Cai.caiForGene("ATGGCAGCGTAAGC").get
+  test("cai: ATG/TGG excluded, stops skipped") {
+    // ATG skipped; GCA,GCG counted; TAA stop skipped
+    val got = Cai.caiForGene("ATGGCAGCGTAA").get
     val want = math.exp((math.log(0.586) + math.log(0.424)) / 1.0)
     assert(math.abs(got - want) < 1e-12)
   }
 
-  test("cai: N codons dropped before scoring") {
-    val a = Cai.caiForGene("GCANNNGCA")
-    val b = Cai.caiForGene("GCAGCA")
-    assert(a == b)
+  test("cai: non-multiple-of-3 raw sequence -> NaN path (reference fidelity)") {
+    // The reference's filteredSeq is dead code; biopython sees the trailing
+    // partial codon 'GC' -> illegal codon -> raise -> NaN
+    assert(Cai.caiForGene("ATGGCAGCGTAAGC").isEmpty)
+  }
+
+  test("cai: N-containing sequence -> NaN path (reference fidelity)") {
+    // 'NNN' is an illegal codon on the raw-sequence path -> raise -> NaN
+    assert(Cai.caiForGene("GCANNNGCA").isEmpty)
+    assert(Cai.caiForGene("GCAGCA").nonEmpty)
   }
 
   test("cai: single scored codon -> undefined (NaN path)") {

@@ -84,6 +84,14 @@ class PangenomeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.isNullAt(0))
   }
 
+  test("graph: PIRATE average_length ingested, not aliased from min_length") {
+    // fixture g2: min 12, max 12, average 13.7 (01_creatingDatabase.cypher:38)
+    val g2 = graph.clusters.filter(col("cluster_id") === "g2")
+      .select("min_length", "max_length", "average_length").head()
+    assert(g2.getLong(0) == 12 && g2.getLong(1) == 12)
+    assert(g2.getDouble(2) == 13.7)
+  }
+
   test("graph: null reference sequence repaired from reference feature (J10)") {
     val g9 = graph.clusters.filter(col("cluster_id") === "g9")
       .select("reference_sequence").head()
@@ -119,6 +127,24 @@ class PangenomeSpec extends AnyFunSuite with BeforeAndAfterAll {
       graph.clusterInStrain.distinct().count())
   }
 
+  test("rgpMine plan construction is lazy: zero Spark jobs until an action") {
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    // force the lazy fixtures first so their jobs don't count
+    enriched.features.queryExecution.analyzed
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val plan = Pangenome.rgpMine(enriched, graph,
+        majorityFrac = 0.3, minEdges = 2, maxEdges = 10, requireMobile = false)
+      plan.queryExecution.analyzed // build + analyze, no action
+      Thread.sleep(500)            // let any async listener events drain
+      assert(jobs == 0, s"building the rgpMine plan launched $jobs Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("enrichment: GC/CAI match hand-computed goldens; tRNA skipped") {
     val m = enriched.features.select("Name", "GC", "CAI").collect()
       .map(r => r.getString(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
@@ -130,8 +156,12 @@ class PangenomeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(m("S2_001")._2.get.asInstanceOf[Double] - 0.495) < 1e-12)
     // tRNA/pseudogene features: no metrics (CDS-only pass)
     assert(m("S1_004")._1.isEmpty && m("S3_005")._1.isEmpty)
-    // gapped member decodes to 11nt -> trimmed -> CAI exp(0/1) = 1.0
-    assert(math.abs(m("S2_004")._2.get.asInstanceOf[Double] - 1.0) < 1e-12)
+    // gapped member decodes to 11nt: biopython on the RAW sequence hits the
+    // trailing partial codon -> raise -> NaN (the reference's filteredSeq
+    // is dead code, extendingDB_FeatureAndStrainMetrics.py:54-68) — but GC
+    // is still computed from the same decoded sequence
+    assert(m("S2_004")._2.isEmpty)
+    assert(m("S2_004")._1.nonEmpty)
   }
 
   test("genome track: positions, z-scores and flags are computed per strain") {

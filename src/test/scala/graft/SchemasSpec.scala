@@ -32,6 +32,18 @@ class SchemasSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cls = Schemas.clusters(back.clusters).collect()
     assert(cls.count(_.lonely_cluster) == 1)
 
+    // feature_ids / CDS_ids round-trip (01_creatingDatabase.cypher:39,83):
+    // real clusters keep the member-id array, lonely clusters the scalar
+    val g2c = cls.find(_.cluster_id == "g2").get
+    assert(g2c.feature_ids.contains(Seq("S1_002", "S2_002", "S3_002", "S3_006")))
+    assert(g2c.CDS_ids.isEmpty)
+    val lone = cls.find(_.lonely_cluster).get
+    assert(lone.feature_ids.isEmpty)
+    assert(lone.CDS_ids.contains(lone.cluster_id))
+    // PIRATE-supplied average_length survives (not min/max aliased)
+    assert(g2c.average_length == 13.7)
+    assert(g2c.min_length == 12 && g2c.max_length == 12)
+
     // the on-disk layout is partitioned by strain and prunes
     assert(new java.io.File(s"$dir/features/Strain=S1").isDirectory)
     val plan = back.features.filter(col("Strain") === "S1")

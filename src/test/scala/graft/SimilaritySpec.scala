@@ -1,0 +1,115 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The size-dispatched similarity library (VERDICT r1 item 5): the exact
+  * and LSH branches must agree on thresholded pairs, and the LSH branch's
+  * physical plan must contain no quadratic join.
+  */
+class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** 40 base sets plus 10 planted near-duplicates (≥ 0.8 Jaccard). */
+  private def plantedSets = {
+    import spark.implicits._
+    val base = (0 until 40).map { i =>
+      (s"doc$i", (0 until 20).map(j => s"tok_${i}_$j"))
+    }
+    val dups = (0 until 10).map { i =>
+      // copy of doc_i with 2 of 20 tokens replaced -> jaccard 18/22 ≈ 0.82
+      (s"dup$i", (0 until 18).map(j => s"tok_${i}_$j") ++ Seq(s"x$i", s"y$i"))
+    }
+    (base ++ dups).toDF("id", "toks")
+  }
+
+  test("exact and LSH branches agree on high-similarity pairs") {
+    val exact = Similarity.jaccardPairs(plantedSets, "id", "toks", minSim = 0.6)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val lsh = Similarity.jaccardPairs(plantedSets, "id", "toks", minSim = 0.6,
+      forceLsh = true)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(exact == (0 until 10).map(i => (s"doc$i", s"dup$i")).toSet)
+    assert(lsh == exact)
+  }
+
+  test("dice floor maps through the jaccard monotone relation") {
+    val exact = Similarity.dicePairs(plantedSets, "id", "toks", minDice = 0.75)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val lsh = Similarity.dicePairs(plantedSets, "id", "toks", minDice = 0.75,
+      forceLsh = true)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(lsh == exact && exact.size == 10)
+  }
+
+  test("LSH branch plan contains no cartesian/nested-loop join") {
+    val plan = Similarity.jaccardPairs(plantedSets, "id", "toks", minSim = 0.6,
+      forceLsh = true).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // the exact branch IS the quadratic form (documents the contrast)
+    val exactPlan = Similarity.jaccardPairs(plantedSets, "id", "toks", minSim = 0.6)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("CartesianProduct") ||
+      exactPlan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("row-count dispatcher switches branches at maxExactRows") {
+    // tiny threshold forces the LSH branch; plan proves which branch ran
+    val auto = Similarity.jaccardPairs(plantedSets, "id", "toks", minSim = 0.6,
+      maxExactRows = 10)
+    assert(!auto.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    // minSim = 0 demands the full matrix -> exact branch regardless of size
+    val full = Similarity.jaccardPairs(plantedSets, "id", "toks", minSim = 0.0,
+      maxExactRows = 10)
+    val n = plantedSets.count()
+    assert(full.count() == n * (n - 1) / 2)
+  }
+
+  test("cluster: driver and distributed branches agree on planted structure") {
+    // with cutoff 0.3 each (doc_i, dup_i) pair merges; everything else stays
+    // a singleton -> 40 clusters, 10 of size 2
+    def sizes(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("label").count().groupBy("count").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = Similarity.cluster(plantedSets, "id", "toks", cutoff = 0.3)
+    val dist = Similarity.cluster(plantedSets, "id", "toks", cutoff = 0.3,
+      maxDriverN = 10)
+    assert(sizes(driver) == Map(1L -> 30L, 2L -> 10L))
+    assert(sizes(dist) == Map(1L -> 30L, 2L -> 10L))
+    // same membership, not just same histogram: partner of doc3 is dup3
+    def partner(df: org.apache.spark.sql.DataFrame, of: String) = {
+      val l = df.filter(col("id") === of).head().getLong(1)
+      df.filter(col("label") === l && col("id") =!= of)
+        .collect().map(_.getString(0)).toSeq
+    }
+    assert(partner(driver, "doc3") == Seq("dup3"))
+    assert(partner(dist, "doc3") == Seq("dup3"))
+  }
+
+  test("insertionDice equivalence: exact vs forced-LSH on the fixture shape") {
+    import spark.implicits._
+    val insertions = Seq(
+      ("S1", 2, 6, Seq("g5", "g6", "g7", "g8", "g9", "g10")),
+      ("S2", 2, 5, Seq("g5", "g6", "g7", "g8", "g9", "gX")),
+      ("S3", 1, 6, Seq("g2", "g3", "g4"))
+    ).toDF("Strain", "pos1", "pos2", "InsertionListClusterID")
+    val exact = graft.pangenome.Pangenome.insertionDice(insertions, minDice = 0.7)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val lsh = graft.pangenome.Pangenome.insertionDice(insertions, minDice = 0.7,
+      maxExactRows = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(exact == Set(("S1|2|6", "S2|2|5", 10.0 / 12.0)))
+    assert(lsh == exact)
+  }
+}
