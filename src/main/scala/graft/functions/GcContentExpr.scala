@@ -66,6 +66,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.fn)
     ext.injectFunction(GraftExtensions.encodeFn)
     ext.injectOptimizerRule(_ => graft.plans.StripCaseChangeUnderGc)
+    ext.injectPlannerStrategy(_ => graft.plans.PathSpanJoinStrategy)
   }
 }
 

@@ -225,6 +225,29 @@ object GraphOps {
               |FROM spans ORDER BY user_id, pos1, pos2""".stripMargin),
       doc = "SURVEY G7; RGPs.ipynb:463-465 cell 8"),
 
+    // G7 again through the tier-(c) planner extension: the custom
+    // PathSpanJoin LogicalPlan/Strategy/SparkPlan (graft.plans) replaces
+    // the sort-merge-join + band-filter composition with a merge that
+    // binary-searches the position window — same rows (same oracle as g7),
+    // O(k log k + output) per chain instead of O(k²).
+    QueryDef(
+      "g7b_spans_custom_operator",
+      (s, d) => {
+        graft.plans.PathSpanJoin.register(s)
+        val p = positioned(s, d).filter(col("event_type") === "signup")
+        val a1 = p.select(col("user_id"), col("pos").as("pos1"))
+        val a2 = p.select(col("user_id").as("uid2"), col("pos").as("pos2"))
+        graft.plans.PathSpanJoin
+          .spanJoin(a1, a2, "user_id", "pos1", "uid2", "pos2", 2, 50)
+          .select(col("user_id"), col("pos1"), col("pos2"))
+          .withColumn("insertion_nb_features", col("pos2") - col("pos1") - 1)
+          .orderBy(col("user_id"), col("pos1"), col("pos2"))
+      },
+      Some(s"""WITH $spansSql
+              |SELECT user_id, pos1, pos2, pos2 - pos1 - 1 AS insertion_nb_features
+              |FROM spans ORDER BY user_id, pos1, pos2""".stripMargin),
+      doc = "SURVEY G7 via planner extension; graft/plans/PathSpanJoin.scala"),
+
     // G8: per-path subquery collect — ordered cluster-id list of each span's
     // intervening features (RGPs.ipynb:467-472); order preserved via
     // sort_array(collect_list(struct(pos, x))).

@@ -31,3 +31,108 @@ class PlansSpec extends AnyFunSuite {
     assert(StripCaseChangeUnderGc(plan) == plan)
   }
 }
+
+/** The PathSpanJoin planner extension (VERDICT r1 item 6): the strategy
+  * must fire, the exec must agree with the builtin join composition, and
+  * the plan must keep the single-shuffle shape.
+  */
+class PathSpanJoinSpec extends org.scalatest.funsuite.AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
+
+  import org.apache.spark.sql.functions.col
+
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // deterministic anchors over 30 chains: seeded RNG -> all gap sizes occur
+  private def anchors = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (for {
+      u <- 0 until 30
+      p <- 1 to 40 if rnd.nextInt(5) < 2
+    } yield (s"u$u", p.toLong)).toDF("user", "pos")
+  }
+
+  private def viaOperator = {
+    graft.plans.PathSpanJoin.register(spark)
+    val a1 = anchors.select(col("user"), col("pos").as("pos1"))
+    val a2 = anchors.select(col("user").as("user2"), col("pos").as("pos2"))
+    graft.plans.PathSpanJoin.spanJoin(a1, a2, "user", "pos1", "user2", "pos2", 2, 10)
+      .select("user", "pos1", "pos2")
+  }
+
+  private def viaBuiltins = {
+    val a1 = anchors.select(col("user"), col("pos").as("pos1"))
+    val a2 = anchors.select(col("user").as("user2"), col("pos").as("pos2"))
+    a1.join(a2, col("user") === col("user2") &&
+        (col("pos2") - col("pos1")).between(2, 10))
+      .select("user", "pos1", "pos2")
+  }
+
+  test("strategy fires: the physical plan contains the custom exec") {
+    // TreeNode.nodeName renders PathSpanJoinExec as "PathSpanJoin"
+    val plan = viaOperator.queryExecution.executedPlan.toString
+    assert(plan.contains("PathSpanJoin"), plan.linesIterator.take(8).mkString("\n"))
+  }
+
+  test("operator output equals the builtin join composition (bounds inclusive)") {
+    val got = viaOperator.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = viaBuiltins.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // bounds are inclusive on both ends
+    assert(got.exists { case (_, p1, p2) => p2 - p1 == 2 })
+    assert(got.exists { case (_, p1, p2) => p2 - p1 == 10 })
+    assert(got.forall { case (_, p1, p2) => p2 - p1 >= 2 && p2 - p1 <= 10 })
+  }
+
+  test("plan shape: one exchange per side, no quadratic join") {
+    val plan = viaOperator.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val nExchanges = "Exchange".r.findAllIn(plan).length
+    assert(nExchanges <= 2, s"expected <=2 exchanges, got $nExchanges:\n$plan")
+  }
+
+  test("works through SparkSessionExtensions injection") {
+    import org.apache.spark.sql.SparkSession
+    spark.sparkContext // ensure the shared context exists first
+    // a FRESH session (same context) wired only via the extensions class;
+    // getOrCreate returns the active session, so clear it first — and never
+    // stop() s2, which would kill the shared SparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // NB: "spark.sql.extensions" is a STATIC conf read from the
+    // SparkContext at first creation; on a shared test context only
+    // builder.withExtensions reaches a late-built session
+    val s2 = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions()(_))
+      .getOrCreate()
+    try {
+      assert(s2 ne spark)
+      import s2.implicits._
+      val df = Seq(("a", 1L), ("a", 4L), ("a", 20L), ("b", 2L))
+        .toDF("user", "pos")
+      val a1 = df.select(col("user"), col("pos").as("pos1"))
+      val a2 = df.select(col("user").as("user2"), col("pos").as("pos2"))
+      val out = graft.plans.PathSpanJoin
+        .spanJoin(a1, a2, "user", "pos1", "user2", "pos2", 2, 10)
+      assert(out.queryExecution.executedPlan.toString.contains("PathSpanJoin"))
+      val rows = out.select("user", "pos1", "pos2").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set(("a", 1L, 4L)))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+}
