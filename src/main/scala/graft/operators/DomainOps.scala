@@ -29,6 +29,42 @@ object DomainOps {
     */
   val TestTree = "((click:1,view:2):1,(purchase:3,signup:1):2,error:5);"
 
+  /** C1/C2 carrier sets, bitset-encoded: (user_id, mask: array<4×long>,
+    * sz: popcount). Token indices come from a global row_number over the
+    * distinct vocabulary — a deliberate single-partition window over a
+    * handful of rows, broadcast back onto the fact table. The assert_true
+    * filter guards the 256-bit capacity (vocab growth fails loudly, never
+    * silently drops bits); it lives in a filter so column pruning cannot
+    * remove it.
+    */
+  private def bitsetUserSets(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val toks = T.events(s, d).select(col("user_id"),
+        concat(col("event_type"), lit("#"),
+          floor(col("value") / 20).cast("long")).as("tok"))
+      .distinct()
+    val vocab = toks.select(col("tok")).distinct()
+      .withColumn("idx", row_number().over(Window.orderBy(col("tok"))) - 1)
+    toks.join(broadcast(vocab), "tok")
+      .filter(expr("assert_true(idx < 256, 'c1/c2 bitset: vocab > 256 tokens')").isNull)
+      .withColumn("word", (col("idx") / 64).cast("int"))
+      .withColumn("bit", expr("shiftleft(CAST(1 AS BIGINT), idx % 64)"))
+      .groupBy(col("user_id"), col("word"))
+      .agg(expr("bit_or(bit)").as("wmask"))
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(col("word"), col("wmask"))).as("wm"))
+      .withColumn("mask", expr(
+        "transform(sequence(0, 3), w -> coalesce(" +
+          "aggregate(filter(wm, e -> e.word = w), CAST(0 AS BIGINT), (a, e) -> a | e.wmask)," +
+          " CAST(0 AS BIGINT)))"))
+      .withColumn("sz", expr(
+        "aggregate(transform(mask, x -> bit_count(x)), 0, (a, x) -> a + x)"))
+      .select(col("user_id"), col("mask"), col("sz"))
+  }
+
+  /** Σ bit_count(m1[w] & m2[w]) — the bitset |∩|, pure codegen. */
+  private def bitsetInter =
+    expr("aggregate(zip_with(m1, m2, (x, y) -> bit_count(x & y)), 0, (a, x) -> a + x)")
+
   val defs: Seq[QueryDef] = Seq(
 
     // P7+P8: variation codec round-trip as a distributed invariant —
@@ -148,19 +184,23 @@ object DomainOps {
 
     // C1: Dice similarity over per-user event-type sets — the all-pairs
     // form the reference runs at N≈5k (RGPs.ipynb cell 70). The LSH-pruned
-    // scale path is PipelineOps d2_minhash_lsh.
+    // scale path is PipelineOps d2_minhash_lsh / operators.Similarity.
+    //
+    // Physical trick (r1 bench: c1/c2 were the ~7 s tail): the token
+    // vocabulary (event_type × value-bucket) is tiny, so each user's set
+    // is bitset-encoded into 4×64-bit words. |∩| = Σ bit_count(x & y) in
+    // whole-stage codegen, and the quadratic pair join shuffles two longs
+    // per row instead of a hashed-string array. Values are identical
+    // (exact integer counts), so the oracle SQL is unchanged.
     QueryDef(
       "c1_dice_similarity",
       (s, d) => {
-        val sets = T.events(s, d).groupBy(col("user_id"))
-          .agg(collect_set(xxhash64(concat(col("event_type"), lit("#"),
-            floor(col("value") / 20).cast("long")))).as("types"))
-        val a = sets.select(col("user_id").as("u1"), col("types").as("t1"))
-        val b = sets.select(col("user_id").as("u2"), col("types").as("t2"))
+        val sets = bitsetUserSets(s, d)
+        val a = sets.select(col("user_id").as("u1"), col("mask").as("m1"), col("sz").as("z1"))
+        val b = sets.select(col("user_id").as("u2"), col("mask").as("m2"), col("sz").as("z2"))
         a.join(b, col("u1") < col("u2"))
           .select(col("u1"), col("u2"),
-            (size(array_intersect(col("t1"), col("t2"))) * 2.0 /
-             (size(col("t1")) + size(col("t2")))).as("dice"))
+            (bitsetInter * 2.0 / (col("z1") + col("z2"))).as("dice"))
           .filter(col("dice") < 1.0)
           .orderBy(col("u1"), col("u2"))
       },
@@ -178,20 +218,17 @@ object DomainOps {
       doc = "SURVEY C1; RGPs.ipynb:2073-2091 cell 70"),
 
     // C2: binary Jaccard distance over the same sets (pdist 'jaccard',
-    // RGPs.ipynb cell 80); |∪| computed as |A|+|B|−|∩| — one pass.
+    // RGPs.ipynb cell 80); |∪| = |A|+|B|−|∩|, bitset-encoded like C1.
     QueryDef(
       "c2_jaccard_distance",
       (s, d) => {
-        val sets = T.events(s, d).groupBy(col("user_id"))
-          .agg(collect_set(xxhash64(concat(col("event_type"), lit("#"),
-            floor(col("value") / 20).cast("long")))).as("types"))
-        val a = sets.select(col("user_id").as("u1"), col("types").as("t1"))
-        val b = sets.select(col("user_id").as("u2"), col("types").as("t2"))
-        val inter = size(array_intersect(col("t1"), col("t2")))
-        val uni = size(col("t1")) + size(col("t2")) - inter
+        val sets = bitsetUserSets(s, d)
+        val a = sets.select(col("user_id").as("u1"), col("mask").as("m1"), col("sz").as("z1"))
+        val b = sets.select(col("user_id").as("u2"), col("mask").as("m2"), col("sz").as("z2"))
+        val uni = col("z1") + col("z2") - bitsetInter
         a.join(b, col("u1") < col("u2"))
           .select(col("u1"), col("u2"),
-            (lit(1.0) - inter.cast("double") / uni).as("jaccard_dist"))
+            (lit(1.0) - bitsetInter.cast("double") / uni).as("jaccard_dist"))
           .filter(col("jaccard_dist") > 0.0)
           .orderBy(col("u1"), col("u2"))
       },
