@@ -429,6 +429,38 @@ object Pangenome {
       .select(col("id1").as("i1"), col("id2").as("i2"), col("dice"))
   }
 
+  /** Anchor-group phylogenetic spread (RGPs.ipynb cells 44-67): for each
+    * anchor pair, the distinct strains carrying an insertion between those
+    * anchors (cell 44, A10), all unordered strain pairs within the group
+    * (J14), the patristic distance of each pair on the supplied Newick
+    * tree (cells 47-48, A12 — broadcast LCA index, one scalar lookup per
+    * pair), and the per-group min/mean/max (cell 51, A7). Groups with a
+    * single strain yield no distance and are dropped, like the notebook's
+    * `if idxs == []: continue`.
+    *
+    * Scale: the tree index is broadcast (one compact structure for 770
+    * strains); the pair join is per-anchor-group and each group is at most
+    * |strains| wide, so the quadratic stays bounded by group size, never
+    * corpus size.
+    */
+  def anchorPhylo(insertions: DataFrame, newick: String): DataFrame = {
+    val spark = insertions.sparkSession
+    val idx = spark.sparkContext.broadcast(graft.functions.Newick.index(newick))
+    val dist = udf((a: String, b: String) => idx.value.distance(a, b))
+    val strainSets = insertions.select(col("c1"), col("c2"), col("Strain")).distinct()
+    val a = strainSets.select(col("c1"), col("c2"), col("Strain").as("s1"))
+    val b = strainSets.select(col("c1").as("d1"), col("c2").as("d2"),
+      col("Strain").as("s2"))
+    a.join(b, col("c1") === col("d1") && col("c2") === col("d2") &&
+        col("s1") < col("s2"))
+      .withColumn("d", dist(col("s1"), col("s2")))
+      .groupBy(col("c1"), col("c2"))
+      .agg(count(lit(1)).as("n_distances"),
+        min(col("d")).as("min_distance"),
+        avg(col("d")).as("mean_distance"),
+        max(col("d")).as("max_distance"))
+  }
+
   /** C3/C4 over insertions: flat clustering of the Dice/Jaccard structure,
     * size-dispatched ([[graft.operators.Similarity.cluster]]) — exact
     * complete-linkage (scipy fidelity, RGPs.ipynb cells 85-93) on the

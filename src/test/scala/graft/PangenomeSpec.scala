@@ -212,6 +212,33 @@ class PangenomeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(withT == 2)
   }
 
+  test("anchor-group phylo spread matches hand-computed tree distances") {
+    // fixture tree (S1:1,(S2:2,S3:3):1): d(S1,S2)=4, d(S1,S3)=5, d(S2,S3)=5
+    val treeStr = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$fixture/binary_presence_absence.nwk")))
+    val dists = Map(("S1", "S2") -> 4.0, ("S1", "S3") -> 5.0, ("S2", "S3") -> 5.0)
+    val rgps = Pangenome.rgpMine(enriched, graph,
+      coreFrac = 0.95, majorityFrac = 0.3, minEdges = 2, maxEdges = 10,
+      requireMobile = false)
+    val phylo = Pangenome.anchorPhylo(rgps, treeStr).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // expected per anchor pair, from the span strain sets + the hand table
+    val strainSets = rgps.select("c1", "c2", "Strain").distinct().collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues(_.map(_.getString(2)).sorted.toSeq).toMap
+    val multi = strainSets.filter(_._2.size >= 2)
+    assert(multi.nonEmpty, "fixture must yield at least one multi-strain anchor group")
+    assert(phylo.keySet == multi.keySet) // single-strain groups dropped
+    multi.foreach { case (k, ss) =>
+      val ds = for { i <- ss.indices; j <- i + 1 until ss.size }
+        yield dists((ss(i), ss(j)))
+      val (n, mn, mean, mx) = phylo(k)
+      assert(n == ds.size && mn == ds.min && mx == ds.max)
+      assert(math.abs(mean - ds.sum / ds.size) < 1e-12)
+    }
+  }
+
   test("insertion Dice similarity matches hand computation") {
     val rgps = Pangenome.rgpMine(enriched, graph,
       coreFrac = 0.95, majorityFrac = 0.3, minEdges = 2, maxEdges = 10,
