@@ -65,6 +65,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.fn)
     ext.injectFunction(GraftExtensions.encodeFn)
+    ext.injectFunction(GraftExtensions.intersectFn)
     ext.injectOptimizerRule(_ => graft.plans.StripCaseChangeUnderGc)
     ext.injectPlannerStrategy(_ => graft.plans.PathSpanJoinStrategy)
   }
@@ -81,10 +82,17 @@ object GraftExtensions {
     new ExpressionInfo(classOf[VariationEncodeExpr].getName, "variation_encode_native"),
     (exprs: Seq[Expression]) => VariationEncodeExpr(exprs.head, exprs(1)))
 
+  val intersectFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sorted_intersect_size"),
+    new ExpressionInfo(classOf[SortedIntersectSizeExpr].getName, "sorted_intersect_size"),
+    (exprs: Seq[Expression]) => SortedIntersectSizeExpr(exprs.head, exprs(1)))
+
   def registerInto(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("gc_content_native", fn._3, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("variation_encode_native", encodeFn._3, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("sorted_intersect_size", intersectFn._3, "built-in")
   }
 }

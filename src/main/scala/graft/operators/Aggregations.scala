@@ -112,11 +112,17 @@ object Aggregations {
     QueryDef(
       "a10_collect_set",
       (s, d) =>
+        // distinct FIRST: the (type, user) dedup runs map-side across all
+        // partitions, so the skewed 5-key collect shuffle moves ~n_users
+        // rows per type instead of the whole fact table (r2 bench: 8 s →
+        // scan-bound). collect_list on deduped input == collect_set.
         T.events(s, d)
+          .select(col("event_type"), col("user_id").cast("string").as("u"))
+          .distinct()
           .groupBy(col("event_type"))
           .agg(
-            array_join(sort_array(collect_set(col("user_id").cast("string"))), ";").as("users"),
-            countDistinct(col("user_id")).as("n_users"))
+            array_join(sort_array(collect_list(col("u"))), ";").as("users"),
+            count(lit(1)).as("n_users"))
           .orderBy(col("event_type")),
       Some("""WITH du AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS u
              |            FROM events)

@@ -52,6 +52,34 @@ class GcContentExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sorted_intersect_size matches array_intersect on random sorted sets") {
+    import spark.implicits._
+    GraftExtensions.registerInto(spark)
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 200).map { _ =>
+      def set() = Array.fill(rnd.nextInt(60))(rnd.nextInt(40).toLong)
+        .distinct.sorted.toSeq
+      (set(), set())
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq.empty[Long], Seq.empty[Long]))
+    val got = pairs.toDF("a", "b")
+      .selectExpr("a", "b",
+        "sorted_intersect_size(a, b) AS m",
+        "size(array_intersect(a, b)) AS e")
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(2) == r.getInt(3),
+        s"a=${r.getSeq[Long](0)} b=${r.getSeq[Long](1)}")
+    }
+    // interpreted path agrees too
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val e = graft.functions.SortedIntersectSizeExpr(
+      Literal.create(ArrayData.toArrayData(Array(1L, 3L, 5L)), ArrayType(LongType)),
+      Literal.create(ArrayData.toArrayData(Array(3L, 4L, 5L, 9L)), ArrayType(LongType)))
+    assert(e.eval(null) == 2)
+  }
+
   test("extension class wires the function builder") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext) // must not throw
