@@ -346,6 +346,65 @@ object PipelineOps {
       None, // recall-bounded index: pinned vs brute force in AnnSpec
       doc = "similarity/ann IVF inverted lists + bounded-heap top-k"),
 
+    // D8: embedding-cosine near-duplicate detection with canonical
+    // assignment — the embedding analogue of d1/d2: banded 32-bit
+    // hyperplane signatures (4×8) generate candidates linearly in N,
+    // exact integer-quantized cosine verifies them, and connected
+    // components collapse duplicate groups to a canonical member (min
+    // vec_id). Every vector appears once; non-duplicates map to
+    // themselves. Components are GraphX-iterative (actions inside the
+    // builder, like c3's documented exception); all the quadratic-looking
+    // work is candidate-bounded, never N².
+    QueryDef(
+      "d8_embedding_neardup",
+      (s, d) => {
+        val sigUdf = udf((v: Seq[Float]) =>
+          Sketches.hyperplaneSignature(v.toArray, 32))
+        val q = expr("transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))")
+        val base = T.embeddings(s, d)
+          .select(col("vec_id"), q.as("q"), sigUdf(col("embedding")).as("sig"))
+          .withColumn("nn",
+            expr("aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        val banded = base.withColumn("band",
+          explode(expr("transform(sequence(0, 3), b -> " +
+            "concat(b, ':', CAST(shiftright(sig, b * 8) & 255 AS STRING)))")))
+        val a = banded.select(col("band"), col("vec_id").as("id1"),
+          col("q").as("q1"), col("nn").as("n1"))
+        val b = banded.select(col("band").as("bb"), col("vec_id").as("id2"),
+          col("q").as("q2"), col("nn").as("n2"))
+        val dupPairs = a.join(b, col("band") === col("bb") && col("id1") < col("id2"))
+          .dropDuplicates("id1", "id2")
+          .withColumn("dot",
+            expr("aggregate(zip_with(q1, q2, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+          .withColumn("cos",
+            col("dot").cast("double") /
+              sqrt(col("n1").cast("double") * col("n2").cast("double")))
+          .filter(col("cos") >= 0.98)
+          .select(col("id1"), col("id2"))
+        // CC is iterative (GraphX actions); skip it entirely when no pair
+        // survives verification — the common case on a clean corpus
+        val mapped =
+          if (dupPairs.isEmpty) {
+            import s.implicits._
+            Seq.empty[(Long, Long)].toDF("vid", "cid")
+          } else {
+            val comp = graft.pangenome.GraphFallback.similarityComponents(s, dupPairs)
+            val canon = comp.groupBy(col("component"))
+              .agg(min(col("member").cast("long")).as("cid"))
+            comp.join(canon, "component")
+              .select(col("member").cast("long").as("vid"), col("cid"))
+          }
+        base.select(col("vec_id"))
+          .join(mapped, col("vec_id") === col("vid"), "left")
+          .select(col("vec_id"),
+            coalesce(col("cid"), col("vec_id")).as("canonical_id"),
+            (col("cid").isNotNull && col("cid") =!= col("vec_id")).cast("int")
+              .as("is_dup"))
+          .orderBy(col("vec_id"))
+      },
+      None, // recall-bounded sketch: planted-duplicate groups pinned in AnnSpec
+      doc = "dedup/embedding-cosine near-dup + canonical id; brief's dedup list"),
+
     // T1: language identification — stopword-overlap scoring against
     // per-language seed lists, deterministic argmax (alphabetical tiebreak).
     QueryDef(

@@ -49,4 +49,32 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(cos <= exactRows((qid, 1)) + 1e-12, s"query $qid: IVF cos above exact best")
     }
   }
+
+  test("d8 embedding near-dup: planted duplicate groups get one canonical id") {
+    import spark.implicits._
+    // 30 seeded base vectors; vectors 100+i are near-copies of base i
+    // (tiny perturbation, cos > 0.999); everything else is far apart
+    val rnd = new scala.util.Random(5)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val bases = (0 until 30).map(i => i.toLong -> vec())
+    val dups = (0 until 10).map { i =>
+      val b = bases(i)._2
+      (100L + i) -> b.map(x => x + (rnd.nextGaussian() * 1e-4).toFloat)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_d8").toString
+    (bases ++ dups).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val out = SparkEntry.queries("d8_embedding_neardup")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out.size == 40)
+    (0 until 10).foreach { i =>
+      assert(out(100L + i) == (i.toLong, 1), s"dup of base $i not canonicalized")
+      assert(out(i.toLong) == (i.toLong, 0), s"base $i must be its own canonical")
+    }
+    (10 until 30).foreach { i =>
+      assert(out(i.toLong) == (i.toLong, 0), s"singleton $i must map to itself")
+    }
+  }
 }
