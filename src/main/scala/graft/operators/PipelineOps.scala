@@ -69,22 +69,29 @@ object PipelineOps {
           })
         val bandsUdf = udf((sh: Seq[String]) =>
           Sketches.bandKeys(Sketches.minHash(sh, 32), 4))
+        // verify stage carries xxhash64'd SORTED shingles, not strings:
+        // cardinalities (hence Jaccard) are hash-collision-equal, and the
+        // per-candidate intersection is the codegen two-pointer merge
+        // instead of a boxed string hash set (same trick as d4)
+        graft.functions.GraftExtensions.registerInto(s)
         val docs = T.documents(s, d)
           .select(col("doc_id"), shingleUdf(col("text")).as("shingles"))
           .withColumn("bands", bandsUdf(col("shingles")))
-        val buckets = docs.select(col("doc_id"), col("shingles"),
+          .withColumn("hs",
+            expr("array_sort(transform(shingles, x -> xxhash64(x)))"))
+        val buckets = docs.select(col("doc_id"), col("hs"),
           posexplode(col("bands")).as(Seq("band_idx", "band_key")))
         val a = buckets.select(col("band_idx"), col("band_key"),
-          col("doc_id").as("id1"), col("shingles").as("sh1"))
+          col("doc_id").as("id1"), col("hs").as("h1"))
         val b = buckets.select(col("band_idx").as("bi2"), col("band_key").as("bk2"),
-          col("doc_id").as("id2"), col("shingles").as("sh2"))
+          col("doc_id").as("id2"), col("hs").as("h2"))
         val cand = a.join(b,
             col("band_idx") === col("bi2") && col("band_key") === col("bk2") &&
             col("id1") < col("id2"))
-          .select(col("id1"), col("id2"), col("sh1"), col("sh2"))
+          .select(col("id1"), col("id2"), col("h1"), col("h2"))
           .dropDuplicates("id1", "id2")
-        val inter = size(array_intersect(col("sh1"), col("sh2")))
-        val uni = size(col("sh1")) + size(col("sh2")) - inter
+        val inter = expr("sorted_intersect_size(h1, h2)")
+        val uni = size(col("h1")) + size(col("h2")) - inter
         cand
           .withColumn("jaccard", inter.cast("double") / uni)
           .filter(col("jaccard") >= 0.5)

@@ -212,6 +212,19 @@ class PangenomeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(withT == 2)
   }
 
+  test("insertion clustering merges the one close pair at cutoff 0.6") {
+    val rgps = Pangenome.rgpMine(enriched, graph,
+      coreFrac = 0.95, majorityFrac = 0.3, minEdges = 2, maxEdges = 10,
+      requireMobile = false)
+    // jaccard distances: I1{g5,g6,g7}-I2{g8,g7} = 0.75, I3{g2,g3,g4,g9}-
+    // I4{g4,g9} = 0.5, all others 1.0 -> only I3,I4 merge at cutoff 0.6
+    val labels = Pangenome.insertionClusters(rgps, cutoff = 0.6).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(labels.size == 4)
+    assert(labels("S3|1|6") == labels("S3|3|6"))
+    assert(labels.values.toSet.size == 3)
+  }
+
   test("anchor-group phylo spread matches hand-computed tree distances") {
     // fixture tree (S1:1,(S2:2,S3:3):1): d(S1,S2)=4, d(S1,S3)=5, d(S2,S3)=5
     val treeStr = new String(java.nio.file.Files.readAllBytes(
