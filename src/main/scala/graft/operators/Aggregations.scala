@@ -116,7 +116,9 @@ object Aggregations {
         // partitions, so the skewed 5-key collect shuffle moves ~n_users
         // rows per type instead of the whole fact table (r2 bench: 8 s →
         // scan-bound). collect_list on deduped input == collect_set.
+        // Null users excluded up front so n_users == size(users) holds.
         T.events(s, d)
+          .filter(col("user_id").isNotNull)
           .select(col("event_type"), col("user_id").cast("string").as("u"))
           .distinct()
           .groupBy(col("event_type"))
@@ -125,7 +127,7 @@ object Aggregations {
             count(lit(1)).as("n_users"))
           .orderBy(col("event_type")),
       Some("""WITH du AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS u
-             |            FROM events)
+             |            FROM events WHERE user_id IS NOT NULL)
              |SELECT event_type, string_agg(u, ';' ORDER BY u) AS users,
              |  count(*) AS n_users
              |FROM du GROUP BY event_type ORDER BY event_type""".stripMargin),

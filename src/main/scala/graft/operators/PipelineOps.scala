@@ -388,19 +388,16 @@ object PipelineOps {
               sqrt(col("n1").cast("double") * col("n2").cast("double")))
           .filter(col("cos") >= 0.98)
           .select(col("id1"), col("id2"))
-        // CC is iterative (GraphX actions); skip it entirely when no pair
-        // survives verification — the common case on a clean corpus
-        val mapped =
-          if (dupPairs.isEmpty) {
-            import s.implicits._
-            Seq.empty[(Long, Long)].toDF("vid", "cid")
-          } else {
-            val comp = graft.pangenome.GraphFallback.similarityComponents(s, dupPairs)
-            val canon = comp.groupBy(col("component"))
-              .agg(min(col("member").cast("long")).as("cid"))
-            comp.join(canon, "component")
-              .select(col("member").cast("long").as("vid"), col("cid"))
-          }
+          // CC is GraphX-iterative: its vertex and edge RDDs each pull
+          // from this plan, so persist the verified pairs once instead of
+          // re-running the candidate-join + cosine-verify per action.
+          // Empty edge sets flow through components as an empty graph.
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val comp = graft.pangenome.GraphFallback.similarityComponents(s, dupPairs)
+        val canon = comp.groupBy(col("component"))
+          .agg(min(col("member").cast("long")).as("cid"))
+        val mapped = comp.join(canon, "component")
+          .select(col("member").cast("long").as("vid"), col("cid"))
         base.select(col("vec_id"))
           .join(mapped, col("vec_id") === col("vid"), "left")
           .select(col("vec_id"),

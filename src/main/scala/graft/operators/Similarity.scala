@@ -138,9 +138,15 @@ object Similarity {
       val comp = graft.pangenome.GraphFallback
         .similarityComponents(spark, edges)
         .select(col("member").as("id"), col("component"))
-      // singletons (no qualifying edge) keep their own cluster
+      // singletons (no qualifying edge) keep their own cluster; the
+      // struct tag keeps the singleton keyspace disjoint from GraphX
+      // component ids (both are 64-bit hashes — a collision would
+      // otherwise silently merge a singleton into an unrelated cluster)
       val withComp = ids.join(comp, Seq("id"), "left")
-        .withColumn("comp", coalesce(col("component"), xxhash64(col("id"))))
+        .withColumn("comp",
+          when(col("component").isNotNull,
+            struct(lit(0).as("t"), col("component").as("k")))
+            .otherwise(struct(lit(1).as("t"), xxhash64(col("id")).as("k"))))
       // dense labels ordered by each component's min id
       val rep = withComp.groupBy(col("comp")).agg(min(col("id")).as("rep"))
       val labeled = rep.withColumn("label",

@@ -122,13 +122,19 @@ private[plans] final class SpanJoinIterator(
   private var hi = 0
 
   private def loadRightGroup(): Unit = {
+    // NULL chain keys never join (builtin === semantics); ascending sort
+    // puts them first, so skip them before opening a group.
+    while (r.hasNext && rKeyProj(r.head).anyNull) r.next()
     if (!r.hasNext) { rExhausted = true; rKey = null; return }
     rKey = rKeyProj(r.head).copy()
     val posB = Array.newBuilder[Long]
     val rowB = Array.newBuilder[InternalRow]
     var cont = true
     while (cont && r.hasNext) {
-      if (rKeyProj(r.head) == rKey) {
+      // group boundary via the same ordering used for left-right matching
+      // (UnsafeRow byte equality can split keys whose distinct binary
+      // forms compare equal under the natural ordering)
+      if (keyOrd.compare(rKeyProj(r.head), rKey) == 0) {
         val row = r.next()
         posB += rPos(row)
         rowB += row.copy()
@@ -152,13 +158,15 @@ private[plans] final class SpanJoinIterator(
     while (l.hasNext) {
       val lrow = l.next()
       val lkey = lKeyProj(lrow)
-      if (rKey == null && !rExhausted) loadRightGroup()
-      while (rKey != null && keyOrd.compare(rKey, lkey) < 0) loadRightGroup()
-      if (rKey != null && keyOrd.compare(rKey, lkey) == 0) {
-        val p = lPos(lrow)
-        cur = lowerBound(rPosArr, p + minGap)
-        hi = lowerBound(rPosArr, p + maxGap + 1) // inclusive upper bound
-        if (cur < hi) { curLeft = lrow.copy(); return true }
+      if (!lkey.anyNull) { // NULL keys never join
+        if (rKey == null && !rExhausted) loadRightGroup()
+        while (rKey != null && keyOrd.compare(rKey, lkey) < 0) loadRightGroup()
+        if (rKey != null && keyOrd.compare(rKey, lkey) == 0) {
+          val p = lPos(lrow)
+          cur = lowerBound(rPosArr, p + minGap)
+          hi = lowerBound(rPosArr, p + maxGap + 1) // inclusive upper bound
+          if (cur < hi) { curLeft = lrow.copy(); return true }
+        }
       }
     }
     false
@@ -188,7 +196,19 @@ object PathSpanJoin {
       rightUser: String, rightPos: String,
       minGap: Long, maxGap: Long): DataFrame = {
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    // PathSpanJoinPlan is not a Join, so the analyzer never dedups
+    // conflicting exprIds between the sides (self-join case). Re-alias the
+    // right side whenever its output shares an exprId with the left —
+    // otherwise resultProj would bind right attributes to the left ordinal
+    // and silently mirror left values.
+    val rPlan = {
+      val r0 = right.queryExecution.analyzed
+      val lIds = lPlan.output.map(_.exprId).toSet
+      if (r0.output.exists(a => lIds.contains(a.exprId)))
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          r0.output.map(a => Alias(a, a.name)()), r0)
+      else r0
+    }
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(

@@ -101,6 +101,34 @@ class PathSpanJoinSpec extends org.scalatest.funsuite.AnyFunSuite
     assert(nExchanges <= 2, s"expected <=2 exchanges, got $nExchanges:\n$plan")
   }
 
+  test("self-join on shared lineage: right side re-aliased, not mirrored") {
+    // ADVICE r2: without exprId dedup, resultProj bound right attributes
+    // to the left ordinal and pos2 silently mirrored pos1
+    graft.plans.PathSpanJoin.register(spark)
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 3L), ("a", 8L), ("b", 2L)).toDF("user", "pos")
+    val out = graft.plans.PathSpanJoin
+      .spanJoin(df, df, "user", "pos", "user", "pos", 2, 10)
+    val rows = out.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(rows == Set(("a", 1L, 3L), ("a", 1L, 8L), ("a", 3L, 8L)))
+  }
+
+  test("null chain keys never join (builtin === semantics)") {
+    graft.plans.PathSpanJoin.register(spark)
+    import spark.implicits._
+    val df = Seq((Option("a"), 1L), (Option("a"), 3L),
+      (Option.empty[String], 5L), (Option.empty[String], 7L)).toDF("user", "pos")
+    val a1 = df.select(col("user"), col("pos").as("pos1"))
+    val a2 = df.select(col("user").as("user2"), col("pos").as("pos2"))
+    val out = graft.plans.PathSpanJoin
+      .spanJoin(a1, a2, "user", "pos1", "user2", "pos2", 2, 10)
+    val rows = out.select("user", "pos1", "pos2").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // the (null, 5) / (null, 7) pair has an in-range gap but must not join
+    assert(rows == Set(("a", 1L, 3L)))
+  }
+
   test("works through SparkSessionExtensions injection") {
     import org.apache.spark.sql.SparkSession
     spark.sparkContext // ensure the shared context exists first
