@@ -17,41 +17,67 @@ object Agglomerative {
     * item index — deterministic, unlike scipy's leaf ordering).
     */
   def completeLinkageCut(n: Int, dist: (Int, Int) => Double, t: Double): Array[Int] = {
-    // active cluster -> member list; pairwise complete-linkage distance map
-    val members = scala.collection.mutable.Map[Int, List[Int]]()
-    (0 until n).foreach(i => members(i) = List(i))
+    if (n == 0) return Array.empty
+    // pairwise complete-linkage distance matrix
     val d = Array.ofDim[Double](n, n)
     for (i <- 0 until n; j <- i + 1 until n) { d(i)(j) = dist(i, j); d(j)(i) = d(i)(j) }
-    val active = scala.collection.mutable.LinkedHashSet[Int]((0 until n): _*)
+    val alive = Array.fill(n)(true)
+    val members = Array.tabulate(n)(i => List(i))
 
-    var merged = true
-    while (merged && active.size > 1) {
-      // find the closest active pair (deterministic scan order)
-      var bi = -1; var bj = -1; var bd = Double.PositiveInfinity
-      val act = active.toArray
-      for (x <- act.indices; y <- x + 1 until act.length) {
-        val (i, j) = (act(x), act(y))
-        if (d(i)(j) < bd) { bd = d(i)(j); bi = i; bj = j }
+    // Nearest-neighbor lists replace the O(active²) pair scan per merge.
+    // Complete-linkage distances only GROW on merge, so a cluster's cached
+    // nearest neighbor stays valid unless that neighbor was one of the two
+    // merged clusters — only those entries rescan. Pick order and
+    // tie-breaking (lexicographically first minimal pair over ascending
+    // indices) are identical to the full scan's.
+    val nnd = new Array[Double](n)
+    val nni = new Array[Int](n)
+    def rescan(i: Int): Unit = {
+      var best = Double.PositiveInfinity; var bj = -1; var k = 0
+      while (k < n) {
+        if (alive(k) && k != i && d(i)(k) < best) { best = d(i)(k); bj = k }
+        k += 1
       }
-      if (bd <= t) {
-        // merge bj into bi; complete linkage: new dist = max of the two
-        members(bi) = members(bi) ++ members(bj)
-        members.remove(bj)
-        active.remove(bj)
-        active.foreach { k =>
-          if (k != bi) {
-            val nd = math.max(d(bi)(k), d(bj)(k))
-            d(bi)(k) = nd; d(k)(bi) = nd
+      nnd(i) = best; nni(i) = bj
+    }
+    (0 until n).foreach(rescan)
+
+    var nActive = n
+    var done = false
+    while (!done && nActive > 1) {
+      var bi = -1; var bd = Double.PositiveInfinity
+      var i = 0
+      while (i < n) { if (alive(i) && nnd(i) < bd) { bd = nnd(i); bi = i }; i += 1 }
+      if (bd > t) done = true
+      else {
+        val (lo, hi) = (math.min(bi, nni(bi)), math.max(bi, nni(bi)))
+        members(lo) = members(lo) ++ members(hi)
+        alive(hi) = false; nActive -= 1
+        var k = 0
+        while (k < n) {
+          if (alive(k) && k != lo) {
+            val nd = math.max(d(lo)(k), d(hi)(k))
+            d(lo)(k) = nd; d(k)(lo) = nd
           }
+          k += 1
         }
-      } else merged = false
+        rescan(lo)
+        k = 0
+        while (k < n) {
+          if (alive(k) && k != lo && (nni(k) == lo || nni(k) == hi)) rescan(k)
+          k += 1
+        }
+      }
     }
 
+    // labels 1..k ordered by each cluster's minimum member index; the merge
+    // target is always the smaller index, so ascending alive order == that
     val labels = new Array[Int](n)
     var next = 1
-    members.toSeq.sortBy(_._2.min).foreach { case (_, ms) =>
-      ms.foreach(labels(_) = next)
-      next += 1
+    var c = 0
+    while (c < n) {
+      if (alive(c)) { members(c).foreach(labels(_) = next); next += 1 }
+      c += 1
     }
     labels
   }

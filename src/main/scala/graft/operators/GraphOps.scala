@@ -295,17 +295,32 @@ object GraphOps {
       doc = "SURVEY G9; RGPs.ipynb:481-488 cell 8"),
 
     // G10: path predicate — any(node in path WHERE name CONTAINS ...)
-    // (RGPs.ipynb:466): bool_or over the span rows; the collected-array
-    // equivalent is exists(arr, x -> ...), same plan shape.
+    // (RGPs.ipynb:466). Semantically bool_or over the span's intervening
+    // rows, but computed WITHOUT materializing them: a per-chain running
+    // count of matching nodes (one window pass), then two equi-joins to
+    // read the count at each span end — purchases strictly inside
+    // (pos1, pos2) = cp(pos2) - match(pos2) - cp(pos1). The span×width
+    // fan-out (the g8 shape) is the multiplier that hurts at 100 TB;
+    // prefix sums keep this one linear in events + spans.
     QueryDef(
       "g10_path_predicate",
-      (s, d) =>
-        spanRows(s, d)
-          .groupBy(col("user_id"), col("pos1"), col("pos2"))
-          .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).cast("int")
-            .as("has_mobile"))
-          .filter(col("has_mobile") === 1)
-          .orderBy(col("user_id"), col("pos1"), col("pos2")),
+      (s, d) => {
+        val p = positioned(s, d)
+          .withColumn("m", when(col("event_type") === "purchase", 1).otherwise(0))
+          .withColumn("cp", sum(col("m")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col("user_id").as("cu"), col("pos"), col("m"), col("cp"))
+        spans(s, d)
+          .join(p.select(col("cu"), col("pos"), col("cp").as("cp1")),
+            col("user_id") === col("cu") && col("pos1") === col("pos"))
+          .drop("cu", "pos")
+          .join(p.select(col("cu"), col("pos"), (col("cp") - col("m")).as("cp2")),
+            col("user_id") === col("cu") && col("pos2") === col("pos"))
+          .filter(col("cp2") - col("cp1") > 0)
+          .select(col("user_id"), col("pos1"), col("pos2"),
+            lit(1).as("has_mobile"))
+          .orderBy(col("user_id"), col("pos1"), col("pos2"))
+      },
       Some(s"""WITH $spanRowsSql
               |SELECT user_id, pos1, pos2,
               |  CAST(bool_or(event_type = 'purchase') AS INT) AS has_mobile

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity join via prefix filtering (the AllPairs / PPJoin
+  * family — Bayardo, Ma, Srikant, WWW'07; Xiao et al., ICDE'08): under any
+  * single global token order, two distinct-token sets with
+  * Jaccard(x, y) >= t must share at least one token inside each other's
+  * first |s| - ceil(t * |s|) + 1 tokens. Ordering tokens by ascending
+  * document frequency makes those prefixes the RARE tokens, so a candidate
+  * join on prefix tokens is near-linear where a blocked all-pairs join is
+  * quadratic — and, unlike MinHash banding, the filter is LOSSLESS: the
+  * verified output is identical to the exhaustive join's. This is the
+  * 100 TB branch of d4-style exact n-gram dedup (reference shape:
+  * RGPs.ipynb cell 70's all-pairs set similarity).
+  *
+  * Plan shape (no driver-side state, no cartesian): token explode →
+  * df count (one shuffle) → per-doc re-sort (one shuffle) → prefix
+  * explode → equi-join on (block, token) → distinct pair ids →
+  * verify join back on ids. Every join is equi-keyed; skewed hot tokens
+  * are exactly the ones frequency ordering keeps OUT of prefixes.
+  */
+object PrefixJoin {
+
+  /** All pairs (id1 < id2) within the same `blockCols` block whose token
+    * sets reach `threshold` Jaccard. `tokCol` must hold DISTINCT tokens
+    * per row, ascending-sorted `array<bigint>` (as produced by
+    * `array_sort(array_distinct(...))` — the verify stage runs the
+    * codegen `sorted_intersect_size` two-pointer merge on it).
+    * Output: blockCols ++ (id1, id2, jaccard).
+    */
+  def jaccardPairs(
+      docs0: DataFrame, idCol: String, tokCol: String,
+      blockCols: Seq[String], threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    graft.functions.GraftExtensions.registerInto(docs0.sparkSession)
+    val bcols = blockCols.map(col)
+    val docs = docs0.select(
+      (bcols :+ col(idCol).as("pj_id") :+ col(tokCol).as("pj_g")): _*)
+
+    // global document frequency per token — ascending df puts the rarest
+    // tokens first in every prefix
+    val toks = docs.select(
+      (bcols :+ col("pj_id") :+ explode(col("pj_g")).as("tok")): _*)
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+
+    // per-doc tokens re-sorted by (df, tok) — a deterministic total order —
+    // then cut to the Jaccard prefix |s| - ceil(t*|s|) + 1
+    val ordered = toks.join(freq, "tok")
+      .groupBy((bcols :+ col("pj_id")): _*)
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ts"))
+      .withColumn("sz", size(col("ts")))
+      .withColumn("plen",
+        (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))
+      .withColumn("ptok", explode(expr("transform(slice(ts, 1, plen), x -> x.tok)")))
+      .drop("ts")
+
+    // candidate generation: same block, shared prefix token, plus the
+    // (also lossless) size-ratio filter t*|x| <= |y| <= |x|/t
+    val a = ordered.select(
+      (bcols :+ col("pj_id").as("id1") :+ col("sz").as("sz1") :+ col("ptok")): _*)
+    val b = ordered.select(
+      (blockCols.map(c => col(c).as(s"${c}_r")) :+ col("pj_id").as("id2")
+        :+ col("sz").as("sz2") :+ col("ptok").as("ptok_r")): _*)
+    val blockEq = blockCols.map(c => col(c) === col(s"${c}_r"))
+      .foldLeft(col("ptok") === col("ptok_r"))(_ && _)
+    val cands = a.join(b, blockEq && col("id1") < col("id2") &&
+        col("sz2") >= ceil(col("sz1") * lit(threshold)) &&
+        col("sz1") >= ceil(col("sz2") * lit(threshold)))
+      .select((bcols :+ col("id1") :+ col("id2")): _*)
+      .distinct()
+
+    // exact verification on the original value-sorted arrays (`idCol` must
+    // be globally unique, so block equality is implied by the id join)
+    val verif = docs.select(col("pj_id"), col("pj_g"))
+    cands
+      .join(verif.select(col("pj_id").as("id1"), col("pj_g").as("g1")), Seq("id1"))
+      .join(verif.select(col("pj_id").as("id2"), col("pj_g").as("g2")), Seq("id2"))
+      .withColumn("inter", expr("sorted_intersect_size(g1, g2)"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("g1")) + size(col("g2")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select((bcols :+ col("id1") :+ col("id2") :+ col("jaccard")): _*)
+  }
+}

@@ -123,10 +123,32 @@ object Similarity {
         .as[(String, Seq[String])].collect()
       val ids = rows.map(_._1)
       val tok = rows.map(_._2.toSet)
-      def dist(i: Int, j: Int): Double = {
-        val inter = (tok(i) & tok(j)).size
-        1.0 - inter.toDouble / (tok(i).size + tok(j).size - inter)
-      }
+      // Building the condensed distance matrix is O(N^2) intersections —
+      // for small vocabularies encode each set as a fixed-width bitmask so
+      // the intersection is a popcount over a few longs instead of a
+      // Set-hash walk (same integer counts, identical distances and merge
+      // order; the Set path remains for unbounded vocabularies).
+      val vocab = tok.iterator.flatten.toArray.distinct.sorted
+      val dist: (Int, Int) => Double =
+        if (vocab.length <= 4096) {
+          val idx = vocab.zipWithIndex.toMap
+          val w = (vocab.length + 63) >>> 6
+          val masks = tok.map { ts =>
+            val m = new Array[Long](w)
+            ts.foreach { t => val i = idx(t); m(i >>> 6) |= 1L << (i & 63) }
+            m
+          }
+          val sizes = tok.map(_.size)
+          (i: Int, j: Int) => {
+            var inter = 0; var k = 0
+            val mi = masks(i); val mj = masks(j)
+            while (k < w) { inter += java.lang.Long.bitCount(mi(k) & mj(k)); k += 1 }
+            1.0 - inter.toDouble / (sizes(i) + sizes(j) - inter)
+          }
+        } else { (i: Int, j: Int) =>
+          val inter = (tok(i) & tok(j)).size
+          1.0 - inter.toDouble / (tok(i).size + tok(j).size - inter)
+        }
       val labels = Agglomerative.completeLinkageCut(ids.length, dist, cutoff)
       ids.zip(labels).toSeq.toDF("id", "label")
         .select(col("id"), col("label").cast("long").as("label"))

@@ -88,6 +88,31 @@ object StreamingOps {
              |  min(ts) AS session_start, max(ts) AS session_end
              |FROM sid GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin),
-      doc = "SURVEY §2.10; session windows as lag+cumsum")
+      doc = "SURVEY §2.10; session windows as lag+cumsum"),
+
+    // ST4: streaming dedup — first event per (user, type) key. The batch
+    // view is deterministic (first by event time, event_id tiebreak); the
+    // streaming counterpart is dropDuplicates under a watermark
+    // (StreamingJobs.dedupFirstArrival), which converges to this answer
+    // when arrival order follows event time. This is the streaming face of
+    // the pipeline's exact-dedup surface (d1).
+    QueryDef(
+      "st4_stream_dedup",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        T.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""SELECT user_id, event_type, event_id, ts FROM (
+             |  SELECT user_id, event_type, event_id, ts,
+             |    row_number() OVER (PARTITION BY user_id, event_type
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM events)
+             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin),
+      doc = "SURVEY §2.10 + dedup list; streaming dropDuplicates batch view")
   )
 }

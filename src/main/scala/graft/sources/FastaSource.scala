@@ -4,9 +4,10 @@ import java.util
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StructType, StructField, StringType}
@@ -31,9 +32,13 @@ class FastaSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     FastaSource.schema
 
+  // writes pass the dataframe's own schema through to the table (reads
+  // still get the canonical FASTA schema from inferSchema)
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new FastaTable(properties.get("path"))
+    new FastaTable(properties.get("path"), schema)
 }
 
 object FastaSource {
@@ -42,17 +47,123 @@ object FastaSource {
     StructField("desc", StringType), StructField("seq", StringType)))
 }
 
-class FastaTable(path: String) extends Table with SupportsRead {
+class FastaTable(path: String, tblSchema: StructType) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"fasta($path)"
-  override def schema(): StructType = FastaSource.schema
+  override def schema(): StructType = tblSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan {
       override def readSchema(): StructType = FastaSource.schema
       override def toBatch: Batch = new FastaBatch(path)
     }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new FastaWriteBuilder(path, info.schema(), truncate = false)
+}
+
+/** DSv2 FASTA sink (SURVEY S9 as a first-class source): `df.write
+  * .format("fasta").mode("overwrite").save(dir)` — one `part-N.fasta`
+  * file per input partition (so `df.repartition(col)` controls the file
+  * layout), records wrapped at 70 columns. Input needs string columns
+  * `id`, `seq` and optionally `desc`; tasks write to hidden temp files
+  * and the driver-side commit renames them, so failed/speculative tasks
+  * never leave partial output.
+  */
+class FastaWriteBuilder(path: String, schema: StructType, truncate: Boolean)
+    extends WriteBuilder with SupportsTruncate {
+
+  override def truncate(): WriteBuilder = new FastaWriteBuilder(path, schema, truncate = true)
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val idIdx = schema.fieldIndex("id") // throws with a clear message if absent
+      val seqIdx = schema.fieldIndex("seq")
+      val descIdx = if (schema.fieldNames.contains("desc")) schema.fieldIndex("desc") else -1
+      new FastaBatchWrite(path, idIdx, descIdx, seqIdx, truncate)
+    }
+  }
+}
+
+class FastaBatchWrite(path: String, idIdx: Int, descIdx: Int, seqIdx: Int,
+    truncate: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    if (truncate && fs.exists(dir))
+      fs.listStatus(dir).filter(_.isFile).foreach(st => fs.delete(st.getPath, false))
+    fs.mkdirs(dir)
+    FastaWriterFactory(path, idIdx, descIdx, seqIdx)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    messages.foreach { case FastaCommit(tmp, fin) =>
+      val t = new Path(tmp)
+      if (fs.exists(t)) fs.rename(t, new Path(fin))
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    messages.filter(_ != null).foreach { case FastaCommit(tmp, _) =>
+      fs.delete(new Path(tmp), false)
+    }
+  }
+}
+
+case class FastaCommit(tmpFile: String, finalFile: String) extends WriterCommitMessage
+
+case class FastaWriterFactory(path: String, idIdx: Int, descIdx: Int, seqIdx: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new FastaDataWriter(path, partitionId, taskId, idIdx, descIdx, seqIdx)
+}
+
+class FastaDataWriter(path: String, partitionId: Int, taskId: Long,
+    idIdx: Int, descIdx: Int, seqIdx: Int) extends DataWriter[InternalRow] {
+
+  private val tmp = new Path(path, f".part-$partitionId%05d-$taskId.fasta.tmp")
+  private val fin = new Path(path, f"part-$partitionId%05d.fasta")
+  private val fs = tmp.getFileSystem(new Configuration())
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(fs.create(tmp, true), "UTF-8"))
+
+  override def write(row: InternalRow): Unit = {
+    val id = row.getUTF8String(idIdx)
+    val desc = if (descIdx >= 0 && !row.isNullAt(descIdx))
+      row.getUTF8String(descIdx).toString else ""
+    out.write(">")
+    out.write(if (id == null) "" else id.toString)
+    if (desc.nonEmpty) { out.write(" "); out.write(desc) }
+    out.write("\n")
+    val seq = if (row.isNullAt(seqIdx)) "" else row.getUTF8String(seqIdx).toString
+    var i = 0
+    while (i < seq.length) {
+      out.write(seq, i, math.min(70, seq.length - i))
+      out.write("\n")
+      i += 70
+    }
+    if (seq.isEmpty) out.write("\n")
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    FastaCommit(tmp.toString, fin.toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(tmp, false)
+  }
+
+  override def close(): Unit = ()
 }
 
 case class FastaInputPartition(file: String) extends InputPartition

@@ -38,6 +38,18 @@ object StreamingJobs {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("n"))
 
+  /** ST4 streaming dedup: keep the first arrival per (user, type) key.
+    * State is bounded by the watermark (keys older than the horizon are
+    * dropped from the dedup map — the only state shape that survives an
+    * unbounded stream). Converges to the st4 batch view when arrival
+    * order follows event time.
+    */
+  def dedupFirstArrival(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+
   /** J11 upsert as a foreachBatch merge: each micro-batch's per-key counts
     * are merged into `statePath` (coalesce(new,old) per column — the
     * MERGE ... ON MATCH SET semantics; Delta MERGE INTO on a real lake).

@@ -32,6 +32,33 @@ class FastaSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.rdd.getNumPartitions == 2)
   }
 
+  test("DSv2 write: round-trips through the sink, wraps at 70 columns") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fasta_sink").toString
+    val longSeq = "ACGT" * 40 // 160 chars -> 3 wrapped lines
+    val df = Seq(
+      ("r1", "first record", longSeq),
+      ("r2", "", "GGGCCCTTT"),
+      ("r3", "other", "AAAA")).toDF("id", "desc", "seq")
+    df.repartition(1).write.format("fasta").mode("overwrite").save(dir)
+    // wrapped on disk
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".fasta"))
+    assert(files.length == 1, files.mkString(","))
+    val text = new String(java.nio.file.Files.readAllBytes(files.head.toPath))
+    assert(text.linesIterator.count(_.startsWith(">")) == 3)
+    assert(text.linesIterator.forall(_.length <= 71))
+    // round-trip: read back equals input
+    val back = spark.read.format("fasta").load(dir)
+      .select("id", "desc", "seq").orderBy("id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(back.toSeq == Seq(
+      ("r1", "first record", longSeq), ("r2", "", "GGGCCCTTT"), ("r3", "other", "AAAA")))
+    // overwrite truncates: a second write leaves exactly one data file
+    df.repartition(1).write.format("fasta").mode("overwrite").save(dir)
+    assert(new java.io.File(dir).listFiles.count(_.getName.endsWith(".fasta")) == 1)
+    assert(spark.read.format("fasta").load(dir).count() == 3)
+  }
+
   test("reads the minipan representative sequences") {
     val path = getClass.getResource("/minipan/representative_sequences.ffn").getPath
     val df = spark.read.format("fasta").load(path)

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.PrefixJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The prefix filter is LOSSLESS — the joined output must be identical to
+  * the exhaustive blocked quadratic join, not merely high-recall.
+  */
+class PrefixJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // 300 docs over 3 blocks; tokens drawn from a small pool so overlap
+  // levels span the whole [0,1] Jaccard range, plus planted near-dups
+  private def docRows: Seq[(Long, String, Seq[Long])] = {
+    val rnd = new scala.util.Random(7)
+    val pool = (1L to 60L).map(t => t * 7919L)
+    val base = (0 until 280).map { i =>
+      val k = 5 + rnd.nextInt(12)
+      val toks = rnd.shuffle(pool).take(k).distinct.sorted
+      (i.toLong, s"b${i % 3}", toks)
+    }
+    // planted near-duplicates: copy with one token changed (same block)
+    val dups = (0 until 20).map { j =>
+      val (id, blk, toks) = base(j * 10)
+      val mutated = (toks.drop(1) :+ (99991L + j)).distinct.sorted
+      (1000L + j, blk, mutated)
+    }
+    base ++ dups
+  }
+
+  private def docsDf = {
+    import spark.implicits._
+    docRows.toDF("doc_id", "blk", "g")
+  }
+
+  private def exhaustive(threshold: Double): Set[(String, Long, Long, Double)] = {
+    val rows = docRows
+    (for {
+      a <- rows; b <- rows
+      if a._2 == b._2 && a._1 < b._1
+    } yield {
+      val (s1, s2) = (a._3.toSet, b._3.toSet)
+      val inter = (s1 & s2).size
+      val j = inter.toDouble / (s1.size + s2.size - inter)
+      (a._2, a._1, b._1, j)
+    }).filter(_._4 >= threshold).toSet
+  }
+
+  test("output identical to the exhaustive blocked join (t=0.35)") {
+    val got = PrefixJoin.jaccardPairs(docsDf, "doc_id", "g", Seq("blk"), 0.35)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val want = exhaustive(0.35)
+    assert(got == want)
+    assert(want.nonEmpty, "fixture must produce qualifying pairs")
+  }
+
+  test("output identical at a high threshold (t=0.8, planted dups)") {
+    val got = PrefixJoin.jaccardPairs(docsDf, "doc_id", "g", Seq("blk"), 0.8)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val want = exhaustive(0.8)
+    assert(got == want)
+    assert(want.size >= 10, s"planted dups must survive t=0.8, got ${want.size}")
+  }
+
+  test("plan has no cartesian/broadcast-nested-loop join") {
+    val plan = PrefixJoin.jaccardPairs(docsDf, "doc_id", "g", Seq("blk"), 0.35)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(10).mkString("\n"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("empty token sets never pair") {
+    import spark.implicits._
+    val df = Seq((1L, "b", Seq.empty[Long]), (2L, "b", Seq.empty[Long]),
+      (3L, "b", Seq(5L, 6L))).toDF("doc_id", "blk", "g")
+    assert(PrefixJoin.jaccardPairs(df, "doc_id", "g", Seq("blk"), 0.35).count() == 0)
+  }
+}

@@ -40,6 +40,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       (ts(60).getTime, "view", 1L)))
   }
 
+  test("streaming dedup keeps the first arrival per key across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, Long, java.sql.Timestamp)]
+    val events = input.toDF().toDF("user_id", "event_type", "event_id", "ts")
+    val q = StreamingJobs.dedupFirstArrival(events)
+      .writeStream.format("memory").queryName("st4dedup")
+      .outputMode("append").start()
+    // event-time-ordered arrival: batch 1, then a batch with duplicates
+    input.addData((1L, "click", 10L, ts(0)), (1L, "view", 11L, ts(1)))
+    q.processAllAvailable()
+    input.addData((1L, "click", 12L, ts(2)), // dup key — dropped
+      (2L, "click", 13L, ts(3))) // new key — kept
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM st4dedup ORDER BY user_id, event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    q.stop()
+    assert(rows.toSeq == Seq((1L, "click", 10L), (1L, "view", 11L), (2L, "click", 13L)))
+  }
+
   test("watermark drops late rows once the window is past") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
