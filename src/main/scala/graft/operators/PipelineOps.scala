@@ -400,15 +400,23 @@ object PipelineOps {
           .filter(col("cos") >= 0.98)
           .select(col("id1"), col("id2"))
           // CC is GraphX-iterative: its vertex and edge RDDs each pull
-          // from this plan, so persist the verified pairs once instead of
-          // re-running the candidate-join + cosine-verify per action.
-          // Empty edge sets flow through components as an empty graph.
+          // from this plan, so persist the verified pairs once — the
+          // isEmpty probe and both CC inputs then read the cache instead
+          // of re-running the candidate-join + cosine-verify pipeline.
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val comp = graft.pangenome.GraphFallback.similarityComponents(s, dupPairs)
-        val canon = comp.groupBy(col("component"))
-          .agg(min(col("member").cast("long")).as("cid"))
-        val mapped = comp.join(canon, "component")
-          .select(col("member").cast("long").as("vid"), col("cid"))
+        // clean corpora are the common case: skip the iterative CC jobs
+        // entirely when no pair survives verification
+        val mapped =
+          if (dupPairs.isEmpty) {
+            import s.implicits._
+            Seq.empty[(Long, Long)].toDF("vid", "cid")
+          } else {
+            val comp = graft.pangenome.GraphFallback.similarityComponents(s, dupPairs)
+            val canon = comp.groupBy(col("component"))
+              .agg(min(col("member").cast("long")).as("cid"))
+            comp.join(canon, "component")
+              .select(col("member").cast("long").as("vid"), col("cid"))
+          }
         base.select(col("vec_id"))
           .join(mapped, col("vec_id") === col("vid"), "left")
           .select(col("vec_id"),
@@ -594,6 +602,40 @@ object PipelineOps {
              |  FROM documents WHERE length(text) >= 64)
              |SELECT doc_id, frame_idx, md5(substring(text, CAST(off AS INT), 32)) AS frame_digest
              |FROM f ORDER BY doc_id, frame_idx""".stripMargin),
-      doc = "multimodal/frame sampling over opaque payloads")
+      doc = "multimodal/frame sampling over opaque payloads"),
+
+    // M3: batched decode → feature extraction. The Spark-side plumbing a
+    // real image/audio decoder needs — typed input rows, fixed-size row
+    // batches per partition (the Arrow/mapInPandas batch shape), a decode
+    // call per batch, fixed-width feature output — with the codec itself
+    // stubbed to a deterministic per-row computation (this container has
+    // no media libs; swap `stubDecode` for the real batched codec). The
+    // stub is SQL-expressible so the whole pipeline stays oracle-checked.
+    QueryDef(
+      "m3_decode_features",
+      (s, d) => {
+        import s.implicits._
+        val src = T.documents(s, d)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        def stubDecode(batch: Seq[(Long, String)]): Iterator[(Long, Long, Long, Long)] =
+          batch.iterator.map { case (id, text) =>
+            val cps = if (text == null) Array.empty[Int]
+              else text.codePoints().toArray
+            val sum16 = cps.iterator.take(16).foldLeft(0L)(_ + _)
+            (id, cps.length.toLong,
+              if (cps.isEmpty) -1L else cps(0).toLong, sum16)
+          }
+        src.mapPartitions(_.grouped(64).flatMap(stubDecode))
+          .toDF("doc_id", "f_len", "f_first", "f_sum16")
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS f_len,
+             |  CAST(CASE WHEN length(text) = 0 THEN -1
+             |       ELSE ord(substring(text, 1, 1)) END AS BIGINT) AS f_first,
+             |  CAST(coalesce(list_sum(list_transform(
+             |    range(1, least(length(text), 16) + 1),
+             |    i -> ord(substring(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS f_sum16
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "multimodal/batched decode + feature extraction (stub codec)")
   )
 }
