@@ -79,17 +79,24 @@ object PipelineOps {
           .withColumn("bands", bandsUdf(col("shingles")))
           .withColumn("hs",
             expr("array_sort(transform(shingles, x -> xxhash64(x)))"))
-        val buckets = docs.select(col("doc_id"), col("hs"),
+        // candidate generation on (band, id) ONLY — carrying the shingle
+        // arrays through the band self-join would move 8 copies of every
+        // signature through the shuffle; payloads join back after the
+        // pair dedup, once per surviving candidate
+        val buckets = docs.select(col("doc_id"),
           posexplode(col("bands")).as(Seq("band_idx", "band_key")))
         val a = buckets.select(col("band_idx"), col("band_key"),
-          col("doc_id").as("id1"), col("hs").as("h1"))
+          col("doc_id").as("id1"))
         val b = buckets.select(col("band_idx").as("bi2"), col("band_key").as("bk2"),
-          col("doc_id").as("id2"), col("hs").as("h2"))
+          col("doc_id").as("id2"))
+        val hsOf = docs.select(col("doc_id"), col("hs"))
         val cand = a.join(b,
             col("band_idx") === col("bi2") && col("band_key") === col("bk2") &&
             col("id1") < col("id2"))
-          .select(col("id1"), col("id2"), col("h1"), col("h2"))
+          .select(col("id1"), col("id2"))
           .dropDuplicates("id1", "id2")
+          .join(hsOf.select(col("doc_id").as("id1"), col("hs").as("h1")), Seq("id1"))
+          .join(hsOf.select(col("doc_id").as("id2"), col("hs").as("h2")), Seq("id2"))
         val inter = expr("sorted_intersect_size(h1, h2)")
         val uni = size(col("h1")) + size(col("h2")) - inter
         cand
