@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage-level timing scratchpad: times the building blocks of the heavy
+  * bench queries so optimization effort lands where the seconds are.
+  * `runMain graft.TimeAudit [sfDir]`.
+  */
+object TimeAudit {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftExtensions.registerInto(spark)
+
+    def time(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[audit] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    val normSql = "regexp_replace(trim(lower(text)), ' +', ' ')"
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("lang"), floor(col("n_chars") / 32).as("lb"),
+        col("doc_id"), expr(normSql).as("nt"))
+      .withColumn("g", expr(
+        """CASE WHEN length(nt) < 3 THEN CAST(array() AS ARRAY<BIGINT>)
+          |ELSE array_sort(array_distinct(transform(sequence(1, length(nt) - 2),
+          |       i -> xxhash64(substring(nt, i, 3))))) END""".stripMargin))
+      .drop("nt")
+
+    // warmup
+    time("warmup_scan")(spark.read.parquet(s"$d/documents.parquet").count())
+    time("d4_norm_only")(spark.read.parquet(s"$d/documents.parquet")
+      .select(expr(normSql).as("nt")).agg(sum(length(col("nt")))).collect())
+    time("d4_trigrams")(docs.agg(sum(size(col("g")))).collect())
+    time("d4_trigrams_again")(docs.agg(sum(size(col("g")))).collect())
+    val a = docs.select(col("lang"), col("lb"), col("doc_id").as("id1"), col("g").as("g1"))
+    val b = docs.select(col("lang").as("l2"), col("lb").as("lb2"),
+      col("doc_id").as("id2"), col("g").as("g2"))
+    val joined = a.join(b, col("lang") === col("l2") && col("lb") === col("lb2") &&
+        col("id1") < col("id2"))
+      .withColumn("inter", expr("sorted_intersect_size(g1, g2)"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("g1")) + size(col("g2")) - col("inter")))
+      .filter(col("jaccard") >= 0.35)
+    time("d4_pair_join")(joined.count())
+    time("d4_full_with_sort")(joined
+      .select(col("lang"), col("id1"), col("id2"), col("jaccard"))
+      .orderBy(col("lang"), col("id1"), col("id2")).count())
+
+    // variant A: split/filter/join normalization instead of the regex
+    val normB = "array_join(filter(split(trim(lower(text)), ' '), x -> x != ''), ' ')"
+    time("d4_norm_splitjoin")(spark.read.parquet(s"$d/documents.parquet")
+      .select(expr(normB).as("nt")).agg(sum(length(col("nt")))).collect())
+    // sanity: byte-identical to the regex form
+    time("d4_norm_equal_check") {
+      val n = spark.read.parquet(s"$d/documents.parquet")
+        .select(expr(normSql).as("x"), expr(normB).as("y"))
+        .filter(col("x") =!= col("y")).count()
+      println(s"[audit] norm mismatch rows: $n")
+    }
+
+    // variant B: pre-repartition on the block key so ReuseExchange
+    // computes the trigram pipeline once for both join sides
+    val docsB = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("lang"), floor(col("n_chars") / 32).as("lb"),
+        col("doc_id"), expr(normB).as("nt"))
+      .withColumn("g", expr(
+        """CASE WHEN length(nt) < 3 THEN CAST(array() AS ARRAY<BIGINT>)
+          |ELSE array_sort(array_distinct(transform(sequence(1, length(nt) - 2),
+          |       i -> xxhash64(substring(nt, i, 3))))) END""".stripMargin))
+      .drop("nt")
+      .repartition(col("lang"), col("lb"))
+    val aB = docsB.select(col("lang"), col("lb"), col("doc_id").as("id1"), col("g").as("g1"))
+    val bB = docsB.select(col("lang").as("l2"), col("lb").as("lb2"),
+      col("doc_id").as("id2"), col("g").as("g2"))
+    val joinedB = aB.join(bB, col("lang") === col("l2") && col("lb") === col("lb2") &&
+        col("id1") < col("id2"))
+      .withColumn("inter", expr("sorted_intersect_size(g1, g2)"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("g1")) + size(col("g2")) - col("inter")))
+      .filter(col("jaccard") >= 0.35)
+    time("d4_variantB_join")(joinedB.count())
+    time("d4_variantB_full")(joinedB
+      .select(col("lang"), col("id1"), col("id2"), col("jaccard"))
+      .orderBy(col("lang"), col("id1"), col("id2")).count())
+    val planB = joinedB.queryExecution.executedPlan.toString
+    println(s"[audit] variantB exchanges: ${"Exchange".r.findAllIn(planB).length}, " +
+      s"reused: ${"ReusedExchange".r.findAllIn(planB).length}")
+
+    // variant C: split-norm only, no pre-repartition
+    val docsC = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("lang"), floor(col("n_chars") / 32).as("lb"),
+        col("doc_id"), expr(normB).as("nt"))
+      .withColumn("g", expr(
+        """CASE WHEN length(nt) < 3 THEN CAST(array() AS ARRAY<BIGINT>)
+          |ELSE array_sort(array_distinct(transform(sequence(1, length(nt) - 2),
+          |       i -> xxhash64(substring(nt, i, 3))))) END""".stripMargin))
+      .drop("nt")
+    val aC = docsC.select(col("lang"), col("lb"), col("doc_id").as("id1"), col("g").as("g1"))
+    val bC = docsC.select(col("lang").as("l2"), col("lb").as("lb2"),
+      col("doc_id").as("id2"), col("g").as("g2"))
+    val joinedC = aC.join(bC, col("lang") === col("l2") && col("lb") === col("lb2") &&
+        col("id1") < col("id2"))
+      .withColumn("inter", expr("sorted_intersect_size(g1, g2)"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("g1")) + size(col("g2")) - col("inter")))
+      .filter(col("jaccard") >= 0.35)
+    time("d4_variantC_full")(joinedC
+      .select(col("lang"), col("id1"), col("id2"), col("jaccard"))
+      .orderBy(col("lang"), col("id1"), col("id2")).count())
+    // interleaved repeats: host contention swamps single measurements
+    for (r <- 1 to 2) {
+      time(s"d4_variantB_full_r$r")(joinedB
+        .select(col("lang"), col("id1"), col("id2"), col("jaccard"))
+        .orderBy(col("lang"), col("id1"), col("id2")).count())
+      time(s"d4_variantC_full_r$r")(joinedC
+        .select(col("lang"), col("id1"), col("id2"), col("jaccard"))
+        .orderBy(col("lang"), col("id1"), col("id2")).count())
+    }
+
+    spark.stop()
+  }
+}

@@ -29,7 +29,10 @@ object PipelineOps {
     * using inside lambdas — a regex inside a per-trigram lambda re-executes
     * per element).
     */
-  private val normSql = "regexp_replace(trim(lower(text)), ' +', ' ')"
+  // whitespace-collapse WITHOUT the regex engine: split/filter/array_join
+  // stays in whole-stage codegen and measured 5x faster than
+  // regexp_replace(' +') at sf0.1, byte-identical output (TimeAudit)
+  private val normSql = "array_join(filter(split(trim(lower(text)), ' '), x -> x != ''), ' ')"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -163,6 +166,11 @@ object PipelineOps {
               |ELSE array_sort(array_distinct(transform(sequence(1, length(nt) - 2),
               |       i -> xxhash64(substring(nt, i, 3))))) END""".stripMargin))
           .drop("nt")
+          // pre-partition on the block key: both self-join sides then read
+          // the same shuffle layout instead of each re-deriving the
+          // trigram column behind its own exchange (measured ~35% off the
+          // whole query at sf0.1)
+          .repartition(col("lang"), col("lb"))
         // Size dispatch (measured, sf0.1/5k docs: blocked quadratic ~10 s,
         // prefix-filtered index ~3x slower — at t=0.35 prefixes span 65% of
         // each token set, so candidate generation costs more than the
@@ -172,7 +180,7 @@ object PipelineOps {
         // takes over. Both branches produce identical rows — the dispatch
         // never changes the answer, only the plan.
         val pairs =
-          if (docs.count() <= 50000) {
+          if (T.documents(s, d).count() <= 50000) {
             val a = docs.select(col("lang"), col("lb"), col("doc_id").as("id1"), col("g").as("g1"))
             val b = docs.select(col("lang").as("l2"), col("lb").as("lb2"),
               col("doc_id").as("id2"), col("g").as("g2"))
