@@ -125,6 +125,30 @@ object TimeAudit {
         .orderBy(col("lang"), col("id1"), col("id2")).count())
     }
 
+    // ---- d2 stages ----
+    {
+      import graft.functions.Sketches
+      val shingleUdf = udf((text: String) =>
+        if (text == null) Array.empty[String]
+        else {
+          val toks = text.toLowerCase.split(" +").filter(_.nonEmpty)
+          if (toks.length < 2) toks
+          else toks.sliding(2).map(_.mkString(" ")).toArray.distinct
+        })
+      val bandsUdf = udf((sh: Seq[String]) =>
+        Sketches.bandKeys(Sketches.minHash(sh, 32), 4))
+      val base = spark.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), shingleUdf(col("text")).as("shingles"))
+      time("d2_shingles_only")(base.agg(sum(size(col("shingles")))).collect())
+      time("d2_shingles_bands")(base.withColumn("bands", bandsUdf(col("shingles")))
+        .agg(sum(size(col("bands")))).collect())
+      time("d2_shingles_hs")(base.withColumn("hs",
+          expr("array_sort(transform(shingles, x -> xxhash64(x)))"))
+        .agg(sum(size(col("hs")))).collect())
+      time("d2_full")(SparkEntry.queries("d2_minhash_lsh")(spark, d).count())
+      time("d2_full_again")(SparkEntry.queries("d2_minhash_lsh")(spark, d).count())
+    }
+
     spark.stop()
   }
 }

@@ -34,6 +34,55 @@ object PipelineOps {
   // regexp_replace(' +') at sf0.1, byte-identical output (TimeAudit)
   private val normSql = "array_join(filter(split(trim(lower(text)), ' '), x -> x != ''), ' ')"
 
+  /** MinHash signature columns for a (doc_id, text) frame: banded LSH keys
+    * (`bands`) for candidate generation and the sorted shingle-hash array
+    * (`hs`) for exact-Jaccard verification — the d2 kernel, shared with
+    * the incremental streaming dedup (StreamingJobs.incrementalNearDedup).
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val shingleUdf = udf((text: String) =>
+      if (text == null) Array.empty[String]
+      else {
+        val toks = text.toLowerCase.split(" +").filter(_.nonEmpty)
+        if (toks.length < 2) toks
+        else toks.sliding(2).map(_.mkString(" ")).toArray.distinct
+      })
+    val bandsUdf = udf((sh: Seq[String]) =>
+      Sketches.bandKeys(Sketches.minHash(sh, 32), 4))
+    docs
+      .select(col("doc_id"), shingleUdf(col("text")).as("shingles"))
+      .withColumn("bands", bandsUdf(col("shingles")))
+      .withColumn("hs",
+        expr("array_sort(transform(shingles, x -> xxhash64(x)))"))
+      .drop("shingles")
+  }
+
+  /** Verified near-dup pairs (Jaccard >= `minJaccard`) between two
+    * signature frames from [[minhashSignatures]]. Band-key equality
+    * generates candidates on ids only; signatures join back per survivor.
+    * `ordered = true` (self-join) keeps id1 < id2; `false` (two disjoint
+    * frames, e.g. corpus-vs-batch) keeps every cross pair.
+    */
+  def nearDupPairs(left: DataFrame, right: DataFrame, minJaccard: Double,
+      ordered: Boolean = true): DataFrame = {
+    graft.functions.GraftExtensions.registerInto(left.sparkSession)
+    // band position is safe under plain key equality: bandKeys mixes the
+    // band index into the key, so band i only collides with band i
+    val l = left.select(col("doc_id").as("id1"), explode(col("bands")).as("bk"))
+    val r = right.select(col("doc_id").as("id2"), explode(col("bands")).as("bk2"))
+    val pairCond = if (ordered) col("id1") < col("id2") else col("id1") =!= col("id2")
+    val cand = l.join(r, col("bk") === col("bk2") && pairCond)
+      .select(col("id1"), col("id2")).dropDuplicates("id1", "id2")
+    cand
+      .join(left.select(col("doc_id").as("id1"), col("hs").as("h1")), Seq("id1"))
+      .join(right.select(col("doc_id").as("id2"), col("hs").as("h2")), Seq("id2"))
+      .withColumn("inter", expr("sorted_intersect_size(h1, h2)"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("h1")) + size(col("h2")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // D1: exact dedup — hash-groupBy on normalized text; canonical row =
@@ -63,50 +112,14 @@ object PipelineOps {
     QueryDef(
       "d2_minhash_lsh",
       (s, d) => {
-        val shingleUdf = udf((text: String) =>
-          if (text == null) Array.empty[String]
-          else {
-            val toks = text.toLowerCase.split(" +").filter(_.nonEmpty)
-            if (toks.length < 2) toks
-            else toks.sliding(2).map(_.mkString(" ")).toArray.distinct
-          })
-        val bandsUdf = udf((sh: Seq[String]) =>
-          Sketches.bandKeys(Sketches.minHash(sh, 32), 4))
         // verify stage carries xxhash64'd SORTED shingles, not strings:
         // cardinalities (hence Jaccard) are hash-collision-equal, and the
         // per-candidate intersection is the codegen two-pointer merge
-        // instead of a boxed string hash set (same trick as d4)
-        graft.functions.GraftExtensions.registerInto(s)
-        val docs = T.documents(s, d)
-          .select(col("doc_id"), shingleUdf(col("text")).as("shingles"))
-          .withColumn("bands", bandsUdf(col("shingles")))
-          .withColumn("hs",
-            expr("array_sort(transform(shingles, x -> xxhash64(x)))"))
-        // candidate generation on (band, id) ONLY — carrying the shingle
-        // arrays through the band self-join would move 8 copies of every
-        // signature through the shuffle; payloads join back after the
-        // pair dedup, once per surviving candidate
-        val buckets = docs.select(col("doc_id"),
-          posexplode(col("bands")).as(Seq("band_idx", "band_key")))
-        val a = buckets.select(col("band_idx"), col("band_key"),
-          col("doc_id").as("id1"))
-        val b = buckets.select(col("band_idx").as("bi2"), col("band_key").as("bk2"),
-          col("doc_id").as("id2"))
-        val hsOf = docs.select(col("doc_id"), col("hs"))
-        val cand = a.join(b,
-            col("band_idx") === col("bi2") && col("band_key") === col("bk2") &&
-            col("id1") < col("id2"))
-          .select(col("id1"), col("id2"))
-          .dropDuplicates("id1", "id2")
-          .join(hsOf.select(col("doc_id").as("id1"), col("hs").as("h1")), Seq("id1"))
-          .join(hsOf.select(col("doc_id").as("id2"), col("hs").as("h2")), Seq("id2"))
-        val inter = expr("sorted_intersect_size(h1, h2)")
-        val uni = size(col("h1")) + size(col("h2")) - inter
-        cand
-          .withColumn("jaccard", inter.cast("double") / uni)
-          .filter(col("jaccard") >= 0.5)
-          .select(col("id1"), col("id2"), col("jaccard"))
-          .orderBy(col("id1"), col("id2"))
+        // instead of a boxed string hash set (same trick as d4). Candidate
+        // generation moves ids only; signatures join back per survivor.
+        val sig = minhashSignatures(
+          T.documents(s, d).select(col("doc_id"), col("text")))
+        nearDupPairs(sig, sig, 0.5).orderBy(col("id1"), col("id2"))
       },
       None, // recall-bounded sketch: pinned by SketchesSpec planted-dup tests
       doc = "dedup/minhash-lsh; SURVEY C1/C2 scale path (RGPs.ipynb cell 70)"),

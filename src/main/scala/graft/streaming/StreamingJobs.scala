@@ -50,6 +50,51 @@ object StreamingJobs {
       .dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
 
+  /** Incremental near-duplicate detection over an unbounded document
+    * stream — the 100 TB ingest shape: each micro-batch is MinHash-signed
+    * once, checked against the persisted signature store (band-key join,
+    * exact-Jaccard verify — PipelineOps.nearDupPairs) and against itself,
+    * then only NOVEL documents' signatures append to the store. The store
+    * carries signatures, never text: ~100 longs/doc regardless of document
+    * size. At warehouse scale the store would be written bucketed by band
+    * key (Bucketing.writeBucketed) so the per-batch candidate join is
+    * shuffle-free on the store side. Dup linkage is one-hop (dup_of = the
+    * matched doc); batch-mode d8 does the full transitive closure.
+    */
+  def incrementalNearDedup(docs: DataFrame, storePath: String, outPath: String,
+      checkpoint: String, minJaccard: Double = 0.5) =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val sig = graft.operators.PipelineOps
+          .minhashSignatures(batch.select(col("doc_id"), col("text")))
+          .persist()
+        try {
+          val store =
+            try s.read.parquet(storePath)
+            catch { case _: org.apache.spark.sql.AnalysisException =>
+              s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sig.schema)
+            }
+          val vsStore = graft.operators.PipelineOps
+            .nearDupPairs(store, sig, minJaccard, ordered = false)
+            .select(col("id2").as("doc_id"), col("id1").as("dup_of"))
+          val inBatch = graft.operators.PipelineOps
+            .nearDupPairs(sig, sig, minJaccard)
+            .select(col("id2").as("doc_id"), col("id1").as("dup_of"))
+          val dupOf = vsStore.unionByName(inBatch)
+            .groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
+          sig.select(col("doc_id"))
+            .join(dupOf, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("dup_of"),
+              col("dup_of").isNotNull.as("is_dup"))
+            .write.mode("append").parquet(outPath)
+          sig.join(dupOf, Seq("doc_id"), "left_anti")
+            .write.mode("append").parquet(storePath)
+        } finally sig.unpersist()
+        ()
+      }
+
   /** J11 upsert as a foreachBatch merge: each micro-batch's per-key counts
     * are merged into `statePath` (coalesce(new,old) per column — the
     * MERGE ... ON MATCH SET semantics; Delta MERGE INTO on a real lake).

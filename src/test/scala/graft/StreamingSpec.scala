@@ -60,6 +60,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == Seq((1L, "click", 10L), (1L, "view", 11L), (2L, "click", 13L)))
   }
 
+  test("incremental near-dedup flags cross-batch and in-batch dups, stores only novel docs") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("incdedup")
+    val (store, out, ckpt) = (s"$dir/store", s"$dir/out", s"$dir/ckpt")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamingJobs.incrementalNearDedup(docs, store, out, ckpt).start()
+    val base = "the quick brown fox jumps over the lazy dog tonight"
+    input.addData((1L, base), (2L, "completely different content about spark engines"))
+    q.processAllAvailable()
+    input.addData(
+      (3L, base.replace("tonight", "today")), // near-dup of stored doc 1
+      (4L, "another brand new unrelated document entirely"),
+      (5L, "another brand new unrelated document entirely")) // in-batch dup of 4
+    // (5 is an exact copy: in-batch linkage is under test here, not LSH
+    // recall at borderline similarity — SketchesSpec pins that)
+    q.processAllAvailable()
+    q.stop()
+    val flags = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+      .toMap
+    assert(flags(1L).isEmpty && flags(2L).isEmpty && flags(4L).isEmpty)
+    assert(flags(3L).contains(1L), s"doc 3 should match stored doc 1: $flags")
+    assert(flags(5L).contains(4L), s"doc 5 should match in-batch doc 4: $flags")
+    // store holds signatures only for novel docs
+    val stored = spark.read.parquet(store).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(stored == Set(1L, 2L, 4L))
+  }
+
   test("watermark drops late rows once the window is past") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
