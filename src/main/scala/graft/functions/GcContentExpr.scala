@@ -67,6 +67,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.encodeFn)
     ext.injectFunction(GraftExtensions.intersectFn)
     ext.injectOptimizerRule(_ => graft.plans.StripCaseChangeUnderGc)
+    ext.injectOptimizerRule(_ => graft.plans.SortedIntersectRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.PathSpanJoinStrategy)
   }
 }

@@ -32,6 +32,67 @@ class PlansSpec extends AnyFunSuite {
   }
 }
 
+/** SortedIntersectRewrite: the naive `size(array_intersect(...))` form
+  * must be rewritten to the codegen merge exactly when sortedness is
+  * provable, and agree with the unrewritten result.
+  */
+class SortedIntersectRewriteSpec extends org.scalatest.funsuite.AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
+
+  import org.apache.spark.sql.SparkSession
+
+  private lazy val spark = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions()(_))
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def df = {
+    import spark.implicits._
+    // repartition keeps ConvertToLocalRelation from folding the whole
+    // query into a LocalRelation before the rewrite can be observed
+    Seq(
+      (Seq(3L, 1L, 2L, 3L), Seq(2L, 3L, 9L)),
+      (Seq(5L, 5L), Seq.empty[Long]),
+      (Seq(7L, 8L), Seq(8L, 7L, 7L))).toDF("x", "y").repartition(2)
+  }
+
+  test("rewrite fires on provably sorted+distinct inputs and agrees") {
+    val q = df.selectExpr(
+      "size(array_intersect(array_sort(array_distinct(x)), array_sort(array_distinct(y)))) AS n")
+    val optimized = q.queryExecution.optimizedPlan
+    val hits = optimized.expressions.flatMap(_.collect {
+      case e: graft.functions.SortedIntersectSizeExpr => e
+    })
+    assert(hits.nonEmpty, optimized.toString)
+    assert(q.collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 2, 2))
+    // agreement with the unoptimized semantics on the same data
+    val naive = df.selectExpr(
+      "size(array_intersect(array_distinct(x), array_distinct(y))) AS n")
+    assert(naive.collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 2, 2))
+  }
+
+  test("no rewrite without the provable sorted+distinct shape") {
+    for (e <- Seq(
+        "size(array_intersect(x, y))",
+        "size(array_intersect(array_sort(x), array_sort(y)))", // dups possible
+        "size(array_intersect(array_distinct(x), array_distinct(y)))")) { // unsorted
+      val optimized = df.selectExpr(s"$e AS n").queryExecution.optimizedPlan
+      val hits = optimized.expressions.flatMap(_.collect {
+        case x: graft.functions.SortedIntersectSizeExpr => x
+      })
+      assert(hits.isEmpty, s"unexpected rewrite for $e")
+    }
+  }
+}
+
 /** The PathSpanJoin planner extension (VERDICT r1 item 6): the strategy
   * must fire, the exec must agree with the builtin join composition, and
   * the plan must keep the single-shuffle shape.
