@@ -23,7 +23,7 @@ object PipelineOps {
 
   /** Canonical text normalization shared by the dedup family. */
   private def norm(c: Column): Column =
-    regexp_replace(trim(lower(c)), " +", " ")
+    array_join(filter(split(trim(lower(c)), " "), x => x =!= ""), " ")
 
   /** SQL text of the canonical normalization (hoist into a column before
     * using inside lambdas — a regex inside a per-trigram lambda re-executes

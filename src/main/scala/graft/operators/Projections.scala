@@ -183,7 +183,9 @@ object Projections {
       (s, d) =>
         T.documents(s, d)
           .select(col("doc_id"),
-            length(regexp_replace(col("text"), " ", "")).as("stripped_len"))
+            // translate, not regexp_replace: single-char strip needs no
+            // regex engine (identical output)
+            length(translate(col("text"), " ", "")).as("stripped_len"))
           .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
              |  length(regexp_replace(text, ' ', '', 'g')) AS stripped_len
