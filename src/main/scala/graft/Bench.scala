@@ -41,7 +41,8 @@ object Bench {
     // stdout gets a compact line (3-decimal timings): the driver captures
     // only a log tail, and sbt's trailing [success] line eats part of the
     // window — full-precision doubles made r1/r2 lines too long to survive.
-    println(line(v => f"$v%.3f"))
+    // Locale.ROOT: a comma-decimal JVM locale would break the JSON.
+    println(line(v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))))
     // full precision persisted to a file for the judge
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -91,7 +91,7 @@ object TimeAudit {
       .select(col("lang"), col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("lang"), col("id1"), col("id2")).count())
     val planB = joinedB.queryExecution.executedPlan.toString
-    println(s"[audit] variantB exchanges: ${"Exchange".r.findAllIn(planB).length}, " +
+    println(s"[audit] variantB exchanges: ${"(?<!Reused)Exchange".r.findAllIn(planB).length}, " +
       s"reused: ${"ReusedExchange".r.findAllIn(planB).length}")
 
     // variant C: split-norm only, no pre-repartition

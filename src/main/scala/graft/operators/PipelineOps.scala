@@ -436,9 +436,12 @@ object PipelineOps {
         // entirely when no pair survives verification
         val mapped =
           if (dupPairs.isEmpty) {
+            dupPairs.unpersist() // nothing downstream reads it again
             import s.implicits._
             Seq.empty[(Long, Long)].toDF("vid", "cid")
           } else {
+            // non-empty: the cache stays live — the final plan's lineage
+            // (vmap -> pairs) still reads it; session end reclaims it
             val comp = graft.pangenome.GraphFallback.similarityComponents(s, dupPairs)
             val canon = comp.groupBy(col("component"))
               .agg(min(col("member").cast("long")).as("cid"))

@@ -92,12 +92,16 @@ class FastaBatchWrite(path: String, idIdx: Int, descIdx: Int, seqIdx: Int,
     truncate: Boolean) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val dir = new Path(path)
-    val fs = dir.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    val fs = dir.getFileSystem(conf)
     if (truncate && fs.exists(dir))
       fs.listStatus(dir).filter(_.isFile).foreach(st => fs.delete(st.getPath, false))
     fs.mkdirs(dir)
-    FastaWriterFactory(path, idIdx, descIdx, seqIdx)
+    // executors must see the SESSION's Hadoop conf (fs credentials,
+    // defaultFS, custom schemes) — a bare `new Configuration()` on the
+    // task side could resolve a different filesystem than this commit side
+    FastaWriterFactory(path, idIdx, descIdx, seqIdx, HadoopConfBox(conf))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -105,7 +109,8 @@ class FastaBatchWrite(path: String, idIdx: Int, descIdx: Int, seqIdx: Int,
     val fs = dir.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
     messages.foreach { case FastaCommit(tmp, fin) =>
       val t = new Path(tmp)
-      if (fs.exists(t)) fs.rename(t, new Path(fin))
+      if (fs.exists(t) && !fs.rename(t, new Path(fin)))
+        throw new java.io.IOException(s"fasta sink: could not commit $tmp -> $fin")
     }
   }
 
@@ -120,18 +125,38 @@ class FastaBatchWrite(path: String, idIdx: Int, descIdx: Int, seqIdx: Int,
 
 case class FastaCommit(tmpFile: String, finalFile: String) extends WriterCommitMessage
 
-case class FastaWriterFactory(path: String, idIdx: Int, descIdx: Int, seqIdx: Int)
-    extends DataWriterFactory {
+/** Java-serializable Hadoop Configuration carrier (Configuration itself is
+  * Writable but not Serializable).
+  */
+class HadoopConfBox(@transient private var conf: Configuration) extends Serializable {
+  def value: Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
+}
+object HadoopConfBox { def apply(c: Configuration) = new HadoopConfBox(c) }
+
+case class FastaWriterFactory(path: String, idIdx: Int, descIdx: Int, seqIdx: Int,
+    conf: HadoopConfBox) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new FastaDataWriter(path, partitionId, taskId, idIdx, descIdx, seqIdx)
+    new FastaDataWriter(path, partitionId, taskId, idIdx, descIdx, seqIdx, conf.value)
 }
 
 class FastaDataWriter(path: String, partitionId: Int, taskId: Long,
-    idIdx: Int, descIdx: Int, seqIdx: Int) extends DataWriter[InternalRow] {
+    idIdx: Int, descIdx: Int, seqIdx: Int, conf: Configuration)
+    extends DataWriter[InternalRow] {
 
+  // taskId in the FINAL name too: append-mode writes into a non-empty
+  // directory must not collide with an earlier write's part files
   private val tmp = new Path(path, f".part-$partitionId%05d-$taskId.fasta.tmp")
-  private val fin = new Path(path, f"part-$partitionId%05d.fasta")
-  private val fs = tmp.getFileSystem(new Configuration())
+  private val fin = new Path(path, f"part-$partitionId%05d-$taskId.fasta")
+  private val fs = tmp.getFileSystem(conf)
   private val out = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(fs.create(tmp, true), "UTF-8"))
 
@@ -176,18 +201,25 @@ class FastaBatch(path: String) extends Batch {
     val files =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
+          // Spark hidden-file convention — also skips uncommitted .tmp
+          // output from a crashed FastaDataWriter
+          .filterNot(f => { val n = f.split('/').last
+            n.startsWith(".") || n.startsWith("_") })
       else Array(p.toString)
     files.sorted.map(f => FastaInputPartition(f): InputPartition)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = HadoopConfBox(SparkSession.active.sparkContext.hadoopConfiguration)
     (partition: InputPartition) =>
-      new FastaPartitionReader(partition.asInstanceOf[FastaInputPartition].file)
+      new FastaPartitionReader(partition.asInstanceOf[FastaInputPartition].file, conf.value)
+  }
 }
 
 /** Streams one file; emits a row per '>' record, concatenating body lines. */
-class FastaPartitionReader(file: String) extends PartitionReader[InternalRow] {
-  private val fs = new Path(file).getFileSystem(new Configuration())
+class FastaPartitionReader(file: String, conf: Configuration)
+    extends PartitionReader[InternalRow] {
+  private val fs = new Path(file).getFileSystem(conf)
   private val in = new java.io.BufferedReader(
     new java.io.InputStreamReader(fs.open(new Path(file)), "UTF-8"))
   private var pendingHeader: String = null

@@ -47,7 +47,11 @@ object StreamingJobs {
   def dedupFirstArrival(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("user_id", "event_type")
+      // WithinWatermark, not dropDuplicates: plain dropDuplicates only
+      // evicts state when the event-time column is part of the key, so
+      // a growing key space would grow state forever. The tradeoff is
+      // explicit: a key can re-emit after its watermark expires.
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
 
   /** Incremental near-duplicate detection over an unbounded document
@@ -65,33 +69,45 @@ object StreamingJobs {
       checkpoint: String, minJaccard: Double = 0.5) =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
         val sig = graft.operators.PipelineOps
           .minhashSignatures(batch.select(col("doc_id"), col("text")))
           .persist()
+        // a store partition may exist from a half-finished attempt of
+        // this same batch (foreachBatch is at-least-once): exclude it
+        // from the corpus so replays see the pre-batch state
+        val store =
+          (try s.read.parquet(storePath)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              sig.schema.add("batch_id", "long"))
+          }).filter(col("batch_id") < batchId).drop("batch_id")
+        val vsStore = graft.operators.PipelineOps
+          .nearDupPairs(store, sig, minJaccard, ordered = false)
+          .select(col("id2").as("doc_id"), col("id1").as("dup_of"))
+        val inBatch = graft.operators.PipelineOps
+          .nearDupPairs(sig, sig, minJaccard)
+          .select(col("id2").as("doc_id"), col("id1").as("dup_of"))
+        val dupOf = vsStore.unionByName(inBatch)
+          .groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
+          .persist() // consumed by BOTH writes — don't run the joins twice
         try {
-          val store =
-            try s.read.parquet(storePath)
-            catch { case _: org.apache.spark.sql.AnalysisException =>
-              s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sig.schema)
-            }
-          val vsStore = graft.operators.PipelineOps
-            .nearDupPairs(store, sig, minJaccard, ordered = false)
-            .select(col("id2").as("doc_id"), col("id1").as("dup_of"))
-          val inBatch = graft.operators.PipelineOps
-            .nearDupPairs(sig, sig, minJaccard)
-            .select(col("id2").as("doc_id"), col("id1").as("dup_of"))
-          val dupOf = vsStore.unionByName(inBatch)
-            .groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
+          // batch_id-partitioned dynamic overwrite makes a replayed batch
+          // rewrite ITS OWN partition instead of appending duplicates
           sig.select(col("doc_id"))
             .join(dupOf, Seq("doc_id"), "left")
             .select(col("doc_id"), col("dup_of"),
-              col("dup_of").isNotNull.as("is_dup"))
-            .write.mode("append").parquet(outPath)
+              col("dup_of").isNotNull.as("is_dup"), lit(batchId).as("batch_id"))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(outPath)
           sig.join(dupOf, Seq("doc_id"), "left_anti")
-            .write.mode("append").parquet(storePath)
-        } finally sig.unpersist()
+            .withColumn("batch_id", lit(batchId))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(storePath)
+        } finally { dupOf.unpersist(); sig.unpersist() }
         ()
       }
 
