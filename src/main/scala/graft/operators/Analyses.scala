@@ -26,6 +26,88 @@ object Analyses {
 
   private def wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
 
+  /** The RGP anchor-span pipeline shared by x2 and x3: anchor selection
+    * (directed edge majority + core membership via broadcast scalar) and
+    * the positional span join. Returns (user_id, c1, c2, pos1, pos2).
+    */
+  private def anchorSpans(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val coreFrac = 0.95; val majorityFrac = 0.15
+    val minGap = 3; val maxGap = 6
+    val ev = T.events(s, d)
+
+    // directed cluster-level edges from consecutive events (G1/G2)
+    val edges = ev
+      .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("c1"), col("event_type").as("c2"))
+    val dir = edges.groupBy(col("c1"), col("c2")).agg(count(lit(1)).as("w"))
+    val bothDirs = dir.unionByName(
+      dir.select(col("c2").as("c1"), col("c1").as("c2"), col("w")))
+    val nbOut = dir.groupBy(col("c1")).agg(sum(col("w")).as("nb_out"))
+
+    // core filter: types present in > coreFrac of strains; the strain
+    // count is a broadcast single-row scalar, not a driver action
+    val nUsers = ev.agg(countDistinct(col("user_id")).as("n_users"))
+    val core = ev.groupBy(col("event_type").as("ct"))
+      .agg(countDistinct(col("user_id")).as("ng"))
+      .crossJoin(broadcast(nUsers))
+      .filter(col("ng") > col("n_users") * coreFrac)
+      .select(col("ct"))
+
+    val anchorPairs = bothDirs
+      .join(nbOut, Seq("c1"))
+      .filter(col("c1") =!= col("c2") && col("w") > col("nb_out") * majorityFrac)
+      .join(core.withColumnRenamed("ct", "c1"), Seq("c1"), "left_semi")
+      .join(core.withColumnRenamed("ct", "c2"), Seq("c2"), "left_semi")
+      .select(col("c1"), col("c2")).distinct()
+
+    // positional span join between anchor occurrences (G7)
+    val p = ev.withColumn("pos", row_number().over(wOrd))
+      .select(col("user_id"), col("pos"), col("event_type"))
+    val f1 = p.select(col("user_id"), col("event_type").as("c1"),
+      col("pos").as("pos1"))
+    val f2 = p.select(col("user_id").as("uid2"), col("event_type").as("c2b"),
+      col("pos").as("pos2"))
+    broadcast(anchorPairs)
+      .join(f1, Seq("c1"))
+      .join(f2, col("user_id") === col("uid2") && col("c2b") === col("c2") &&
+        (col("pos2") - col("pos1")).between(minGap, maxGap))
+      .select(col("user_id"), col("c1"), col("c2"), col("pos1"), col("pos2"))
+  }
+
+  /** SQL form of [[anchorSpans]] (CTE chain shared by the x2/x3 oracles). */
+  private val anchorSpansSql =
+    """ord AS (
+      |  SELECT user_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |dir AS (
+      |  SELECT prev AS c1, event_type AS c2, count(*) AS w
+      |  FROM ord WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |both_dirs AS (
+      |  SELECT c1, c2, w FROM dir
+      |  UNION ALL SELECT c2 AS c1, c1 AS c2, w FROM dir),
+      |nb_out AS (SELECT c1, sum(w) AS nb_out FROM dir GROUP BY 1),
+      |nu AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+      |core AS (
+      |  SELECT event_type AS ct FROM events, nu
+      |  GROUP BY event_type, n_users
+      |  HAVING count(DISTINCT user_id) > n_users * 0.95),
+      |anchor_pairs AS (
+      |  SELECT DISTINCT b.c1, b.c2
+      |  FROM both_dirs b JOIN nb_out n ON b.c1 = n.c1
+      |  WHERE b.c1 <> b.c2 AND b.w > n.nb_out * 0.15
+      |    AND b.c1 IN (SELECT ct FROM core)
+      |    AND b.c2 IN (SELECT ct FROM core)),
+      |spans AS (
+      |  SELECT f1.user_id, a.c1, a.c2, f1.pos AS pos1, f2.pos AS pos2
+      |  FROM anchor_pairs a
+      |  JOIN ord f1 ON f1.event_type = a.c1
+      |  JOIN ord f2 ON f2.user_id = f1.user_id AND f2.event_type = a.c2
+      |    AND f2.pos - f1.pos BETWEEN 3 AND 6)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Genome track: join -> position -> z-scores -> rolling flags ----
@@ -101,48 +183,10 @@ object Analyses {
     QueryDef(
       "x2_rgp_mine",
       (s, d) => {
-        val coreFrac = 0.95; val majorityFrac = 0.15
-        val minGap = 3; val maxGap = 6
         val ev = T.events(s, d)
-
-        // directed cluster-level edges from consecutive events (G1/G2)
-        val edges = ev
-          .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
-          .filter(col("prev").isNotNull)
-          .select(col("prev").as("c1"), col("event_type").as("c2"))
-        val dir = edges.groupBy(col("c1"), col("c2")).agg(count(lit(1)).as("w"))
-        val bothDirs = dir.unionByName(
-          dir.select(col("c2").as("c1"), col("c1").as("c2"), col("w")))
-        val nbOut = dir.groupBy(col("c1")).agg(sum(col("w")).as("nb_out"))
-
-        // core filter: types present in > coreFrac of strains; the strain
-        // count is a broadcast single-row scalar, not a driver action
-        val nUsers = ev.agg(countDistinct(col("user_id")).as("n_users"))
-        val core = ev.groupBy(col("event_type").as("ct"))
-          .agg(countDistinct(col("user_id")).as("ng"))
-          .crossJoin(broadcast(nUsers))
-          .filter(col("ng") > col("n_users") * coreFrac)
-          .select(col("ct"))
-
-        val anchorPairs = bothDirs
-          .join(nbOut, Seq("c1"))
-          .filter(col("c1") =!= col("c2") && col("w") > col("nb_out") * majorityFrac)
-          .join(core.withColumnRenamed("ct", "c1"), Seq("c1"), "left_semi")
-          .join(core.withColumnRenamed("ct", "c2"), Seq("c2"), "left_semi")
-          .select(col("c1"), col("c2")).distinct()
-
-        // positional span join between anchor occurrences (G7)
         val p = ev.withColumn("pos", row_number().over(wOrd))
           .select(col("user_id"), col("pos"), col("event_type"), col("value"))
-        val f1 = p.select(col("user_id"), col("event_type").as("c1"),
-          col("pos").as("pos1"))
-        val f2 = p.select(col("user_id").as("uid2"), col("event_type").as("c2b"),
-          col("pos").as("pos2"))
-        val spans = broadcast(anchorPairs)
-          .join(f1, Seq("c1"))
-          .join(f2, col("user_id") === col("uid2") && col("c2b") === col("c2") &&
-            (col("pos2") - col("pos1")).between(minGap, maxGap))
-          .select(col("user_id"), col("c1"), col("c2"), col("pos1"), col("pos2"))
+        val spans = anchorSpans(s, d)
 
         // intervening rows + grouped projections + Welch t (G8-G10 + A17)
         val body = p.select(col("user_id").as("bu"), col("pos").as("bpos"),
@@ -181,35 +225,7 @@ object Analyses {
             col("n_trna"), col("m1"), col("t_value"))
           .orderBy(col("user_id"), col("pos1"), col("pos2"), col("c1"), col("c2"))
       },
-      Some(s"""WITH ord AS (
-              |  SELECT user_id, event_type, value,
-              |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
-              |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-              |  FROM events),
-              |dir AS (
-              |  SELECT prev AS c1, event_type AS c2, count(*) AS w
-              |  FROM ord WHERE prev IS NOT NULL GROUP BY 1, 2),
-              |both_dirs AS (
-              |  SELECT c1, c2, w FROM dir
-              |  UNION ALL SELECT c2 AS c1, c1 AS c2, w FROM dir),
-              |nb_out AS (SELECT c1, sum(w) AS nb_out FROM dir GROUP BY 1),
-              |nu AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
-              |core AS (
-              |  SELECT event_type AS ct FROM events, nu
-              |  GROUP BY event_type, n_users
-              |  HAVING count(DISTINCT user_id) > n_users * 0.95),
-              |anchor_pairs AS (
-              |  SELECT DISTINCT b.c1, b.c2
-              |  FROM both_dirs b JOIN nb_out n ON b.c1 = n.c1
-              |  WHERE b.c1 <> b.c2 AND b.w > n.nb_out * 0.15
-              |    AND b.c1 IN (SELECT ct FROM core)
-              |    AND b.c2 IN (SELECT ct FROM core)),
-              |spans AS (
-              |  SELECT f1.user_id, a.c1, a.c2, f1.pos AS pos1, f2.pos AS pos2
-              |  FROM anchor_pairs a
-              |  JOIN ord f1 ON f1.event_type = a.c1
-              |  JOIN ord f2 ON f2.user_id = f1.user_id AND f2.event_type = a.c2
-              |    AND f2.pos - f1.pos BETWEEN 3 AND 6),
+      Some(s"""WITH $anchorSpansSql,
               |bg AS (
               |  SELECT user_id AS su, ${sqlAvg("value")} AS mu0,
               |         ${sqlStddev("value")} AS sd0
@@ -238,6 +254,65 @@ object Analyses {
               |FROM grouped g JOIN bg ON g.user_id = bg.su
               |WHERE g.has_mobile = 1
               |ORDER BY g.user_id, g.pos1, g.pos2, g.c1, g.c2""".stripMargin),
-      doc = "SURVEY §3 lifecycle 2 (Pangenome.rgpMine); RGPs.ipynb cells 8+19")
+      doc = "SURVEY §3 lifecycle 2 (Pangenome.rgpMine); RGPs.ipynb cells 8+19"),
+
+    // ---- Anchor-group phylogenetic spread (RGPs.ipynb cells 44-67) ----
+    // Per anchor pair: the strain set carrying that insertion, all strain
+    // pairs (J14), a phylogenetic distance per pair (A12), min/mean/max +
+    // counts (A7/A10) — Pangenome.anchorPhylo's composition, made
+    // oracle-checkable by swapping the Newick tree for a DETERMINISTIC
+    // synthetic phylogeny both engines can compute: strains are leaves of
+    // a complete binary trie over user_id bits, so the patristic distance
+    // is 2 × bit-length of (u1 XOR u2) (= 2 × height of the lowest common
+    // subtree, unit branch lengths). The Newick/LCA path stays golden-
+    // tested in PangenomeSpec; this pins the composition end-to-end.
+    QueryDef(
+      "x3_anchor_phylo",
+      (s, d) => {
+        val strains = anchorSpans(s, d)
+          .select(col("c1"), col("c2"), col("user_id")).distinct()
+        val a = strains.select(col("c1"), col("c2"), col("user_id").as("u1"))
+        val b = strains.select(col("c1").as("d1"), col("c2").as("d2"),
+          col("user_id").as("u2"))
+        val dist = when(expr("u1 ^ u2") === 0, lit(0L))
+          .otherwise(lit(2L) * length(conv(expr("u1 ^ u2"), 10, 2)).cast("long"))
+        val nStrains = strains.groupBy(col("c1"), col("c2"))
+          .agg(countDistinct(col("user_id")).as("n_strains"))
+        a.join(b, col("c1") === col("d1") && col("c2") === col("d2") &&
+            col("u1") < col("u2"))
+          .withColumn("dist", dist)
+          .groupBy(col("c1"), col("c2"))
+          .agg(count(lit(1)).as("n_pairs"),
+            min(col("dist")).as("min_dist"),
+            (sum(col("dist")).cast("double") / count(lit(1))).as("mean_dist"),
+            max(col("dist")).as("max_dist"))
+          .join(nStrains, Seq("c1", "c2"))
+          .select(col("c1"), col("c2"), col("n_strains"), col("n_pairs"),
+            col("min_dist"), col("mean_dist"), col("max_dist"))
+          .orderBy(col("c1"), col("c2"))
+      },
+      Some(s"""WITH $anchorSpansSql,
+              |strains AS (SELECT DISTINCT c1, c2, user_id FROM spans),
+              |ns AS (
+              |  SELECT c1, c2, count(DISTINCT user_id) AS n_strains
+              |  FROM strains GROUP BY 1, 2),
+              |pairs AS (
+              |  SELECT a.c1, a.c2, a.user_id AS u1, b.user_id AS u2,
+              |    CASE WHEN xor(a.user_id, b.user_id) = 0 THEN 0
+              |         ELSE 2 * length(bin(xor(a.user_id, b.user_id))) END AS dist
+              |  FROM strains a JOIN strains b
+              |    ON a.c1 = b.c1 AND a.c2 = b.c2 AND a.user_id < b.user_id),
+              |agg AS (
+              |  SELECT c1, c2, count(*) AS n_pairs,
+              |    min(dist) AS min_dist,
+              |    CAST(sum(dist) AS DOUBLE) / count(*) AS mean_dist,
+              |    max(dist) AS max_dist
+              |  FROM pairs GROUP BY 1, 2)
+              |SELECT g.c1, g.c2, ns.n_strains, g.n_pairs,
+              |  CAST(g.min_dist AS BIGINT) AS min_dist, g.mean_dist,
+              |  CAST(g.max_dist AS BIGINT) AS max_dist
+              |FROM agg g JOIN ns ON g.c1 = ns.c1 AND g.c2 = ns.c2
+              |ORDER BY g.c1, g.c2""".stripMargin),
+      doc = "SURVEY §3 lifecycle 3 (Pangenome.anchorPhylo); RGPs.ipynb cells 44-67")
   )
 }
