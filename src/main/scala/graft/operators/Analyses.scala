@@ -269,24 +269,41 @@ object Analyses {
     QueryDef(
       "x3_anchor_phylo",
       (s, d) => {
+        // The pairwise aggregate NEVER materializes the O(n²) pair join:
+        // under the bit-trie metric, the unordered pairs first differing
+        // at bit k number Σ_prefix n0(prefix)·n1(prefix) and each has
+        // distance 2(k+1) — so one explode to (user × bit level), one
+        // count per (anchor, level, prefix), and an integer fold give the
+        // identical n_pairs / min / mean / max the quadratic join would
+        // (same longs, same single double division — oracle-hash-equal;
+        // the DuckDB oracle stays the quadratic formulation). O(n·bits)
+        // rows instead of O(n²): the difference between 10M and 600k rows
+        // at sf0.1, and between a cluster job and an impossibility at
+        // the reference's 770 strains × 5k anchors scale-up.
         val strains = anchorSpans(s, d)
           .select(col("c1"), col("c2"), col("user_id")).distinct()
-        val a = strains.select(col("c1"), col("c2"), col("user_id").as("u1"))
-        val b = strains.select(col("c1").as("d1"), col("c2").as("d2"),
-          col("user_id").as("u2"))
-        val dist = when(expr("u1 ^ u2") === 0, lit(0L))
-          .otherwise(lit(2L) * length(conv(expr("u1 ^ u2"), 10, 2)).cast("long"))
-        val nStrains = strains.groupBy(col("c1"), col("c2"))
-          .agg(countDistinct(col("user_id")).as("n_strains"))
-        a.join(b, col("c1") === col("d1") && col("c2") === col("d2") &&
-            col("u1") < col("u2"))
-          .withColumn("dist", dist)
-          .groupBy(col("c1"), col("c2"))
-          .agg(count(lit(1)).as("n_pairs"),
-            min(col("dist")).as("min_dist"),
-            (sum(col("dist")).cast("double") / count(lit(1))).as("mean_dist"),
-            max(col("dist")).as("max_dist"))
-          .join(nStrains, Seq("c1", "c2"))
+        val leveled = strains
+          .select(col("c1"), col("c2"), col("user_id").as("u"),
+            explode(sequence(lit(0), lit(39))).as("k"))
+          .select(col("c1"), col("c2"), col("k"),
+            expr("u >> (k + 1)").as("prefix"), expr("(u >> k) & 1").as("bit"))
+        // per level: m = pairs first differing at bit k; ns = Σ(n0+n1) is
+        // the strain count at EVERY level, so it rides the same
+        // aggregation instead of a second pass over the span pipeline
+        val mk = leveled
+          .groupBy(col("c1"), col("c2"), col("k"), col("prefix"))
+          .agg(sum(lit(1) - col("bit")).as("n0"), sum(col("bit")).as("n1"))
+          .groupBy(col("c1"), col("c2"), col("k"))
+          .agg(sum(col("n0") * col("n1")).as("m"),
+            sum(col("n0") + col("n1")).as("ns"))
+        mk.groupBy(col("c1"), col("c2"))
+          .agg(max(col("ns")).as("n_strains"),
+            sum(col("m")).as("n_pairs"),
+            (lit(2L) * (min(when(col("m") > 0, col("k"))) + 1)).as("min_dist"),
+            (sum(col("m") * lit(2L) * (col("k") + 1)).cast("double") /
+              sum(col("m"))).as("mean_dist"),
+            (lit(2L) * (max(when(col("m") > 0, col("k"))) + 1)).as("max_dist"))
+          .filter(col("n_pairs") > 0) // single-strain anchors have no pairs
           .select(col("c1"), col("c2"), col("n_strains"), col("n_pairs"),
             col("min_dist"), col("mean_dist"), col("max_dist"))
           .orderBy(col("c1"), col("c2"))
