@@ -41,4 +41,23 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Row count straight from the parquet footers — driver-side metadata
+    * IO, NO Spark job: the cardinality hint for operators that pick a
+    * physical shape by input size (d4's exact-vs-prefix-index dispatch)
+    * without breaking the zero-jobs-at-plan-build contract. Footers carry
+    * the exact row count per row group, so this equals `count()`.
+    */
+  def footerRowCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    fs.listStatus(root).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+        try rd.getRecordCount finally rd.close()
+      }.sum
+  }
 }

@@ -26,19 +26,47 @@ object Analyses {
 
   private def wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
 
+  /** The positional frame every x2/x3 consumer reads: ONE window pass over
+    * events computes both the genome-order index (`pos`) and the lag edge
+    * (`prev`) — same partition key, same ordering, so Catalyst fuses them
+    * into a single Window operator above a single exchange+sort.
+    *
+    * Spark does not deduplicate identical subplans inside one query, so
+    * without sharing, the edge derivation, the two span sides, and the
+    * span body would each re-run the events scan+shuffle+sort (~3× the
+    * whole query cost at scale). The frame is persisted LAZILY: plan
+    * construction still runs zero Spark jobs (the de-eager contract), the
+    * first action populates the cache once, and Spark's CacheManager
+    * dedupes by canonicalized plan, so repeated builds and x2/x3 share one
+    * entry instead of stacking copies. MEMORY_AND_DISK: an evicted block
+    * degrades to recompute, never OOM. (One-shot 100 TB ETL would
+    * checkpoint this boundary to scratch parquet instead — see
+    * [[graft.operators.Scratch]] — but these are interactive analysis
+    * entries where the session-cache form is the idiomatic one.)
+    */
+  private def positioned(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    T.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .withColumn("pos", row_number().over(wOrd))
+      .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
+      .select(col("user_id"), col("event_type"), col("value"), col("pos"),
+        col("prev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** The RGP anchor-span pipeline shared by x2 and x3: anchor selection
     * (directed edge majority + core membership via broadcast scalar) and
-    * the positional span join. Returns (user_id, c1, c2, pos1, pos2).
+    * the positional span join over the shared [[positioned]] frame `p`.
+    * Returns (user_id, c1, c2, pos1, pos2).
     */
-  private def anchorSpans(s: org.apache.spark.sql.SparkSession, d: String)
+  private def anchorSpans(p: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val coreFrac = 0.95; val majorityFrac = 0.15
     val minGap = 3; val maxGap = 6
-    val ev = T.events(s, d)
 
     // directed cluster-level edges from consecutive events (G1/G2)
-    val edges = ev
-      .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
+    val edges = p
       .filter(col("prev").isNotNull)
       .select(col("prev").as("c1"), col("event_type").as("c2"))
     val dir = edges.groupBy(col("c1"), col("c2")).agg(count(lit(1)).as("w"))
@@ -48,8 +76,8 @@ object Analyses {
 
     // core filter: types present in > coreFrac of strains; the strain
     // count is a broadcast single-row scalar, not a driver action
-    val nUsers = ev.agg(countDistinct(col("user_id")).as("n_users"))
-    val core = ev.groupBy(col("event_type").as("ct"))
+    val nUsers = p.agg(countDistinct(col("user_id")).as("n_users"))
+    val core = p.groupBy(col("event_type").as("ct"))
       .agg(countDistinct(col("user_id")).as("ng"))
       .crossJoin(broadcast(nUsers))
       .filter(col("ng") > col("n_users") * coreFrac)
@@ -63,8 +91,6 @@ object Analyses {
       .select(col("c1"), col("c2")).distinct()
 
     // positional span join between anchor occurrences (G7)
-    val p = ev.withColumn("pos", row_number().over(wOrd))
-      .select(col("user_id"), col("pos"), col("event_type"))
     val f1 = p.select(col("user_id"), col("event_type").as("c1"),
       col("pos").as("pos1"))
     val f2 = p.select(col("user_id").as("uid2"), col("event_type").as("c2b"),
@@ -183,10 +209,8 @@ object Analyses {
     QueryDef(
       "x2_rgp_mine",
       (s, d) => {
-        val ev = T.events(s, d)
-        val p = ev.withColumn("pos", row_number().over(wOrd))
-          .select(col("user_id"), col("pos"), col("event_type"), col("value"))
-        val spans = anchorSpans(s, d)
+        val p = positioned(s, d)
+        val spans = anchorSpans(p)
 
         // intervening rows + grouped projections + Welch t (G8-G10 + A17)
         val body = p.select(col("user_id").as("bu"), col("pos").as("bpos"),
@@ -195,7 +219,7 @@ object Analyses {
           col("user_id") === col("bu") &&
           col("bpos") > col("pos1") && col("bpos") < col("pos2"))
 
-        val bg = ev.groupBy(col("user_id").as("su"))
+        val bg = p.groupBy(col("user_id").as("su"))
           .agg(eavg(col("value")).as("mu0"), estddev(col("value")).as("sd0"))
 
         spanRows
@@ -280,13 +304,22 @@ object Analyses {
         // rows instead of O(n²): the difference between 10M and 600k rows
         // at sf0.1, and between a cluster job and an impossibility at
         // the reference's 770 strains × 5k anchors scale-up.
-        val strains = anchorSpans(s, d)
+        val strains = anchorSpans(positioned(s, d))
           .select(col("c1"), col("c2"), col("user_id")).distinct()
+        // the 40-level trie assumes user_id ∈ [0, 2^40); ids outside the
+        // domain would silently share no level prefix (undercounted pairs)
+        // while the quadratic oracle still counts them — so the domain
+        // check is fused into the prefix expression (a used column: the
+        // optimizer can't prune it away) and fails LOUDLY instead
         val leveled = strains
           .select(col("c1"), col("c2"), col("user_id").as("u"),
             explode(sequence(lit(0), lit(39))).as("k"))
           .select(col("c1"), col("c2"), col("k"),
-            expr("u >> (k + 1)").as("prefix"), expr("(u >> k) & 1").as("bit"))
+            expr("CASE WHEN u >= 0 AND u < 1099511627776 THEN u >> (k + 1) " +
+              "ELSE CAST(raise_error('x3_anchor_phylo: user_id outside " +
+              "[0, 2^40) breaks the bit-trie phylogeny') AS BIGINT) END")
+              .as("prefix"),
+            expr("(u >> k) & 1").as("bit"))
         // per level: m = pairs first differing at bit k; ns = Σ(n0+n1) is
         // the strain count at EVERY level, so it rides the same
         // aggregation instead of a second pass over the span pipeline
@@ -330,6 +363,63 @@ object Analyses {
               |  CAST(g.max_dist AS BIGINT) AS max_dist
               |FROM agg g JOIN ns ON g.c1 = ns.c1 AND g.c2 = ns.c2
               |ORDER BY g.c1, g.c2""".stripMargin),
-      doc = "SURVEY §3 lifecycle 3 (Pangenome.anchorPhylo); RGPs.ipynb cells 44-67")
+      doc = "SURVEY §3 lifecycle 3 (Pangenome.anchorPhylo); RGPs.ipynb cells 44-67"),
+
+    // ---- Core-gene analysis (RGPs.ipynb cells 100-118, :3232-3405) ----
+    // The reference's third-most-used analysis after the track and the
+    // miner, composed as ONE oracle-checked plan: presence matrix (A13,
+    // pandas featureCounts) -> per-feature nonzero-insertion counts (A14,
+    // `colData.loc[colData != 0].size`) -> the `count > 0.95 * shape[0]`
+    // core filter (A15) -> CLUSTER property lookup per core feature (J16,
+    // getDescriptionCluster: description/number_genomes per cluster_id).
+    // Scale shape: two shuffled aggregates over events (matrix + the
+    // metadata dim), everything downstream is tiny and broadcast — the
+    // per-type metadata join is the reference's per-feature Neo4j point
+    // lookup turned into one broadcast hash join instead of |core| round
+    // trips.
+    QueryDef(
+      "x4_core_genes",
+      (s, d) => {
+        val ev = T.events(s, d)
+        // A13: long-form presence/count matrix (user x type)
+        val matrix = ev.groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        // A14: in how many insertions (users) does each feature appear
+        val nz = matrix.filter(col("cnt") =!= 0)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n_ins"))
+        // matrix height as a broadcast scalar, never a driver action
+        val nRows = ev.agg(countDistinct(col("user_id")).as("n_rows"))
+        // A15: core features = present in > 95% of the matrix rows
+        val core = nz.crossJoin(broadcast(nRows))
+          .filter(col("n_ins") > col("n_rows") * 0.95)
+          .select(col("event_type"), col("n_ins"))
+        // J16: the CLUSTER-node property lookup (description/number_genomes
+        // analogue: per-type occurrence count + exact mean value)
+        val meta = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("number_genomes"),
+            eavg(col("value")).as("mean_value"))
+        core.join(meta, Seq("event_type"))
+          .select(col("event_type"), col("n_ins"), col("number_genomes"),
+            col("mean_value"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH matrix AS (
+              |  SELECT user_id, event_type, count(*) AS cnt
+              |  FROM events GROUP BY 1, 2),
+              |nz AS (
+              |  SELECT event_type, count(*) AS n_ins
+              |  FROM matrix WHERE cnt != 0 GROUP BY 1),
+              |nu AS (SELECT count(DISTINCT user_id) AS n_rows FROM events),
+              |core AS (
+              |  SELECT event_type, n_ins FROM nz, nu
+              |  WHERE n_ins > n_rows * 0.95),
+              |meta AS (
+              |  SELECT event_type, count(*) AS number_genomes,
+              |    ${sqlAvg("value")} AS mean_value
+              |  FROM events GROUP BY 1)
+              |SELECT c.event_type, c.n_ins, m.number_genomes, m.mean_value
+              |FROM core c JOIN meta m ON c.event_type = m.event_type
+              |ORDER BY c.event_type""".stripMargin),
+      doc = "SURVEY §3 core-gene analysis; RGPs.ipynb:3232-3405 cells 100-118")
   )
 }

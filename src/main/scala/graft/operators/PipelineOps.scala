@@ -191,9 +191,11 @@ object PipelineOps {
         // quadratic's hot-block blowup dominates and the LOSSLESS prefix
         // index (PrefixJoin, output proven bit-identical in PrefixJoinSpec)
         // takes over. Both branches produce identical rows — the dispatch
-        // never changes the answer, only the plan.
+        // never changes the answer, only the plan. The cardinality comes
+        // from the parquet FOOTERS (driver-side metadata, zero Spark jobs
+        // at plan build — the same de-eager contract x1/x2/rgpMine honor).
         val pairs =
-          if (T.documents(s, d).count() <= 50000) {
+          if (T.footerRowCount(s, d, "documents") <= 50000) {
             val a = docs.select(col("lang"), col("lb"), col("doc_id").as("id1"), col("g").as("g1"))
             val b = docs.select(col("lang").as("l2"), col("lb").as("lb2"),
               col("doc_id").as("id2"), col("g").as("g2"))
@@ -399,27 +401,41 @@ object PipelineOps {
     // components collapse duplicate groups to a canonical member (min
     // vec_id). Every vector appears once; non-duplicates map to
     // themselves. Components are GraphX-iterative (actions inside the
-    // builder, like c3's documented exception); all the quadratic-looking
-    // work is candidate-bounded, never N².
+    // builder, like c3's documented exception). Scale shape: the band
+    // self-join carries IDS ONLY (d2's contract — vectors never ride the
+    // band shuffle), the verified dup mapping is materialized to a scratch
+    // parquet (the natural shuffle-boundary checkpoint at 100 TB), and
+    // every cache the query created — dupPairs AND GraphX's Pregel
+    // internals — is released before the final lazy plan is returned, so
+    // nothing leaks into later queries of the session.
     QueryDef(
       "d8_embedding_neardup",
       (s, d) => {
+        val cachedBefore = s.sparkContext.getPersistentRDDs.keySet
         val sigUdf = udf((v: Seq[Float]) =>
           Sketches.hyperplaneSignature(v.toArray, 32))
         val q = expr("transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))")
-        val base = T.embeddings(s, d)
-          .select(col("vec_id"), q.as("q"), sigUdf(col("embedding")).as("sig"))
+        // band shuffle carries (band, vec_id) only; q/nn join back per
+        // candidate afterwards (column-pruned re-scan, d2's shape)
+        val banded = T.embeddings(s, d)
+          .select(col("vec_id"), sigUdf(col("embedding")).as("sig"))
+          .select(col("vec_id"),
+            explode(expr("transform(sequence(0, 3), b -> " +
+              "concat(b, ':', CAST(shiftright(sig, b * 8) & 255 AS STRING)))"))
+              .as("band"))
+        val cand = banded.select(col("band"), col("vec_id").as("id1"))
+          .join(banded.select(col("band").as("bb"), col("vec_id").as("id2")),
+            col("band") === col("bb") && col("id1") < col("id2"))
+          .select(col("id1"), col("id2"))
+          .dropDuplicates("id1", "id2")
+        val vecs = T.embeddings(s, d).select(col("vec_id"), q.as("q"))
           .withColumn("nn",
             expr("aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
-        val banded = base.withColumn("band",
-          explode(expr("transform(sequence(0, 3), b -> " +
-            "concat(b, ':', CAST(shiftright(sig, b * 8) & 255 AS STRING)))")))
-        val a = banded.select(col("band"), col("vec_id").as("id1"),
-          col("q").as("q1"), col("nn").as("n1"))
-        val b = banded.select(col("band").as("bb"), col("vec_id").as("id2"),
-          col("q").as("q2"), col("nn").as("n2"))
-        val dupPairs = a.join(b, col("band") === col("bb") && col("id1") < col("id2"))
-          .dropDuplicates("id1", "id2")
+        val dupPairs = cand
+          .join(vecs.select(col("vec_id").as("id1"), col("q").as("q1"),
+            col("nn").as("n1")), "id1")
+          .join(vecs.select(col("vec_id").as("id2"), col("q").as("q2"),
+            col("nn").as("n2")), "id2")
           .withColumn("dot",
             expr("aggregate(zip_with(q1, q2, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
           .withColumn("cos",
@@ -436,19 +452,26 @@ object PipelineOps {
         // entirely when no pair survives verification
         val mapped =
           if (dupPairs.isEmpty) {
-            dupPairs.unpersist() // nothing downstream reads it again
+            dupPairs.unpersist(blocking = true)
             import s.implicits._
             Seq.empty[(Long, Long)].toDF("vid", "cid")
           } else {
-            // non-empty: the cache stays live — the final plan's lineage
-            // (vmap -> pairs) still reads it; session end reclaims it
             val comp = graft.pangenome.GraphFallback.similarityComponents(s, dupPairs)
             val canon = comp.groupBy(col("component"))
               .agg(min(col("member").cast("long")).as("cid"))
-            comp.join(canon, "component")
+            val plan = comp.join(canon, "component")
               .select(col("member").cast("long").as("vid"), col("cid"))
+            // materialize the (small) dup mapping once, then drop every
+            // cache this query created: the returned plan reads the
+            // scratch parquet, so nothing downstream needs the caches
+            val scratch = s"${Scratch.dir(s)}/d8_mapped"
+            plan.write.mode("overwrite").parquet(scratch)
+            s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+              if (!cachedBefore.contains(id)) rdd.unpersist(blocking = true)
+            }
+            s.read.parquet(scratch)
           }
-        base.select(col("vec_id"))
+        T.embeddings(s, d).select(col("vec_id"))
           .join(mapped, col("vec_id") === col("vid"), "left")
           .select(col("vec_id"),
             coalesce(col("cid"), col("vec_id")).as("canonical_id"),
@@ -660,13 +683,18 @@ object PipelineOps {
           .toDF("doc_id", "f_len", "f_first", "f_sum16")
           .orderBy(col("doc_id"))
       },
-      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS f_len,
+      // coalesce(text, '') pins the null-text contract: the stub decoder
+      // maps null to the empty payload (f_len=0, f_first=-1, f_sum16=0),
+      // so the oracle must too — bare length(NULL)/ord(NULL) would
+      // propagate NULL and silently diverge on any corpus with null text
+      Some("""WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
+             |SELECT doc_id, CAST(length(text) AS BIGINT) AS f_len,
              |  CAST(CASE WHEN length(text) = 0 THEN -1
              |       ELSE ord(substring(text, 1, 1)) END AS BIGINT) AS f_first,
              |  CAST(coalesce(list_sum(list_transform(
              |    range(1, least(length(text), 16) + 1),
              |    i -> ord(substring(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS f_sum16
-             |FROM documents ORDER BY doc_id""".stripMargin),
+             |FROM t ORDER BY doc_id""".stripMargin),
       doc = "multimodal/batched decode + feature extraction (stub codec)")
   )
 }

@@ -169,12 +169,21 @@ object Similarity {
           when(col("component").isNotNull,
             struct(lit(0).as("t"), col("component").as("k")))
             .otherwise(struct(lit(1).as("t"), xxhash64(col("id")).as("k"))))
-      // dense labels ordered by each component's min id
+      // dense labels ordered by each component's min id. NOT a global
+      // row_number() window (an un-partitioned Window funnels every rep
+      // through ONE task — a scale-killer in the branch that exists for
+      // >maxDriverN inputs): range-partitioned sort + zipWithIndex keeps
+      // the ranking fully parallel (zipWithIndex = one light count pass
+      // for per-partition offsets, then local index assignment).
       val rep = withComp.groupBy(col("comp")).agg(min(col("id")).as("rep"))
-      val labeled = rep.withColumn("label",
-        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("rep")))
-          .cast("long"))
-      withComp.join(labeled, "comp").select(col("id"), col("label"))
+      val sorted = rep.orderBy(col("rep"))
+      val labeled = spark.createDataFrame(
+        sorted.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+        },
+        sorted.schema.add("label", org.apache.spark.sql.types.LongType))
+      withComp.join(labeled.select(col("comp"), col("label")), "comp")
+        .select(col("id"), col("label"))
     }
   }
 }

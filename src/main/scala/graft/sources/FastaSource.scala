@@ -109,8 +109,16 @@ class FastaBatchWrite(path: String, idIdx: Int, descIdx: Int, seqIdx: Int,
     val fs = dir.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
     messages.foreach { case FastaCommit(tmp, fin) =>
       val t = new Path(tmp)
-      if (fs.exists(t) && !fs.rename(t, new Path(fin)))
-        throw new java.io.IOException(s"fasta sink: could not commit $tmp -> $fin")
+      if (fs.exists(t)) {
+        if (!fs.rename(t, new Path(fin)))
+          throw new java.io.IOException(s"fasta sink: could not commit $tmp -> $fin")
+      } else if (!fs.exists(new Path(fin))) {
+        // a missing tmp is only legal when the final file already exists
+        // (idempotent retry of a committed task) — otherwise a lost task
+        // output would commit as silently missing data
+        throw new java.io.IOException(
+          s"fasta sink: task output $tmp vanished before commit (and $fin absent)")
+      }
     }
   }
 
