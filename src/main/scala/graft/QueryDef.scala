@@ -16,8 +16,20 @@ final case class QueryDef(
     doc: String = "")
 
 object Tables {
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  // Schema memo per table path: a bare spark.read.parquet runs a footer
+  // schema-inference job on EVERY call, so each plan build would fire one
+  // Spark job per table read. Inferring once and passing the schema
+  // explicitly makes later plan builds job-free — the catalog role a
+  // metastore plays in production. (Keyed by path: all sessions here share
+  // the same parquet-reading confs, e.g. nanosAsLong.)
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")

@@ -59,6 +59,11 @@ object DomainOps {
       .withColumn("sz", expr(
         "aggregate(transform(mask, x -> bit_count(x)), 0, (a, x) -> a + x)"))
       .select(col("user_id"), col("mask"), col("sz"))
+      // both sides of the C1/C2 pair join read this frame: the trailing
+      // repartition gives them an IDENTICAL exchange subplan, so
+      // ReuseExchange materializes the set build once instead of twice
+      // (same trick as d4's block-key repartition)
+      .repartition(col("user_id"))
   }
 
   /** Σ bit_count(m1[w] & m2[w]) — the bitset |∩|, pure codegen. */

@@ -68,6 +68,11 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val out = SparkEntry.queries("d8_embedding_neardup")(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // cache lifetime is bounded to the query: the verified-pair persist and
+    // every GraphX internal must be released once the mapping is
+    // materialized to scratch — nothing may leak into later queries
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"d8 leaked caches: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
     assert(out.size == 40)
     (0 until 10).foreach { i =>
       assert(out(100L + i) == (i.toLong, 1), s"dup of base $i not canonicalized")

@@ -109,4 +109,40 @@ class BlastShellSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.select("cluster_id").distinct().collect()
       .map(_.getString(0)).toSet == Set("g1", "g5"))
   }
+
+  test("real blastn end-to-end when the binary is on PATH (skipped otherwise)") {
+    import spark.implicits._
+    // env-gated: the true `blastn -outfmt 5` path of
+    // extendingDB_performingBlast.py:63-80 — a self-hit against a one-record
+    // nucleotide DB must surface through pipe -> StAX parse -> annotate.
+    // Canceled (not failed) where the toolkit is absent; the stub-contract
+    // tests above pin the same stdin/stdout/XML plumbing either way.
+    def onPath(bin: String): Boolean =
+      sys.env.getOrElse("PATH", "").split(':')
+        .exists(p => new java.io.File(p, bin).canExecute)
+    assume(onPath("blastn") && onPath("makeblastdb"),
+      "blastn/makeblastdb not on PATH")
+    val dir = java.nio.file.Files.createTempDirectory("graft_blastdb")
+    val seq = "ATGGCTAGCTAGGTCGATCGATCGATTACGATCGGCTAGCTAGCATCGATCGTAGCTAGC" * 3
+    java.nio.file.Files.writeString(dir.resolve("subject.fa"),
+      s">subj Pseudomonas phage test\n$seq\n")
+    val mk = new ProcessBuilder("makeblastdb",
+      "-in", dir.resolve("subject.fa").toString,
+      "-dbtype", "nucl", "-out", dir.resolve("db").toString).start()
+    assert(mk.waitFor() == 0, "makeblastdb failed")
+
+    val clusters = Seq(("g1", seq), ("g2", null.asInstanceOf[String]))
+      .toDF("cluster_id", "reference_sequence").coalesce(1)
+    // blastn reads the query from stdin by default — exactly the pipe contract
+    val hits = BlastShell.runBlastXml(spark, clusters,
+      Seq("blastn", "-db", dir.resolve("db").toString, "-outfmt", "5"))
+    val got = hits.collect()
+    assert(got.nonEmpty, "self-hit must be found")
+    assert(got.forall(_.getString(0) == "g1"))
+    assert(got.exists(_.getString(1).contains("phage")))
+
+    val annotated = BlastShell.annotate(clusters, hits)
+    assert(annotated.filter(col("cluster_id") === "g1").head()
+      .getAs[Boolean]("hasBlastVirusHit"))
+  }
 }

@@ -88,4 +88,30 @@ class PrefixJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "b", Seq(5L, 6L))).toDF("doc_id", "blk", "g")
     assert(PrefixJoin.jaccardPairs(df, "doc_id", "g", Seq("blk"), 0.35).count() == 0)
   }
+
+  test("d4 dispatch reads parquet footers: zero Spark jobs at plan build") {
+    // the size dispatch must come from footer metadata, not a count() —
+    // the same de-eager contract rgpMine is pinned to in PangenomeSpec
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    // warm the source read first: a cold session's FIRST parquet read runs
+    // one schema-inference job, which is the read's cost, not the
+    // dispatcher's (same convention as PangenomeSpec's rgpMine assert)
+    Tables.documents(spark, "/root/testdata/sf0.001").queryExecution.analyzed
+    Thread.sleep(300)
+    jobs = 0
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val plan = SparkEntry.queries("d4_ngram_jaccard")(spark, "/root/testdata/sf0.001")
+      plan.queryExecution.analyzed // build + analyze, no action
+      Thread.sleep(500)            // let any async listener events drain
+      assert(jobs == 0, s"building the d4 plan launched $jobs Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the footer count is the exact cardinality count() would return
+    assert(Tables.footerRowCount(spark, "/root/testdata/sf0.001", "documents") ==
+      Tables.documents(spark, "/root/testdata/sf0.001").count())
+  }
 }

@@ -97,6 +97,18 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(partner(dist, "doc3") == Seq("dup3"))
   }
 
+  test("cluster big-N branch: no single-partition exchange in the label plan") {
+    // the >maxDriverN branch exists FOR scale: dense-label assignment must
+    // stay parallel (range-partitioned sort + zipWithIndex), never a global
+    // un-partitioned window funneling every component through one task
+    val dist = Similarity.cluster(plantedSets, "id", "toks", cutoff = 0.3,
+      maxDriverN = 10)
+    val plan = dist.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      plan.linesIterator.filter(_.contains("SinglePartition")).mkString("\n"))
+    // labels themselves are pinned by the branch-agreement test above
+  }
+
   test("insertionDice equivalence: exact vs forced-LSH on the fixture shape") {
     import spark.implicits._
     val insertions = Seq(
