@@ -149,6 +149,19 @@ object TimeAudit {
       time("d2_full_again")(SparkEntry.queries("d2_minhash_lsh")(spark, d).count())
     }
 
+    // ---- x2/x3 shared positional frame ----
+    {
+      val x2 = SparkEntry.queries("x2_rgp_mine")(spark, d)
+      val plan = x2.queryExecution.executedPlan.toString
+      println(s"[audit] x2 row_number windows in plan: " +
+        s"${"row_number".r.findAllIn(plan).length}, " +
+        s"InMemoryTableScan: ${"InMemoryTableScan".r.findAllIn(plan).length}, " +
+        s"events scans: ${"events.parquet".r.findAllIn(plan).length}")
+      time("x2_cold")(x2.count())
+      time("x2_warm_cache")(SparkEntry.queries("x2_rgp_mine")(spark, d).count())
+      time("x3_shares_cache")(SparkEntry.queries("x3_anchor_phylo")(spark, d).count())
+    }
+
     spark.stop()
   }
 }

@@ -117,8 +117,17 @@ object PipelineOps {
         // per-candidate intersection is the codegen two-pointer merge
         // instead of a boxed string hash set (same trick as d4). Candidate
         // generation moves ids only; signatures join back per survivor.
+        // The signature frame feeds FOUR consumers (two band sides, two
+        // hs join-backs) with different prunings, so exchange reuse can't
+        // dedupe them — persist LAZILY instead (zero jobs at build;
+        // CacheManager dedupes repeats; the shingle+minhash UDF pass runs
+        // once per action instead of 4x). At 100 TB this frame is the
+        // persisted signature store the streaming dedup already maintains
+        // (StreamingJobs.incrementalNearDedup) — caching it here is the
+        // batch form of the same materialization.
         val sig = minhashSignatures(
           T.documents(s, d).select(col("doc_id"), col("text")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         nearDupPairs(sig, sig, 0.5).orderBy(col("id1"), col("id2"))
       },
       None, // recall-bounded sketch: pinned by SketchesSpec planted-dup tests
