@@ -66,6 +66,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.fn)
     ext.injectFunction(GraftExtensions.encodeFn)
     ext.injectFunction(GraftExtensions.intersectFn)
+    ext.injectFunction(GraftExtensions.trigramsFn)
     ext.injectOptimizerRule(_ => graft.plans.StripCaseChangeUnderGc)
     ext.injectOptimizerRule(_ => graft.plans.SortedIntersectRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.PathSpanJoinStrategy)
@@ -88,6 +89,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SortedIntersectSizeExpr].getName, "sorted_intersect_size"),
     (exprs: Seq[Expression]) => SortedIntersectSizeExpr(exprs.head, exprs(1)))
 
+  val trigramsFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hashed_trigrams"),
+    new ExpressionInfo(classOf[HashedTrigramsExpr].getName, "hashed_trigrams"),
+    (exprs: Seq[Expression]) => HashedTrigramsExpr(exprs.head))
+
   def registerInto(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("gc_content_native", fn._3, "built-in")
@@ -95,5 +101,7 @@ object GraftExtensions {
       .createOrReplaceTempFunction("variation_encode_native", encodeFn._3, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("sorted_intersect_size", intersectFn._3, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("hashed_trigrams", trigramsFn._3, "built-in")
   }
 }

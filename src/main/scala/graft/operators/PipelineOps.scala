@@ -180,13 +180,14 @@ object PipelineOps {
         // array_intersect hash set per pair was 26 s of the sf0.1 bench).
         // Set cardinalities — hence the Jaccard — are unchanged.
         graft.functions.GraftExtensions.registerInto(s)
+        // hashed_trigrams = the builtin chain
+        // array_sort(array_distinct(transform(sequence(...), xxhash64 ∘
+        // substring))) as ONE primitive codegen pass (no boxed Longs, no
+        // per-doc hash set) — proven element-identical in FunctionsSpec
         val docs = T.documents(s, d)
           .select(col("lang"), floor(col("n_chars") / 32).as("lb"),
             col("doc_id"), expr(normSql).as("nt"))
-          .withColumn("g", expr(
-            """CASE WHEN length(nt) < 3 THEN CAST(array() AS ARRAY<BIGINT>)
-              |ELSE array_sort(array_distinct(transform(sequence(1, length(nt) - 2),
-              |       i -> xxhash64(substring(nt, i, 3))))) END""".stripMargin))
+          .withColumn("g", expr("hashed_trigrams(nt)"))
           .drop("nt")
           // pre-partition on the block key: both self-join sides then read
           // the same shuffle layout instead of each re-deriving the

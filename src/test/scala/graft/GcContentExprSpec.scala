@@ -88,4 +88,33 @@ class GcContentExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(built.isInstanceOf[graft.functions.GcContentExpr])
     assert(built.eval(null) == 100.0)
   }
+
+  test("hashed_trigrams equals the builtin chain element-for-element") {
+    import spark.implicits._
+    GraftExtensions.registerInto(spark)
+    val rnd = new scala.util.Random(23)
+    val ascii = (1 to 60).map(_ =>
+      (1 to rnd.nextInt(40)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    val edge = Seq("", "a", "ab", "abc", "aaaaaaa", "ab cd ab cd",
+      "héllo wörld", "日本語テキスト", "aßc aßc")
+    val df = (ascii ++ edge).toDF("nt")
+    val rows = df.select(col("nt"),
+        expr("hashed_trigrams(nt)").as("fast"),
+        expr("""CASE WHEN length(nt) < 3 THEN CAST(array() AS ARRAY<BIGINT>)
+               |ELSE array_sort(array_distinct(transform(sequence(1, length(nt) - 2),
+               |       i -> xxhash64(substring(nt, i, 3))))) END""".stripMargin).as("slow"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"input '${r.getString(0)}'")
+    }
+    // null propagates; interpreted path agrees with codegen
+    assert(Seq[Option[String]](None).toDF("nt")
+      .select(expr("hashed_trigrams(nt)")).head().isNullAt(0))
+    val interp = graft.functions.HashedTrigramsExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal("ab cd ab cd"))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val viaDf = Seq("ab cd ab cd").toDF("nt")
+      .select(expr("hashed_trigrams(nt)")).head().getSeq[Long](0)
+    assert(interp.toLongArray().toSeq == viaDf)
+  }
 }
