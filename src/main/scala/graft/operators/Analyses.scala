@@ -304,20 +304,28 @@ object Analyses {
         // rows instead of O(n²): the difference between 10M and 600k rows
         // at sf0.1, and between a cluster job and an impossibility at
         // the reference's 770 strains × 5k anchors scale-up.
-        val strains = anchorSpans(positioned(s, d))
+        val p = positioned(s, d)
+        val strains = anchorSpans(p)
           .select(col("c1"), col("c2"), col("user_id")).distinct()
-        // the 40-level trie assumes user_id ∈ [0, 2^40); ids outside the
-        // domain would silently share no level prefix (undercounted pairs)
-        // while the quadratic oracle still counts them — so the domain
-        // check is fused into the prefix expression (a used column: the
-        // optimizer can't prune it away) and fails LOUDLY instead
+        // trie depth = bit length of the LARGEST id, as a broadcast scalar
+        // over the (cached) positioned frame — levels past it have m = 0
+        // by construction, so hardcoding 40 only wasted explode fan-out
+        // (testdata ids are ~11 bits: 3.6x fewer leveled rows) and capped
+        // the legal domain. conv(·,10,2) length is exact integer bit
+        // arithmetic, never a log2 rounding hazard. Negative ids would
+        // still silently undercount (they share no prefix with anything),
+        // so that check stays fused into a used column and fails LOUDLY.
+        val bits = p.agg(max(col("user_id")).as("mx"))
+          .select(greatest(length(conv(col("mx"), 10, 2)), lit(1))
+            .cast("int").as("nbits"))
         val leveled = strains
+          .crossJoin(broadcast(bits))
           .select(col("c1"), col("c2"), col("user_id").as("u"),
-            explode(sequence(lit(0), lit(39))).as("k"))
+            explode(sequence(lit(0), col("nbits") - 1)).as("k"))
           .select(col("c1"), col("c2"), col("k"),
-            expr("CASE WHEN u >= 0 AND u < 1099511627776 THEN u >> (k + 1) " +
-              "ELSE CAST(raise_error('x3_anchor_phylo: user_id outside " +
-              "[0, 2^40) breaks the bit-trie phylogeny') AS BIGINT) END")
+            expr("CASE WHEN u >= 0 THEN u >> (k + 1) " +
+              "ELSE CAST(raise_error('x3_anchor_phylo: negative user_id " +
+              "breaks the bit-trie phylogeny') AS BIGINT) END")
               .as("prefix"),
             expr("(u >> k) & 1").as("bit"))
         // per level: m = pairs first differing at bit k; ns = Σ(n0+n1) is

@@ -31,10 +31,14 @@ object Projections {
     QueryDef(
       "s2_filename_column",
       (s, d) =>
+        // aggregate on the RAW file name first (a handful of distinct
+        // values), then regex only the tiny aggregate — a regex per fact
+        // row is real money at 100 TB and buys nothing here
         T.lineitem(s, d)
-          .withColumn("src_table",
-            regexp_extract(input_file_name(), "([a-z]+)\\.parquet", 1))
-          .groupBy(col("src_table")).agg(count(lit(1)).as("n"))
+          .groupBy(input_file_name().as("src_file")).agg(count(lit(1)).as("cnt"))
+          .groupBy(regexp_extract(col("src_file"), "([a-z]+)\\.parquet", 1)
+            .as("src_table"))
+          .agg(sum(col("cnt")).as("n"))
           .orderBy(col("src_table")),
       Some("SELECT 'lineitem' AS src_table, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1"),
       doc = "SURVEY S2; pirateToDatabase.py:26"),
