@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scale contract, pinned at the plan level for EVERY driver-contract
+  * query (ground truth gathered by `graft.PlanScan`):
+  *
+  *  - no CartesianProduct, anywhere, ever;
+  *  - BroadcastNestedLoopJoin only where the operator is a deliberate
+  *    broadcast-scalar cross join (the de-eager n_users/centroid/t-table
+  *    pattern) or a bounded theta join whose small side is broadcast;
+  *  - single-partition exchanges only under single-row scalar aggregates
+  *    (or the documented ≤256-token vocab window in c1/c2) — never a
+  *    global window/sort over fact data.
+  *
+  * A new operator that accidentally introduces a quadratic join or a
+  * global funnel fails here by name instead of surfacing as a 100x
+  * regression on a cluster.
+  */
+class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  // one planning pass for the whole suite; builders that run bounded
+  // actions (c3 driver linkage, d8 CC, d4 footer read) do so here once
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf).queryExecution.executedPlan.toString
+    }
+
+  test("no CartesianProduct in any query plan") {
+    val offenders = plans.collect {
+      case (n, p) if p.contains("CartesianProduct") => n
+    }
+    assert(offenders.isEmpty, s"cartesian joins in: ${offenders.toSeq.sorted}")
+  }
+
+  // each member is a broadcast-scalar cross join (1-row n_users/t-table/
+  // centroid side) or a bounded theta join with the small side broadcast
+  private val bnljAllowed = Set(
+    "a12_tree_distance",      // broadcast LCA index cross join
+    "a15_core_membership",    // broadcast 1-row group-size scalar
+    "a17_welch_pvalue", "a17_welch_t", // broadcast t-table / group scalars
+    "c1_dice_similarity", "c2_jaccard_distance", // id1<id2 theta, sets broadcast
+    "d5_cosine_topk", "d5b_cosine_topk_agg",     // broadcast query vectors
+    "d7_ann_ivf",             // broadcast sampled centroids
+    "j15_cross_pairs",        // the operator IS the cross product (bounded)
+    "x2_rgp_mine", "x3_anchor_phylo", "x4_core_genes") // broadcast scalars
+
+  test("BroadcastNestedLoopJoin only in the documented broadcast/theta set") {
+    val offenders = plans.collect {
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(n) => n
+    }
+    assert(offenders.isEmpty, s"unexpected nested-loop joins in: ${offenders.toSeq.sorted}")
+  }
+
+  // each member funnels to one partition ONLY for a single-row scalar
+  // aggregate (count-distinct totals, Welch background, core fraction) or
+  // c1/c2's ≤256-token vocabulary ranking (capacity-asserted in DomainOps)
+  private val singlePartitionAllowed = Set(
+    "a4_distinct_count", "a15_core_membership",
+    "a17_welch_pvalue", "a17_welch_t",
+    "c1_dice_similarity", "c2_jaccard_distance",
+    "o5_explode_distinct", "p15_null_predicates",
+    "x2_rgp_mine", "x3_anchor_phylo", "x4_core_genes")
+
+  test("single-partition exchanges only under scalar aggregates") {
+    val offenders = plans.collect {
+      case (n, p) if p.contains("SinglePartition") && !singlePartitionAllowed(n) => n
+    }
+    assert(offenders.isEmpty, s"unexpected global funnels in: ${offenders.toSeq.sorted}")
+  }
+
+  test("s1 scan pushes its filter and prunes to the projected columns") {
+    val p = plans("s1_scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag").foreach(c =>
+      assert(readSchema.contains(c), s"column $c missing from scan: $readSchema"))
+    assert(!readSchema.contains("l_extendedprice"),
+      s"scan reads more than the projection: $readSchema")
+  }
+
+  test("j1's small side actually broadcasts") {
+    assert(plans("j1_broadcast_inner").contains("BroadcastHashJoin"))
+  }
+}
