@@ -57,7 +57,8 @@ object Bench {
     // complete per-query mins and every raw run go to bench_out.json.
     val headline = Set(
       "q1_agg", "j8_star_join", "x1_genome_track", "x2_rgp_mine",
-      "x3_anchor_phylo", "x4_core_genes", "d1_exact_dedup", "d2_minhash_lsh",
+      "x3_anchor_phylo", "x4_core_genes", "x5_feature_metrics",
+      "d1_exact_dedup", "d2_minhash_lsh",
       "d3_simhash", "d4_ngram_jaccard", "d5_cosine_topk", "d5b_cosine_topk_agg",
       "d6_ann_lsh", "d7_ann_ivf", "d8_embedding_neardup", "c1_dice_similarity",
       "c2_jaccard_distance", "c3_hierarchical_clustering", "g5_majority_filter",

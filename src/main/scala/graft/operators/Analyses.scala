@@ -428,6 +428,55 @@ object Analyses {
               |SELECT c.event_type, c.n_ins, m.number_genomes, m.mean_value
               |FROM core c JOIN meta m ON c.event_type = m.event_type
               |ORDER BY c.event_type""".stripMargin),
-      doc = "SURVEY §3 core-gene analysis; RGPs.ipynb:3232-3405 cells 100-118")
+      doc = "SURVEY §3 core-gene analysis; RGPs.ipynb:3232-3405 cells 100-118"),
+
+    // ---- Feature/strain metrics enrichment (extendingDB_FeatureAnd
+    // StrainMetrics.py:21-75) ---- the reference's 4th entry point as ONE
+    // oracle row: variation decode (variationToFullSequence) → GC per
+    // feature (:52) → per-strain mean/stddev → z-score + deviating upsert.
+    // The Spark side takes the LONG way — encode the sequence against a
+    // derived reference, decode it back (the P7/P8 codec, codegen
+    // expressions), GC the decoded sequence — while the oracle computes GC
+    // on the raw sequence directly: hash equality proves the codec path is
+    // lossless IN the composite and the stat math matches, not just in
+    // isolated unit tests. Scale shape: one scan, codec + GC inside one
+    // codegen span, per-strain stats broadcast back — zero extra shuffles
+    // beyond the one tiny aggregate.
+    QueryDef(
+      "x5_feature_metrics",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val feats = T.documents(s, d)
+          .withColumn("seq", substring(col("text"), 1, 80))
+          .withColumn("ref", translate(col("seq"), "aeiou", "eioua"))
+          .withColumn("full_seq",
+            expr("variation_decode(variation_encode_native(seq, ref), ref)"))
+          .select(col("doc_id"), col("lang"),
+            expr("gc_content_native(full_seq)").as("gc"))
+        val stats = feats.groupBy(col("lang").as("lg"))
+          .agg(eavg(col("gc")).as("mu"), estddev(col("gc")).as("sd"))
+        feats.join(broadcast(stats), col("lang") === col("lg")).drop("lg")
+          .withColumn("z", (col("gc") - col("mu")) / col("sd"))
+          .withColumn("deviating", (abs(col("z")) >= 1.5).cast("int"))
+          .select(col("doc_id"), col("lang"), col("gc"), col("z"),
+            col("deviating"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH f AS (
+              |  SELECT doc_id, lang,
+              |    CASE WHEN length(substring(text, 1, 80)) = 0 THEN 0.0
+              |         ELSE length(regexp_replace(upper(substring(text, 1, 80)),
+              |                '[^GCS]', '', 'g')) * 100.0
+              |              / length(substring(text, 1, 80)) END AS gc
+              |  FROM documents),
+              |st AS (
+              |  SELECT lang AS lg, ${sqlAvg("gc")} AS mu, ${sqlStddev("gc")} AS sd
+              |  FROM f GROUP BY 1)
+              |SELECT f.doc_id, f.lang, f.gc,
+              |  (f.gc - st.mu) / st.sd AS z,
+              |  CAST(abs((f.gc - st.mu) / st.sd) >= 1.5 AS INT) AS deviating
+              |FROM f JOIN st ON f.lang = st.lg
+              |ORDER BY f.doc_id""".stripMargin),
+      doc = "SURVEY §3 enrichment lifecycle; extendingDB_FeatureAndStrainMetrics.py:21-75")
   )
 }
