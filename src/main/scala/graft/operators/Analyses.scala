@@ -100,6 +100,12 @@ object Analyses {
       .join(f2, col("user_id") === col("uid2") && col("c2b") === col("c2") &&
         (col("pos2") - col("pos1")).between(minGap, maxGap))
       .select(col("user_id"), col("c1"), col("c2"), col("pos1"), col("pos2"))
+      // tiny output (spans ≪ events), expensive lineage (edge majority +
+      // core + positional join): persist lazily so x2's span-body join and
+      // x3's strain-set derivation share ONE span pipeline run — same
+      // contract as [[positioned]] (zero jobs at build, CacheManager
+      // dedupes across queries and reps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** SQL form of [[anchorSpans]] (CTE chain shared by the x2/x3 oracles). */
