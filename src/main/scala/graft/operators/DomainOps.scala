@@ -62,8 +62,12 @@ object DomainOps {
       // both sides of the C1/C2 pair join read this frame: the trailing
       // repartition gives them an IDENTICAL exchange subplan, so
       // ReuseExchange materializes the set build once instead of twice
-      // (same trick as d4's block-key repartition)
+      // (same trick as d4's block-key repartition). The lazy persist on
+      // top lets c1 and c2 (and bench reps) share ONE set build — tiny
+      // frame (|users| × 4 longs), same cache contract as Analyses'
+      // positional frame (zero jobs at build, CacheManager dedupe).
       .repartition(col("user_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Σ bit_count(m1[w] & m2[w]) — the bitset |∩|, pure codegen. */

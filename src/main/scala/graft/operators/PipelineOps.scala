@@ -363,9 +363,14 @@ object PipelineOps {
       "d7_ann_ivf",
       (s, d) => {
         val q = expr("transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))")
+        // four consumers (centroids, assignment, listing, probes) with
+        // different prunings re-derive the quantized frame — lazy persist
+        // shares one pass (tiny: |vectors| × dim longs; the cache
+        // contract documented in Analyses.positioned)
         val base = T.embeddings(s, d).select(col("vec_id"), q.as("q"))
           .withColumn("nn",
             expr("aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cents = base.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
         val simToCent =
