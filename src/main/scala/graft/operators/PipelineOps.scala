@@ -497,6 +497,77 @@ object PipelineOps {
       None, // recall-bounded sketch: planted-duplicate groups pinned in AnnSpec
       doc = "dedup/embedding-cosine near-dup + canonical id; brief's dedup list"),
 
+    // D9: duplicate n-gram span detection — the exact-substring face of
+    // training-data dedup (Lee et al. 2022, "Deduplicating Training Data
+    // Makes Language Models Better"): every word-level 6-gram occurring in
+    // more than one document is a duplicated span; report per document how
+    // much of it such spans cover. Scale shape: grams are digested BEFORE
+    // the shuffle (md5 here because the oracle needs an engine-portable
+    // digest; xxhash64 at 100 TB halves the key width), and the gram
+    // stream is derived ONCE — partial counts keyed (digest, doc) -> a
+    // digest-partitioned window for the distinct-doc count -> a doc-keyed
+    // rollup. No join back to the gram stream, so nothing heavy runs twice;
+    // the totals side re-reads only (doc_id, text). 6 rides above the
+    // incidental-overlap floor of the corpus vocabulary (4-grams collide by
+    // chance; 6-gram sharing means copied spans).
+    QueryDef(
+      "d9_dup_ngram_spans",
+      (s, d) => {
+        val n = 6
+        val toks = filter(split(lower(col("text")), " "), x => x =!= "")
+        val base = T.documents(s, d).select(col("doc_id"), toks.as("ts"))
+        // sequence(1, k) is DESCENDING for k < 1, so short docs must gate
+        // on a when(), not on the sequence bounds
+        val grams = when(size(col("ts")) >= n,
+          expr(s"transform(sequence(1, size(ts) - ${n - 1}), " +
+            s"i -> md5(array_join(slice(ts, i, $n), ' ')))"))
+          .otherwise(expr("cast(array() as array<string>)"))
+        val perGramDoc = base
+          .select(col("doc_id"), explode(grams).as("h"))
+          .groupBy(col("h"), col("doc_id"))
+          .agg(count(lit(1)).as("pos_in_doc"))
+        val dupPerDoc = perGramDoc
+          // rows are (gram, doc)-unique, so a plain count over the digest
+          // partition IS the distinct-document count — no second distinct
+          .withColumn("docs_with", count(lit(1)).over(Window.partitionBy(col("h"))))
+          .filter(col("docs_with") > 1)
+          .groupBy(col("doc_id"))
+          .agg(sum(col("pos_in_doc")).as("dp"), count(lit(1)).as("dg"))
+        base
+          .select(col("doc_id"),
+            greatest(size(col("ts")) - (n - 1), lit(0)).cast("long").as("n_grams"))
+          .join(dupPerDoc, Seq("doc_id"), "left")
+          .withColumn("n_dup_positions", coalesce(col("dp"), lit(0L)))
+          .withColumn("n_dup_grams", coalesce(col("dg"), lit(0L)))
+          .select(col("doc_id"), col("n_grams"), col("n_dup_positions"), col("n_dup_grams"),
+            when(col("n_grams") > 0,
+              col("n_dup_positions").cast("double") / col("n_grams"))
+              .otherwise(0.0).as("dup_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(str_split(lower(text), ' '), x -> x <> '') AS ts
+             |  FROM documents),
+             |pos AS (
+             |  SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 4, 1))) AS i FROM toks),
+             |grams AS (
+             |  SELECT doc_id, md5(array_to_string(ts[i : i + 5], ' ')) AS h FROM pos),
+             |per AS (
+             |  SELECT h, doc_id, count(*) AS pos_in_doc FROM grams GROUP BY h, doc_id),
+             |dup AS (
+             |  SELECT doc_id, CAST(sum(pos_in_doc) AS BIGINT) AS dp, count(*) AS dg
+             |  FROM (SELECT *, count(*) OVER (PARTITION BY h) AS docs_with FROM per)
+             |  WHERE docs_with > 1 GROUP BY doc_id)
+             |SELECT t.doc_id,
+             |  CAST(greatest(len(ts) - 5, 0) AS BIGINT) AS n_grams,
+             |  coalesce(dp, 0) AS n_dup_positions,
+             |  coalesce(dg, 0) AS n_dup_grams,
+             |  CASE WHEN len(ts) - 5 > 0
+             |       THEN CAST(coalesce(dp, 0) AS DOUBLE) / (len(ts) - 5)
+             |       ELSE 0.0 END AS dup_ratio
+             |FROM toks t LEFT JOIN dup USING (doc_id) ORDER BY doc_id""".stripMargin),
+      doc = "dedup/exact duplicate n-gram spans across documents; brief's dedup list"),
+
     // T1: language identification — stopword-overlap scoring against
     // per-language seed lists, deterministic argmax (alphabetical tiebreak).
     QueryDef(
@@ -621,6 +692,83 @@ object PipelineOps {
              |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
              |FROM documents WHERE length(text) > 0 ORDER BY doc_id""".stripMargin),
       doc = "text/fingerprint rolling hash"),
+
+    // T5: within-document repetition metrics — the Gopher/MassiveText
+    // repetition quality filters (Rae et al. 2021, §A1.1): the share of a
+    // document occupied by its most frequent word bigram, and the fraction
+    // of trigram positions whose trigram repeats inside the document
+    // (d9 is the CROSS-document form of the same statistic). Counting is a
+    // (doc_id, digest)-keyed aggregation — the shuffle key carries the doc
+    // hash, so work distributes per document and no global structure
+    // exists; grams shuffle as md5 digests (engine-portable; the gram text
+    // never appears in the output, so only the digest needs to move).
+    QueryDef(
+      "t5_repetition",
+      (s, d) => {
+        val toks = filter(split(lower(col("text")), " "), x => x =!= "")
+        val base = T.documents(s, d).select(col("doc_id"), toks.as("ts"))
+        def grams(n: Int) = when(size(col("ts")) >= n,
+          expr(s"transform(sequence(1, size(ts) - ${n - 1}), " +
+            s"i -> md5(array_join(slice(ts, i, $n), ' ')))"))
+          .otherwise(expr("cast(array() as array<string>)"))
+        def counts(n: Int) = base
+          .select(col("doc_id"), explode(grams(n)).as("h"))
+          .groupBy(col("doc_id"), col("h"))
+          .agg(count(lit(1)).as("c"))
+        val bg = counts(2).groupBy(col("doc_id"))
+          .agg(max(col("c")).as("tb"), sum(col("c")).as("nb"))
+        val tg = counts(3).groupBy(col("doc_id"))
+          .agg(sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dt"),
+            sum(col("c")).as("nt"))
+        base.select(col("doc_id"))
+          .join(bg, Seq("doc_id"), "left")
+          .join(tg, Seq("doc_id"), "left")
+          .withColumn("top_bigram_count", coalesce(col("tb"), lit(0L)))
+          .withColumn("n_bigrams", coalesce(col("nb"), lit(0L)))
+          .withColumn("dup_tri_positions", coalesce(col("dt"), lit(0L)))
+          .withColumn("n_trigrams", coalesce(col("nt"), lit(0L)))
+          .select(col("doc_id"),
+            col("top_bigram_count"), col("n_bigrams"),
+            when(col("n_bigrams") > 0,
+              col("top_bigram_count").cast("double") / col("n_bigrams"))
+              .otherwise(0.0).as("top_bigram_frac"),
+            col("dup_tri_positions"), col("n_trigrams"),
+            when(col("n_trigrams") > 0,
+              col("dup_tri_positions").cast("double") / col("n_trigrams"))
+              .otherwise(0.0).as("dup_trigram_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(str_split(lower(text), ' '), x -> x <> '') AS ts
+             |  FROM documents),
+             |bg AS (
+             |  SELECT doc_id, md5(array_to_string(ts[i : i + 1], ' ')) AS h
+             |  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts), 1))) AS i FROM toks)),
+             |bagg AS (
+             |  SELECT doc_id, CAST(max(c) AS BIGINT) AS tb, CAST(sum(c) AS BIGINT) AS nb
+             |  FROM (SELECT doc_id, h, count(*) AS c FROM bg GROUP BY doc_id, h)
+             |  GROUP BY doc_id),
+             |tg AS (
+             |  SELECT doc_id, md5(array_to_string(ts[i : i + 2], ' ')) AS h
+             |  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 1, 1))) AS i FROM toks)),
+             |tagg AS (
+             |  SELECT doc_id,
+             |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dt,
+             |    CAST(sum(c) AS BIGINT) AS nt
+             |  FROM (SELECT doc_id, h, count(*) AS c FROM tg GROUP BY doc_id, h)
+             |  GROUP BY doc_id)
+             |SELECT t.doc_id,
+             |  coalesce(tb, 0) AS top_bigram_count,
+             |  coalesce(nb, 0) AS n_bigrams,
+             |  CASE WHEN coalesce(nb, 0) > 0 THEN CAST(tb AS DOUBLE) / nb ELSE 0.0 END
+             |    AS top_bigram_frac,
+             |  coalesce(dt, 0) AS dup_tri_positions,
+             |  coalesce(nt, 0) AS n_trigrams,
+             |  CASE WHEN coalesce(nt, 0) > 0 THEN CAST(dt AS DOUBLE) / nt ELSE 0.0 END
+             |    AS dup_trigram_frac
+             |FROM toks t LEFT JOIN bagg USING (doc_id) LEFT JOIN tagg USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      doc = "text/repetition quality metrics (Gopher rep-filters); brief's text-analysis list"),
 
     // M1: multimodal metadata — media as opaque binary + typed metadata;
     // content digest and a deterministic stand-in for decoded dimensions

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** d9 (cross-document duplicate n-gram spans) and t5 (within-document
+  * repetition metrics) pinned on a handcrafted corpus with fully
+  * enumerable n-gram structure: planted shared 6-grams, a pathological
+  * all-same-token document, sub-n documents, and an empty document.
+  */
+class DupSpansSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_dupspans").toString
+    Seq(
+      1L -> "a b c d e f g h",     // shares 6-gram "a b c d e f" with 2 and 6
+      2L -> "a b c d e f x y",
+      3L -> "z z z z z z z z z z", // max within-doc repetition, no cross-doc dup
+      4L -> "short one",           // below n: zero 6-grams, one bigram
+      5L -> "",                    // empty: zero tokens everywhere
+      6L -> "A B C D E F q r",     // case-normalizes into the shared 6-gram
+      7L -> "x y x y x y z"        // known bigram/trigram repetition counts
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("d9: cross-document duplicate 6-gram spans, case-normalized") {
+    val rows = SparkEntry.queries("d9_dup_ngram_spans")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    // "a b c d e f" lives in docs 1, 2, 6 (doc 6 via lower()); every other
+    // 6-gram is unique to its document
+    assert(rows(1L) == ((3L, 1L, 1L, 1.0 / 3)))
+    assert(rows(2L) == ((3L, 1L, 1L, 1.0 / 3)))
+    assert(rows(6L) == ((3L, 1L, 1L, 1.0 / 3)))
+    // doc 3 repeats its 6-gram 5x WITHIN the doc — not a cross-doc dup
+    assert(rows(3L) == ((5L, 0L, 0L, 0.0)))
+    assert(rows(4L) == ((0L, 0L, 0L, 0.0)))
+    assert(rows(5L) == ((0L, 0L, 0L, 0.0)))
+    assert(rows(7L) == ((2L, 0L, 0L, 0.0)))
+  }
+
+  test("t5: within-document repetition metrics") {
+    val rows = SparkEntry.queries("t5_repetition")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    // doc 1: 7 distinct bigrams, 6 distinct trigrams — no repetition
+    assert(rows(1L) == ((1L, 7L, 1.0 / 7, 0L, 6L, 0.0)))
+    // doc 3: ten 'z' tokens — every bigram and trigram identical
+    assert(rows(3L) == ((9L, 9L, 1.0, 8L, 8L, 1.0)))
+    // doc 4: a single bigram occupies the whole doc; no trigram exists
+    assert(rows(4L) == ((1L, 1L, 1.0, 0L, 0L, 0.0)))
+    assert(rows(5L) == ((0L, 0L, 0.0, 0L, 0L, 0.0)))
+    // doc 7 "x y x y x y z": bigrams x_y=3, y_x=2, y_z=1 -> top 3/6;
+    // trigrams x_y_x=2, y_x_y=2, x_y_z=1 -> dup positions 4/5
+    assert(rows(7L) == ((3L, 6L, 0.5, 4L, 5L, 0.8)))
+  }
+}
