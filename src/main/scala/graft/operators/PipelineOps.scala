@@ -568,6 +568,87 @@ object PipelineOps {
              |FROM toks t LEFT JOIN dup USING (doc_id) ORDER BY doc_id""".stripMargin),
       doc = "dedup/exact duplicate n-gram spans across documents; brief's dedup list"),
 
+    // D9b: maximal duplicated spans — d9's positions merged into the span
+    // list a training pipeline actually edits with (Lee et al. 2022 remove
+    // the SPAN, not the document): per doc, every token range covered by
+    // cross-document duplicated 6-grams, overlapping/adjacent coverage
+    // merged. Positions ride the gram aggregation as collect_list payload
+    // (a position starts exactly one gram, so no distinct is ever needed),
+    // and the merge is gaps-and-islands per document: 6-gram coverage
+    // intervals all have equal length, so "new island" is just
+    // pos > lag(pos) + 6 — no running-max window. Every shuffle is keyed
+    // by digest or doc hash; nothing global.
+    QueryDef(
+      "d9b_dup_span_merge",
+      (s, d) => {
+        val n = 6
+        val toks = filter(split(lower(col("text")), " "), x => x =!= "")
+        val base = T.documents(s, d).select(col("doc_id"), toks.as("ts"))
+        val grams = when(size(col("ts")) >= n,
+          expr(s"transform(sequence(1, size(ts) - ${n - 1}), " +
+            s"i -> struct(i as pos, md5(array_join(slice(ts, i, $n), ' ')) as h))"))
+          .otherwise(expr("cast(array() as array<struct<pos:int,h:string>>)"))
+        val gramStream = base.select(col("doc_id"), explode(grams).as("g"))
+          .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+        // the duplicated-digest set is tiny relative to the gram stream
+        // (only grams occurring in >1 doc survive), so it broadcasts and
+        // the position stream never shuffles on the digest; countDistinct
+        // runs map-side-partial on (h, doc). The stream is derived twice,
+        // but both derivations are scan+project — no exchange.
+        val dupH = gramStream
+          .groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") > 1)
+          .select(col("h"))
+        val dupPos = gramStream.join(broadcast(dupH), Seq("h"))
+          .select(col("doc_id"), col("pos"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        dupPos
+          .withColumn("new_island",
+            when(col("pos") > lag(col("pos"), 1).over(w) + n, 1)
+              .when(lag(col("pos"), 1).over(w).isNull, 1)
+              .otherwise(0))
+          .withColumn("island", sum(col("new_island")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("doc_id"), col("island"))
+          .agg(min(col("pos")).as("span_start"),
+            (max(col("pos")) + (n - 1)).as("span_end"))
+          .select(col("doc_id"),
+            col("span_start").cast("long").as("span_start"),
+            col("span_end").cast("long").as("span_end"),
+            (col("span_end") - col("span_start") + 1).cast("long").as("n_tokens"))
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(str_split(lower(text), ' '), x -> x <> '') AS ts
+             |  FROM documents),
+             |pos AS (
+             |  SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 4, 1))) AS i FROM toks),
+             |grams AS (
+             |  SELECT doc_id, i, md5(array_to_string(ts[i : i + 5], ' ')) AS h FROM pos),
+             |dup AS (
+             |  SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+             |dp AS (
+             |  SELECT doc_id, i AS p FROM grams JOIN dup USING (h)),
+             |isl AS (
+             |  SELECT doc_id, p,
+             |    CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL THEN 1
+             |         WHEN p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 6 THEN 1
+             |         ELSE 0 END AS new_island
+             |  FROM dp),
+             |grp AS (
+             |  SELECT doc_id, p,
+             |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY p
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM isl)
+             |SELECT doc_id,
+             |  CAST(min(p) AS BIGINT) AS span_start,
+             |  CAST(max(p) + 5 AS BIGINT) AS span_end,
+             |  CAST(max(p) + 5 - min(p) + 1 AS BIGINT) AS n_tokens
+             |FROM grp GROUP BY doc_id, island
+             |ORDER BY doc_id, span_start""".stripMargin),
+      doc = "dedup/maximal duplicated span merge (gaps-and-islands over d9 positions)"),
+
     // T1: language identification — stopword-overlap scoring against
     // per-language seed lists, deterministic argmax (alphabetical tiebreak).
     QueryDef(

@@ -31,7 +31,11 @@ class DupSpansSpec extends AnyFunSuite with BeforeAndAfterAll {
       4L -> "short one",           // below n: zero 6-grams, one bigram
       5L -> "",                    // empty: zero tokens everywhere
       6L -> "A B C D E F q r",     // case-normalizes into the shared 6-gram
-      7L -> "x y x y x y z"        // known bigram/trigram repetition counts
+      7L -> "x y x y x y z",       // known bigram/trigram repetition counts
+      8L -> "p q r s t u v w",     // 8/9 share ALL their 6-grams: overlap merge
+      9L -> "p q r s t u v w zz",
+      10L -> ("a b c d e f g1 g2 g3 g4 g5 g6 g7 p q r s t u")
+      // doc 10: two duplicated spans separated by unique tokens -> two islands
     ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$d/documents.parquet")
     d
   }
@@ -40,9 +44,9 @@ class DupSpansSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = SparkEntry.queries("d9_dup_ngram_spans")(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
       .toMap
-    assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
-    // "a b c d e f" lives in docs 1, 2, 6 (doc 6 via lower()); every other
-    // 6-gram is unique to its document
+    assert(rows.keySet == (1L to 10L).toSet)
+    // "a b c d e f" lives in docs 1, 2, 6 (via lower()) and 10; every
+    // other 6-gram of docs 1-7 is unique to its document
     assert(rows(1L) == ((3L, 1L, 1L, 1.0 / 3)))
     assert(rows(2L) == ((3L, 1L, 1L, 1.0 / 3)))
     assert(rows(6L) == ((3L, 1L, 1L, 1.0 / 3)))
@@ -51,6 +55,28 @@ class DupSpansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(4L) == ((0L, 0L, 0L, 0.0)))
     assert(rows(5L) == ((0L, 0L, 0L, 0.0)))
     assert(rows(7L) == ((2L, 0L, 0L, 0.0)))
+    // docs 8/9 share all of doc 8's grams; doc 10 carries one gram from
+    // the 1/2/6 group and one from the 8/9 group
+    assert(rows(8L) == ((3L, 3L, 3L, 1.0)))
+    assert(rows(9L) == ((4L, 3L, 3L, 0.75)))
+    assert(rows(10L) == ((14L, 2L, 2L, 2.0 / 14)))
+  }
+
+  test("d9b: duplicated positions merge into maximal spans per document") {
+    val spans = SparkEntry.queries("d9b_dup_span_merge")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(spans == Seq(
+      // the shared "a b c d e f" covers tokens 1-6 in docs 1, 2, 6
+      (1L, 1L, 6L, 6L),
+      (2L, 1L, 6L, 6L),
+      (6L, 1L, 6L, 6L),
+      // docs 8/9: dup positions 1,2,3 overlap -> ONE span over tokens 1-8
+      (8L, 1L, 8L, 8L),
+      (9L, 1L, 8L, 8L),
+      // doc 10: positions 1 and 14 are > n apart -> two separate islands
+      (10L, 1L, 6L, 6L),
+      (10L, 14L, 19L, 6L)))
   }
 
   test("t5: within-document repetition metrics") {
