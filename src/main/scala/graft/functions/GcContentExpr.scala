@@ -94,6 +94,14 @@ object GraftExtensions {
     new ExpressionInfo(classOf[HashedTrigramsExpr].getName, "hashed_trigrams"),
     (exprs: Seq[Expression]) => HashedTrigramsExpr(exprs.head))
 
+  val ngramsFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hashed_ngrams"),
+    new ExpressionInfo(classOf[HashedNgramsExpr].getName, "hashed_ngrams"),
+    // n must be a foldable int literal: the window width is a plan-time
+    // constant (d9/d9b use 6, t5 uses 2 and 3)
+    (exprs: Seq[Expression]) => HashedNgramsExpr(exprs.head,
+      exprs(1).eval().asInstanceOf[Int]))
+
   def registerInto(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("gc_content_native", fn._3, "built-in")
@@ -103,5 +111,7 @@ object GraftExtensions {
       .createOrReplaceTempFunction("sorted_intersect_size", intersectFn._3, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("hashed_trigrams", trigramsFn._3, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("hashed_ngrams", ngramsFn._3, "built-in")
   }
 }

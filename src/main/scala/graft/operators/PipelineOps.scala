@@ -502,28 +502,24 @@ object PipelineOps {
     // Makes Language Models Better"): every word-level 6-gram occurring in
     // more than one document is a duplicated span; report per document how
     // much of it such spans cover. Scale shape: grams are digested BEFORE
-    // the shuffle (md5 here because the oracle needs an engine-portable
-    // digest; xxhash64 at 100 TB halves the key width), and the gram
-    // stream is derived ONCE — partial counts keyed (digest, doc) -> a
-    // digest-partitioned window for the distinct-doc count -> a doc-keyed
-    // rollup. No join back to the gram stream, so nothing heavy runs twice;
-    // the totals side re-reads only (doc_id, text). 6 rides above the
-    // incidental-overlap floor of the corpus vocabulary (4-grams collide by
-    // chance; 6-gram sharing means copied spans).
+    // the shuffle (the hashed_ngrams codegen kernel — one reusable buffer,
+    // 8-byte keys on the wire; the oracle groups by the gram text, which
+    // is count-equal modulo 64-bit collisions, d4's convention), and the
+    // gram stream is derived ONCE — partial counts keyed (digest, doc) ->
+    // a digest-partitioned window for the distinct-doc count -> a
+    // doc-keyed rollup. No join back to the gram stream, so nothing heavy
+    // runs twice; the totals side re-reads only (doc_id, text). 6 rides
+    // above the incidental-overlap floor of the corpus vocabulary
+    // (4-grams collide by chance; 6-gram sharing means copied spans).
     QueryDef(
       "d9_dup_ngram_spans",
       (s, d) => {
+        graft.functions.GraftExtensions.registerInto(s)
         val n = 6
         val toks = filter(split(lower(col("text")), " "), x => x =!= "")
         val base = T.documents(s, d).select(col("doc_id"), toks.as("ts"))
-        // sequence(1, k) is DESCENDING for k < 1, so short docs must gate
-        // on a when(), not on the sequence bounds
-        val grams = when(size(col("ts")) >= n,
-          expr(s"transform(sequence(1, size(ts) - ${n - 1}), " +
-            s"i -> md5(array_join(slice(ts, i, $n), ' ')))"))
-          .otherwise(expr("cast(array() as array<string>)"))
         val perGramDoc = base
-          .select(col("doc_id"), explode(grams).as("h"))
+          .select(col("doc_id"), explode(expr(s"hashed_ngrams(ts, $n)")).as("h"))
           .groupBy(col("h"), col("doc_id"))
           .agg(count(lit(1)).as("pos_in_doc"))
         val dupPerDoc = perGramDoc
@@ -572,24 +568,23 @@ object PipelineOps {
     // list a training pipeline actually edits with (Lee et al. 2022 remove
     // the SPAN, not the document): per doc, every token range covered by
     // cross-document duplicated 6-grams, overlapping/adjacent coverage
-    // merged. Positions ride the gram aggregation as collect_list payload
-    // (a position starts exactly one gram, so no distinct is ever needed),
-    // and the merge is gaps-and-islands per document: 6-gram coverage
-    // intervals all have equal length, so "new island" is just
+    // merged. The hashed_ngrams kernel emits digests whose array INDEX is
+    // the gram position, so posexplode recovers (position, digest) with no
+    // struct building; the merge is gaps-and-islands per document: 6-gram
+    // coverage intervals all have equal length, so "new island" is just
     // pos > lag(pos) + 6 — no running-max window. Every shuffle is keyed
     // by digest or doc hash; nothing global.
     QueryDef(
       "d9b_dup_span_merge",
       (s, d) => {
+        graft.functions.GraftExtensions.registerInto(s)
         val n = 6
         val toks = filter(split(lower(col("text")), " "), x => x =!= "")
         val base = T.documents(s, d).select(col("doc_id"), toks.as("ts"))
-        val grams = when(size(col("ts")) >= n,
-          expr(s"transform(sequence(1, size(ts) - ${n - 1}), " +
-            s"i -> struct(i as pos, md5(array_join(slice(ts, i, $n), ' ')) as h))"))
-          .otherwise(expr("cast(array() as array<struct<pos:int,h:string>>)"))
-        val gramStream = base.select(col("doc_id"), explode(grams).as("g"))
-          .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+        val gramStream = base
+          .select(col("doc_id"),
+            posexplode(expr(s"hashed_ngrams(ts, $n)")).as(Seq("pos0", "h")))
+          .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
         // the duplicated-digest set is tiny relative to the gram stream
         // (only grams occurring in >1 doc survive), so it broadcasts and
         // the position stream never shuffles on the digest; countDistinct
@@ -781,19 +776,16 @@ object PipelineOps {
     // (d9 is the CROSS-document form of the same statistic). Counting is a
     // (doc_id, digest)-keyed aggregation — the shuffle key carries the doc
     // hash, so work distributes per document and no global structure
-    // exists; grams shuffle as md5 digests (engine-portable; the gram text
+    // exists; grams shuffle as hashed_ngrams 8-byte digests (the gram text
     // never appears in the output, so only the digest needs to move).
     QueryDef(
       "t5_repetition",
       (s, d) => {
+        graft.functions.GraftExtensions.registerInto(s)
         val toks = filter(split(lower(col("text")), " "), x => x =!= "")
         val base = T.documents(s, d).select(col("doc_id"), toks.as("ts"))
-        def grams(n: Int) = when(size(col("ts")) >= n,
-          expr(s"transform(sequence(1, size(ts) - ${n - 1}), " +
-            s"i -> md5(array_join(slice(ts, i, $n), ' ')))"))
-          .otherwise(expr("cast(array() as array<string>)"))
         def counts(n: Int) = base
-          .select(col("doc_id"), explode(grams(n)).as("h"))
+          .select(col("doc_id"), explode(expr(s"hashed_ngrams(ts, $n)")).as("h"))
           .groupBy(col("doc_id"), col("h"))
           .agg(count(lit(1)).as("c"))
         val bg = counts(2).groupBy(col("doc_id"))

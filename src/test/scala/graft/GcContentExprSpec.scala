@@ -117,4 +117,39 @@ class GcContentExprSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(expr("hashed_trigrams(nt)")).head().getSeq[Long](0)
     assert(interp.toLongArray().toSeq == viaDf)
   }
+
+  test("hashed_ngrams equals the builtin window-hash chain element-for-element") {
+    import spark.implicits._
+    GraftExtensions.registerInto(spark)
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "b", "ccc", "dd", "\u00e9\u00e9", "\u65e5\u672c", "x")
+    val corp = (1 to 60).map(_ =>
+      Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))))
+    val edge = Seq(Seq.empty[String], Seq("a"), Seq("a", "b"),
+      Seq("", "", ""), Seq("sp ace", "tab"))
+    for (n <- Seq(2, 3, 6)) {
+      val rows = (corp ++ edge).toDF("ts").select(col("ts"),
+          expr(s"hashed_ngrams(ts, $n)").as("fast"),
+          expr(s"""CASE WHEN size(ts) < $n THEN CAST(array() AS ARRAY<BIGINT>)
+                 |ELSE transform(sequence(1, size(ts) - ${n - 1}),
+                 |       i -> xxhash64(array_join(slice(ts, i, $n), ' '))) END""".stripMargin)
+            .as("slow"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"n=$n input ${r.getSeq[String](0)}")
+      }
+    }
+    // null array propagates; interpreted path agrees with codegen
+    assert(Seq[Option[Seq[String]]](None).toDF("ts")
+      .select(expr("hashed_ngrams(ts, 3)")).head().isNullAt(0))
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Seq("aa", "bb", "cc", "dd"),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+    val interp = graft.functions.HashedNgramsExpr(lit, 2)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val viaDf = Seq(Seq("aa", "bb", "cc", "dd")).toDF("ts")
+      .select(expr("hashed_ngrams(ts, 2)")).head().getSeq[Long](0)
+    assert(interp.toLongArray().toSeq == viaDf)
+  }
 }
