@@ -46,14 +46,7 @@ object Analyses {
     */
   private def positioned(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame =
-    T.events(s, d)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
-        col("value"))
-      .withColumn("pos", row_number().over(wOrd))
-      .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
-      .select(col("user_id"), col("event_type"), col("value"), col("pos"),
-        col("prev"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Positional.frame(s, d) // shared with the g6-g10 span family
 
   /** The RGP anchor-span pipeline shared by x2 and x3: anchor selection
     * (directed edge majority + core membership via broadcast scalar) and

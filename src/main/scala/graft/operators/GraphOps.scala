@@ -25,8 +25,13 @@ object GraphOps {
   private def wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
 
   /** Events with the materialized genome-order position column (W5). */
+  /** The session-shared positional frame ([[Positional.frame]]): one
+    * window pass over events, lazily persisted, CacheManager-deduped with
+    * x2/x3's copy — g7's two anchor sides and g8/g9's span body read the
+    * cache instead of each re-running the events scan+shuffle+sort.
+    */
   private def positioned(s: SparkSession, d: String): DataFrame =
-    T.events(s, d).withColumn("pos", row_number().over(wOrd))
+    Positional.frame(s, d)
 
   private val posSql =
     """p AS (
@@ -305,10 +310,14 @@ object GraphOps {
     QueryDef(
       "g10_path_predicate",
       (s, d) => {
+        // running count windows by pos — the rank under (ts, event_id),
+        // which the shared frame has already materialized (ts/event_id
+        // themselves are projected away); ordering is identical
+        val wPos = Window.partitionBy(col("user_id")).orderBy(col("pos"))
         val p = positioned(s, d)
           .withColumn("m", when(col("event_type") === "purchase", 1).otherwise(0))
           .withColumn("cp", sum(col("m")).over(
-            wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+            wPos.rowsBetween(Window.unboundedPreceding, 0)))
           .select(col("user_id").as("cu"), col("pos"), col("m"), col("cp"))
         spans(s, d)
           .join(p.select(col("cu"), col("pos"), col("cp").as("cp1")),

@@ -218,6 +218,12 @@ object PipelineOps {
           } else PrefixJoin.jaccardPairs(docs, "doc_id", "g", Seq("lang", "lb"), 0.35)
         pairs
           .select(col("lang"), col("id1"), col("id2"), col("jaccard"))
+          // land the (small) pair output on a shuffle boundary before the
+          // global sort: RangePartitioning samples its child to pick
+          // bounds, and without this the sampler re-runs the in-block
+          // pair scan — the query's entire cost — a second time. The
+          // extra exchange moves ~|pairs| rows; the scan runs once.
+          .repartition(col("lang"))
           .orderBy(col("lang"), col("id1"), col("id2"))
       },
       Some("""WITH g AS (
