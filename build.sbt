@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the last stdout line of `sbt "runMain graft.Bench"` as
+// one JSON object; sbt's default LoggedOutput re-logs the forked JVM's
+// stdout with an "[info] " prefix, which made that line unparseable in
+// rounds 1-4. StdoutOutput lets the child inherit the raw stdout instead.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

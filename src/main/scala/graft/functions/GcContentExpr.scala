@@ -67,6 +67,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.encodeFn)
     ext.injectFunction(GraftExtensions.intersectFn)
     ext.injectFunction(GraftExtensions.trigramsFn)
+    ext.injectFunction(GraftExtensions.ngramsFn)
     ext.injectOptimizerRule(_ => graft.plans.StripCaseChangeUnderGc)
     ext.injectOptimizerRule(_ => graft.plans.SortedIntersectRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.PathSpanJoinStrategy)
@@ -98,9 +99,23 @@ object GraftExtensions {
     FunctionIdentifier("hashed_ngrams"),
     new ExpressionInfo(classOf[HashedNgramsExpr].getName, "hashed_ngrams"),
     // n must be a foldable int literal: the window width is a plan-time
-    // constant (d9/d9b use 6, t5 uses 2 and 3)
-    (exprs: Seq[Expression]) => HashedNgramsExpr(exprs.head,
-      exprs(1).eval().asInstanceOf[Int]))
+    // constant (d9/d9b use 6, t5 uses 2 and 3). Validated here so a bad
+    // call fails analysis with a message instead of an eval-time cast /
+    // index error.
+    (exprs: Seq[Expression]) => {
+      def fail(msg: String): Nothing =
+        throw new org.apache.spark.sql.AnalysisException(
+          "_LEGACY_ERROR_TEMP_1332", Map("errorMessage" -> msg))
+      if (exprs.length != 2)
+        fail(s"hashed_ngrams(tokens, n) takes exactly 2 arguments, got ${exprs.length}")
+      val nExpr = exprs(1)
+      if (!nExpr.foldable)
+        fail(s"hashed_ngrams: n must be a foldable constant, got ${nExpr.sql}")
+      if (nExpr.dataType != org.apache.spark.sql.types.IntegerType)
+        fail("hashed_ngrams: n must be an INT literal, got " +
+          s"${nExpr.sql}: ${nExpr.dataType.simpleString}")
+      HashedNgramsExpr(exprs.head, nExpr.eval().asInstanceOf[Int])
+    })
 
   def registerInto(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry

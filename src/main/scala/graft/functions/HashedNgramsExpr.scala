@@ -14,13 +14,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * array below n tokens. The output INDEX is the 0-based gram position,
   * so `posexplode` recovers (position, digest) with no struct building.
   *
-  * Drop-in hash-equal to
+  * Drop-in hash-equal, for null-free token arrays (the only shape the
+  * split+filter callers produce), to
   * `transform(sequence(1, size(ts)-n+1), i -> xxhash64(array_join(slice(ts, i, n), ' ')))`
   * — which allocates a joined string, a boxed Long and a struct per
   * window. Here one reusable byte buffer (sized once via a sliding byte
   * count) receives each window's token bytes + 0x20 separators and is
-  * hashed in place: zero per-window allocation. Null tokens (impossible
-  * from split+filter, but defensively) hash as empty strings.
+  * hashed in place: zero per-window allocation. On arrays that DO contain
+  * nulls the two forms diverge by design: `array_join` silently drops null
+  * elements and their separators, while this kernel hashes each null as an
+  * empty string between its separators — positions stay aligned with the
+  * input, which is what the posexplode consumers (d9b) rely on.
   */
 object HashedNgrams {
   private val SEED = 42L

@@ -591,17 +591,24 @@ object PipelineOps {
           .select(col("doc_id"),
             posexplode(expr(s"hashed_ngrams(ts, $n)")).as(Seq("pos0", "h")))
           .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
-        // the duplicated-digest set is tiny relative to the gram stream
-        // (only grams occurring in >1 doc survive), so it broadcasts and
-        // the position stream never shuffles on the digest; countDistinct
-        // runs map-side-partial on (h, doc). The stream is derived twice,
-        // but both derivations are scan+project — no exchange.
+        // the duplicated-digest set is UNBOUNDED — over a real web corpus
+        // the n-grams occurring in >1 document are billions of rows (the
+        // very workload substring dedup targets), so it must NOT be
+        // force-broadcast (a broadcast() hint overrides Spark's size limit
+        // and OOMs the driver at exactly the scale this operator exists
+        // for). The static plan is a shuffled equi-join on the 8-byte
+        // digest — the scale-safe form — and AQE upgrades it to a runtime
+        // broadcast when the measured dup set is actually small (the
+        // sf0.1/clean-corpus case), which is the right dispatch: decided
+        // by observed size, not by an asserted comment. countDistinct
+        // still runs map-side-partial on (h, doc); the stream is derived
+        // twice, but both derivations are scan+project — no exchange.
         val dupH = gramStream
           .groupBy(col("h"))
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") > 1)
           .select(col("h"))
-        val dupPos = gramStream.join(broadcast(dupH), Seq("h"))
+        val dupPos = gramStream.join(dupH, Seq("h"))
           .select(col("doc_id"), col("pos"))
         val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         dupPos

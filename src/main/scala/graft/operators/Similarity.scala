@@ -30,26 +30,35 @@ object Similarity {
     * 32 perms / 4 rows-per-band = 8 bands -> ≥ 0.5-Jaccard pairs collide
     * with probability ≈ 1 − (1 − 0.5⁴)⁸ ≈ 0.42 per band family; planted-dup
     * recall is pinned in SimilaritySpec/SketchesSpec.
+    *
+    * Scale shape (the d2/d8 contract, `PipelineOps.scala:113-128,440-450`):
+    * the band stream carries **(band, id) only** — the token sets never
+    * ride the ~8×-exploded band shuffle. The sets join back per SURVIVING
+    * candidate through two linear equi-joins on id; the candidate set is
+    * tiny by construction (near-pairs + band collisions), so the heavy
+    * arrays move once, keyed by id, instead of 8× through the self-join.
     */
   def lshCandidates(
       sets: DataFrame, idCol: String, setCol: String,
       numPerms: Int = 32, rowsPerBand: Int = 4): DataFrame = {
     val bandsUdf = udf((toks: Seq[String]) =>
       Sketches.bandKeys(Sketches.minHash(toks, numPerms), rowsPerBand))
-    val withBands = sets
-      .select(col(idCol).as("id"), col(setCol).as("st"))
+    val src = sets.select(col(idCol).as("id"), col(setCol).as("st"))
+    val buckets = src
       .withColumn("bands", bandsUdf(transform(col("st"), x => x.cast("string"))))
-    val buckets = withBands.select(col("id"), col("st"),
-      posexplode(col("bands")).as(Seq("bi", "bk")))
-    val a = buckets.select(col("bi"), col("bk"),
-      col("id").as("id1"), col("st").as("s1"))
+      .select(col("id"), posexplode(col("bands")).as(Seq("bi", "bk")))
+    val a = buckets.select(col("bi"), col("bk"), col("id").as("id1"))
     val b = buckets.select(col("bi").as("bi2"), col("bk").as("bk2"),
-      col("id").as("id2"), col("st").as("s2"))
-    a.join(b,
+      col("id").as("id2"))
+    val cand = a.join(b,
         col("bi") === col("bi2") && col("bk") === col("bk2") &&
         col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("s1"), col("s2"))
+      .select(col("id1"), col("id2"))
       .dropDuplicates("id1", "id2")
+    cand
+      .join(src.select(col("id").as("id1"), col("st").as("s1")), Seq("id1"))
+      .join(src.select(col("id").as("id2"), col("st").as("s2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("s1"), col("s2"))
   }
 
   private def allPairs(sets: DataFrame, idCol: String, setCol: String): DataFrame = {

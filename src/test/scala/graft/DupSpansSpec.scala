@@ -79,6 +79,20 @@ class DupSpansSpec extends AnyFunSuite with BeforeAndAfterAll {
       (10L, 14L, 19L, 6L)))
   }
 
+  test("d9b: the dup-digest join is not force-broadcast (scale contract)") {
+    // the set of n-grams occurring in >1 document is unbounded over a real
+    // corpus; a broadcast() hint would override Spark's size threshold and
+    // OOM the driver at exactly the scale the operator targets. The static
+    // plan must be the shuffled digest join; only AQE may upgrade it at
+    // runtime based on the OBSERVED size.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = SparkEntry.queries("d9b_dup_span_merge")(spark, dir)
+    val hinted = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j
+    }
+    assert(hinted.isEmpty, s"join hints found in d9b: $hinted")
+  }
+
   test("t5: within-document repetition metrics") {
     val rows = SparkEntry.queries("t5_repetition")(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),

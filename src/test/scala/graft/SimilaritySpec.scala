@@ -64,6 +64,24 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       exactPlan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("LSH band self-join ships ids only — no token arrays on the band shuffle") {
+    // the d2/d8 contract, extended to the generic library (VERDICT r4 #1):
+    // both sides of the ~8x-exploded band self-join must project only
+    // (band, id); the token sets join back per surviving candidate
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.types.ArrayType
+    val df = Similarity.lshCandidates(plantedSets, "id", "toks")
+    val bandJoins = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name.startsWith("bi"))) => j
+    }
+    assert(bandJoins.nonEmpty, "band self-join not found in optimized plan")
+    bandJoins.foreach { j =>
+      val arrays = (j.left.output ++ j.right.output)
+        .filter(_.dataType.isInstanceOf[ArrayType])
+      assert(arrays.isEmpty, s"band join carries array columns: $arrays")
+    }
+  }
+
   test("row-count dispatcher switches branches at maxExactRows") {
     // tiny threshold forces the LSH branch; plan proves which branch ran
     val auto = Similarity.jaccardPairs(plantedSets, "id", "toks", minSim = 0.6,
