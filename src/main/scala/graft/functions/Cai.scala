@@ -49,6 +49,54 @@ object Cai {
   private val Skipped = Set("ATG", "TGG")
   private val Stops   = Set("TGA", "TAA", "TAG")
 
+  /** ln(w)·1e9 rounded to integers ONCE on the JVM and embedded as plain
+    * integer literals in both the Spark expression and the DuckDB oracle —
+    * neither engine evaluates a transcendental on the weights at runtime,
+    * so the log-sum is an exact integer aggregate that is bit-identical
+    * everywhere regardless of summation order (the `operators.Exact`
+    * contract, applied to CAI's geometric mean). Quantization error is
+    * ≤ 0.5e-9 per codon, ~1e-9 on the final CAI — bounded and identical
+    * in both engines.
+    */
+  val LnqScale: Double = 1e9
+  val Lnq: Seq[(String, Long)] = SharpEcoliIndex.toSeq.sortBy(_._1)
+    .map { case (c, w) => c -> math.round(math.log(w) * LnqScale) }
+
+  /** The ATG/TGG-excluded weighted-codon predicate + quantized-log lookup,
+    * as ONE Spark SQL scalar over a DNA string column — the distributed
+    * scale path for P10 (the scalar [[caiForGene]] stays for
+    * record-at-a-time use; FunctionsSpec pins their equivalence):
+    * split into codons with a higher-order transform (no shuffle, no UDF,
+    * stays in whole-stage codegen), sum the embedded integer logs, apply
+    * the Biopython (n−1) mean + NaN rules, and floor-quantize the exp to
+    * 1e-9 so the one-ulp exp() difference between libm implementations
+    * cannot surface (both engines quantize the same way).
+    */
+  def caiQuantizedSql(dna: String): String = {
+    val m = Lnq.map { case (c, q) => s"'$c', ${q}L" }.mkString("map(", ", ", ")")
+    // greatest(,1) keeps the sequence total on empty input (sequence(1,0,3)
+    // raises; the length=0 CASE arm answers first, but subexpression
+    // elimination may evaluate the codon array unconditionally): the empty
+    // string yields one '' pseudo-codon, unreachable behind the CASE guard.
+    val codons =
+      s"transform(sequence(1, greatest(length($dna), 1), 3), i -> substring($dna, i, 3))"
+    val good =
+      s"filter($codons, c -> try_element_at($m, c) IS NOT NULL AND c NOT IN ('ATG', 'TGG'))"
+    val bad =
+      s"exists($codons, c -> try_element_at($m, c) IS NULL AND c NOT IN ('TGA', 'TAA', 'TAG'))"
+    s"""CASE WHEN length($dna) = 0 THEN CAST(1.0 AS DOUBLE)
+       |     WHEN $bad THEN CAST(NULL AS DOUBLE)
+       |     WHEN size($good) = 0 THEN CAST(1.0 AS DOUBLE)
+       |     WHEN size($good) = 1 THEN CAST(NULL AS DOUBLE)
+       |     ELSE floor(exp((CAST(aggregate($good, 0L, (a, c) -> a + try_element_at($m, c)) AS DOUBLE) / 1e9)
+       |            / (size($good) - 1)) * 1e9 + 0.5) / 1e9
+       |END""".stripMargin
+  }
+
+  /** DuckDB VALUES rows for [[Lnq]] — the same embedded integers. */
+  def lnqValuesSql: String =
+    Lnq.map { case (c, q) => s"('$c', $q)" }.mkString(", ")
+
   /** The reference's pre-filter (drop N-containing codons, else trim to
     * ×3) — DEAD CODE there: computed but never passed to cai_for_gene
     * (extendingDB_FeatureAndStrainMetrics.py:54-68). Kept only so the

@@ -97,19 +97,53 @@ object DomainOps {
       doc = "SURVEY P7/P8; pirateToDatabase.py:175-197"),
 
     // P10: CAI over derived DNA (extendingDB_FeatureAndStrainMetrics.py:45-68).
-    // Not SQL-expressible -> rows-only driver check; exactness pinned by
-    // FunctionsSpec goldens against the Sharp & Li table.
+    // The distributed form is the quantized-log relational scalar
+    // (Cai.caiQuantizedSql): codon split + integer log-sum as pure
+    // higher-order expressions — no UDF, no shuffle, whole-stage codegen —
+    // with the Sharp & Li weights' ln values embedded as integers in BOTH
+    // engines, which makes CAI = exp(Σ lnw / (n−1)) an exact integer
+    // aggregate and therefore DuckDB-oracle-matchable (was `no_oracle`
+    // through r4). Biopython NaN quirks (illegal codon, n≤1 mean) are
+    // reproduced in both; the scalar caiForGene stays equivalence-pinned
+    // in FunctionsSpec.
     QueryDef(
       "p10_cai",
       (s, d) => {
         GraftFunctions.register(s)
         T.documents(s, d)
           .withColumn("dna", dnaOf(col("text")))
-          .select(col("doc_id"), expr("cai(dna)").as("cai"),
+          .select(col("doc_id"),
+            expr(graft.functions.Cai.caiQuantizedSql("dna")).as("cai"),
             expr("gc_content(dna)").as("gc"))
           .orderBy(col("doc_id"))
       },
-      None,
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, translate(regexp_replace(upper(text), '[^A-Z]', '', 'g'),
+              |    'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'ACGTACGTACGTACGTACGTACGTAC') AS dna
+              |  FROM documents),
+              |w AS (SELECT * FROM (VALUES ${graft.functions.Cai.lnqValuesSql}) AS t(codon, lnq)),
+              |cod AS (
+              |  SELECT doc_id, substring(dna, CAST(i AS INT), 3) AS codon
+              |  FROM (SELECT doc_id, dna, unnest(range(1, length(dna) + 1, 3)) AS i FROM d)),
+              |agg AS (
+              |  SELECT c.doc_id,
+              |    count(CASE WHEN w.lnq IS NOT NULL AND c.codon NOT IN ('ATG','TGG') THEN 1 END) AS n,
+              |    sum(CASE WHEN w.lnq IS NOT NULL AND c.codon NOT IN ('ATG','TGG') THEN w.lnq ELSE 0 END) AS qsum,
+              |    count(CASE WHEN w.lnq IS NULL AND c.codon NOT IN ('TGA','TAA','TAG') THEN 1 END) AS bad
+              |  FROM cod c LEFT JOIN w ON c.codon = w.codon GROUP BY c.doc_id)
+              |SELECT d.doc_id,
+              |  CASE WHEN a.doc_id IS NULL THEN CAST(1.0 AS DOUBLE)
+              |       WHEN a.bad > 0 THEN CAST(NULL AS DOUBLE)
+              |       WHEN a.n = 0 THEN CAST(1.0 AS DOUBLE)
+              |       WHEN a.n = 1 THEN CAST(NULL AS DOUBLE)
+              |       ELSE floor(exp((CAST(a.qsum AS DOUBLE) / 1e9) / (a.n - 1)) * 1e9 + 0.5) / 1e9
+              |  END AS cai,
+              |  CASE WHEN length(d.dna) = 0 THEN CAST(0.0 AS DOUBLE)
+              |       ELSE CAST((length(d.dna) - length(translate(d.dna, 'GC', ''))) * 100.0 AS DOUBLE)
+              |            / length(d.dna)
+              |  END AS gc
+              |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+              |ORDER BY d.doc_id""".stripMargin),
       doc = "SURVEY P10; extendingDB_FeatureAndStrainMetrics.py:45,54-68"),
 
     // P11+P12: z-score vs group stats + deviation threshold flag
@@ -164,10 +198,13 @@ object DomainOps {
              |ORDER BY p.a, p.b""".stripMargin),
       doc = "SURVEY A12; RGPs.ipynb:1618,1657 cells 47-48"),
 
-    // A17 (full): Welch t + Satterthwaite df + two-sided p — the p-value
-    // needs the Student-t CDF (graft.functions.Stats), so the driver check
-    // is rows-only; the CDF itself is pinned against published t-table
-    // critical values in FunctionsSpec.
+    // A17 (full): Welch t + Satterthwaite df + two-sided p. t and df are
+    // straight-line IEEE arithmetic over the Exact-quantized moments, so
+    // the oracle computes them directly; the p-value needs the Student-t
+    // CDF (graft.functions.Stats), which DuckDB lacks — the 5-row result
+    // is deterministic on the seeded fixture, so p joins from a golden
+    // VALUES table (the a12 precedent), full-precision doubles captured
+    // from the pinned CDF whose t-table fidelity FunctionsSpec asserts.
     QueryDef(
       "a17_welch_pvalue",
       (s, d) => {
@@ -188,7 +225,31 @@ object DomainOps {
           .select(col("event_type"), col("t_stat"), col("df"), col("p_two_sided"))
           .orderBy(col("event_type"))
       },
-      None,
+      Some(s"""WITH g AS (
+              |  SELECT event_type, ${sqlAvg("value")} AS m,
+              |         ${sqlStddev("value")} AS sd, count(*) AS n
+              |  FROM events GROUP BY event_type),
+              |bg AS (
+              |  SELECT ${sqlAvg("value")} AS m2, ${sqlStddev("value")} AS sd2,
+              |         count(*) AS n2
+              |  FROM events WHERE event_type = 'view'),
+              |-- golden doubles as VARCHAR -> DOUBLE: the string parse is
+              |-- correctly rounded; a bare literal would go through DECIMAL
+              |-- first and can land one ulp off
+              |p AS (SELECT * FROM (VALUES
+              |  ('click', '0.12671813638245288'),
+              |  ('error', '0.4459837415438177'),
+              |  ('purchase', '0.8515608604063982'),
+              |  ('signup', '0.09857866418292527'),
+              |  ('view', '1.0')) AS p(event_type, p_gold))
+              |SELECT g.event_type,
+              |  (m - m2) / sqrt(sd * sd / n + sd2 * sd2 / n2) AS t_stat,
+              |  (sd * sd / n + sd2 * sd2 / n2) * (sd * sd / n + sd2 * sd2 / n2)
+              |    / ((sd * sd / n) * (sd * sd / n) / (n - 1)
+              |       + (sd2 * sd2 / n2) * (sd2 * sd2 / n2) / (n2 - 1)) AS df,
+              |  CAST(p.p_gold AS DOUBLE) AS p_two_sided
+              |FROM g, bg, p WHERE g.event_type = p.event_type
+              |ORDER BY g.event_type""".stripMargin),
       doc = "SURVEY A17; RGPs.ipynb:1033-1069 cells 19-20"),
 
     // C1: Dice similarity over per-user event-type sets — the all-pairs
