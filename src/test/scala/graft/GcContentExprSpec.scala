@@ -118,6 +118,44 @@ class GcContentExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(interp.toLongArray().toSeq == viaDf)
   }
 
+  test("rolling_hash equals the builtin ascii-fold chain on ASCII; codepoints beyond") {
+    import spark.implicits._
+    GraftExtensions.registerInto(spark)
+    val rnd = new scala.util.Random(31)
+    val ascii = (1 to 80).map(_ =>
+      (1 to rnd.nextInt(120)).map(_ => (' ' + rnd.nextInt(95)).toChar).mkString)
+    val edge = Seq("", "a", "the quick brown fox", "1234567890", "~~~~")
+    val rows = (ascii ++ edge).distinct.toDF("t").select(col("t"),
+        expr("rolling_hash(t)").as("fast"),
+        expr("aggregate(transform(split(t, ''), x -> ascii(x)), 0L, " +
+          "(acc, c) -> (acc * 31 + c) % 1000000007)").as("slow"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"input '${r.getString(0)}'")
+    }
+    // multibyte: the kernel hashes CODEPOINTS (DuckDB unicode() semantics,
+    // the oracle's form) — pin against a direct scala codepoint fold
+    def ref(s: String): Long = {
+      var acc = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        acc = (acc * 31 + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    val uni = Seq("héllo wörld", "日本語テキスト", "mix: aé日z", "😀 emoji")
+    val got = uni.toDF("t").select(col("t"), expr("rolling_hash(t)"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    uni.foreach(s => assert(got(s) == ref(s), s"input '$s'"))
+    // null propagates; interpreted path agrees with codegen
+    assert(Seq[Option[String]](None).toDF("t")
+      .select(expr("rolling_hash(t)")).head().isNullAt(0))
+    val interp = graft.functions.RollingHashExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal("the quick brown fox"))
+    assert(interp.eval(null) == ref("the quick brown fox"))
+  }
+
   test("hashed_ngrams equals the builtin window-hash chain element-for-element") {
     import spark.implicits._
     GraftExtensions.registerInto(spark)
