@@ -1,0 +1,208 @@
+package graft
+
+import graft.pangenome.{Pangenome, Schemas}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Matched-scale lifecycle rehearsal (VERDICT r4 "what's missing" #2):
+  * synthesize a pangenome SHAPED like the reference's full dataset — 770
+  * strains x ~5.8k features each ≈ 4.4M features, ~6.5k gene families of
+  * ~750 members, ~1 kb reference sequences (`readme.md:1`,
+  * `strains.txt:1-769`) — then run the composed
+  * `etl -> buildGraph -> enrich -> genomeTrack + rgpMine` lifecycle once,
+  * wall-clocked per stage, against BASELINE.md's Neo4j numbers
+  * (graph build ≈ 1,805 s, enrichment ≈ 254 + 13.5 s).
+  *
+  * The generator is pure Spark (one `range` pass, hash-derived columns,
+  * zero driver loops) and deterministic: presence/absence, island
+  * structure, variation strings and reference DNA all come from
+  * `xxhash64` of (strain, slot) — re-runs are bit-identical.
+  *
+  * Shape model: each strain's genome is a walk over 6,500 ordered cluster
+  * "slots"; 100 islands of 8 accessory slots sit between core spans
+  * (present as a unit in ~20% of strains, carrying integrase/transposase
+  * products), core slots drop out at 2% — so RGP mining finds genuine
+  * majority-edge anchors with minority insertion spans, the reference's
+  * cell-12 structure (5,078 candidate insertions at full scale).
+  *
+  * Usage: `sbt "runMain graft.Rehearsal [nStrains]"` (default 770; the
+  * spec runs a miniature). Emits one JSON line with per-stage seconds and
+  * writes rehearsal_out.json.
+  */
+object Rehearsal {
+
+  /** EtlTables-shaped synthetic pangenome, built lazily (no jobs here). */
+  def synthesize(spark: SparkSession, nStrains: Int): Pangenome.EtlTables = {
+    val slotsPerStrain = 6500
+    val codons = graft.functions.Cai.SharpEcoliIndex.keys.toSeq.sorted
+    val codArr = array(codons.map(lit): _*)
+
+    def dna(salt: Column, nCod: Column) = concat(
+      lit("ATG"),
+      array_join(transform(sequence(lit(1), nCod),
+        i => element_at(codArr,
+          (pmod(xxhash64(salt, i), lit(codons.size)) + 1).cast("int"))), ""),
+      lit("TGA"))
+
+    val base = spark.range(nStrains.toLong * slotsPerStrain)
+      .select((col("id") / slotsPerStrain).cast("long").as("sid"),
+        (col("id") % slotsPerStrain).as("slot"))
+      .withColumn("islot", col("slot") % 65)
+      .withColumn("islandId", (col("slot") / 65).cast("long"))
+      .withColumn("isAccessory", col("islot") >= 57)
+      // islands toggle as a UNIT per (strain, island); core drops out at 2%
+      .filter(
+        when(col("isAccessory"), pmod(xxhash64(col("sid"), col("islandId")), lit(100)) < 20)
+          .otherwise(pmod(xxhash64(col("sid"), col("slot")), lit(100)) < 98))
+      .withColumn("nCodons", (lit(300) + pmod(xxhash64(col("slot")), lit(100))).cast("int"))
+      .withColumn("h", xxhash64(lit(7), col("sid"), col("slot")))
+      .withColumn("lonely", pmod(col("h"), lit(1000)) < 3)
+
+    val features = base.select(
+      format_string("S%03d_f%04d", col("sid"), col("slot")).as("Name"),
+      (col("slot") * 1500 + 1).as("Start"),
+      (col("slot") * 1500 + col("nCodons") * 3 + 6).as("End"),
+      (col("nCodons") * 3 + 6).cast("long").as("Length"),
+      when(pmod(col("h"), lit(2)) === 0, "+").otherwise("-").as("Strand"),
+      when(col("isAccessory") && col("islot") === 58, "phage integrase")
+        .when(col("isAccessory") && col("islot") === 61, "IS5 transposase")
+        .otherwise("hypothetical protein").as("Product"),
+      format_string("S%03d", col("sid")).as("Strain"),
+      when(col("islot") === 13, "tRNA")
+        .when(col("islot") === 37, "pseudogene")
+        .otherwise("CDS").as("FeatureType"),
+      when(col("lonely"), lit(null).cast("string"))
+        .when(pmod(col("h"), lit(4)) === 0,
+          format_string("%dT", pmod(col("h"), lit(200)) + 1))
+        .otherwise(lit("")).as("Variation"),
+      when(col("lonely"), dna(concat(col("sid"), lit("_"), col("slot")), col("nCodons")))
+        .otherwise(lit(null).cast("string")).as("FullSequences"))
+
+    // gene-family table in the PIRATE shape buildGraph expects: the member
+    // list is the ';'-joined id string the reference's cypher UNWINDs
+    val slotSeqs = spark.range(slotsPerStrain.toLong)
+      .select(col("id").as("slot"))
+      .withColumn("nCodons", (lit(300) + pmod(xxhash64(col("slot")), lit(100))).cast("int"))
+      .withColumn("Seq", dna(col("slot"), col("nCodons")))
+      .select(col("slot"), col("Seq"))
+    val clusters = base.filter(!col("lonely"))
+      .select(col("slot"),
+        format_string("S%03d_f%04d", col("sid"), col("slot")).as("Name"),
+        (col("nCodons") * 3 + 6).cast("long").as("Length"))
+      .groupBy(col("slot"))
+      .agg(countDistinct(substring(col("Name"), 1, 4)).as("number_genomes"),
+        min(col("Length")).as("min_length"), max(col("Length")).as("max_length"),
+        avg(col("Length")).as("average_length"),
+        concat_ws(";", sort_array(collect_list(col("Name")))).as("feature"),
+        min(col("Name")).as("reference_locus"))
+      .join(slotSeqs, Seq("slot"))
+      .select(format_string("g%04d", col("slot")).as("allele_name"),
+        lit("hypothetical protein").as("consensus_product"),
+        lit(50L).as("threshold"), col("number_genomes"),
+        col("min_length"), col("max_length"), col("average_length"),
+        col("feature"), col("reference_locus"), col("Seq"))
+
+    // consecutive features per strain in genome order (the etl's own form)
+    val w = Window.partitionBy(col("Strain")).orderBy(col("Start"), col("Name"))
+    val neighbourEdges = features
+      .withColumn("sourceFeature", lag(col("Name"), 1).over(w))
+      .filter(col("sourceFeature").isNotNull)
+      .select(col("sourceFeature"), col("Name").as("receivingFeature"),
+        col("Strain").as("strain"))
+
+    Pangenome.EtlTables(features, clusters, neighbourEdges)
+  }
+
+  /** Run the lifecycle against `dir`; returns (stage -> seconds, rgp rows). */
+  def run(spark: SparkSession, nStrains: Int, dir: String): (Seq[(String, Double)], Long) = {
+    val timings = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def stage[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      timings += name -> (System.nanoTime() - t0) / 1e9
+      r
+    }
+
+    // ETL-equivalent: materialize the source tables (the reference's CSV
+    // load step); downstream stages read from disk like the real boundary
+    stage("etl_materialize") {
+      val t = synthesize(spark, nStrains)
+      t.features.repartition(col("Strain"))
+        .write.mode("overwrite").parquet(s"$dir/etl/features")
+      t.clusters.write.mode("overwrite").parquet(s"$dir/etl/clusters")
+      t.neighbourEdges.repartition(col("strain"))
+        .write.mode("overwrite").parquet(s"$dir/etl/neighbour_edges")
+    }
+    val etl = Pangenome.EtlTables(
+      spark.read.parquet(s"$dir/etl/features"),
+      spark.read.parquet(s"$dir/etl/clusters"),
+      spark.read.parquet(s"$dir/etl/neighbour_edges"))
+
+    // BASELINE graph build ≈ 1,805 s at this shape
+    stage("build_graph") {
+      Schemas.writeGraph(Pangenome.buildGraph(spark, etl), s"$dir/graph")
+    }
+    val g = Schemas.readGraph(spark, s"$dir/graph")
+
+    // BASELINE enrichment ≈ 254 s (GC/CAI upsert) + 13.5 s (strain stats)
+    stage("enrich") {
+      val e = Pangenome.enrich(spark, g)
+      e.features.repartition(col("Strain"))
+        .write.mode("overwrite").parquet(s"$dir/enriched/features")
+      e.strains.write.mode("overwrite").parquet(s"$dir/enriched/strains")
+    }
+    val e = Pangenome.EnrichedTables(
+      spark.read.parquet(s"$dir/enriched/features"),
+      spark.read.parquet(s"$dir/enriched/strains"))
+
+    stage("genome_track") {
+      Pangenome.genomeTrack(e, g).write.format("noop").mode("overwrite").save()
+    }
+    val rgps = stage("rgp_mine") {
+      val df = Pangenome.rgpMine(e, g)
+      df.write.format("noop").mode("overwrite").save()
+      df
+    }
+    val nRgps = stage("rgp_count") { rgps.count() }
+    (timings.toSeq, nRgps)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nStrains = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_REHEARSAL_STRAINS")).getOrElse("770").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rehearsal").toString
+    try {
+      val (timings, nRgps) = run(spark, nStrains, dir)
+      val total = timings.map(_._2).sum
+      def f(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+      val stages = timings.map { case (k, v) => s""""$k":${f(v)}""" }.mkString(",")
+      val line = s"""{"metric":"rehearsal_total","value":${f(total)},"unit":"sec",""" +
+        s""""n_strains":$nStrains,"n_rgps":$nRgps,"stages":{$stages}}"""
+      val raw = new java.io.PrintStream(
+        new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
+      raw.println(line)
+      java.nio.file.Files.write(java.nio.file.Paths.get("rehearsal_out.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally {
+      // scrub the scratch tables (deepest-first walk)
+      import scala.util.Try
+      Try {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => Try(java.nio.file.Files.deleteIfExists(q)))
+        finally s.close()
+      }
+      spark.stop()
+    }
+  }
+}

@@ -53,7 +53,7 @@ object Analyses {
     * the positional span join over the shared [[positioned]] frame `p`.
     * Returns (user_id, c1, c2, pos1, pos2).
     */
-  private def anchorSpans(p: org.apache.spark.sql.DataFrame)
+  private def anchorSpans(p: org.apache.spark.sql.DataFrame, d: String)
       : org.apache.spark.sql.DataFrame = {
     val coreFrac = 0.95; val majorityFrac = 0.15
     val minGap = 3; val maxGap = 6
@@ -88,17 +88,18 @@ object Analyses {
       col("pos").as("pos1"))
     val f2 = p.select(col("user_id").as("uid2"), col("event_type").as("c2b"),
       col("pos").as("pos2"))
-    broadcast(anchorPairs)
-      .join(f1, Seq("c1"))
-      .join(f2, col("user_id") === col("uid2") && col("c2b") === col("c2") &&
-        (col("pos2") - col("pos1")).between(minGap, maxGap))
-      .select(col("user_id"), col("c1"), col("c2"), col("pos1"), col("pos2"))
+    SharedFrame(
+      broadcast(anchorPairs)
+        .join(f1, Seq("c1"))
+        .join(f2, col("user_id") === col("uid2") && col("c2b") === col("c2") &&
+          (col("pos2") - col("pos1")).between(minGap, maxGap))
+        .select(col("user_id"), col("c1"), col("c2"), col("pos1"), col("pos2")),
       // tiny output (spans ≪ events), expensive lineage (edge majority +
-      // core + positional join): persist lazily so x2's span-body join and
-      // x3's strain-set derivation share ONE span pipeline run — same
-      // contract as [[positioned]] (zero jobs at build, CacheManager
-      // dedupes across queries and reps)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // core + positional join): share so x2's span-body join and x3's
+      // strain-set derivation run ONE span pipeline — same contract as
+      // [[positioned]] (zero jobs at build in persist mode, CacheManager
+      // dedupes across queries and reps; scratch mode per SharedFrame)
+      "anchor_spans", d)
   }
 
   /** SQL form of [[anchorSpans]] (CTE chain shared by the x2/x3 oracles). */
@@ -209,7 +210,7 @@ object Analyses {
       "x2_rgp_mine",
       (s, d) => {
         val p = positioned(s, d)
-        val spans = anchorSpans(p)
+        val spans = anchorSpans(p, d)
 
         // intervening rows + grouped projections + Welch t (G8-G10 + A17)
         val body = p.select(col("user_id").as("bu"), col("pos").as("bpos"),
@@ -304,7 +305,7 @@ object Analyses {
         // at sf0.1, and between a cluster job and an impossibility at
         // the reference's 770 strains × 5k anchors scale-up.
         val p = positioned(s, d)
-        val strains = anchorSpans(p)
+        val strains = anchorSpans(p, d)
           .select(col("c1"), col("c2"), col("user_id")).distinct()
         // trie depth = bit length of the LARGEST id, as a broadcast scalar
         // over the (cached) positioned frame — levels past it have m = 0

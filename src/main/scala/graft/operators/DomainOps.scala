@@ -62,13 +62,15 @@ object DomainOps {
       // both sides of the C1/C2 pair join read this frame: the trailing
       // repartition gives them an IDENTICAL exchange subplan, so
       // ReuseExchange materializes the set build once instead of twice
-      // (same trick as d4's block-key repartition). The lazy persist on
+      // (same trick as d4's block-key repartition). The SharedFrame on
       // top lets c1 and c2 (and bench reps) share ONE set build — tiny
       // frame (|users| × 4 longs), same cache contract as Analyses'
-      // positional frame (zero jobs at build, CacheManager dedupe).
+      // positional frame (zero jobs at build in persist mode).
       .repartition(col("user_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
+
+  private def bitsetUserSetsShared(s: org.apache.spark.sql.SparkSession, d: String) =
+    SharedFrame(bitsetUserSets(s, d), "bitset_user_sets", d)
 
   /** Σ bit_count(m1[w] & m2[w]) — the bitset |∩|, pure codegen. */
   private def bitsetInter =
@@ -265,7 +267,7 @@ object DomainOps {
     QueryDef(
       "c1_dice_similarity",
       (s, d) => {
-        val sets = bitsetUserSets(s, d)
+        val sets = bitsetUserSetsShared(s, d)
         val a = sets.select(col("user_id").as("u1"), col("mask").as("m1"), col("sz").as("z1"))
         val b = sets.select(col("user_id").as("u2"), col("mask").as("m2"), col("sz").as("z2"))
         a.join(b, col("u1") < col("u2"))
@@ -292,7 +294,7 @@ object DomainOps {
     QueryDef(
       "c2_jaccard_distance",
       (s, d) => {
-        val sets = bitsetUserSets(s, d)
+        val sets = bitsetUserSetsShared(s, d)
         val a = sets.select(col("user_id").as("u1"), col("mask").as("m1"), col("sz").as("z1"))
         val b = sets.select(col("user_id").as("u2"), col("mask").as("m2"), col("sz").as("z2"))
         val uni = col("z1") + col("z2") - bitsetInter

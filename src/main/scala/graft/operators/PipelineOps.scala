@@ -125,9 +125,8 @@ object PipelineOps {
         // persisted signature store the streaming dedup already maintains
         // (StreamingJobs.incrementalNearDedup) — caching it here is the
         // batch form of the same materialization.
-        val sig = minhashSignatures(
-          T.documents(s, d).select(col("doc_id"), col("text")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sig = SharedFrame(minhashSignatures(
+          T.documents(s, d).select(col("doc_id"), col("text"))), "d2_sig", d)
         nearDupPairs(sig, sig, 0.5).orderBy(col("id1"), col("id2"))
       },
       None, // recall-bounded sketch: pinned by SketchesSpec planted-dup tests
@@ -373,10 +372,11 @@ object PipelineOps {
         // different prunings re-derive the quantized frame — lazy persist
         // shares one pass (tiny: |vectors| × dim longs; the cache
         // contract documented in Analyses.positioned)
-        val base = T.embeddings(s, d).select(col("vec_id"), q.as("q"))
-          .withColumn("nn",
-            expr("aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val base = SharedFrame(
+          T.embeddings(s, d).select(col("vec_id"), q.as("q"))
+            .withColumn("nn",
+              expr("aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")),
+          "d7_base", d)
         val cents = base.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
         val simToCent =

@@ -34,12 +34,13 @@ object Positional {
     Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
 
   def frame(s: SparkSession, d: String): DataFrame =
-    T.events(s, d)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
-        col("value"))
-      .withColumn("pos", row_number().over(wOrd))
-      .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
-      .select(col("user_id"), col("event_type"), col("value"), col("pos"),
-        col("prev"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    SharedFrame(
+      T.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          col("value"))
+        .withColumn("pos", row_number().over(wOrd))
+        .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
+        .select(col("user_id"), col("event_type"), col("value"), col("pos"),
+          col("prev")),
+      "positional", d)
 }

@@ -32,3 +32,36 @@ object Scratch {
     f.delete(): Unit
   }
 }
+
+/** Materialization policy for the session-shared derived frames (the
+  * five lazy-persist caches: positional, anchor spans, c1/c2 bitsets,
+  * d2 signatures, d7 quantized base).
+  *
+  *  - default: lazy `MEMORY_AND_DISK` persist — zero jobs at plan build,
+  *    CacheManager dedupes by canonicalized plan, eviction degrades to
+  *    recompute. The interactive-analysis form.
+  *  - `graft.cache.mode=scratch`: write ONCE to [[Scratch]] parquet and
+  *    read back — the one-shot-ETL form for a 100 TB run, where a shared
+  *    frame should live on cluster storage (set `graft.scratch.dir`)
+  *    instead of executor memory, survives executor loss, and is readable
+  *    by later jobs. Eager by design: the write runs at first build.
+  *
+  * Both modes return a frame with identical rows; SharedFrameSpec runs
+  * consumers under each and compares.
+  */
+object SharedFrame {
+  private val written = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  def apply(df: org.apache.spark.sql.DataFrame, name: String, key: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    if (spark.conf.getOption("graft.cache.mode").contains("scratch")) {
+      val tag = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL)
+      val path = s"${Scratch.dir(spark)}/shared/${name}_$tag"
+      val once = s"${spark.sparkContext.applicationId}:$path"
+      if (written.putIfAbsent(once, true) == null)
+        df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    } else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+}

@@ -53,16 +53,27 @@ object Schemas {
     df.select("name", "avg_GC", "stDev_GC", "avg_CAI", "stDev_CAI").as[Strain]
   }
 
-  /** Persist the graph tables; strain-keyed tables partitioned by strain. */
+  /** Persist the graph tables; strain-keyed tables partitioned by strain.
+    *
+    * The strain-keyed frames are repartitioned ON the partition column
+    * first: without it every upstream task holds a slice of every strain
+    * and the dynamic-partition writer emits |tasks| x |strains| tiny files
+    * (at 770 strains x 32 tasks, ~25k files per table). After the
+    * repartition each task owns whole strains and writes one file per
+    * strain — the layout a 1000-executor job needs too.
+    */
   def writeGraph(g: Pangenome.GraphTables, dir: String): Unit = {
-    g.features.write.mode("overwrite").partitionBy("Strain").parquet(s"$dir/features")
-    g.featureNeighbours.write.mode("overwrite").partitionBy("strain")
+    g.features.repartition(col("Strain"))
+      .write.mode("overwrite").partitionBy("Strain").parquet(s"$dir/features")
+    g.featureNeighbours.repartition(col("strain"))
+      .write.mode("overwrite").partitionBy("strain")
       .parquet(s"$dir/feature_neighbours")
     g.clusters.write.mode("overwrite").parquet(s"$dir/clusters")
     g.strains.write.mode("overwrite").parquet(s"$dir/strains")
     g.ortholog.write.mode("overwrite").parquet(s"$dir/ortholog")
     g.clusterNeighbours.write.mode("overwrite").parquet(s"$dir/cluster_neighbours")
-    g.featureInStrain.write.mode("overwrite").partitionBy("strain")
+    g.featureInStrain.repartition(col("strain"))
+      .write.mode("overwrite").partitionBy("strain")
       .parquet(s"$dir/feature_in_strain")
     g.clusterInStrain.write.mode("overwrite").parquet(s"$dir/cluster_in_strain")
   }
