@@ -69,6 +69,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.trigramsFn)
     ext.injectFunction(GraftExtensions.ngramsFn)
     ext.injectFunction(GraftExtensions.rollingFn)
+    ext.injectFunction(GraftExtensions.caiFn)
     ext.injectOptimizerRule(_ => graft.plans.StripCaseChangeUnderGc)
     ext.injectOptimizerRule(_ => graft.plans.SortedIntersectRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.PathSpanJoinStrategy)
@@ -123,6 +124,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),
     (exprs: Seq[Expression]) => RollingHashExpr(exprs.head))
 
+  val caiFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cai_quantized"),
+    new ExpressionInfo(classOf[CaiQuantizedExpr].getName, "cai_quantized"),
+    (exprs: Seq[Expression]) => CaiQuantizedExpr(exprs.head))
+
   def registerInto(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("gc_content_native", fn._3, "built-in")
@@ -136,5 +142,7 @@ object GraftExtensions {
       .createOrReplaceTempFunction("hashed_ngrams", ngramsFn._3, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("rolling_hash", rollingFn._3, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("cai_quantized", caiFn._3, "built-in")
   }
 }

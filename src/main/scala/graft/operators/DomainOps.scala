@@ -99,23 +99,23 @@ object DomainOps {
       doc = "SURVEY P7/P8; pirateToDatabase.py:175-197"),
 
     // P10: CAI over derived DNA (extendingDB_FeatureAndStrainMetrics.py:45-68).
-    // The distributed form is the quantized-log relational scalar
-    // (Cai.caiQuantizedSql): codon split + integer log-sum as pure
-    // higher-order expressions — no UDF, no shuffle, whole-stage codegen —
-    // with the Sharp & Li weights' ln values embedded as integers in BOTH
-    // engines, which makes CAI = exp(Σ lnw / (n−1)) an exact integer
-    // aggregate and therefore DuckDB-oracle-matchable (was `no_oracle`
-    // through r4). Biopython NaN quirks (illegal codon, n≤1 mean) are
-    // reproduced in both; the scalar caiForGene stays equivalence-pinned
-    // in FunctionsSpec.
+    // The distributed form is the quantized-log kernel (CaiQuantizedExpr,
+    // one codegen pass, packed-codon table lookup): the Sharp & Li
+    // weights' ln values are embedded as integers in BOTH engines, which
+    // makes CAI = exp(Σ lnw / (n−1)) an exact integer aggregate and
+    // therefore DuckDB-oracle-matchable (was `no_oracle` through r4).
+    // Biopython NaN quirks (illegal codon, n≤1 mean) are reproduced in
+    // both; CaiRelationalSpec pins kernel == relational SQL form ==
+    // scalar caiForGene (up to the documented 1e-9 quantization).
     QueryDef(
       "p10_cai",
       (s, d) => {
         GraftFunctions.register(s)
+        graft.functions.GraftExtensions.registerInto(s)
         T.documents(s, d)
           .withColumn("dna", dnaOf(col("text")))
           .select(col("doc_id"),
-            expr(graft.functions.Cai.caiQuantizedSql("dna")).as("cai"),
+            expr("cai_quantized(dna)").as("cai"),
             expr("gc_content(dna)").as("gc"))
           .orderBy(col("doc_id"))
       },

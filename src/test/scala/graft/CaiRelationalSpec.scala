@@ -22,15 +22,19 @@ class CaiRelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  private def relational(seqs: Seq[String]): Map[String, Option[Double]] = {
+  private def viaExpr(seqs: Seq[String], caiExpr: String): Map[String, Option[Double]] = {
     import spark.implicits._
+    graft.functions.GraftExtensions.registerInto(spark)
     seqs.zipWithIndex.map { case (s, i) => (i.toString, s) }
       .toDF("id", "dna")
-      .select(col("id"), col("dna"), expr(Cai.caiQuantizedSql("dna")).as("cai"))
+      .select(col("id"), col("dna"), expr(caiExpr).as("cai"))
       .collect()
       .map(r => r.getString(1) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
       .toMap
   }
+
+  private def relational(seqs: Seq[String]): Map[String, Option[Double]] =
+    viaExpr(seqs, Cai.caiQuantizedSql("dna"))
 
   test("edge cases match caiForGene's NaN rules exactly") {
     val cases = Seq(
@@ -53,6 +57,28 @@ class CaiRelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
         case (a, b) => fail(s"seq=$s null-disagreement: rel=$a scalar=$b")
       }
     }
+  }
+
+  test("cai_quantized kernel is BIT-identical to the relational SQL form") {
+    val rnd = new scala.util.Random(13)
+    val seqs = ((1 to 120).map { _ =>
+      val n = rnd.nextInt(150)
+      Array.fill(n)("ACGT"(rnd.nextInt(4))).mkString
+    } ++ Seq("", "GCTGCTGCT", "GCAGCAGCA", "ATGGCAGCGTAA", "ATGGCAGCGTAAGC",
+      "GCANNNGCA", "GCA", "ATGTGG", "TAATAGTGA", "acgtacgt")).distinct
+    val rel = relational(seqs)
+    val ker = viaExpr(seqs, "cai_quantized(dna)")
+    seqs.foreach { s =>
+      assert(ker(s) == rel(s), s"seq=$s kernel=${ker(s)} relational=${rel(s)}")
+    }
+    // interpreted path agrees with codegen
+    val interp = graft.functions.CaiQuantizedExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal("GCAGCAGCA")).eval(null)
+    assert(Option(interp).map(_.asInstanceOf[Double]) == ker("GCAGCAGCA"))
+    // null propagates
+    import spark.implicits._
+    assert(Seq[Option[String]](None).toDF("dna")
+      .select(expr("cai_quantized(dna)")).head().isNullAt(0))
   }
 
   test("random DNA agrees within the quantization bound") {
