@@ -34,11 +34,16 @@ object Joins {
       "j3_self_join_reference",
       (s, d) => {
         val li  = T.lineitem(s, d)
-        // the reference rows are 1-per-group (a small fraction of the fact
-        // table) — broadcast them so the fact side never shuffles
-        val ref = broadcast(li.filter(col("l_linenumber") === 1)
+        // the reference rows are 1-per-group — but the group count scales
+        // WITH the fact table (1 order per ~4 lines), so a forced
+        // broadcast would OOM at exactly the scale this operator targets
+        // (the d9b lesson). Unhinted: AQE broadcasts at small scale from
+        // the observed size; at 100 TB both sides shuffle once on the
+        // join key — the scale-safe co-partitioned form, same as the
+        // domain original (Pangenome.etl refRows).
+        val ref = li.filter(col("l_linenumber") === 1)
           .select(col("l_orderkey").as("ref_ok"),
-                  col("l_extendedprice").as("ref_price")))
+                  col("l_extendedprice").as("ref_price"))
         li.join(ref, col("l_orderkey") === col("ref_ok"))
           .select(col("l_orderkey"), col("l_linenumber"),
             (col("l_extendedprice") - col("ref_price")).as("delta_vs_ref"))

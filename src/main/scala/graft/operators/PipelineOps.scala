@@ -377,7 +377,14 @@ object PipelineOps {
             .withColumn("nn",
               expr("aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")),
           "d7_base", d)
-        val cents = base.filter(col("vec_id") % 50 === 0)
+        // centroid count must be CAPPED, not a fixed fraction: vec_id % 50
+        // grows the broadcast and the O(N·K) assignment linearly with N.
+        // Real IVF uses fixed K; the stride widens (footer count, zero
+        // jobs — d4's dispatch pattern) so K ≈ min(N/50, 4096). At the
+        // test scales N/4096 < 50, so the selection is unchanged there.
+        val stride = math.max(50L,
+          T.footerRowCount(s, d, "embeddings") / 4096L)
+        val cents = base.filter(col("vec_id") % stride === 0)
           .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
         val simToCent =
           expr("aggregate(zip_with(q, cq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
