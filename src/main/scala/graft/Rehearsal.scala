@@ -88,10 +88,14 @@ object Rehearsal {
       .select(col("slot"), col("Seq"))
     val clusters = base.filter(!col("lonely"))
       .select(col("slot"),
+        format_string("S%03d", col("sid")).as("Strain"),
         format_string("S%03d_f%04d", col("sid"), col("slot")).as("Name"),
         (col("nCodons") * 3 + 6).cast("long").as("Length"))
       .groupBy(col("slot"))
-      .agg(countDistinct(substring(col("Name"), 1, 4)).as("number_genomes"),
+      // count the strain COLUMN, not a fixed-width Name prefix: above 999
+      // strains the prefix collides and number_genomes silently undercounts
+      // (found as n_rgps=0 at the 1540-strain scaling run)
+      .agg(countDistinct(col("Strain")).as("number_genomes"),
         min(col("Length")).as("min_length"), max(col("Length")).as("max_length"),
         avg(col("Length")).as("average_length"),
         concat_ws(";", sort_array(collect_list(col("Name")))).as("feature"),
@@ -159,13 +163,41 @@ object Rehearsal {
     stage("genome_track") {
       Pangenome.genomeTrack(e, g).write.format("noop").mode("overwrite").save()
     }
-    val rgps = stage("rgp_mine") {
-      val df = Pangenome.rgpMine(e, g)
-      df.write.format("noop").mode("overwrite").save()
-      df
+    stage("rgp_mine") {
+      Pangenome.rgpMine(e, g).write.mode("overwrite").parquet(s"$dir/rgps")
     }
-    val nRgps = stage("rgp_count") { rgps.count() }
+    val rgps = spark.read.parquet(s"$dir/rgps")
+    val nRgps = rgps.count()
+
+    // the downstream analysis lifecycle (RGPs.ipynb cells 44-93) through
+    // the library's designated SCALE branches: LSH candidate generation
+    // (ids-only banding) for the Dice pairs, LSH graph + GraphX connected
+    // components for the flat clustering, broadcast LCA index for the
+    // phylo spread — maxExactRows/maxDriverN forced low so the rehearsal
+    // exercises the paths a 100 TB run would take, not the small-N exacts
+    stage("insertion_dice") {
+      Pangenome.insertionDice(rgps, minDice = 0.5, maxExactRows = 5000)
+        .write.format("noop").mode("overwrite").save()
+    }
+    stage("insertion_clusters") {
+      Pangenome.insertionClusters(rgps, cutoff = 0.3, maxDriverN = 5000)
+        .write.format("noop").mode("overwrite").save()
+    }
+    stage("anchor_phylo") {
+      Pangenome.anchorPhylo(rgps, balancedNewick(nStrains))
+        .write.format("noop").mode("overwrite").save()
+    }
     (timings.toSeq, nRgps)
+  }
+
+  /** Balanced binary Newick over S000..S(n-1), unit branch lengths —
+    * the rehearsal's stand-in for the reference's core-genome tree.
+    */
+  def balancedNewick(n: Int): String = {
+    def go(lo: Int, hi: Int): String =
+      if (hi - lo == 1) f"S$lo%03d"
+      else { val mid = (lo + hi) / 2; s"(${go(lo, mid)}:1,${go(mid, hi)}:1)" }
+    go(0, n) + ";"
   }
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Miniature run of the matched-scale lifecycle rehearsal: the
+  * deterministic generator must produce the planted island structure
+  * (anchored insertions with mobile genes) and every stage must complete
+  * against real parquet boundaries — so the 770-strain evidence run in
+  * NOTES_r5 stays reproducible, not a one-off script.
+  */
+class RehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("miniature lifecycle: all stages run, islands surface as RGPs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rehearsal_spec").toString
+    try {
+      val (timings, nRgps) = Rehearsal.run(spark, nStrains = 12, dir)
+      assert(timings.map(_._1) == Seq("etl_materialize", "build_graph",
+        "enrich", "genome_track", "rgp_mine",
+        "insertion_dice", "insertion_clusters", "anchor_phylo"))
+      assert(timings.forall(_._2 > 0))
+      // deterministic generator -> deterministic miner output
+      assert(nRgps == 68L, s"expected the planted-island RGP count, got $nRgps")
+      // the graph boundary actually materialized
+      val g = graft.pangenome.Schemas.readGraph(spark, s"$dir/graph")
+      assert(g.features.count() > 0 && g.clusterNeighbours.count() > 0)
+      // enriched features carry GC/CAI for CDS rows
+      val e = spark.read.parquet(s"$dir/enriched/features")
+      assert(e.filter(org.apache.spark.sql.functions.col("GC").isNotNull).count() > 0)
+    } finally {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => scala.util.Try(java.nio.file.Files.deleteIfExists(q)): Unit)
+      finally s.close()
+    }
+  }
+}
