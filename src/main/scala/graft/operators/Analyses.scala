@@ -148,8 +148,14 @@ object Analyses {
           .agg(eavg(col("value")).as("mu"), estddev(col("value")).as("sd"))
         val typeOcc = ev.groupBy(col("event_type").as("et"))
           .agg(count(lit(1)).as("n_occ"))
+        // stats is keyed per user (strain analogue): bounded in the domain
+        // (hundreds) but it SCALES with the corpus in the general case, so
+        // no forced broadcast (the d9b/j3 lesson) — AQE broadcasts it from
+        // observed size at small scale; beyond that the join shuffles on
+        // user_id, which the window below reuses. typeOcc is a bounded
+        // domain (event types) and keeps its hint.
         val tracked = ev
-          .join(broadcast(stats), col("user_id") === col("uid"))
+          .join(stats, col("user_id") === col("uid"))
           .join(broadcast(typeOcc), col("event_type") === col("et"))
           .withColumn("position", row_number().over(wOrd))
           .withColumn("z", (col("value") - col("mu")) / col("sd"))
@@ -238,7 +244,9 @@ object Analyses {
             eavg(col("bval")).as("m1"),
             estddev(col("bval")).as("sd1"))
           .filter(col("has_mobile") === 1) // requireMobile
-          .join(broadcast(bg), col("user_id") === col("su")).drop("su")
+          // per-user background moments: same no-forced-broadcast rule as
+          // x1's stats (scales with users; AQE upgrades when small)
+          .join(bg, col("user_id") === col("su")).drop("su")
           .withColumn("t_value",
             when(col("sd1").isNotNull,
               (col("m1") - col("mu0")) /
