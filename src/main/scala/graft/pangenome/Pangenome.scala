@@ -42,13 +42,17 @@ object Pangenome {
     val aligned = PirateSources.readAlignedSequences(spark, s"$pirateDir/feature_sequences")
     val genomes = PirateSources.readStrainGenomes(spark, s"$pirateDir/modified_gffs")
 
-    // J1: clusters ⋈ representative headers (m:1, broadcast the small side)
-    val clusters0 = families.join(broadcast(reprSeq),
+    // J1: clusters ⋈ representative headers (m:1). reprSeq is one small
+    // row per cluster, but cluster count GROWS with pangenome size (open
+    // pangenome), so no forced broadcast — AQE upgrades from observed
+    // size at this scale and degrades to a keyed shuffle beyond it
+    // (the d9b/j3 rule).
+    val clusters0 = families.join(reprSeq,
       col("gene_family") === col("cluster_name")).drop("cluster_name")
 
     // J2+J3: aligned members ⋈ repr headers, then self-join to pull the
     // reference member's sequence onto every row of its cluster
-    val withRef = aligned.join(broadcast(reprSeq),
+    val withRef = aligned.join(reprSeq,
       col("Cluster") === col("cluster_name")).drop("cluster_name")
     val refRows = withRef.filter(col("Feature") === col("reference_locus"))
       .select(col("Cluster").as("rc"), col("Seq").as("Seq_reference"))
