@@ -64,10 +64,14 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     def fmt3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     def line(rs: Seq[(String, Double)], fmt: Double => String): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      // "failed" rides the stdout line too: a query that fails every rep
+      // drops OUT of the total, which would otherwise read as a speedup
+      // to a consumer comparing headline totals across rounds
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failedJs,"queries":$qs,"sf":"$sfDir"}"""
     }
     // The driver captures a 2000-char LOG TAIL and sbt's trailing
     // [success] line eats ~85 of it: a 98-query map (~2.2 KB) gets its
@@ -86,22 +90,14 @@ object Bench {
       "g10_path_predicate", "t1_lang_id", "t4_fingerprint", "m3_decode_features",
       "st4_stream_dedup", "o3_union_bag", "p9_gc_native_expr", "w1_rolling_mean")
     // Locale.ROOT: a comma-decimal JVM locale would break the JSON.
-    // The line goes to FileDescriptor.out DIRECTLY: when sbt runs this main
-    // unforked it routes println through its logger, prefixing "[info] " —
-    // which made the driver's tail parser reject the line every round
-    // (r1-r4 all `parsed: null`). A raw fd-1 stream bypasses the logger, so
-    // the tail's line is pure bare JSON.
-    val raw = new java.io.PrintStream(
-      new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
-    raw.println(line(results.filter(r => headline(r._1)), fmt3))
+    Raw.stdout.println(line(results.filter(r => headline(r._1)), fmt3))
     // full precision, all queries + all raw runs persisted for the judge
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val rawQs = runs.map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(_.toString).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fileJson = line(results, _.toString).dropRight(1) +
-      s""","reps":$reps,"failed":$failedJs,"runs":$rawQs}"""
+      s""","reps":$reps,"runs":$rawQs}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fileJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }

@@ -220,20 +220,12 @@ object Rehearsal {
       val stages = timings.map { case (k, v) => s""""$k":${f(v)}""" }.mkString(",")
       val line = s"""{"metric":"rehearsal_total","value":${f(total)},"unit":"sec",""" +
         s""""n_strains":$nStrains,"n_rgps":$nRgps,"stages":{$stages}}"""
-      val raw = new java.io.PrintStream(
-        new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
-      raw.println(line)
+      Raw.stdout.println(line)
       java.nio.file.Files.write(java.nio.file.Paths.get("rehearsal_out.json"),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally {
-      // scrub the scratch tables (deepest-first walk)
-      import scala.util.Try
-      Try {
-        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        try s.sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => Try(java.nio.file.Files.deleteIfExists(q)))
-        finally s.close()
-      }
+      // scrub the scratch tables
+      graft.operators.Scratch.deleteRecursively(new java.io.File(dir))
       spark.stop()
     }
   }

@@ -29,10 +29,17 @@ object RollingHash {
     var i = 0
     while (i < b.length) {
       val x = b(i) & 0xFF
+      val need = if (x < 0x80) 1 else if (x < 0xE0) 2 else if (x < 0xF0) 3 else 4
       var cp = 0
-      if (x < 0x80) { cp = x; i += 1 }
-      else if (x < 0xE0) { cp = ((x & 0x1F) << 6) | (b(i + 1) & 0x3F); i += 2 }
-      else if (x < 0xF0) {
+      if (need > b.length - i) {
+        // truncated/invalid multibyte tail (parquet strings are not
+        // validated UTF-8): hash the dangling lead byte as itself instead
+        // of reading past the array — deterministic and total on dirty
+        // corpora, which is the data a fingerprint pipeline ingests
+        cp = x; i += 1
+      } else if (need == 1) { cp = x; i += 1 }
+      else if (need == 2) { cp = ((x & 0x1F) << 6) | (b(i + 1) & 0x3F); i += 2 }
+      else if (need == 3) {
         cp = ((x & 0x0F) << 12) | ((b(i + 1) & 0x3F) << 6) | (b(i + 2) & 0x3F)
         i += 3
       } else {

@@ -207,6 +207,10 @@ object DomainOps {
     // is deterministic on the seeded fixture, so p joins from a golden
     // VALUES table (the a12 precedent), full-precision doubles captured
     // from the pinned CDF whose t-table fidelity FunctionsSpec asserts.
+    // NOTE the goldens are pinned to the driver's verify fixture
+    // (TESTDATA sf0.01, seed 42 — the only scale the oracle gate runs);
+    // against other data the t/df columns still verify but p would fail
+    // LOUDLY (value mismatch), never silently pass.
     QueryDef(
       "a17_welch_pvalue",
       (s, d) => {

@@ -27,7 +27,7 @@ object Scratch {
     d
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
   }
@@ -59,8 +59,13 @@ object SharedFrame {
         scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL)
       val path = s"${Scratch.dir(spark)}/shared/${name}_$tag"
       val once = s"${spark.sparkContext.applicationId}:$path"
-      if (written.putIfAbsent(once, true) == null)
-        df.write.mode("overwrite").parquet(path)
+      // computeIfAbsent, not putIfAbsent-then-write: the mapping is only
+      // recorded AFTER the write succeeds (a failed write doesn't poison
+      // the frame for the rest of the app), and a concurrent consumer
+      // blocks until the winner's write completes instead of reading a
+      // half-written directory.
+      written.computeIfAbsent(once,
+        _ => { df.write.mode("overwrite").parquet(path); true })
       spark.read.parquet(path)
     } else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }

@@ -154,6 +154,13 @@ class GcContentExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     val interp = graft.functions.RollingHashExpr(
       org.apache.spark.sql.catalyst.expressions.Literal("the quick brown fox"))
     assert(interp.eval(null) == ref("the quick brown fox"))
+    // parquet strings are not validated UTF-8: a truncated multibyte tail
+    // (dangling lead byte) must hash deterministically, not read past the
+    // buffer — the dangling byte hashes as itself
+    val dirty = org.apache.spark.unsafe.types.UTF8String.fromBytes(
+      Array(0x61.toByte, 0xC3.toByte))
+    assert(graft.functions.RollingHash.compute(dirty) ==
+      (0x61L * 31 + 0xC3) % 1000000007L)
   }
 
   test("hashed_ngrams equals the builtin window-hash chain element-for-element") {

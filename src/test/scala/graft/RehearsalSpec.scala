@@ -38,11 +38,6 @@ class RehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
       // enriched features carry GC/CAI for CDS rows
       val e = spark.read.parquet(s"$dir/enriched/features")
       assert(e.filter(org.apache.spark.sql.functions.col("GC").isNotNull).count() > 0)
-    } finally {
-      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .forEach(q => scala.util.Try(java.nio.file.Files.deleteIfExists(q)): Unit)
-      finally s.close()
-    }
+    } finally graft.operators.Scratch.deleteRecursively(new java.io.File(dir))
   }
 }
