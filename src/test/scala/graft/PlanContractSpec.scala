@@ -35,9 +35,11 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // one planning pass for the whole suite; builders that run bounded
   // actions (c3 driver linkage, d8 CC, d4 footer read) do so here once
+  private lazy val built: Map[String, org.apache.spark.sql.DataFrame] =
+    SparkEntry.queries.map { case (name, fn) => name -> fn(spark, sf) }
   private lazy val plans: Map[String, String] =
-    SparkEntry.queries.map { case (name, fn) =>
-      name -> fn(spark, sf).queryExecution.executedPlan.toString
+    built.map { case (name, df) =>
+      name -> df.queryExecution.executedPlan.toString
     }
 
   test("no CartesianProduct in any query plan") {
@@ -95,5 +97,37 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("j1's small side actually broadcasts") {
     assert(plans("j1_broadcast_inner").contains("BroadcastHashJoin"))
+  }
+
+  // forced broadcast() hints override Spark's size threshold, so they are
+  // only legal on frames whose size is bounded by a DOMAIN, not by the
+  // fact table (the d9b/j3/x1 lesson — a hint on a corpus-scaled frame
+  // OOMs the driver at exactly the scale the operator targets). Every
+  // member is one of: a 1-row scalar, a literal key list, a closed value
+  // domain (nation/region/event-type/word dim), the 10 query vectors, or
+  // d7's footer-stride-capped centroids.
+  private val hintAllowed = Set(
+    "a11_dedup_compute_join",                 // (lang, source) domain dim
+    "a15_core_membership",                    // 1-row group-size scalar
+    "a17_welch_pvalue", "a17_welch_t",        // 1-row background moments
+    "d5_cosine_topk", "d5b_cosine_topk_agg",  // 10 query vectors
+    "d7_ann_ivf",                             // centroids capped ~4096
+    "j16_point_lookup",                       // literal key list
+    "j1_broadcast_inner", "j7_explode_join", "j8_star_join", // closed dims
+    "p11_deviation_flag", "p12_zscore_flag",  // per-event-type stats (5)
+    "x1_genome_track",                        // per-event-type counts
+    "x2_rgp_mine", "x3_anchor_phylo",         // type-pair anchors + 1-row scalars
+    "x4_core_genes", "x5_feature_metrics")    // broadcast scalars
+
+  test("forced broadcast hints only on bounded-domain frames") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val offenders = built.collect {
+      case (n, df) if !hintAllowed(n) &&
+        df.queryExecution.optimizedPlan.collectFirst {
+          case j: Join if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j
+        }.nonEmpty => n
+    }
+    assert(offenders.isEmpty,
+      s"forced join hints on unvetted frames in: ${offenders.toSeq.sorted}")
   }
 }
