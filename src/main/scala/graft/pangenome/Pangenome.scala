@@ -394,11 +394,20 @@ object Pangenome {
         .withColumn(s"${p}_sd1", when(col(s"${p}_n1") >= 2, sqrt(greatest(
           (col(s"${p}_s2") - col(s"${p}_s1") * col(s"${p}_s1") / col(s"${p}_n1")) /
             (col(s"${p}_n1") - 1.0), lit(0.0)))))
-        .withColumn(s"t_$p",
-          when(col(s"${p}_n1") >= 2 && col(mCol).isNotNull && col(sdCol).isNotNull,
-            (col(s"${p}_m1") - col(mCol)) /
-              sqrt(col(s"${p}_sd1") * col(s"${p}_sd1") / col(s"${p}_n1") +
-                col(sdCol) * col(sdCol) / lit(5000.0))))
+        .withColumn(s"t_$p", {
+          // a zero pooled variance (both the span list AND the background
+          // constant — degenerate but reachable: all-identical GC) makes
+          // the denominator 0, which under ANSI mode is a query-killing
+          // DIVIDE_BY_ZERO instead of scipy's NaN. Guard it: the
+          // reference's ttest on zero variance lands in the NaN path
+          // (RuntimeWarning -> NaN), which is null here. Found by
+          // RgpBruteForceSpec's random degenerate corpora.
+          val pooled = col(s"${p}_sd1") * col(s"${p}_sd1") / col(s"${p}_n1") +
+            col(sdCol) * col(sdCol) / lit(5000.0)
+          when(col(s"${p}_n1") >= 2 && col(mCol).isNotNull &&
+              col(sdCol).isNotNull && pooled > 0.0,
+            (col(s"${p}_m1") - col(mCol)) / sqrt(pooled))
+        })
         .withColumn(s"df_$p",
           when(col(s"t_$p").isNotNull,
             expr(s"welch_df(${p}_sd1, ${p}_n1, $sdCol, 5000.0)")))
