@@ -129,6 +129,48 @@ class FunctionsSpec extends AnyFunSuite {
     assert(idx.distance("signup", "view") == 6.0)
   }
 
+  test("newick round-trip on random trees: parse+index equals naive path sums") {
+    // random multi-way trees, serialized to Newick and re-parsed; every
+    // leaf-pair distance must equal a naive computation on the original
+    // structure. Branch lengths are multiples of 0.25 so double sums are
+    // exact and the comparison can be equality, not tolerance.
+    final case class T(name: String, branch: Double, kids: List[T])
+    val rnd = new scala.util.Random(5)
+    def gen(leaves: List[String], depth: Int): T =
+      if (leaves.size == 1) T(leaves.head, 0.25 * (1 + rnd.nextInt(8)), Nil)
+      else {
+        val k = if (leaves.size >= 3 && rnd.nextBoolean()) 3 else 2
+        val shuffled = rnd.shuffle(leaves)
+        val groups = shuffled.grouped(math.max(1, (leaves.size + k - 1) / k))
+          .toList.filter(_.nonEmpty)
+        T("", if (depth == 0) 0.0 else 0.25 * (1 + rnd.nextInt(8)),
+          groups.map(gen(_, depth + 1)))
+      }
+    def ser(t: T): String =
+      if (t.kids.isEmpty) s"${t.name}:${t.branch}"
+      else t.kids.map(ser).mkString("(", ",", ")") + s":${t.branch}"
+    def naiveDepths(t: T, d: Double, path: List[T],
+        acc: scala.collection.mutable.Map[String, (Double, List[T])]): Unit = {
+      val nd = d + t.branch
+      if (t.kids.isEmpty) acc(t.name) = (nd, (t :: path).reverse)
+      else t.kids.foreach(naiveDepths(_, nd, t :: path, acc))
+    }
+    for (_ <- 1 to 20) {
+      val leaves = (0 until (3 + rnd.nextInt(12))).map(i => s"L$i").toList
+      val tree = gen(leaves, 0)
+      val idx = Newick.index(ser(tree).stripSuffix(":0.0") + ";")
+      val acc = scala.collection.mutable.Map[String, (Double, List[T])]()
+      naiveDepths(tree, 0.0, Nil, acc)
+      for { a <- leaves; b <- leaves if a < b } {
+        val (da, pa) = acc(a); val (db, pb) = acc(b)
+        val shared = pa.zip(pb).takeWhile { case (x, y) => x eq y }
+        val lcaDepth = shared.map(_._1.branch).sum
+        val want = da + db - 2.0 * lcaDepth
+        assert(idx.distance(a, b) == want, s"pair ($a,$b) in ${ser(tree)}")
+      }
+    }
+  }
+
   // --- Agglomerative (SURVEY C3) -----------------------------------------
 
   test("complete linkage merges under the cut and stops above it") {
