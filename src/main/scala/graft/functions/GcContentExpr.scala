@@ -70,6 +70,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.ngramsFn)
     ext.injectFunction(GraftExtensions.rollingFn)
     ext.injectFunction(GraftExtensions.caiFn)
+    ext.injectFunction(GraftExtensions.caiNativeFn)
     ext.injectOptimizerRule(_ => graft.plans.StripCaseChangeUnderGc)
     ext.injectOptimizerRule(_ => graft.plans.SortedIntersectRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.PathSpanJoinStrategy)
@@ -129,6 +130,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[CaiQuantizedExpr].getName, "cai_quantized"),
     (exprs: Seq[Expression]) => CaiQuantizedExpr(exprs.head))
 
+  val caiNativeFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cai_native"),
+    new ExpressionInfo(classOf[CaiNativeExpr].getName, "cai_native"),
+    (exprs: Seq[Expression]) => CaiNativeExpr(exprs.head))
+
   def registerInto(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("gc_content_native", fn._3, "built-in")
@@ -144,5 +150,7 @@ object GraftExtensions {
       .createOrReplaceTempFunction("rolling_hash", rollingFn._3, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("cai_quantized", caiFn._3, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("cai_native", caiNativeFn._3, "built-in")
   }
 }

@@ -1,6 +1,6 @@
 package graft.pangenome
 
-import graft.functions.{Cai, GraftFunctions, Stats, VariationCodec}
+import graft.functions.{GraftFunctions, VariationCodec}
 import graft.sources.PirateSources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -218,13 +218,18 @@ object Pangenome {
     * feature table, A1 per-strain avg/stddev written onto strains.
     * Null CAI (reference: NaN) is skipped by the strain aggregates —
     * Neo4j's avg/stDev ignore missing properties the same way.
+    *
+    * GC and CAI are codegen kernels ([[graft.functions.GcContentExpr]],
+    * [[graft.functions.CaiNativeExpr]] — bit-identical to the
+    * [[Cai.gcContent]]/[[Cai.caiForGene]] scalars, CaiRelationalSpec),
+    * so the variation decode is the projection's ONLY UDF boundary. The
+    * empty-decode guard keeps [[Cai.gcContentOpt]]'s None-on-empty
+    * contract (a fabricated GC=0 would skew the strain z-scores); CAI of
+    * the empty string is 1.0 on both paths (the Biopython n=0 quirk).
     */
   def enrich(spark: SparkSession, g: GraphTables): EnrichedTables = {
+    graft.functions.GraftExtensions.registerInto(spark)
     val decodeUdf = udf((v: String, r: String) => VariationCodec.decode(v, r))
-    val gcUdf = udf((s: String) =>
-      Cai.gcContentOpt(s).map(java.lang.Double.valueOf).orNull)
-    val caiUdf = udf((s: String) =>
-      Cai.caiForGene(s).map(java.lang.Double.valueOf).orNull)
 
     val metrics = g.features.filter(col("FeatureType") === "CDS")
       .join(g.ortholog.withColumnRenamed("feature_id", "Name"), Seq("Name"))
@@ -232,7 +237,8 @@ object Pangenome {
         Seq("cluster_id"))
       .withColumn("full_seq", decodeUdf(col("Variation"), col("reference_sequence")))
       .select(col("Name").as("featureID"),
-        gcUdf(col("full_seq")).as("GC"), caiUdf(col("full_seq")).as("CAI"))
+        when(length(col("full_seq")) > 0, expr("gc_content_native(full_seq)")).as("GC"),
+        expr("cai_native(full_seq)").as("CAI"))
 
     // J11: MERGE ... ON MATCH SET — keyed upsert via left join + coalesce
     val features = g.features

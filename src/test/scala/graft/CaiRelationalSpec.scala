@@ -98,4 +98,48 @@ class CaiRelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("cai_native kernel is BIT-identical to the scalar caiForGene") {
+    val rnd = new scala.util.Random(29)
+    // random DNA with lowercase runs, N's, partial tails and gap chars —
+    // the enrichment path's decode output domain plus its dirty edges
+    val alphabet = "ACGTacgtN-"
+    val seqs = ((1 to 200).map { _ =>
+      val n = rnd.nextInt(140)
+      Array.fill(n)(alphabet(rnd.nextInt(if (rnd.nextBoolean()) 4 else alphabet.length)))
+        .mkString
+    } ++ Seq("", "GCTGCTGCT", "GCAGCAGCA", "atggcagcgtaa", "ATGGCAGCGTAAGC",
+      "GCANNNGCA", "GCA", "ATGTGG", "TAATAGTGA", "gcagcagca")).distinct
+    val ker = viaExpr(seqs, "cai_native(dna)")
+    seqs.foreach { s =>
+      val want = Cai.caiForGene(s)
+      assert(ker(s) == want, s"seq=$s kernel=${ker(s)} scalar=$want")
+    }
+    // interpreted path agrees with codegen; null propagates
+    val interp = graft.functions.CaiNativeExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal("GCAGCAGCA")).eval(null)
+    assert(Option(interp).map(_.asInstanceOf[Double]) == ker("GCAGCAGCA"))
+    import spark.implicits._
+    assert(Seq[Option[String]](None).toDF("dna")
+      .select(expr("cai_native(dna)")).head().isNullAt(0))
+  }
+
+  test("enrichment projection keeps GC+CAI out of the UDF boundary") {
+    // the plan contract for Pangenome.enrich's metric projection: exactly
+    // one BatchEvalPython/ScalaUDF (the variation decode) and the two
+    // kernels present as native expressions
+    graft.functions.GraftExtensions.registerInto(spark)
+    val decodeUdf = udf((v: String, r: String) => s"$v$r")
+    // spark.range (not a local Seq): ConvertToLocalRelation would fold a
+    // LocalRelation projection away entirely and leave nothing to assert
+    val df = spark.range(1)
+      .select(lit("a").as("v"), lit("GCA").as("r"))
+      .withColumn("full_seq", decodeUdf(col("v"), col("r")))
+      .select(
+        when(length(col("full_seq")) > 0, expr("gc_content_native(full_seq)")).as("GC"),
+        expr("cai_native(full_seq)").as("CAI"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("gc_content_native") && plan.contains("cai_native"))
+    assert("UDF".r.findAllIn(plan).size <= 2, plan) // decode only (may print twice)
+  }
 }
