@@ -65,6 +65,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.fn)
     ext.injectFunction(GraftExtensions.encodeFn)
+    ext.injectFunction(GraftExtensions.decodeFn)
     ext.injectFunction(GraftExtensions.intersectFn)
     ext.injectFunction(GraftExtensions.trigramsFn)
     ext.injectFunction(GraftExtensions.ngramsFn)
@@ -87,6 +88,11 @@ object GraftExtensions {
     FunctionIdentifier("variation_encode_native"),
     new ExpressionInfo(classOf[VariationEncodeExpr].getName, "variation_encode_native"),
     (exprs: Seq[Expression]) => VariationEncodeExpr(exprs.head, exprs(1)))
+
+  val decodeFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("variation_decode_native"),
+    new ExpressionInfo(classOf[VariationDecodeExpr].getName, "variation_decode_native"),
+    (exprs: Seq[Expression]) => VariationDecodeExpr(exprs.head, exprs(1)))
 
   val intersectFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("sorted_intersect_size"),
@@ -140,6 +146,8 @@ object GraftExtensions {
       .createOrReplaceTempFunction("gc_content_native", fn._3, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("variation_encode_native", encodeFn._3, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("variation_decode_native", decodeFn._3, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("sorted_intersect_size", intersectFn._3, "built-in")
     spark.sessionState.functionRegistry

@@ -5,24 +5,24 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native codegen form of the variation delta encoder (SURVEY P7,
+/** Byte-level variation delta encoder (SURVEY P7,
   * pirateToDatabase.py:175-197) — the ETL's hottest scalar (one call per
-  * aligned sequence). Semantics identical to [[VariationCodec.encode]] for
-  * the ASCII alphabets the data uses (DNA + '-' gaps); byte-wise compare
-  * on the UTF-8 arrays, no per-row deserialization boundary.
+  * distinct aligned sequence).
   *
-  * Registered as `variation_encode_native` alongside the UDF form;
-  * promotion path per the brief: built-ins > Expression > UDF.
+  * Drop-in for [[VariationCodec.encode]] on EVERY input: the fast path
+  * compares the UTF-8 byte arrays directly (byte index == char index on
+  * ASCII, the DNA + '-' domain); any non-ASCII byte on either side — where
+  * byte-wise and char-wise diffs diverge — routes to the scalar itself.
+  * GcContentExprSpec pins the equivalence on multibyte/dirty fuzz.
   */
-case class VariationEncodeExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+object VariationEncode {
 
-  override def dataType: DataType = StringType
-  override def prettyName: String = "variation_encode_native"
-
-  override protected def nullSafeEval(seq: Any, ref: Any): Any = {
-    val sa = seq.asInstanceOf[UTF8String].getBytes
-    val sb = ref.asInstanceOf[UTF8String].getBytes
+  def compute(seq: UTF8String, ref: UTF8String): UTF8String = {
+    val sa = seq.getBytes
+    val sb = ref.getBytes
+    if (!VariationDecode.asciiOnly(sa) || !VariationDecode.asciiOnly(sb))
+      return UTF8String.fromString(
+        VariationCodec.encode(seq.toString, ref.toString))
     val n = math.min(sa.length, sb.length)
     val out = new java.lang.StringBuilder
     var prev = 0
@@ -36,27 +36,25 @@ case class VariationEncodeExpr(left: Expression, right: Expression)
     }
     UTF8String.fromString(out.toString)
   }
+}
+
+/** `variation_encode_native(seq, ref)` — [[VariationEncode.compute]] as a
+  * codegen scalar; null-safe (the scalar returns null when either side is
+  * null, exactly nullSafeEval's contract).
+  */
+case class VariationEncodeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "variation_encode_native"
+
+  override protected def nullSafeEval(seq: Any, ref: Any): Any =
+    VariationEncode.compute(
+      seq.asInstanceOf[UTF8String], ref.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val sa = ctx.freshName("sa"); val sb = ctx.freshName("sb")
-      val n = ctx.freshName("n"); val out = ctx.freshName("out")
-      val prev = ctx.freshName("prev"); val i = ctx.freshName("i")
-      s"""
-         |byte[] $sa = $a.getBytes();
-         |byte[] $sb = $b.getBytes();
-         |int $n = Math.min($sa.length, $sb.length);
-         |StringBuilder $out = new StringBuilder();
-         |int $prev = 0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($sa[$i] != $sb[$i]) {
-         |    $out.append($i - $prev);
-         |    $out.append((char) ($sa[$i] & 0xFF));
-         |    $prev = $i;
-         |  }
-         |}
-         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($out.toString());
-       """.stripMargin
+      s"${ev.value} = graft.functions.VariationEncode.compute($a, $b);"
     })
 
   override protected def withNewChildrenInternal(

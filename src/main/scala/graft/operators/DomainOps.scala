@@ -90,7 +90,7 @@ object DomainOps {
           .withColumn("seq", substring(col("text"), 1, 80))
           .withColumn("ref", translate(col("seq"), "aeiou", "eioua"))
           .withColumn("enc", expr("variation_encode_native(seq, ref)"))
-          .withColumn("dec", expr("variation_decode(enc, ref)"))
+          .withColumn("dec", expr("variation_decode_native(enc, ref)"))
           .select(col("doc_id"),
             (col("dec") === col("seq")).cast("int").as("roundtrip_ok"))
           .orderBy(col("doc_id"))

@@ -1,6 +1,6 @@
 package graft.pangenome
 
-import graft.functions.{GraftFunctions, VariationCodec}
+import graft.functions.GraftFunctions
 import graft.sources.PirateSources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -34,6 +34,7 @@ object Pangenome {
   case class EtlTables(features: DataFrame, clusters: DataFrame, neighbourEdges: DataFrame)
 
   def etl(spark: SparkSession, pirateDir: String): EtlTables = {
+    graft.functions.GraftExtensions.registerInto(spark)
     val coords = PirateSources.readCoords(spark, s"$pirateDir/co-ords")
     val reprSeq = PirateSources.readRepresentativeHeaders(
       spark, s"$pirateDir/representative_sequences.ffn")
@@ -58,11 +59,12 @@ object Pangenome {
       .select(col("Cluster").as("rc"), col("Seq").as("Seq_reference"))
     val alignedRef = withRef.join(refRows, col("Cluster") === col("rc")).drop("rc")
 
-    // A11+P7: variation once per distinct (cluster, seq), mapped back
-    val encodeUdf = udf((s: String, r: String) => VariationCodec.encode(s, r))
+    // A11+P7: variation once per distinct (cluster, seq), mapped back.
+    // Encode is the codegen kernel ([[graft.functions.VariationEncodeExpr]],
+    // scalar-fallback drop-in) — the ETL's hottest scalar, no UDF boundary.
     val distinctSeqs = alignedRef.select(col("Cluster").as("dc"),
         col("Seq").as("ds"), col("Seq_reference").as("dr")).distinct()
-      .withColumn("Variation", encodeUdf(col("ds"), col("dr")))
+      .withColumn("Variation", expr("variation_encode_native(ds, dr)"))
       .drop("dr")
     val variation = alignedRef.join(distinctSeqs,
         col("Cluster") === col("dc") && col("Seq") === col("ds"))
@@ -219,23 +221,26 @@ object Pangenome {
     * Null CAI (reference: NaN) is skipped by the strain aggregates —
     * Neo4j's avg/stDev ignore missing properties the same way.
     *
-    * GC and CAI are codegen kernels ([[graft.functions.GcContentExpr]],
-    * [[graft.functions.CaiNativeExpr]] — bit-identical to the
-    * [[Cai.gcContent]]/[[Cai.caiForGene]] scalars, CaiRelationalSpec),
-    * so the variation decode is the projection's ONLY UDF boundary. The
+    * Decode, GC and CAI are all codegen kernels
+    * ([[graft.functions.VariationDecodeExpr]] — custom null contract, a
+    * null variation is the reference locus itself and still decodes —
+    * [[graft.functions.GcContentExpr]], [[graft.functions.CaiNativeExpr]],
+    * each a scalar-fallback drop-in, CaiRelationalSpec/GcContentExprSpec),
+    * so the metric projection has ZERO UDF boundaries: one whole-stage
+    * codegen span from the join output to the metric frame. The
     * empty-decode guard keeps [[Cai.gcContentOpt]]'s None-on-empty
     * contract (a fabricated GC=0 would skew the strain z-scores); CAI of
     * the empty string is 1.0 on both paths (the Biopython n=0 quirk).
     */
   def enrich(spark: SparkSession, g: GraphTables): EnrichedTables = {
     graft.functions.GraftExtensions.registerInto(spark)
-    val decodeUdf = udf((v: String, r: String) => VariationCodec.decode(v, r))
 
     val metrics = g.features.filter(col("FeatureType") === "CDS")
       .join(g.ortholog.withColumnRenamed("feature_id", "Name"), Seq("Name"))
       .join(g.clusters.select(col("cluster_id"), col("reference_sequence")),
         Seq("cluster_id"))
-      .withColumn("full_seq", decodeUdf(col("Variation"), col("reference_sequence")))
+      .withColumn("full_seq",
+        expr("variation_decode_native(Variation, reference_sequence)"))
       .select(col("Name").as("featureID"),
         when(length(col("full_seq")) > 0, expr("gc_content_native(full_seq)")).as("GC"),
         expr("cai_native(full_seq)").as("CAI"))

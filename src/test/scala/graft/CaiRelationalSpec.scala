@@ -124,22 +124,27 @@ class CaiRelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(expr("cai_native(dna)")).head().isNullAt(0))
   }
 
-  test("enrichment projection keeps GC+CAI out of the UDF boundary") {
-    // the plan contract for Pangenome.enrich's metric projection: exactly
-    // one BatchEvalPython/ScalaUDF (the variation decode) and the two
-    // kernels present as native expressions
+  test("enrichment projection has ZERO UDF boundaries") {
+    // the plan contract for Pangenome.enrich's metric projection: decode,
+    // GC and CAI are all native kernels, no UDF anywhere in the plan —
+    // one whole-stage codegen span from input to metric frame
     graft.functions.GraftExtensions.registerInto(spark)
-    val decodeUdf = udf((v: String, r: String) => s"$v$r")
-    // spark.range (not a local Seq): ConvertToLocalRelation would fold a
-    // LocalRelation projection away entirely and leave nothing to assert
+    // inputs hang off range's id (not literals): ConstantFolding would
+    // evaluate an all-literal kernel chain away and leave nothing to assert
     val df = spark.range(1)
-      .select(lit("a").as("v"), lit("GCA").as("r"))
-      .withColumn("full_seq", decodeUdf(col("v"), col("r")))
+      .select(concat(col("id").cast("string"), lit("C")).as("Variation"),
+        lit("GCA-GCAGCA").as("reference_sequence"))
+      .withColumn("full_seq",
+        expr("variation_decode_native(Variation, reference_sequence)"))
       .select(
         when(length(col("full_seq")) > 0, expr("gc_content_native(full_seq)")).as("GC"),
         expr("cai_native(full_seq)").as("CAI"))
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("gc_content_native") && plan.contains("cai_native"))
-    assert("UDF".r.findAllIn(plan).size <= 2, plan) // decode only (may print twice)
+    assert(plan.contains("gc_content_native") && plan.contains("cai_native")
+      && plan.contains("variation_decode_native"))
+    assert(!plan.contains("UDF"), plan)
+    // and it computes: "0C" onto "GCA-GCAGCA" -> CCAGCAGCA after gap strip
+    val row = df.head()
+    assert(!row.isNullAt(0) && !row.isNullAt(1))
   }
 }

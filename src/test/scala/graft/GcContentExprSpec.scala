@@ -44,11 +44,68 @@ class GcContentExprSpec extends AnyFunSuite with BeforeAndAfterAll {
       (Array.fill(n)(alpha(rnd.nextInt(5))).mkString,
         Array.fill(n)(alpha(rnd.nextInt(5))).mkString)
     }
-    val got = pairs.toDF("s", "r")
+    // multibyte pairs exercise the scalar fallback (byte-wise and char-wise
+    // diffs diverge there; the kernel must route to the scalar)
+    val multi = Seq(("héllo", "hallo"), ("日本語AC", "日本誤AC"),
+      ("Aé-G", "Bé-G"), ("ACGT", "AC😀T"))
+    val all = pairs ++ multi
+    val got = all.toDF("s", "r")
       .selectExpr("s", "r", "variation_encode_native(s, r) AS e")
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
-    pairs.foreach { case (s, r) =>
+    all.foreach { case (s, r) =>
       assert(got((s, r)) == VariationCodec.encode(s, r), s"seq=$s ref=$r")
+    }
+  }
+
+  test("native variation decoder matches the scala kernel on random and dirty pairs") {
+    import spark.implicits._
+    import graft.functions.{VariationCodec, VariationDecode}
+    GraftExtensions.registerInto(spark)
+    val rnd = new scala.util.Random(13)
+    val alpha = "ACGT-"
+    // realistic variation streams: encode mutated copies of random refs
+    val pairs = (1 to 300).map { _ =>
+      val n = 1 + rnd.nextInt(90)
+      val ref = Array.fill(n)(alpha(rnd.nextInt(5))).mkString
+      val seq = ref.toCharArray
+      (0 until n).foreach(i => if (rnd.nextInt(8) == 0) seq(i) = alpha(rnd.nextInt(5)))
+      (VariationCodec.encode(new String(seq), ref), ref)
+    }
+    // degenerate streams where the hand parser must agree with the regex
+    val dirty = Seq(
+      ("", "AC-GT"), ("2C3G", "AAAAAAAAAAAAA"),
+      ("X2C", "AAAA"),       // leading junk: regex skips the X, pairs (2,C)
+      ("12", "AAAA"),        // trailing digits with no \D -> no match at all
+      ("3", "AAAA"), ("--", "AC-GT"), ("0G", "AAAA"), ("0G0T", "AAAA"),
+      ("1-", "AAAA"),        // variation writes a gap char -> stripped after
+      ("99A", "AAA"),        // index beyond the reference -> ignored
+      ("2X", "héllo-wörld"), // multibyte reference -> scalar fallback
+      ("é1A", "AAAA"))       // multibyte variation -> scalar fallback
+    val all = (pairs ++ dirty).distinct
+    val got = all.toDF("v", "r")
+      .selectExpr("v", "r", "variation_decode_native(v, r) AS d")
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getString(2)).toMap
+    all.foreach { case (v, r) =>
+      assert(got((v, r)) == VariationCodec.decode(v, r), s"v=$v ref=$r")
+    }
+    // null contract: null reference -> null; null variation (the cluster's
+    // reference locus itself) still decodes to the gap-stripped reference
+    val rows = Seq((Some("1C"), None: Option[String]),
+        (None: Option[String], Some("AC-GT")))
+      .toDF("v", "r").selectExpr("variation_decode_native(v, r) AS d").collect()
+    assert(rows(0).isNullAt(0))
+    assert(rows(1).getString(0) == "ACGT")
+    // interpreted path agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val interp = graft.functions.VariationDecodeExpr(
+      Literal("2C3G"), Literal("AAAAAAAAAAAAA"))
+    assert(interp.eval(null).toString == "AACAAGAAAAAAA")
+    // a 10+-digit gap run routes to the scalar, exceptions and all (the
+    // scalar's toInt throws there; silent int wraparound would diverge)
+    intercept[NumberFormatException] {
+      VariationDecode.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString("99999999999999999999X"),
+        org.apache.spark.unsafe.types.UTF8String.fromString("AAAA"))
     }
   }
 
