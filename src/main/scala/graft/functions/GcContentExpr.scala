@@ -72,6 +72,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.rollingFn)
     ext.injectFunction(GraftExtensions.caiFn)
     ext.injectFunction(GraftExtensions.caiNativeFn)
+    ext.injectFunction(GraftExtensions.minhashBandsFn)
+    ext.injectFunction(GraftExtensions.simhashFn)
+    ext.injectFunction(GraftExtensions.hyperplaneFn)
     ext.injectOptimizerRule(_ => graft.plans.StripCaseChangeUnderGc)
     ext.injectOptimizerRule(_ => graft.plans.SortedIntersectRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.PathSpanJoinStrategy)
@@ -126,6 +129,51 @@ object GraftExtensions {
       HashedNgramsExpr(exprs.head, nExpr.eval().asInstanceOf[Int])
     })
 
+  /** A foldable INT literal argument, or a clear analysis error (the
+    * hashed_ngrams contract: sketch widths are plan-time constants).
+    */
+  private def foldableInt(fn: String, arg: String, e: Expression): Int = {
+    def fail(msg: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "_LEGACY_ERROR_TEMP_1332", Map("errorMessage" -> msg))
+    if (!e.foldable) fail(s"$fn: $arg must be a foldable constant, got ${e.sql}")
+    if (e.dataType != org.apache.spark.sql.types.IntegerType)
+      fail(s"$fn: $arg must be an INT literal, got ${e.sql}: ${e.dataType.simpleString}")
+    e.eval().asInstanceOf[Int]
+  }
+
+  private def requireArity(fn: String, n: Int, exprs: Seq[Expression]): Unit =
+    if (exprs.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        "_LEGACY_ERROR_TEMP_1332",
+        Map("errorMessage" -> s"$fn takes exactly $n arguments, got ${exprs.length}"))
+
+  val minhashBandsFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_bands"),
+    new ExpressionInfo(classOf[MinhashBandsExpr].getName, "minhash_bands"),
+    (exprs: Seq[Expression]) => {
+      requireArity("minhash_bands(tokens, numPerms, rowsPerBand)", 3, exprs)
+      MinhashBandsExpr(exprs.head,
+        foldableInt("minhash_bands", "numPerms", exprs(1)),
+        foldableInt("minhash_bands", "rowsPerBand", exprs(2)))
+    })
+
+  val simhashFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash64"),
+    new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
+    (exprs: Seq[Expression]) => {
+      requireArity("simhash64(text)", 1, exprs)
+      SimHash64Expr(exprs.head)
+    })
+
+  val hyperplaneFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hyperplane_sig"),
+    new ExpressionInfo(classOf[HyperplaneSigExpr].getName, "hyperplane_sig"),
+    (exprs: Seq[Expression]) => {
+      requireArity("hyperplane_sig(vec, numPlanes)", 2, exprs)
+      HyperplaneSigExpr(exprs.head, foldableInt("hyperplane_sig", "numPlanes", exprs(1)))
+    })
+
   val rollingFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("rolling_hash"),
     new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),
@@ -160,5 +208,11 @@ object GraftExtensions {
       .createOrReplaceTempFunction("cai_quantized", caiFn._3, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("cai_native", caiNativeFn._3, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("minhash_bands", minhashBandsFn._3, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("simhash64", simhashFn._3, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("hyperplane_sig", hyperplaneFn._3, "built-in")
   }
 }

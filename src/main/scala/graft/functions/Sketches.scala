@@ -23,20 +23,26 @@ object Sketches {
   @inline private def coefA(i: Int): Long = 2654435761L + 40503L * i
   @inline private def coefB(i: Int): Long = 2246822519L + 9973L * i
 
+  /** Fold one token hash into a minhash signature-in-progress — the single
+    * home of the permutation arithmetic (the scalar [[minHash]] and the
+    * codegen kernel [[MinhashBandsExpr]] both fold through here, so their
+    * signatures are identical by construction).
+    */
+  def minHashUpdate(sig: Array[Long], h: Long): Unit = {
+    var i = 0
+    while (i < sig.length) {
+      val v = (coefA(i) % P * (h % P) % P + coefB(i)) % P
+      if (v < sig(i)) sig(i) = v
+      i += 1
+    }
+  }
+
   /** MinHash signature of a token set: sig(i) = min over tokens of
     * (a_i·h(tok) + b_i) mod p.
     */
   def minHash(tokens: Iterable[String], numPerms: Int): Array[Long] = {
     val sig = Array.fill(numPerms)(Long.MaxValue)
-    tokens.foreach { t =>
-      val h = stringHash(t)
-      var i = 0
-      while (i < numPerms) {
-        val v = (coefA(i) % P * (h % P) % P + coefB(i)) % P
-        if (v < sig(i)) sig(i) = v
-        i += 1
-      }
-    }
+    tokens.foreach(t => minHashUpdate(sig, stringHash(t)))
     sig
   }
 
@@ -57,17 +63,26 @@ object Sketches {
     */
   def simHash(tokens: Iterable[String]): Long = {
     val acc = new Array[Int](64)
-    tokens.foreach { t =>
-      var z = stringHash(t) + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      val h = z ^ (z >>> 31)
-      var bit = 0
-      while (bit < 64) {
-        if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
-        bit += 1
-      }
+    tokens.foreach(t => simHashAccumulate(acc, stringHash(t)))
+    simHashFinish(acc)
+  }
+
+  /** Fold one token hash into the 64 per-bit counters (splitmix64
+    * finalizer first) — shared by the scalar and [[SimHash64Expr]].
+    */
+  def simHashAccumulate(acc: Array[Int], tokenHash: Long): Unit = {
+    var z = tokenHash + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    val h = z ^ (z >>> 31)
+    var bit = 0
+    while (bit < 64) {
+      if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
+      bit += 1
     }
+  }
+
+  def simHashFinish(acc: Array[Int]): Long = {
     var out = 0L
     var bit = 0
     while (bit < 64) { if (acc(bit) > 0) out |= (1L << bit); bit += 1 }

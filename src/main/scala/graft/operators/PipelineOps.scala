@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.{QueryDef, Tables => T}
-import graft.functions.Sketches
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -40,21 +39,24 @@ object PipelineOps {
     * the incremental streaming dedup (StreamingJobs.incrementalNearDedup).
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val shingleUdf = udf((text: String) =>
-      if (text == null) Array.empty[String]
-      else {
-        val toks = text.toLowerCase.split(" +").filter(_.nonEmpty)
-        if (toks.length < 2) toks
-        else toks.sliding(2).map(_.mkString(" ")).toArray.distinct
-      })
-    val bandsUdf = udf((sh: Seq[String]) =>
-      Sketches.bandKeys(Sketches.minHash(sh, 32), 4))
+    graft.functions.GraftExtensions.registerInto(docs.sparkSession)
+    // shingling is a builtin chain and the 32-perm/4-row banding is the
+    // minhash_bands codegen kernel (SketchExprs) — the whole signature
+    // pass is one WholeStageCodegen span with no UDF materialization of
+    // the token arrays. SketchExprsSpec pins equality with the scalar
+    // Sketches chain (the stability contract the persisted signature
+    // store depends on).
     docs
-      .select(col("doc_id"), shingleUdf(col("text")).as("shingles"))
-      .withColumn("bands", bandsUdf(col("shingles")))
-      .withColumn("hs",
-        expr("array_sort(transform(shingles, x -> xxhash64(x)))"))
-      .drop("shingles")
+      .withColumn("toks",
+        expr("filter(split(lower(coalesce(text, '')), ' '), x -> x != '')"))
+      .withColumn("shingles",
+        expr("""CASE WHEN size(toks) < 2 THEN toks
+               |ELSE array_distinct(transform(sequence(1, size(toks) - 1),
+               |       i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))) END"""
+          .stripMargin))
+      .select(col("doc_id"),
+        expr("minhash_bands(shingles, 32, 4)").as("bands"),
+        expr("array_sort(transform(shingles, x -> xxhash64(x)))").as("hs"))
   }
 
   /** Verified near-dup pairs (Jaccard >= `minJaccard`) between two
@@ -138,22 +140,23 @@ object PipelineOps {
     QueryDef(
       "d3_simhash",
       (s, d) => {
-        val simUdf = udf((text: String) =>
-          Sketches.simHash(
-            if (text == null) Seq.empty[String]
-            else text.toLowerCase.split(" +").filter(_.nonEmpty).toSeq))
+        graft.functions.GraftExtensions.registerInto(s)
+        // signature is the simhash64 codegen kernel (SketchExprs; empty
+        // text = null text = empty token multiset, the UDF's old null
+        // contract); Hamming is the builtin bit_count over xor — no UDF
+        // anywhere in the operator.
         val docs = T.documents(s, d)
-          .select(col("doc_id"), simUdf(col("text")).as("sim"))
+          .select(col("doc_id"),
+            expr("simhash64(coalesce(text, ''))").as("sim"))
         val banded = docs.select(col("doc_id"), col("sim"),
           explode(expr("transform(sequence(0, 3), b -> " +
             "concat(b, ':', CAST(shiftright(sim, b * 16) & 65535 AS STRING)))"))
             .as("band"))
         val a = banded.select(col("band"), col("doc_id").as("id1"), col("sim").as("s1"))
         val b = banded.select(col("band").as("b2"), col("doc_id").as("id2"), col("sim").as("s2"))
-        val hamUdf = udf((x: Long, y: Long) => Sketches.hammingDistance(x, y))
         a.join(b, col("band") === col("b2") && col("id1") < col("id2"))
           .dropDuplicates("id1", "id2")
-          .withColumn("hamming", hamUdf(col("s1"), col("s2")))
+          .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS INT)"))
           .filter(col("hamming") <= 6)
           .select(col("id1"), col("id2"), col("hamming"))
           .orderBy(col("id1"), col("id2"))
@@ -334,11 +337,11 @@ object PipelineOps {
     QueryDef(
       "d6_ann_lsh",
       (s, d) => {
-        val sigUdf = udf((v: Seq[Float]) =>
-          Sketches.hyperplaneSignature(v.toArray, 8))
+        graft.functions.GraftExtensions.registerInto(s)
         val q = expr("transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))")
         val base = T.embeddings(s, d)
-          .select(col("vec_id"), q.as("q"), sigUdf(col("embedding")).as("sig"))
+          .select(col("vec_id"), q.as("q"),
+            expr("hyperplane_sig(embedding, 8)").as("sig"))
           .withColumn("nn",
             expr("aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
         val a = base.select(col("sig"), col("vec_id").as("id1"),
@@ -440,13 +443,12 @@ object PipelineOps {
       "d8_embedding_neardup",
       (s, d) => {
         val cachedBefore = s.sparkContext.getPersistentRDDs.keySet
-        val sigUdf = udf((v: Seq[Float]) =>
-          Sketches.hyperplaneSignature(v.toArray, 32))
+        graft.functions.GraftExtensions.registerInto(s)
         val q = expr("transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))")
         // band shuffle carries (band, vec_id) only; q/nn join back per
         // candidate afterwards (column-pruned re-scan, d2's shape)
         val banded = T.embeddings(s, d)
-          .select(col("vec_id"), sigUdf(col("embedding")).as("sig"))
+          .select(col("vec_id"), expr("hyperplane_sig(embedding, 32)").as("sig"))
           .select(col("vec_id"),
             explode(expr("transform(sequence(0, 3), b -> " +
               "concat(b, ':', CAST(shiftright(sig, b * 8) & 255 AS STRING)))"))

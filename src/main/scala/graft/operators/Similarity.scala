@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{Agglomerative, Sketches}
+import graft.functions.Agglomerative
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -41,11 +41,11 @@ object Similarity {
   def lshCandidates(
       sets: DataFrame, idCol: String, setCol: String,
       numPerms: Int = 32, rowsPerBand: Int = 4): DataFrame = {
-    val bandsUdf = udf((toks: Seq[String]) =>
-      Sketches.bandKeys(Sketches.minHash(toks, numPerms), rowsPerBand))
+    graft.functions.GraftExtensions.registerInto(sets.sparkSession)
     val src = sets.select(col(idCol).as("id"), col(setCol).as("st"))
     val buckets = src
-      .withColumn("bands", bandsUdf(transform(col("st"), x => x.cast("string"))))
+      .withColumn("bands", expr(
+        s"minhash_bands(transform(st, x -> CAST(x AS STRING)), $numPerms, $rowsPerBand)"))
       .select(col("id"), posexplode(col("bands")).as(Seq("bi", "bk")))
     val a = buckets.select(col("bi"), col("bk"), col("id").as("id1"))
     val b = buckets.select(col("bi").as("bi2"), col("bk").as("bk2"),
