@@ -85,6 +85,20 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(offenders.isEmpty, s"unexpected global funnels in: ${offenders.toSeq.sorted}")
   }
 
+  // each member evaluates the broadcast LCA tree index — a domain OBJECT
+  // lookup with no columnar form. Everything else (codecs, GC/CAI,
+  // minhash/simhash/hyperplane sketches, hashes) is a codegen kernel or a
+  // builtin chain since r5; a new UDF boundary in a hot path fails here
+  // by name (every row pays a Tungsten->JVM materialization at one).
+  private val udfAllowed = Set("a12_tree_distance", "x3_anchor_phylo")
+
+  test("UDF boundaries only under the broadcast tree-distance lookups") {
+    val offenders = plans.collect {
+      case (n, p) if p.contains("UDF") && !udfAllowed(n) => n
+    }
+    assert(offenders.isEmpty, s"unexpected UDF boundaries in: ${offenders.toSeq.sorted}")
+  }
+
   test("s1 scan pushes its filter and prunes to the projected columns") {
     val p = plans("s1_scan_project")
     assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"), p)
