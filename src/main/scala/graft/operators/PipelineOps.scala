@@ -131,7 +131,56 @@ object PipelineOps {
           T.documents(s, d).select(col("doc_id"), col("text"))), "d2_sig", d)
         nearDupPairs(sig, sig, 0.5).orderBy(col("id1"), col("id2"))
       },
-      None, // recall-bounded sketch: pinned by SketchesSpec planted-dup tests
+      // The FULL sketch pipeline re-derived in DuckDB: the portable
+      // minhash arithmetic (Sketches) is plain mod-1e9+7 BIGINT math, so
+      // the permutations, band keys and candidate set are reproduced
+      // exactly in SQL (list lambdas); verification intersects shingle
+      // STRINGS where Spark intersects their xxhash64s — identical
+      // cardinalities absent 64-bit collisions, hence identical doubles.
+      // ASCII-only corpus makes unicode(c) == Java charAt (non-BMP text
+      // would split surrogate pairs differently). Candidate recall is
+      // additionally pinned by SketchesSpec planted-dup tests.
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |         CASE WHEN len(t) < 2 THEN t
+             |              ELSE list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])
+             |         END AS s
+             |  FROM toks),
+             |hashes AS (
+             |  SELECT doc_id, s,
+             |         [list_reduce([unicode(c)::BIGINT FOR c IN string_split(g, '')],
+             |                      (a, b) -> (a * 31 + b) % 1000000007) FOR g IN s] AS hs
+             |  FROM sh),
+             |sigs AS (
+             |  SELECT doc_id, s,
+             |         [list_min([((2654435761 + 40503 * i) % 1000000007 *
+             |                     (h % 1000000007) % 1000000007
+             |                     + (2246822519 + 9973 * i)) % 1000000007 FOR h IN hs])
+             |          FOR i IN range(0, 32)] AS sig
+             |  FROM hashes),
+             |bands AS (
+             |  SELECT doc_id, s,
+             |         [list_reduce([b] || [sig[i] FOR i IN range(4*b + 1, 4*b + 5)],
+             |                      (a, x) -> (a * 1315423911 + x) % 1000000007)
+             |          FOR b IN range(0, 8)] AS bk
+             |  FROM sigs),
+             |exploded AS (
+             |  SELECT doc_id, unnest(bk) AS k FROM bands),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+             |  FROM exploded a JOIN exploded b ON a.k = b.k AND a.doc_id < b.doc_id),
+             |verified AS (
+             |  SELECT id1, id2,
+             |         len(list_intersect(x.s, y.s))::DOUBLE /
+             |           (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+             |  FROM cand JOIN bands x ON cand.id1 = x.doc_id
+             |            JOIN bands y ON cand.id2 = y.doc_id)
+             |SELECT id1, id2, jaccard FROM verified WHERE jaccard >= 0.5
+             |ORDER BY id1, id2""".stripMargin),
       doc = "dedup/minhash-lsh; SURVEY C1/C2 scale path (RGPs.ipynb cell 70)"),
 
     // D3: SimHash near-dup — 64-bit signature, banded into 4×16-bit keys;
@@ -161,7 +210,85 @@ object PipelineOps {
           .select(col("id1"), col("id2"), col("hamming"))
           .orderBy(col("id1"), col("id2"))
       },
-      None, // signature-dependent: pinned by SketchesSpec
+      // Full sketch re-derivation in DuckDB, including the splitmix64
+      // finalizer: DuckDB integers ERROR on overflow instead of wrapping,
+      // so Java's u64 arithmetic is emulated in HUGEINT over [0, 2^64) —
+      // adds reduce mod 2^64, multiplies split into 32-bit halves
+      // (alo·blo + (alo·bhi + ahi·blo mod 2^32)·2^32, exact in HUGEINT),
+      // xors round-trip through signed BIGINT, and >>> k is integer
+      // division (shifted values stay below 2^63, so only the unshifted
+      // operand needs the sign dance). m1-m9 are one splitmix stage each;
+      // the per-bit majority vote is 2·ones > n over the token hash list.
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(string_split(lower(coalesce(text, '')), ' '),
+             |                                    x -> x != '')) AS tok
+             |  FROM documents),
+             |th AS (
+             |  SELECT doc_id,
+             |         list_reduce([unicode(c)::BIGINT FOR c IN string_split(tok, '')],
+             |                     (a, b) -> (a * 31 + b) % 1000000007)::HUGEINT AS h
+             |  FROM toks),
+             |m1 AS (SELECT doc_id, (h + 11400714819323198485) % 18446744073709551616 AS z FROM th),
+             |m2 AS (SELECT doc_id,
+             |         xor((CASE WHEN z >= 9223372036854775808
+             |                   THEN z - 18446744073709551616 ELSE z END)::BIGINT,
+             |             (z // 1073741824)::BIGINT) AS sx
+             |       FROM m1),
+             |m3 AS (SELECT doc_id,
+             |         (sx::HUGEINT + CASE WHEN sx < 0 THEN 18446744073709551616::HUGEINT
+             |                             ELSE 0::HUGEINT END) % 4294967296 AS xl,
+             |         (sx::HUGEINT + CASE WHEN sx < 0 THEN 18446744073709551616::HUGEINT
+             |                             ELSE 0::HUGEINT END) // 4294967296 AS xh
+             |       FROM m2),
+             |m4 AS (SELECT doc_id,
+             |         (xl * 484763065 + (xl * 3210233709 + xh * 484763065) % 4294967296 * 4294967296)
+             |           % 18446744073709551616 AS z
+             |       FROM m3),
+             |m5 AS (SELECT doc_id,
+             |         xor((CASE WHEN z >= 9223372036854775808
+             |                   THEN z - 18446744073709551616 ELSE z END)::BIGINT,
+             |             (z // 134217728)::BIGINT) AS sx
+             |       FROM m4),
+             |m6 AS (SELECT doc_id,
+             |         (sx::HUGEINT + CASE WHEN sx < 0 THEN 18446744073709551616::HUGEINT
+             |                             ELSE 0::HUGEINT END) % 4294967296 AS xl,
+             |         (sx::HUGEINT + CASE WHEN sx < 0 THEN 18446744073709551616::HUGEINT
+             |                             ELSE 0::HUGEINT END) // 4294967296 AS xh
+             |       FROM m5),
+             |m7 AS (SELECT doc_id,
+             |         (xl * 321982955 + (xl * 2496678331 + xh * 321982955) % 4294967296 * 4294967296)
+             |           % 18446744073709551616 AS z
+             |       FROM m6),
+             |m8 AS (SELECT doc_id,
+             |         xor((CASE WHEN z >= 9223372036854775808
+             |                   THEN z - 18446744073709551616 ELSE z END)::BIGINT,
+             |             (z // 2147483648)::BIGINT) AS sx
+             |       FROM m7),
+             |m9 AS (SELECT doc_id,
+             |         sx::HUGEINT + CASE WHEN sx < 0 THEN 18446744073709551616::HUGEINT
+             |                            ELSE 0::HUGEINT END AS h64
+             |       FROM m8),
+             |perdoc AS (SELECT doc_id, list(h64) AS hl FROM m9 GROUP BY doc_id),
+             |sims AS (
+             |  SELECT doc_id,
+             |         list_sum([CASE WHEN 2 * len(list_filter(hl, h -> (h // (1::HUGEINT << b)) % 2 = 1))
+             |                        > len(hl)
+             |                   THEN (1::HUGEINT << b) ELSE 0::HUGEINT END
+             |                   FOR b IN range(0, 64)]) AS usim
+             |  FROM perdoc),
+             |banded AS (
+             |  SELECT doc_id,
+             |         (CASE WHEN usim >= 9223372036854775808
+             |               THEN usim - 18446744073709551616 ELSE usim END)::BIGINT AS sim,
+             |         unnest([b::VARCHAR || ':' || ((usim // (1::HUGEINT << (b * 16))) % 65536)::VARCHAR
+             |                 FOR b IN range(0, 4)]) AS band
+             |  FROM sims),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.sim AS sim1, b.sim AS sim2
+             |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id)
+             |SELECT id1, id2, bit_count(xor(sim1, sim2))::INT AS hamming
+             |FROM cand WHERE bit_count(xor(sim1, sim2)) <= 6
+             |ORDER BY id1, id2""".stripMargin),
       doc = "dedup/simhash; Charikar 2002 random-projection sketch"),
 
     // D4: exact n-gram Jaccard near-dup, blocked by (lang, length bucket) —
@@ -358,7 +485,40 @@ object PipelineOps {
           .select(col("id1"), col("id2"), col("cos"))
           .orderBy(col("id1"), col("id2"))
       },
-      None, // recall-bounded sketch: pinned by SketchesSpec
+      // Full sketch re-derivation in DuckDB: the hyperplane weights are
+      // BIGINT arithmetic, and the float32 semantics line up exactly —
+      // Scala's `vec(i) * m` is a Float×Long→Float (float32) multiply
+      // accumulated into a Double, which DuckDB reproduces as
+      // (FLOAT * m::FLOAT)::DOUBLE summed in element order by
+      // list_reduce; the quantized q/nn/dot values are exact BIGINTs, so
+      // the cosines are identical doubles. Recall additionally pinned by
+      // SketchesSpec/AnnSpec.
+      Some("""WITH base AS (
+             |  SELECT vec_id,
+             |         [floor((embedding[i] * 1000)::DOUBLE + 0.5)::BIGINT
+             |          FOR i IN range(1, len(embedding) + 1)] AS q,
+             |         list_sum([CASE WHEN
+             |             list_reduce([(embedding[i] *
+             |                 (((2654435761 + 40503 * (j * 131 + (i - 1))) % 2001
+             |                   - 1000)::FLOAT))::DOUBLE
+             |                 FOR i IN range(1, len(embedding) + 1)],
+             |               (a, b) -> a + b) > 0
+             |           THEN 1 << j ELSE 0 END FOR j IN range(0, 8)]) AS sig
+             |  FROM embeddings),
+             |withnn AS (
+             |  SELECT vec_id, q, sig,
+             |         list_reduce([q[i] * q[i] FOR i IN range(1, len(q) + 1)],
+             |                     (a, b) -> a + b) AS nn
+             |  FROM base),
+             |pairs AS (
+             |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+             |         list_reduce([a.q[i] * b.q[i] FOR i IN range(1, len(a.q) + 1)],
+             |                     (x, y) -> x + y) AS dot,
+             |         a.nn AS n1, b.nn AS n2
+             |  FROM withnn a JOIN withnn b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+             |SELECT id1, id2, dot::DOUBLE / sqrt(n1::DOUBLE * n2::DOUBLE) AS cos
+             |FROM pairs WHERE dot::DOUBLE / sqrt(n1::DOUBLE * n2::DOUBLE) >= 0.2
+             |ORDER BY id1, id2""".stripMargin),
       doc = "similarity/ann hyperplane-LSH; scale path for d5"),
 
     // D7: IVF-style ANN — coarse quantizer (sampled centroids, no Lloyd
@@ -422,7 +582,58 @@ object PipelineOps {
             (col("rk0") + 1).cast("int").as("rk"))
           .orderBy(col("qid"), col("rk"))
       },
-      None, // recall-bounded index: pinned vs brute force in AnnSpec
+      // Full index re-derivation in DuckDB: centroid selection, nearest-
+      // list assignment (row_number over (sim DESC, cid ASC) = Spark's
+      // max_by(cid, struct(sim, -cid)) tiebreak), 2-probe and the top-5
+      // are all exact BIGINT dots / identical-double cosines. The stride
+      // is the literal 50: footerRowCount/4096 < 50 at every test SF
+      // (the cap only widens beyond ~205k vectors). Recall/determinism
+      // additionally pinned vs brute force in AnnSpec.
+      Some("""WITH base AS (
+             |  SELECT vec_id,
+             |         [floor((embedding[i] * 1000)::DOUBLE + 0.5)::BIGINT
+             |          FOR i IN range(1, len(embedding) + 1)] AS q
+             |  FROM embeddings),
+             |withnn AS (
+             |  SELECT vec_id, q,
+             |         list_reduce([q[i] * q[i] FOR i IN range(1, len(q) + 1)],
+             |                     (a, b) -> a + b) AS nn
+             |  FROM base),
+             |cents AS (
+             |  SELECT vec_id AS cid, q AS cq, nn AS cn FROM withnn WHERE vec_id % 50 = 0),
+             |simsc AS (
+             |  SELECT v.vec_id, v.q, v.nn, c.cid,
+             |         list_reduce([v.q[i] * c.cq[i] FOR i IN range(1, len(v.q) + 1)],
+             |                     (a, b) -> a + b)::DOUBLE
+             |           / sqrt(v.nn::DOUBLE * c.cn::DOUBLE) AS sim
+             |  FROM withnn v CROSS JOIN cents c),
+             |assigned AS (
+             |  SELECT vec_id, cid AS list_id FROM (
+             |    SELECT vec_id, cid,
+             |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+             |    FROM simsc) WHERE rn = 1),
+             |probes AS (
+             |  SELECT vec_id AS qid, q AS qq, nn AS qn, cid AS probe_list FROM (
+             |    SELECT s.vec_id, s.q, s.nn, s.cid,
+             |           row_number() OVER (PARTITION BY s.vec_id ORDER BY s.sim DESC, s.cid ASC) AS rn
+             |    FROM simsc s WHERE s.vec_id < 10) WHERE rn <= 2),
+             |cand AS (
+             |  SELECT DISTINCT p.qid, p.qq, p.qn, v.vec_id, v.q, v.nn
+             |  FROM probes p
+             |  JOIN assigned a ON a.list_id = p.probe_list AND a.vec_id != p.qid
+             |  JOIN withnn v ON v.vec_id = a.vec_id),
+             |scored AS (
+             |  SELECT qid, vec_id AS eid,
+             |         list_reduce([q[i] * qq[i] FOR i IN range(1, len(q) + 1)],
+             |                     (a, b) -> a + b)::DOUBLE
+             |           / sqrt(qn::DOUBLE * nn::DOUBLE) AS cos
+             |  FROM cand),
+             |ranked AS (
+             |  SELECT qid, eid, cos,
+             |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, eid ASC) AS rk
+             |  FROM scored)
+             |SELECT qid, eid, cos, rk::INT AS rk FROM ranked WHERE rk <= 5
+             |ORDER BY qid, rk""".stripMargin),
       doc = "similarity/ann IVF inverted lists + bounded-heap top-k"),
 
     // D8: embedding-cosine near-duplicate detection with canonical
@@ -509,7 +720,57 @@ object PipelineOps {
               .as("is_dup"))
           .orderBy(col("vec_id"))
       },
-      None, // recall-bounded sketch: planted-duplicate groups pinned in AnnSpec
+      // Full re-derivation in DuckDB including the connected components:
+      // the 32-plane signature / bands / verified pairs are the d6-style
+      // exact arithmetic, and GraphX's CC becomes a recursive-CTE
+      // transitive closure (union-distinct terminates; dup groups are
+      // tiny by construction) with canonical = least(v, min reachable).
+      // Planted-duplicate groups additionally pinned in AnnSpec.
+      Some("""WITH RECURSIVE sigs AS (
+             |  SELECT vec_id,
+             |         [floor((embedding[i] * 1000)::DOUBLE + 0.5)::BIGINT
+             |          FOR i IN range(1, len(embedding) + 1)] AS q,
+             |         list_sum([CASE WHEN
+             |             list_reduce([(embedding[i] *
+             |                 (((2654435761 + 40503 * (j * 131 + (i - 1))) % 2001
+             |                   - 1000)::FLOAT))::DOUBLE
+             |                 FOR i IN range(1, len(embedding) + 1)],
+             |               (a, b) -> a + b) > 0
+             |           THEN 1::BIGINT << j ELSE 0 END FOR j IN range(0, 32)]) AS sig
+             |  FROM embeddings),
+             |withnn AS (
+             |  SELECT vec_id, q, sig,
+             |         list_reduce([q[i] * q[i] FOR i IN range(1, len(q) + 1)],
+             |                     (a, b) -> a + b) AS nn
+             |  FROM sigs),
+             |banded AS (
+             |  SELECT vec_id,
+             |         unnest([b::VARCHAR || ':' || ((sig // (1::BIGINT << (b * 8))) % 256)::VARCHAR
+             |                 FOR b IN range(0, 4)]) AS band
+             |  FROM withnn),
+             |cand AS (
+             |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+             |  FROM banded a JOIN banded b ON a.band = b.band AND a.vec_id < b.vec_id),
+             |dup AS (
+             |  SELECT id1, id2 FROM (
+             |    SELECT c.id1, c.id2,
+             |           list_reduce([x.q[i] * y.q[i] FOR i IN range(1, len(x.q) + 1)],
+             |                       (a, b) -> a + b)::DOUBLE
+             |             / sqrt(x.nn::DOUBLE * y.nn::DOUBLE) AS cos
+             |    FROM cand c JOIN withnn x ON c.id1 = x.vec_id
+             |                JOIN withnn y ON c.id2 = y.vec_id)
+             |  WHERE cos >= 0.98),
+             |edges AS (SELECT id1 AS a, id2 AS b FROM dup UNION SELECT id2, id1 FROM dup),
+             |reach AS (
+             |  SELECT a, b FROM edges
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+             |canon AS (SELECT a AS vid, least(a, min(b)) AS cid FROM reach GROUP BY a)
+             |SELECT e.vec_id,
+             |       coalesce(c.cid, e.vec_id) AS canonical_id,
+             |       (c.cid IS NOT NULL AND c.cid != e.vec_id)::INT AS is_dup
+             |FROM embeddings e LEFT JOIN canon c ON e.vec_id = c.vid
+             |ORDER BY e.vec_id""".stripMargin),
       doc = "dedup/embedding-cosine near-dup + canonical id; brief's dedup list"),
 
     // D9: duplicate n-gram span detection — the exact-substring face of
