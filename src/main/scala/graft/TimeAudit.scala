@@ -149,6 +149,59 @@ object TimeAudit {
       time("d2_full_again")(SparkEntry.queries("d2_minhash_lsh")(spark, d).count())
     }
 
+    // ---- r5 sketch kernels vs the UDF forms they replaced ----
+    {
+      import graft.functions.Sketches
+      val raw = spark.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val shingleUdf = udf((text: String) =>
+        if (text == null) Array.empty[String]
+        else {
+          val toks = text.toLowerCase.split(" +").filter(_.nonEmpty)
+          if (toks.length < 2) toks
+          else toks.sliding(2).map(_.mkString(" ")).toArray.distinct
+        })
+      val bandsUdf = udf((sh: Seq[String]) =>
+        Sketches.bandKeys(Sketches.minHash(sh, 32), 4))
+      val udfForm = raw
+        .select(col("doc_id"), shingleUdf(col("text")).as("sh"))
+        .select(col("doc_id"), bandsUdf(col("sh")).as("bands"))
+      val kernelForm = operators.PipelineOps.minhashSignatures(raw)
+        .select(col("doc_id"), col("bands"))
+      for (r <- 1 to 2) {
+        time(s"minhash_udf_form_r$r")(udfForm
+          .agg(sum(expr("bands[0]"))).collect())
+        time(s"minhash_kernel_form_r$r")(kernelForm
+          .agg(sum(expr("bands[0]"))).collect())
+      }
+      val mismatch = udfForm.select(col("doc_id"), col("bands").as("b1"))
+        .join(kernelForm.select(col("doc_id"), col("bands").as("b2")), "doc_id")
+        .filter(col("b1") =!= col("b2")).count()
+      println(s"[audit] minhash band mismatch rows: $mismatch")
+      val simUdf = udf((text: String) =>
+        Sketches.simHash(
+          if (text == null) Seq.empty[String]
+          else text.toLowerCase.split(" +").filter(_.nonEmpty).toSeq))
+      for (r <- 1 to 2) {
+        // bit_count keeps the ANSI sum in range (raw 64-bit sigs overflow)
+        time(s"simhash_udf_r$r")(raw
+          .select(simUdf(col("text")).as("s"))
+          .agg(sum(expr("bit_count(s)"))).collect())
+        time(s"simhash_kernel_r$r")(raw
+          .select(expr("simhash64(coalesce(text, ''))").as("s"))
+          .agg(sum(expr("bit_count(s)"))).collect())
+      }
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      val hypUdf = udf((v: Seq[Float]) => Sketches.hyperplaneSignature(v.toArray, 32))
+      for (r <- 1 to 2) {
+        time(s"hyperplane_udf_r$r")(emb
+          .select(hypUdf(col("embedding")).as("s")).agg(sum("s")).collect())
+        time(s"hyperplane_kernel_r$r")(emb
+          .select(expr("hyperplane_sig(embedding, 32)").as("s"))
+          .agg(sum("s")).collect())
+      }
+    }
+
     // ---- x2/x3 shared positional frame ----
     {
       val x2 = SparkEntry.queries("x2_rgp_mine")(spark, d)
