@@ -327,6 +327,23 @@ object DomainOps {
     // Similarity.cluster: exact driver-side linkage at reference scale
     // (scipy fidelity), MinHash-LSH similarity graph + connected
     // components above the driver-safe threshold.
+    //
+    // Oracle: the greedy merge loop itself as a DuckDB recursive CTE — an
+    // independent re-derivation, not a golden dump. Semantics mirrored
+    // from Agglomerative.completeLinkageCut exactly: point indices are
+    // STRING-order ranks of user_id (Similarity.cluster casts the id to
+    // string before orderBy), a cluster's id is its minimum member index
+    // (merges always land in the smaller index), the merged pair is the
+    // lexicographically first (c1, c2) among pairs achieving the global
+    // minimum complete-linkage (max-pairwise-Jaccard-distance) — the
+    // NN-chain cache in the Scala kernel is pick-order-equivalent to this
+    // full scan because complete-linkage distances only grow — and merging
+    // stops when the minimum exceeds the cutoff (<= 0.3 merges). The
+    // assignment rides the recursion as ONE list-valued row (DuckDB allows
+    // a single recursive self-reference, so the per-point table form's
+    // self-join is unavailable); distances are exact-integer ratios
+    // (1.0 - i/u), so both engines' doubles are bit-identical and every
+    // comparison/tiebreak agrees.
     QueryDef(
       "c3_hierarchical_clustering",
       (s, d) => {
@@ -337,7 +354,36 @@ object DomainOps {
           .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
           .orderBy(col("label"))
       },
-      None,
+      Some("""WITH RECURSIVE
+             |pts AS (
+             |  SELECT row_number() OVER (ORDER BY CAST(user_id AS VARCHAR)) AS pid,
+             |         list_distinct(list(event_type || '#' ||
+             |           CAST(CAST(floor(value / 20) AS BIGINT) AS VARCHAR))) AS types
+             |  FROM events GROUP BY user_id),
+             |pd AS (
+             |  SELECT a.pid AS i, b.pid AS j,
+             |    1.0 - CAST(len(list_intersect(a.types, b.types)) AS DOUBLE)
+             |        / (len(a.types) + len(b.types) - len(list_intersect(a.types, b.types))) AS d
+             |  FROM pts a JOIN pts b ON a.pid < b.pid),
+             |asg AS (
+             |  SELECT 0 AS it, list(pid ORDER BY pid) AS cls FROM pts
+             |  UNION ALL
+             |  SELECT it + 1,
+             |    list_transform(cls, c -> CASE WHEN c = m.c2 THEN m.c1 ELSE c END)
+             |  FROM asg, LATERAL (
+             |     SELECT c1, c2 FROM (
+             |        SELECT least(cls[p.i], cls[p.j]) AS c1,
+             |               greatest(cls[p.i], cls[p.j]) AS c2, max(p.d) AS d
+             |        FROM pd p
+             |        WHERE cls[p.i] <> cls[p.j]
+             |        GROUP BY 1, 2)
+             |     WHERE d <= 0.3 ORDER BY d, c1, c2 LIMIT 1) m),
+             |fin AS (SELECT cls FROM asg ORDER BY it DESC LIMIT 1),
+             |sizes AS (
+             |  SELECT cl, count(*) AS cluster_size
+             |  FROM fin, unnest(fin.cls) AS t(cl) GROUP BY cl)
+             |SELECT row_number() OVER (ORDER BY cl) AS label, cluster_size
+             |FROM sizes ORDER BY label""".stripMargin),
       doc = "SURVEY C3/C4; RGPs.ipynb:2671,2712,2895 cells 85-93")
   )
 }
