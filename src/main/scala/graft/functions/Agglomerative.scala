@@ -9,6 +9,13 @@ package graft.functions
   * is MinHash-LSH bucketing + GraphX connected components (see
   * PipelineOps/GraphFallback) — this exact-linkage kernel stays for
   * reference-fidelity on collected condensed distances.
+  *
+  * Memory: the matrix is stored condensed (upper triangle, one flat
+  * allocation) — n(n−1)/2 doubles, half a full n×n and no per-row object
+  * headers. n = 20k → 1.6 GB; the indexing caps n at 65535 (pair count
+  * overflows Int above that), which is already far past any sane driver
+  * heap — [[graft.operators.Similarity.cluster]]'s dispatch threshold sits
+  * well below.
   */
 object Agglomerative {
 
@@ -18,9 +25,25 @@ object Agglomerative {
     */
   def completeLinkageCut(n: Int, dist: (Int, Int) => Double, t: Double): Array[Int] = {
     if (n == 0) return Array.empty
-    // pairwise complete-linkage distance matrix
-    val d = Array.ofDim[Double](n, n)
-    for (i <- 0 until n; j <- i + 1 until n) { d(i)(j) = dist(i, j); d(j)(i) = d(i)(j) }
+    require(n <= 65535,
+      s"exact complete-linkage kernel caps at 65535 items (condensed-matrix " +
+        s"indexing), got $n — route through the LSH+components scale branch")
+    // condensed pairwise complete-linkage distance matrix: pair (i<j) lives
+    // at i*(2n-i-1)/2 + (j-i-1)
+    val d = new Array[Double]((n.toLong * (n - 1) / 2).toInt)
+    @inline def ix(i: Int, j: Int): Int = {
+      val a = if (i < j) i else j
+      val b = if (i < j) j else i
+      (a.toLong * (2L * n - a - 1) / 2 + (b - a - 1)).toInt
+    }
+    {
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { d(ix(i, j)) = dist(i, j); j += 1 }
+        i += 1
+      }
+    }
     val alive = Array.fill(n)(true)
     val members = Array.tabulate(n)(i => List(i))
 
@@ -35,7 +58,7 @@ object Agglomerative {
     def rescan(i: Int): Unit = {
       var best = Double.PositiveInfinity; var bj = -1; var k = 0
       while (k < n) {
-        if (alive(k) && k != i && d(i)(k) < best) { best = d(i)(k); bj = k }
+        if (alive(k) && k != i && d(ix(i, k)) < best) { best = d(ix(i, k)); bj = k }
         k += 1
       }
       nnd(i) = best; nni(i) = bj
@@ -56,8 +79,8 @@ object Agglomerative {
         var k = 0
         while (k < n) {
           if (alive(k) && k != lo) {
-            val nd = math.max(d(lo)(k), d(hi)(k))
-            d(lo)(k) = nd; d(k)(lo) = nd
+            val nd = math.max(d(ix(lo, k)), d(ix(hi, k)))
+            d(ix(lo, k)) = nd
           }
           k += 1
         }

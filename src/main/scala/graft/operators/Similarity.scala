@@ -118,10 +118,17 @@ object Similarity {
     * dendrogram needs the full distance matrix by definition).
     * Returns (id, label); labels are dense, ordered by each cluster's
     * minimum id, so both branches are deterministic.
+    *
+    * The default threshold is sized by the kernel's memory, not wishful
+    * thinking: the condensed matrix is n(n−1)/2 doubles, so 20k rows
+    * ≈ 1.6 GB of driver heap — 4× the reference's own N≈5k workload.
+    * The old 100k default would have demanded 40 GB and was never
+    * driver-safe; anything past the threshold belongs to the distributed
+    * branch anyway.
     */
   def cluster(
       sets: DataFrame, idCol: String, setCol: String,
-      cutoff: Double, maxDriverN: Long = 100000): DataFrame = {
+      cutoff: Double, maxDriverN: Long = 20000): DataFrame = {
     val spark = sets.sparkSession
     import spark.implicits._
     val n = sets.count()

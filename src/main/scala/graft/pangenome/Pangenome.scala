@@ -492,7 +492,7 @@ object Pangenome {
     */
   def insertionClusters(
       insertions: DataFrame, cutoff: Double = 0.3,
-      maxDriverN: Long = 100000): DataFrame = {
+      maxDriverN: Long = 20000): DataFrame = {
     val withSet = insertions.withColumn("cset", array_distinct(col("InsertionListClusterID")))
       .withColumn("iid", concat_ws("|", col("Strain"), col("pos1"), col("pos2")))
     graft.operators.Similarity.cluster(withSet, "iid", "cset", cutoff, maxDriverN)
