@@ -26,6 +26,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
+
   /** MinHash-LSH candidate pairs: (id1, id2, s1, s2), each candidate once.
     * 32 perms / 4 rows-per-band = 8 bands -> ≥ 0.5-Jaccard pairs collide
     * with probability ≈ 1 − (1 − 0.5⁴)⁸ ≈ 0.42 per band family; planted-dup
@@ -170,12 +172,24 @@ object Similarity {
         .select(col("id"), col("label").cast("long").as("label"))
     } else {
       val minSim = 1.0 - cutoff
+      val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
       val edges = jaccardPairs(sets, idCol, setCol, minSim, maxExactRows = 0,
         forceLsh = true)
       val ids = sets.select(col(idCol).cast("string").as("id"))
-      val comp = graft.pangenome.GraphFallback
+      // GraphX CC is iterative and caches its graph + Pregel internals at
+      // call time. Materialize the (small) membership once at the natural
+      // shuffle boundary, release every cache this call created, and hand
+      // back a plan that reads the scratch parquet — d8's contract, so
+      // repeated cluster() calls never accumulate session state.
+      val comp0 = graft.pangenome.GraphFallback
         .similarityComponents(spark, edges)
         .select(col("member").as("id"), col("component"))
+      val scratch = s"${Scratch.dir(spark)}/simcluster_${Similarity.seq.incrementAndGet()}"
+      comp0.write.mode("overwrite").parquet(scratch)
+      spark.sparkContext.getPersistentRDDs.foreach { case (rid, rdd) =>
+        if (!cachedBefore.contains(rid)) rdd.unpersist(blocking = true)
+      }
+      val comp = spark.read.parquet(scratch)
       // singletons (no qualifying edge) keep their own cluster; the
       // struct tag keeps the singleton keyspace disjoint from GraphX
       // component ids (both are 64-bit hashes — a collision would

@@ -115,6 +115,19 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(partner(dist, "doc3") == Seq("dup3"))
   }
 
+  test("cluster big-N branch: releases every cache it creates") {
+    // GraphX CC caches its graph + Pregel internals; the branch must
+    // materialize membership to scratch and release them (d8's contract),
+    // or repeated cluster() calls accumulate executor memory for the app's
+    // lifetime
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val dist = Similarity.cluster(plantedSets, "id", "toks", cutoff = 0.3,
+      maxDriverN = 10)
+    dist.count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persistent RDDs: $leaked")
+  }
+
   test("cluster big-N branch: no single-partition exchange in the label plan") {
     // the >maxDriverN branch exists FOR scale: dense-label assignment must
     // stay parallel (range-partitioned sort + zipWithIndex), never a global
