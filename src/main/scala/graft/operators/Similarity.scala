@@ -98,17 +98,29 @@ object Similarity {
   /** Dice pairs ≥ minDice (C1). minDice = 0 always takes the exact branch
     * (full matrix demanded); dice ≥ t ⟺ jaccard ≥ t/(2−t), so the 0.5-ish
     * LSH tuning holds for the dice floor too.
+    *
+    * The exact branch is a non-equi self-join (id1 < id2), which Spark can
+    * only run as a broadcast nested loop — pair count AND broadcast size
+    * grow quadratically/linearly with N, so the dispatch default is sized
+    * like [[cluster]]'s: 20k rows ≈ 2×10⁸ candidate pairs and a
+    * tens-of-MB broadcast side, 4× the reference's own N≈5k workload.
+    * The old 100k default licensed 5×10⁹ pairs through a ~1 GB broadcast
+    * — past every autoBroadcastJoinThreshold and hours of compute — in
+    * the branch that exists for reference fidelity, not scale. Above the
+    * threshold (with a floor) the LSH branch is strictly better.
     */
   def dicePairs(
       sets: DataFrame, idCol: String, setCol: String,
-      minDice: Double = 0.0, maxExactRows: Long = 100000,
+      minDice: Double = 0.0, maxExactRows: Long = 20000,
       forceLsh: Boolean = false): DataFrame =
     pairs(sets, idCol, setCol, "dice", diceExpr, minDice, maxExactRows, forceLsh)
 
-  /** Jaccard-similarity pairs ≥ minSim (C2 complement). */
+  /** Jaccard-similarity pairs ≥ minSim (C2 complement); dispatch sized as
+    * [[dicePairs]].
+    */
   def jaccardPairs(
       sets: DataFrame, idCol: String, setCol: String,
-      minSim: Double = 0.0, maxExactRows: Long = 100000,
+      minSim: Double = 0.0, maxExactRows: Long = 20000,
       forceLsh: Boolean = false): DataFrame =
     pairs(sets, idCol, setCol, "jaccard", jaccardExpr, minSim, maxExactRows, forceLsh)
 

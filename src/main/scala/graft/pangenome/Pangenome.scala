@@ -445,7 +445,7 @@ object Pangenome {
     */
   def insertionDice(
       insertions: DataFrame,
-      minDice: Double = 0.0, maxExactRows: Long = 100000): DataFrame = {
+      minDice: Double = 0.0, maxExactRows: Long = 20000): DataFrame = {
     val withSet = insertions.withColumn("cset", array_distinct(col("InsertionListClusterID")))
       .withColumn("iid", concat_ws("|", col("Strain"), col("pos1"), col("pos2")))
     graft.operators.Similarity

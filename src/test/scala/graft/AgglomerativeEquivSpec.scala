@@ -67,4 +67,14 @@ class AgglomerativeEquivSpec extends AnyFunSuite {
     assert(Agglomerative.completeLinkageCut(3, (_, _) => 1.0, 0.5).toSeq == Seq(1, 2, 3))
     assert(Agglomerative.completeLinkageCut(3, (_, _) => 0.0, 0.5).toSeq == Seq(1, 1, 1))
   }
+
+  test("refuses n past the condensed-index overflow line before allocating") {
+    val e = intercept[IllegalArgumentException] {
+      Agglomerative.completeLinkageCut(65536, (_, _) => 1.0, 0.5)
+    }
+    assert(e.getMessage.contains("65535"))
+    // the boundary itself would allocate ~17 GB, so only the guard is
+    // exercised here; 65535 is accepted by the require (not tested at
+    // full size)
+  }
 }
