@@ -58,7 +58,10 @@ object Agglomerative {
     def rescan(i: Int): Unit = {
       var best = Double.PositiveInfinity; var bj = -1; var k = 0
       while (k < n) {
-        if (alive(k) && k != i && d(ix(i, k)) < best) { best = d(ix(i, k)); bj = k }
+        if (alive(k) && k != i) {
+          val v = d(ix(i, k))
+          if (v < best) { best = v; bj = k }
+        }
         k += 1
       }
       nnd(i) = best; nni(i) = bj
@@ -79,8 +82,9 @@ object Agglomerative {
         var k = 0
         while (k < n) {
           if (alive(k) && k != lo) {
-            val nd = math.max(d(ix(lo, k)), d(ix(hi, k)))
-            d(ix(lo, k)) = nd
+            val p = ix(lo, k)
+            val nd = math.max(d(p), d(ix(hi, k)))
+            d(p) = nd
           }
           k += 1
         }

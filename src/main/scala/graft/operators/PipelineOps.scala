@@ -703,13 +703,16 @@ object PipelineOps {
             val plan = comp.join(canon, "component")
               .select(col("member").cast("long").as("vid"), col("cid"))
             // materialize the (small) dup mapping once, then drop every
-            // cache this query created: the returned plan reads the
-            // scratch parquet, so nothing downstream needs the caches
+            // cache this query created: our own pairs persist explicitly,
+            // GraphX's internals via the level-filtered sweep (which
+            // leaves other threads' MEMORY_AND_DISK persists alone); the
+            // returned plan reads the scratch parquet, so nothing
+            // downstream needs the caches
             val scratch = s"${Scratch.dir(s)}/d8_mapped"
             plan.write.mode("overwrite").parquet(scratch)
-            s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-              if (!cachedBefore.contains(id)) rdd.unpersist(blocking = true)
-            }
+            dupPairs.unpersist(blocking = true)
+            graft.pangenome.GraphFallback
+              .releaseGraphXCaches(s.sparkContext, cachedBefore)
             s.read.parquet(scratch)
           }
         T.embeddings(s, d).select(col("vec_id"))

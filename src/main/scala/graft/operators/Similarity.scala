@@ -106,8 +106,16 @@ object Similarity {
     * tens-of-MB broadcast side, 4× the reference's own N≈5k workload.
     * The old 100k default licensed 5×10⁹ pairs through a ~1 GB broadcast
     * — past every autoBroadcastJoinThreshold and hours of compute — in
-    * the branch that exists for reference fidelity, not scale. Above the
-    * threshold (with a floor) the LSH branch is strictly better.
+    * the branch that exists for reference fidelity, not scale.
+    *
+    * The LSH branch the dispatch switches to is APPROXIMATE in recall:
+    * band collision probability 1−(1−j⁴)⁸ is ≈1 at j ≥ 0.7 but only ~1%
+    * at j ≈ 0.18, so it is the right trade for high-similarity floors
+    * (dedup/near-dup, the scale workload) and the wrong one for low
+    * floors — whose near-quadratic OUTPUT is inherently exact-branch
+    * territory anyway. Callers with 20k–100k rows and a low floor who
+    * accept the BNLJ cost should pass `maxExactRows` explicitly (the old
+    * default's behavior, now an opt-in rather than a silent recall cliff).
     */
   def dicePairs(
       sets: DataFrame, idCol: String, setCol: String,
@@ -137,8 +145,11 @@ object Similarity {
     * thinking: the condensed matrix is n(n−1)/2 doubles, so 20k rows
     * ≈ 1.6 GB of driver heap — 4× the reference's own N≈5k workload.
     * The old 100k default would have demanded 40 GB and was never
-    * driver-safe; anything past the threshold belongs to the distributed
-    * branch anyway.
+    * driver-safe. Note the branches differ in LINKAGE above the cut:
+    * lowering the default moves 20k–100k-row inputs from complete-linkage
+    * to the single-linkage components semantics — callers in that band
+    * who relied on the old default's exact dendrogram (and have the tens
+    * of GB it implies) must now pass `maxDriverN` explicitly.
     */
   def cluster(
       sets: DataFrame, idCol: String, setCol: String,
@@ -196,11 +207,17 @@ object Similarity {
       val comp0 = graft.pangenome.GraphFallback
         .similarityComponents(spark, edges)
         .select(col("member").as("id"), col("component"))
+      // seq-suffixed dir: each call's returned plan keeps reading its own
+      // parquet (a fixed name would be invalidated by the next call's
+      // overwrite). Local default dirs are reaped at JVM exit; an explicit
+      // graft.scratch.dir accumulates one small membership table per call
+      // under graft-scratch-<appId>/ until the cluster's TTL policy reaps
+      // the app's directory — disk-bounded by workload, unlike the
+      // executor-memory leak this replaces.
       val scratch = s"${Scratch.dir(spark)}/simcluster_${Similarity.seq.incrementAndGet()}"
       comp0.write.mode("overwrite").parquet(scratch)
-      spark.sparkContext.getPersistentRDDs.foreach { case (rid, rdd) =>
-        if (!cachedBefore.contains(rid)) rdd.unpersist(blocking = true)
-      }
+      graft.pangenome.GraphFallback
+        .releaseGraphXCaches(spark.sparkContext, cachedBefore)
       val comp = spark.read.parquet(scratch)
       // singletons (no qualifying edge) keep their own cluster; the
       // struct tag keeps the singleton keyspace disjoint from GraphX

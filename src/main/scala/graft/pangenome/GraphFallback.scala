@@ -18,6 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object GraphFallback {
 
+  /** Release the caches a GraphX call left behind: unpersist every RDD
+    * that (a) registered after the `before` snapshot and (b) sits at
+    * GraphX's default MEMORY_ONLY level. The level filter keeps the sweep
+    * away from DataFrame/Dataset persists (MEMORY_AND_DISK by default) —
+    * a SharedFrame materializing on another thread is not collateral
+    * damage. A *concurrent GraphX job* on another thread could still race
+    * the sweep; callers hold the iterative region single-threaded (the
+    * engine executes queries sequentially per session).
+    */
+  def releaseGraphXCaches(sc: org.apache.spark.SparkContext,
+      before: scala.collection.Set[Int]): Unit =
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!before.contains(id) &&
+          rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        rdd.unpersist(blocking = true)
+    }
+
   /** Build a GraphX graph from feature-neighbour edges (src, dst string
     * ids). Vertex ids are stable hashes of the feature ids; the returned
     * mapping DataFrame restores the names.
