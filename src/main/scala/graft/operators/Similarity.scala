@@ -29,9 +29,10 @@ object Similarity {
   private val seq = new java.util.concurrent.atomic.AtomicLong()
 
   /** MinHash-LSH candidate pairs: (id1, id2, s1, s2), each candidate once.
-    * 32 perms / 4 rows-per-band = 8 bands -> ≥ 0.5-Jaccard pairs collide
-    * with probability ≈ 1 − (1 − 0.5⁴)⁸ ≈ 0.42 per band family; planted-dup
-    * recall is pinned in SimilaritySpec/SketchesSpec.
+    * Default 32 perms / 4 rows-per-band = 8 bands; pair-generation callers
+    * tune `rowsPerBand` from their similarity floor via [[rowsPerBandFor]]
+    * so the banding S-curve tracks the floor. Planted-dup recall is pinned
+    * in SimilaritySpec/SketchesSpec.
     *
     * Scale shape (the d2/d8 contract, `PipelineOps.scala:113-128,440-450`):
     * the band stream carries **(band, id) only** — the token sets never
@@ -79,15 +80,31 @@ object Similarity {
     inter.cast("double") / (size(col("s1")) + size(col("s2")) - inter)
   }
 
+  /** Band geometry from the jaccard floor: the largest rows-per-band r
+    * (over 32 perms, 32/r bands) whose estimated recall at the floor,
+    * 1 − (1 − j^r)^(32/r), stays ≥ 0.85. The banding S-curve then moves
+    * WITH the floor instead of silently cliffing — fixed r = 4 has ~40%
+    * recall at j = 0.5 and ~1% at j ≈ 0.18. Larger r = fewer, more
+    * selective candidates (high floors); r = 1 buys low-floor recall at
+    * the price of candidate volume (every shared minhash value collides),
+    * which is the honest cost of a low floor — the output itself is
+    * near-quadratic there.
+    */
+  private[graft] def rowsPerBandFor(jaccardFloor: Double): Int =
+    Seq(8, 4, 2).find { r =>
+      1.0 - math.pow(1.0 - math.pow(jaccardFloor, r), 32.0 / r) >= 0.8
+    }.getOrElse(1)
+
   private def pairs(
       sets: DataFrame, idCol: String, setCol: String, simCol: String,
-      sim: Column, minSim: Double, maxExactRows: Long,
+      sim: Column, minSim: Double, jaccardFloor: Double, maxExactRows: Long,
       forceLsh: Boolean): DataFrame = {
     // dispatch: one cheap count() over the (normally materialized) sets
     // table; the LSH branch needs a floor to be meaningful (see scaladoc)
     val useLsh = forceLsh || (minSim > 0.0 && sets.count() > maxExactRows)
     val cand =
-      if (useLsh) lshCandidates(sets, idCol, setCol)
+      if (useLsh) lshCandidates(sets, idCol, setCol,
+        rowsPerBand = rowsPerBandFor(jaccardFloor))
       else allPairs(sets, idCol, setCol)
     cand
       .withColumn(simCol, sim)
@@ -121,7 +138,10 @@ object Similarity {
       sets: DataFrame, idCol: String, setCol: String,
       minDice: Double = 0.0, maxExactRows: Long = 20000,
       forceLsh: Boolean = false): DataFrame =
-    pairs(sets, idCol, setCol, "dice", diceExpr, minDice, maxExactRows, forceLsh)
+    pairs(sets, idCol, setCol, "dice", diceExpr, minDice,
+      // dice ≥ t ⟺ jaccard ≥ t/(2−t): the band tuning works in jaccard space
+      jaccardFloor = if (minDice > 0) minDice / (2.0 - minDice) else 0.0,
+      maxExactRows, forceLsh)
 
   /** Jaccard-similarity pairs ≥ minSim (C2 complement); dispatch sized as
     * [[dicePairs]].
@@ -130,7 +150,8 @@ object Similarity {
       sets: DataFrame, idCol: String, setCol: String,
       minSim: Double = 0.0, maxExactRows: Long = 20000,
       forceLsh: Boolean = false): DataFrame =
-    pairs(sets, idCol, setCol, "jaccard", jaccardExpr, minSim, maxExactRows, forceLsh)
+    pairs(sets, idCol, setCol, "jaccard", jaccardExpr, minSim,
+      jaccardFloor = minSim, maxExactRows, forceLsh)
 
   /** Flat clustering at jaccard-distance `cutoff` (C3/C4). Below
     * `maxDriverN` rows: the reference's exact complete-linkage on the

@@ -43,6 +43,33 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh == exact)
   }
 
+  test("band geometry tracks the similarity floor") {
+    // the largest rows-per-band whose S-curve recall at the floor >= 0.8;
+    // the values the similarity-floor band tuning must keep picking
+    assert(Similarity.rowsPerBandFor(0.9) == 8)
+    assert(Similarity.rowsPerBandFor(0.7) == 4) // cluster(cutoff 0.3): unchanged geometry
+    assert(Similarity.rowsPerBandFor(0.5) == 2)
+    assert(Similarity.rowsPerBandFor(1.0 / 3.0) == 2) // rehearsal's dice 0.5 floor
+    assert(Similarity.rowsPerBandFor(0.2) == 1)
+  }
+
+  test("mid-floor LSH recall: floor-tuned banding recovers j≈0.54 pairs") {
+    import spark.implicits._
+    // 10 planted mid-similarity pairs: 14/20 tokens shared -> j = 14/26 ≈ 0.538.
+    // Fixed r=4 banding collides such a pair with p ≈ 1-(1-0.538⁴)⁸ ≈ 0.50 —
+    // half the pairs would be silently dropped; floor-tuned r=2 gives ≈ 0.996.
+    val base = (0 until 40).map { i => (s"m$i", (0 until 20).map(j => s"t_${i}_$j")) }
+    val mids = (0 until 10).map { i =>
+      (s"mid$i", (0 until 14).map(j => s"t_${i}_$j") ++ (0 until 6).map(j => s"z_${i}_$j"))
+    }
+    val sets = (base ++ mids).toDF("id", "toks")
+    val lsh = Similarity.jaccardPairs(sets, "id", "toks", minSim = 0.5,
+      forceLsh = true)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val want = (0 until 10).map(i => (s"m$i", s"mid$i")).toSet
+    assert(lsh == want, s"missing: ${want -- lsh}")
+  }
+
   test("dice floor maps through the jaccard monotone relation") {
     val exact = Similarity.dicePairs(plantedSets, "id", "toks", minDice = 0.75)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
