@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   *
   * The DataFrame positional engine remains the fast path — these exist so
   * the engine is *correct* on inputs the reference never sees.
+  *
+  * Cache lifecycle: GraphX persists its graph and Pregel internals at
+  * call time. Callers that embed these in a larger lazy plan must
+  * materialize the result and then call [[releaseGraphXCaches]] with a
+  * pre-call snapshot (the pattern d8 and `Similarity.cluster` follow), or
+  * the caches outlive the query.
   */
 object GraphFallback {
 
