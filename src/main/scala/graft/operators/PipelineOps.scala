@@ -37,15 +37,26 @@ object PipelineOps {
     * (`bands`) for candidate generation and the sorted shingle-hash array
     * (`hs`) for exact-Jaccard verification — the d2 kernel, shared with
     * the incremental streaming dedup (StreamingJobs.incrementalNearDedup).
+    *
+    * `rowsPerBand` trades candidate volume for recall at lower similarity
+    * floors (see [[Similarity.rowsPerBandFor]] for the S-curve): the
+    * default 4 (8 bands over 32 perms) is the classic near-dup shape and
+    * the one d2's DuckDB oracle re-derives; corpus owners hunting
+    * mid-similarity duplicates pick 2, heavy-duplication corpora pick 8.
+    * Frames banded with different geometries never share a signature
+    * store (band keys mix the band index, not the geometry — collisions
+    * across geometries would be meaningless).
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
+  def minhashSignatures(docs: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+    require(rowsPerBand > 0 && 32 % rowsPerBand == 0,
+      s"rowsPerBand must divide the 32-perm signature, got $rowsPerBand")
     graft.functions.GraftExtensions.registerInto(docs.sparkSession)
-    // shingling is a builtin chain and the 32-perm/4-row banding is the
-    // minhash_bands codegen kernel (SketchExprs) — the whole signature
-    // pass is one WholeStageCodegen span with no UDF materialization of
-    // the token arrays. SketchExprsSpec pins equality with the scalar
-    // Sketches chain (the stability contract the persisted signature
-    // store depends on).
+    // shingling is a builtin chain and the banding is the minhash_bands
+    // codegen kernel (SketchExprs) — the whole signature pass is one
+    // WholeStageCodegen span with no UDF materialization of the token
+    // arrays. SketchExprsSpec pins equality with the scalar Sketches
+    // chain (the stability contract the persisted signature store
+    // depends on).
     docs
       .withColumn("toks",
         expr("filter(split(lower(coalesce(text, '')), ' '), x -> x != '')"))
@@ -55,7 +66,7 @@ object PipelineOps {
                |       i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))) END"""
           .stripMargin))
       .select(col("doc_id"),
-        expr("minhash_bands(shingles, 32, 4)").as("bands"),
+        expr(s"minhash_bands(shingles, 32, $rowsPerBand)").as("bands"),
         expr("array_sort(transform(shingles, x -> xxhash64(x)))").as("hs"))
   }
 

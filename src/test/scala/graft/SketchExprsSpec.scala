@@ -138,4 +138,29 @@ class SketchExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getInt(2) == Sketches.hammingDistance(r.getLong(0), r.getLong(1)))
     }
   }
+
+  test("minhashSignatures rowsPerBand knob: r=2 recovers mid-similarity dups") {
+    import spark.implicits._
+    // 10 planted mid-similarity pairs: texts share 11 of 16 word bigrams
+    // -> shingle-jaccard ≈ 11/21 ≈ 0.52, right where the default 8-band
+    // geometry's collision odds are ~coin-flip per pair and r=2's are
+    // ≈ 0.99 (the Similarity.rowsPerBandFor S-curve). The knob must make
+    // every planted pair a candidate; verification keeps them.
+    def words(i: Int, n: Int, tag: String) = (0 until n).map(j => s"${tag}_${i}_$j")
+    val docs = (0 until 10).flatMap { i =>
+      val shared = words(i, 12, "w")            // 11 shared bigrams
+      Seq((s"a$i", shared ++ words(i, 5, "p")), // + 5 own bigrams
+        (s"b$i", shared ++ words(i, 5, "q")))
+    } ++ (0 until 30).map(i => (s"f$i", words(i, 17, "z")))
+    val df = docs.map { case (id, ws) => (id, ws.mkString(" ")) }.toDF("doc_id", "text")
+    val sig = operators.PipelineOps.minhashSignatures(df, rowsPerBand = 2)
+    val found = operators.PipelineOps.nearDupPairs(sig, sig, 0.4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val want = (0 until 10).map(i => (s"a$i", s"b$i")).toSet
+    assert(found == want, s"missing: ${want -- found}; extra: ${found -- want}")
+    // geometry guard: bands must divide the 32-perm signature
+    intercept[IllegalArgumentException] {
+      operators.PipelineOps.minhashSignatures(df, rowsPerBand = 5)
+    }
+  }
 }
