@@ -38,18 +38,20 @@ object PipelineOps {
     * (`hs`) for exact-Jaccard verification — the d2 kernel, shared with
     * the incremental streaming dedup (StreamingJobs.incrementalNearDedup).
     *
-    * `rowsPerBand` trades candidate volume for recall at lower similarity
-    * floors (see [[Similarity.rowsPerBandFor]] for the S-curve): the
-    * default 4 (8 bands over 32 perms) is the classic near-dup shape and
-    * the one d2's DuckDB oracle re-derives; corpus owners hunting
-    * mid-similarity duplicates pick 2, heavy-duplication corpora pick 8.
-    * Frames banded with different geometries never share a signature
-    * store (band keys mix the band index, not the geometry — collisions
-    * across geometries would be meaningless).
+    * `numPerms`/`rowsPerBand` trade candidate volume for recall at lower
+    * similarity floors (see [[Similarity.bandGeometryFor]] for the
+    * S-curve and the perms ladder): the default 32/4 (8 bands) is the
+    * classic near-dup shape and the one d2's DuckDB oracle re-derives;
+    * corpus owners hunting mid-similarity duplicates pick 32/2 or 64/2,
+    * heavy-duplication corpora pick 32/8. Frames banded with different
+    * geometries never share a signature store (band keys mix the band
+    * index, not the geometry — collisions across geometries would be
+    * meaningless).
     */
-  def minhashSignatures(docs: DataFrame, rowsPerBand: Int = 4): DataFrame = {
-    require(rowsPerBand > 0 && 32 % rowsPerBand == 0,
-      s"rowsPerBand must divide the 32-perm signature, got $rowsPerBand")
+  def minhashSignatures(docs: DataFrame, numPerms: Int = 32,
+      rowsPerBand: Int = 4): DataFrame = {
+    require(numPerms > 0 && rowsPerBand > 0 && numPerms % rowsPerBand == 0,
+      s"rowsPerBand must divide the $numPerms-perm signature, got $rowsPerBand")
     graft.functions.GraftExtensions.registerInto(docs.sparkSession)
     // shingling is a builtin chain and the banding is the minhash_bands
     // codegen kernel (SketchExprs) — the whole signature pass is one
@@ -66,7 +68,7 @@ object PipelineOps {
                |       i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))) END"""
           .stripMargin))
       .select(col("doc_id"),
-        expr(s"minhash_bands(shingles, 32, $rowsPerBand)").as("bands"),
+        expr(s"minhash_bands(shingles, $numPerms, $rowsPerBand)").as("bands"),
         expr("array_sort(transform(shingles, x -> xxhash64(x)))").as("hs"))
   }
 
@@ -719,7 +721,7 @@ object PipelineOps {
             // leaves other threads' MEMORY_AND_DISK persists alone); the
             // returned plan reads the scratch parquet, so nothing
             // downstream needs the caches
-            val scratch = s"${Scratch.dir(s)}/d8_mapped"
+            val scratch = Scratch.uniqueDir(s, "d8_mapped")
             plan.write.mode("overwrite").parquet(scratch)
             dupPairs.unpersist(blocking = true)
             graft.pangenome.GraphFallback

@@ -13,6 +13,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Scratch {
   private val hooked = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** A fresh `prefix`-named subdirectory per call: intra-query
+    * materializations must NOT reuse a fixed path — a second invocation's
+    * overwrite would yank the files out from under the first invocation's
+    * still-lazy returned plan. Dirs accumulate one small table per call
+    * until the JVM-exit reap (local default) or the cluster's TTL policy
+    * on `graft.scratch.dir` (the app-scoped parent) claims them.
+    */
+  def uniqueDir(spark: SparkSession, prefix: String): String =
+    s"${dir(spark)}/${prefix}_${seq.incrementAndGet()}"
 
   def dir(spark: SparkSession): String = {
     val explicit = spark.conf.getOption("graft.scratch.dir")

@@ -26,11 +26,9 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val seq = new java.util.concurrent.atomic.AtomicLong()
-
   /** MinHash-LSH candidate pairs: (id1, id2, s1, s2), each candidate once.
     * Default 32 perms / 4 rows-per-band = 8 bands; pair-generation callers
-    * tune `rowsPerBand` from their similarity floor via [[rowsPerBandFor]]
+    * tune both knobs from their similarity floor via [[bandGeometryFor]]
     * so the banding S-curve tracks the floor. Planted-dup recall is pinned
     * in SimilaritySpec/SketchesSpec.
     *
@@ -80,20 +78,29 @@ object Similarity {
     inter.cast("double") / (size(col("s1")) + size(col("s2")) - inter)
   }
 
-  /** Band geometry from the jaccard floor: the largest rows-per-band r
-    * (over 32 perms, 32/r bands) whose estimated recall at the floor,
-    * 1 − (1 − j^r)^(32/r), stays ≥ 0.85. The banding S-curve then moves
-    * WITH the floor instead of silently cliffing — fixed r = 4 has ~40%
-    * recall at j = 0.5 and ~1% at j ≈ 0.18. Larger r = fewer, more
-    * selective candidates (high floors); r = 1 buys low-floor recall at
-    * the price of candidate volume (every shared minhash value collides),
-    * which is the honest cost of a low floor — the output itself is
-    * near-quadratic there.
+  /** Band geometry (numPerms, rowsPerBand) from the jaccard floor: the
+    * most selective rung of the ladder whose estimated recall at the
+    * floor, 1 − (1 − j^r)^(p/r), stays ≥ 0.8. The banding S-curve then
+    * moves WITH the floor instead of silently cliffing — fixed 32/4 has
+    * ~40% recall at j = 0.5 and ~1% at j ≈ 0.18.
+    *
+    * Low floors buy recall with MORE PERMUTATIONS (64/2, 128/2 → more
+    * bands, each still 2 rows), never with single-row bands: r = 1 keys
+    * buckets on raw per-permutation minhash values, and on Zipfian text
+    * every document sharing the corpus's most common shingle collides —
+    * the band join degenerates toward all-pairs, the exact failure mode
+    * the LSH branch exists to avoid. The extra perms cost one linear
+    * signature pass and a wider (still ids-only) band stream. Below
+    * j ≈ 0.17 even 128/2 drops under the 0.8 bar (ladder bottom, recall
+    * degrades smoothly) — a floor that low demands near-quadratic output
+    * and belongs to the exact branch.
     */
-  private[graft] def rowsPerBandFor(jaccardFloor: Double): Int =
-    Seq(8, 4, 2).find { r =>
-      1.0 - math.pow(1.0 - math.pow(jaccardFloor, r), 32.0 / r) >= 0.8
-    }.getOrElse(1)
+  private[graft] def bandGeometryFor(jaccardFloor: Double): (Int, Int) = {
+    val ladder = Seq((32, 8), (32, 4), (32, 2), (64, 2), (128, 2))
+    ladder.find { case (p, r) =>
+      1.0 - math.pow(1.0 - math.pow(jaccardFloor, r), p.toDouble / r) >= 0.8
+    }.getOrElse(ladder.last)
+  }
 
   private def pairs(
       sets: DataFrame, idCol: String, setCol: String, simCol: String,
@@ -103,9 +110,14 @@ object Similarity {
     // table; the LSH branch needs a floor to be meaningful (see scaladoc)
     val useLsh = forceLsh || (minSim > 0.0 && sets.count() > maxExactRows)
     val cand =
-      if (useLsh) lshCandidates(sets, idCol, setCol,
-        rowsPerBand = rowsPerBandFor(jaccardFloor))
-      else allPairs(sets, idCol, setCol)
+      if (useLsh) {
+        // a zero floor gives the tuner nothing to aim at (forceLsh with
+        // minSim = 0 — test/diagnostic use): keep the classic default
+        // rather than the ladder bottom's 64-band stream
+        val (p, r) =
+          if (jaccardFloor > 0.0) bandGeometryFor(jaccardFloor) else (32, 4)
+        lshCandidates(sets, idCol, setCol, numPerms = p, rowsPerBand = r)
+      } else allPairs(sets, idCol, setCol)
     cand
       .withColumn(simCol, sim)
       .filter(col(simCol) >= minSim)
@@ -228,14 +240,7 @@ object Similarity {
       val comp0 = graft.pangenome.GraphFallback
         .similarityComponents(spark, edges)
         .select(col("member").as("id"), col("component"))
-      // seq-suffixed dir: each call's returned plan keeps reading its own
-      // parquet (a fixed name would be invalidated by the next call's
-      // overwrite). Local default dirs are reaped at JVM exit; an explicit
-      // graft.scratch.dir accumulates one small membership table per call
-      // under graft-scratch-<appId>/ until the cluster's TTL policy reaps
-      // the app's directory — disk-bounded by workload, unlike the
-      // executor-memory leak this replaces.
-      val scratch = s"${Scratch.dir(spark)}/simcluster_${Similarity.seq.incrementAndGet()}"
+      val scratch = Scratch.uniqueDir(spark, "simcluster")
       comp0.write.mode("overwrite").parquet(scratch)
       graft.pangenome.GraphFallback
         .releaseGraphXCaches(spark.sparkContext, cachedBefore)

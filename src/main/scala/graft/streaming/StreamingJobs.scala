@@ -64,15 +64,22 @@ object StreamingJobs {
     * key (Bucketing.writeBucketed) so the per-batch candidate join is
     * shuffle-free on the store side. Dup linkage is one-hop (dup_of = the
     * matched doc); batch-mode d8 does the full transitive closure.
+    *
+    * `numPerms`/`rowsPerBand` tune the band geometry for the floor
+    * ([[graft.operators.Similarity.bandGeometryFor]]); the store only
+    * ever holds ONE geometry — bands from different geometries never
+    * compare — so changing the knobs means a fresh `storePath`.
     */
   def incrementalNearDedup(docs: DataFrame, storePath: String, outPath: String,
-      checkpoint: String, minJaccard: Double = 0.5) =
+      checkpoint: String, minJaccard: Double = 0.5,
+      numPerms: Int = 32, rowsPerBand: Int = 4) =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
         val sig = graft.operators.PipelineOps
-          .minhashSignatures(batch.select(col("doc_id"), col("text")))
+          .minhashSignatures(batch.select(col("doc_id"), col("text")),
+            numPerms, rowsPerBand)
           .persist()
         // a store partition may exist from a half-finished attempt of
         // this same batch (foreachBatch is at-least-once): exclude it

@@ -44,13 +44,17 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("band geometry tracks the similarity floor") {
-    // the largest rows-per-band whose S-curve recall at the floor >= 0.8;
-    // the values the similarity-floor band tuning must keep picking
-    assert(Similarity.rowsPerBandFor(0.9) == 8)
-    assert(Similarity.rowsPerBandFor(0.7) == 4) // cluster(cutoff 0.3): unchanged geometry
-    assert(Similarity.rowsPerBandFor(0.5) == 2)
-    assert(Similarity.rowsPerBandFor(1.0 / 3.0) == 2) // rehearsal's dice 0.5 floor
-    assert(Similarity.rowsPerBandFor(0.2) == 1)
+    // the most selective (numPerms, rowsPerBand) rung with S-curve recall
+    // >= 0.8 at the floor; low floors add PERMS (more 2-row bands), never
+    // single-row bands — r=1 buckets on raw minhash values and
+    // degenerates toward all-pairs on Zipfian corpora
+    assert(Similarity.bandGeometryFor(0.9) == ((32, 8)))
+    assert(Similarity.bandGeometryFor(0.7) == ((32, 4))) // cluster(cutoff 0.3): unchanged geometry
+    assert(Similarity.bandGeometryFor(0.5) == ((32, 2)))
+    assert(Similarity.bandGeometryFor(1.0 / 3.0) == ((32, 2))) // rehearsal's dice 0.5 floor
+    assert(Similarity.bandGeometryFor(0.3) == ((64, 2)))
+    assert(Similarity.bandGeometryFor(0.2) == ((128, 2)))
+    assert(Similarity.bandGeometryFor(0.05) == ((128, 2))) // ladder bottom: recall degrades, never r=1
   }
 
   test("mid-floor LSH recall: floor-tuned banding recovers j≈0.54 pairs") {
