@@ -343,7 +343,10 @@ object DomainOps {
     // a single recursive self-reference, so the per-point table form's
     // self-join is unavailable); distances are exact-integer ratios
     // (1.0 - i/u), so both engines' doubles are bit-identical and every
-    // comparison/tiebreak agrees.
+    // comparison/tiebreak agrees. Oracle cost is O(merges × N²) — instant
+    // at the sf0.01 gate (150 users, 27 merges), sized for that gate by
+    // design (sf0.1's 554 merges × 1.1M pair rows is minutes-plus; the
+    // sf0.01 DuckDB compare IS the driver's correctness check).
     QueryDef(
       "c3_hierarchical_clustering",
       (s, d) => {
