@@ -95,7 +95,7 @@ object Similarity {
     * degrades smoothly) — a floor that low demands near-quadratic output
     * and belongs to the exact branch.
     */
-  private[graft] def bandGeometryFor(jaccardFloor: Double): (Int, Int) = {
+  def bandGeometryFor(jaccardFloor: Double): (Int, Int) = {
     val ladder = Seq((32, 8), (32, 4), (32, 2), (64, 2), (128, 2))
     ladder.find { case (p, r) =>
       1.0 - math.pow(1.0 - math.pow(jaccardFloor, r), p.toDouble / r) >= 0.8
@@ -183,6 +183,16 @@ object Similarity {
     * to the single-linkage components semantics — callers in that band
     * who relied on the old default's exact dendrogram (and have the tens
     * of GB it implies) must now pass `maxDriverN` explicitly.
+    *
+    * Recall envelope of the distributed branch: edges come from
+    * [[bandGeometryFor]]'s ladder at floor 1 − cutoff, so TIGHT cutoffs
+    * (≤ ~0.5, similarity floors ≥ 0.5 — every workload the reference
+    * runs) get ≥ 0.8 per-edge recall, and component connectivity pushes
+    * effective cluster recall higher still. LOOSE cutoffs (≥ ~0.8 →
+    * floors ≤ 0.2) sit at the ladder bottom where recall degrades —
+    * inherent to LSH, since a near-zero floor's edge set approaches all
+    * pairs; no geometry serves it and only the driver branch (raise
+    * `maxDriverN`, pay its memory) is exact there.
     */
   def cluster(
       sets: DataFrame, idCol: String, setCol: String,

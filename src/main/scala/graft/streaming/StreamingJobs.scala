@@ -65,31 +65,56 @@ object StreamingJobs {
     * shuffle-free on the store side. Dup linkage is one-hop (dup_of = the
     * matched doc); batch-mode d8 does the full transitive closure.
     *
-    * `numPerms`/`rowsPerBand` tune the band geometry for the floor
-    * ([[graft.operators.Similarity.bandGeometryFor]]); the store only
-    * ever holds ONE geometry — bands from different geometries never
-    * compare — so changing the knobs means a fresh `storePath`.
+    * Band geometry defaults to [[graft.operators.Similarity.bandGeometryFor]]
+    * at `minJaccard` (the verify floor IS the tuner's input), so the
+    * default stream has ≥ 0.8 candidate recall at its own floor; pass
+    * BOTH knobs to pin a geometry explicitly. The store only ever holds
+    * ONE geometry — bands from different geometries never compare — so
+    * every store row carries (num_perms, rows_per_band) and each batch
+    * fails fast on a mismatch instead of silently matching nothing
+    * against a store written under different knobs.
     */
   def incrementalNearDedup(docs: DataFrame, storePath: String, outPath: String,
       checkpoint: String, minJaccard: Double = 0.5,
-      numPerms: Int = 32, rowsPerBand: Int = 4) =
+      numPerms: Int = 0, rowsPerBand: Int = 0) = {
+    // resolve + validate at configuration time, not first micro-batch
+    require((numPerms > 0) == (rowsPerBand > 0),
+      s"pass both numPerms and rowsPerBand or neither, got ($numPerms, $rowsPerBand)")
+    val (p, r) =
+      if (numPerms > 0) (numPerms, rowsPerBand)
+      else graft.operators.Similarity.bandGeometryFor(minJaccard)
+    require(p % r == 0, s"rowsPerBand must divide the $p-perm signature, got $r")
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
         val sig = graft.operators.PipelineOps
-          .minhashSignatures(batch.select(col("doc_id"), col("text")),
-            numPerms, rowsPerBand)
+          .minhashSignatures(batch.select(col("doc_id"), col("text")), p, r)
           .persist()
         // a store partition may exist from a half-finished attempt of
         // this same batch (foreachBatch is at-least-once): exclude it
         // from the corpus so replays see the pre-batch state
-        val store =
-          (try s.read.parquet(storePath)
+        val raw =
+          try s.read.parquet(storePath)
           catch { case _: org.apache.spark.sql.AnalysisException =>
             s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              sig.schema.add("batch_id", "long"))
-          }).filter(col("batch_id") < batchId).drop("batch_id")
+              sig.schema.add("num_perms", "int").add("rows_per_band", "int")
+                .add("batch_id", "long"))
+          }
+        // geometry check runs on the RAW store, before any batch_id
+        // pruning: a rebound stream (fresh checkpoint -> batchId restarts
+        // at 0) must still trip over an alien-geometry store rather than
+        // filter its rows away and "match nothing" forever
+        val alien = raw
+          .filter(col("num_perms") =!= p || col("rows_per_band") =!= r)
+          .select(col("num_perms"), col("rows_per_band")).limit(1).collect()
+        require(alien.isEmpty,
+          s"signature store $storePath was written with geometry " +
+            s"(${alien.headOption.map(a => s"${a.get(0)}/${a.get(1)}").getOrElse("")}) " +
+            s"but this stream runs ($p/$r) — band keys never compare across " +
+            "geometries; use a fresh storePath")
+        val store = raw.filter(col("batch_id") < batchId)
+          .drop("batch_id", "num_perms", "rows_per_band")
         val vsStore = graft.operators.PipelineOps
           .nearDupPairs(store, sig, minJaccard, ordered = false)
           .select(col("id2").as("doc_id"), col("id1").as("dup_of"))
@@ -110,6 +135,8 @@ object StreamingJobs {
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite").parquet(outPath)
           sig.join(dupOf, Seq("doc_id"), "left_anti")
+            .withColumn("num_perms", lit(p))
+            .withColumn("rows_per_band", lit(r))
             .withColumn("batch_id", lit(batchId))
             .write.partitionBy("batch_id")
             .option("partitionOverwriteMode", "dynamic")
@@ -117,6 +144,7 @@ object StreamingJobs {
         } finally { dupOf.unpersist(); sig.unpersist() }
         ()
       }
+  }
 
   /** J11 upsert as a foreachBatch merge: each micro-batch's per-key counts
     * are merged into `statePath` (coalesce(new,old) per column — the

@@ -144,7 +144,7 @@ class SketchExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 10 planted mid-similarity pairs: texts share 11 of 16 word bigrams
     // -> shingle-jaccard ≈ 11/21 ≈ 0.52, right where the default 8-band
     // geometry's collision odds are ~coin-flip per pair and r=2's are
-    // ≈ 0.99 (the Similarity.rowsPerBandFor S-curve). The knob must make
+    // ≈ 0.99 (the Similarity.bandGeometryFor S-curve). The knob must make
     // every planted pair a candidate; verification keeps them.
     def words(i: Int, n: Int, tag: String) = (0 until n).map(j => s"${tag}_${i}_$j")
     val docs = (0 until 10).flatMap { i =>

@@ -91,6 +91,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stored == Set(1L, 2L, 4L))
   }
 
+  test("near-dedup store refuses a stream with a different band geometry") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_geom").toString
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamingJobs.incrementalNearDedup(docs, s"$dir/store", s"$dir/out",
+      s"$dir/ckpt").start()
+    input.addData((1L, "some document text to seed the signature store"))
+    q.processAllAvailable(); q.stop()
+    // same store, explicitly different geometry -> the batch must fail
+    // fast, not silently match nothing forever
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = StreamingJobs.incrementalNearDedup(input2.toDF().toDF("doc_id", "text"),
+      s"$dir/store", s"$dir/out", s"$dir/ckpt2",
+      numPerms = 32, rowsPerBand = 8).start()
+    input2.addData((2L, "another document"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    assert(e.getMessage.contains("geometry") ||
+      Option(e.getCause).exists(_.getMessage.contains("geometry")), e.getMessage)
+    q2.stop()
+    // and half-specified knobs fail at configuration time, pre-start
+    intercept[IllegalArgumentException] {
+      StreamingJobs.incrementalNearDedup(docs, s"$dir/s2", s"$dir/o2",
+        s"$dir/c2", numPerms = 64)
+    }
+  }
+
   test("watermark drops late rows once the window is past") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
