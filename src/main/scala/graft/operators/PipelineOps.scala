@@ -1234,6 +1234,56 @@ object PipelineOps {
              |    range(1, least(length(text), 16) + 1),
              |    i -> ord(substring(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS f_sum16
              |FROM t ORDER BY doc_id""".stripMargin),
-      doc = "multimodal/batched decode + feature extraction (stub codec)")
+      doc = "multimodal/batched decode + feature extraction (stub codec)"),
+
+    // M4: resize — the brief's fourth multimodal verb, as a 16-bucket box
+    // filter over the decoded payload (what every image/audio downsample
+    // is): bucket b of a length-L payload covers codepoints
+    // [bL/16, (b+1)L/16) and emits their floor-average; empty buckets
+    // (L < 16) emit -1. Same batched mapPartitions codec shape as m3
+    // (swap the stub for a real resampler batch call); deterministic and
+    // SQL-expressible, so the whole pipeline stays oracle-checked.
+    // Thumbnail is emitted array_join'd (the g8 convention for the
+    // driver's column-hash gate); ASCII corpus makes ord == codePointAt.
+    QueryDef(
+      "m4_resize_thumbnail",
+      (s, d) => {
+        import s.implicits._
+        val src = T.documents(s, d)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        def stubResize(batch: Seq[(Long, String)]): Iterator[(Long, Long, String)] =
+          batch.iterator.map { case (id, text) =>
+            val cps = if (text == null) Array.empty[Int]
+              else text.codePoints().toArray
+            val len = cps.length
+            val thumb = (0 until 16).map { b =>
+              val start = b * len / 16
+              val end = (b + 1) * len / 16
+              if (end == start) -1L
+              else {
+                var sum = 0L; var i = start
+                while (i < end) { sum += cps(i); i += 1 }
+                sum / (end - start)
+              }
+            }
+            (id, len.toLong, thumb.mkString(","))
+          }
+        src.mapPartitions(_.grouped(64).flatMap(stubResize))
+          .toDF("doc_id", "orig_len", "thumb")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+             |c AS (SELECT doc_id, length(text) AS L,
+             |        [ord(substring(text, i, 1))
+             |         FOR i IN range(1, length(text) + 1)] AS cp
+             |      FROM t)
+             |SELECT doc_id, CAST(L AS BIGINT) AS orig_len,
+             |  array_to_string(
+             |    [CAST(CASE WHEN ((b+1)*L)//16 = (b*L)//16 THEN -1
+             |          ELSE list_sum(cp[(b*L)//16 + 1 : ((b+1)*L)//16])
+             |               // (((b+1)*L)//16 - (b*L)//16) END AS BIGINT)
+             |     FOR b IN range(0, 16)], ',') AS thumb
+             |FROM c ORDER BY doc_id""".stripMargin),
+      doc = "multimodal/resize: 16-bucket box-filter downsample (stub codec, m3's batch shape)")
   )
 }
