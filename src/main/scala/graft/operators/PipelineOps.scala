@@ -1257,8 +1257,10 @@ object PipelineOps {
               else text.codePoints().toArray
             val len = cps.length
             val thumb = (0 until 16).map { b =>
-              val start = b * len / 16
-              val end = (b + 1) * len / 16
+              // long arithmetic: b * len overflows Int past ~143M
+              // codepoints (the oracle's // is 64-bit)
+              val start = (b.toLong * len / 16).toInt
+              val end = ((b + 1).toLong * len / 16).toInt
               if (end == start) -1L
               else {
                 var sum = 0L; var i = start

@@ -101,18 +101,45 @@ object StreamingJobs {
               sig.schema.add("num_perms", "int").add("rows_per_band", "int")
                 .add("batch_id", "long"))
           }
-        // geometry check runs on the RAW store, before any batch_id
-        // pruning: a rebound stream (fresh checkpoint -> batchId restarts
-        // at 0) must still trip over an alien-geometry store rather than
-        // filter its rows away and "match nothing" forever
-        val alien = raw
-          .filter(col("num_perms") =!= p || col("rows_per_band") =!= r)
-          .select(col("num_perms"), col("rows_per_band")).limit(1).collect()
-        require(alien.isEmpty,
-          s"signature store $storePath was written with geometry " +
-            s"(${alien.headOption.map(a => s"${a.get(0)}/${a.get(1)}").getOrElse("")}) " +
-            s"but this stream runs ($p/$r) — band keys never compare across " +
-            "geometries; use a fresh storePath")
+        // store sanity runs on the RAW store, before any batch_id pruning
+        // (a rebound stream's fresh checkpoint restarts batchId at 0 and
+        // would prune the evidence away), as ONE tiny aggregate:
+        //  - schema: a store predating geometry stamping fails with a
+        //    named error, not an unresolved-column crash;
+        //  - stamps: min == max == this stream's geometry, via min/max
+        //    (null-skipping) + an explicit null count, so mixed or
+        //    unstamped rows can't slip through =!='s three-valued logic;
+        //  - lineage: max(batch_id) beyond this stream's batchId means
+        //    the store was written by a checkpoint that ran further —
+        //    continuing would dedup against nothing and then clobber the
+        //    old run's partitions batch by batch.
+        require(raw.columns.contains("num_perms") && raw.columns.contains("rows_per_band"),
+          s"signature store $storePath predates geometry stamping — " +
+            "rebuild it or use a fresh storePath")
+        val probe = raw.agg(
+          max(col("batch_id")),
+          min(col("num_perms")), max(col("num_perms")),
+          min(col("rows_per_band")), max(col("rows_per_band")),
+          sum(when(col("num_perms").isNull || col("rows_per_band").isNull, 1L)
+            .otherwise(0L))).collect()(0)
+        if (!probe.isNullAt(0)) { // store has rows
+          // Number, not getLong/getInt: batch_id is the partition
+          // directory column on read-back, and partition type inference
+          // narrows it to Integer
+          def n(i: Int): Long = probe.getAs[Number](i).longValue
+          require(n(5) == 0,
+            s"signature store $storePath carries rows without geometry stamps; " +
+              "rebuild it or use a fresh storePath")
+          require(n(1) == p && n(2) == p && n(3) == r && n(4) == r,
+            s"signature store $storePath was written with band geometry " +
+              s"(${n(1)}/${n(3)}) but this stream runs ($p/$r) — band keys " +
+              "never compare across geometries; use a fresh storePath")
+          require(n(0) <= batchId,
+            s"signature store $storePath was written by a checkpoint lineage " +
+              s"that reached batch ${n(0)} but this stream is at batch " +
+              s"$batchId — store and checkpoint must pair; restore the " +
+              "matching checkpoint or use a fresh storePath")
+        }
         val store = raw.filter(col("batch_id") < batchId)
           .drop("batch_id", "num_perms", "rows_per_band")
         val vsStore = graft.operators.PipelineOps

@@ -100,20 +100,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = StreamingJobs.incrementalNearDedup(docs, s"$dir/store", s"$dir/out",
       s"$dir/ckpt").start()
     input.addData((1L, "some document text to seed the signature store"))
+    q.processAllAvailable()
+    input.addData((2L, "a second batch advances the store's lineage"))
     q.processAllAvailable(); q.stop()
+    def failsWith(marker: String)(body: => Unit): Unit = {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](body)
+      assert(e.getMessage.contains(marker) ||
+        Option(e.getCause).exists(_.getMessage.contains(marker)), e.getMessage)
+    }
     // same store, explicitly different geometry -> the batch must fail
     // fast, not silently match nothing forever
     val input2 = MemoryStream[(Long, String)]
     val q2 = StreamingJobs.incrementalNearDedup(input2.toDF().toDF("doc_id", "text"),
       s"$dir/store", s"$dir/out", s"$dir/ckpt2",
       numPerms = 32, rowsPerBand = 8).start()
-    input2.addData((2L, "another document"))
-    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      q2.processAllAvailable()
-    }
-    assert(e.getMessage.contains("geometry") ||
-      Option(e.getCause).exists(_.getMessage.contains("geometry")), e.getMessage)
+    input2.addData((3L, "another document"))
+    failsWith("geometry") { q2.processAllAvailable() }
     q2.stop()
+    // same store, SAME geometry, fresh checkpoint -> the store's lineage
+    // (max batch_id 1) is ahead of the rebound stream's batch 0: continuing
+    // would dedup against nothing and clobber the old partitions
+    val input3 = MemoryStream[(Long, String)]
+    val q3 = StreamingJobs.incrementalNearDedup(input3.toDF().toDF("doc_id", "text"),
+      s"$dir/store", s"$dir/out", s"$dir/ckpt3").start()
+    input3.addData((4L, "yet another document"))
+    failsWith("lineage") { q3.processAllAvailable() }
+    q3.stop()
     // and half-specified knobs fail at configuration time, pre-start
     intercept[IllegalArgumentException] {
       StreamingJobs.incrementalNearDedup(docs, s"$dir/s2", s"$dir/o2",
