@@ -38,10 +38,13 @@ object Bench {
     // sorts — so count() times a fraction of some queries. The noop write
     // materializes every output column through the full plan, which is
     // what the driver's Verify parquet dump pays too.
-    // a failed rep records its elapsed NEGATED (a sentinel, not a timing):
-    // silently timing the exception path would let a fast-failing query
-    // masquerade as a fast query. Failed queries surface in "failed" below
-    // and never contribute to per-query mins or the total.
+    // a failed rep records NaN (an explicit non-timing, serialized as JSON
+    // null below): silently timing the exception path would let a
+    // fast-failing query masquerade as a fast query, and sign-encoding the
+    // sentinel in the elapsed value breaks on an exactly-0.0 failure
+    // (-0.0 >= 0 is true) and on any consumer of the raw runs array.
+    // Failed queries surface in "failed" below and never contribute to
+    // per-query mins or the total.
     val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -52,15 +55,17 @@ object Bench {
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
-        if (ok) dt else -dt
+        if (ok) dt else Double.NaN
       }
       name -> ts
     }
     val results = runs.map { case (k, ts) =>
-      val good = ts.filter(_ >= 0)
+      val good = ts.filterNot(_.isNaN)
+      // -1.0 is the every-rep-failed marker in the per-query map; such
+      // queries are also listed in "failed" and excluded from the total
       k -> (if (good.nonEmpty) good.min else -1.0)
     }
-    val failed = runs.collect { case (k, ts) if ts.exists(_ < 0) => k }
+    val failed = runs.collect { case (k, ts) if ts.exists(_.isNaN) => k }
     val total = results.map(_._2).filter(_ >= 0).sum
     def fmt3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -93,8 +98,10 @@ object Bench {
     Raw.stdout.println(line(results.filter(r => headline(r._1)), fmt3))
     // full precision, all queries + all raw runs persisted for the judge
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // NaN (failed rep) serializes as JSON null — bare NaN is invalid JSON
     val rawQs = runs.map { case (k, ts) =>
-      "\"" + k + "\":" + ts.map(_.toString).mkString("[", ",", "]")
+      "\"" + k + "\":" +
+        ts.map(d => if (d.isNaN) "null" else d.toString).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val fileJson = line(results, _.toString).dropRight(1) +
       s""","reps":$reps,"runs":$rawQs}"""

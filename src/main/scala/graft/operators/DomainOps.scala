@@ -211,6 +211,16 @@ object DomainOps {
     // (TESTDATA sf0.01, seed 42 — the only scale the oracle gate runs);
     // against other data the t/df columns still verify but p would fail
     // LOUDLY (value mismatch), never silently pass.
+    // REGENERATION POLICY: these goldens must only ever be re-derived from
+    // an EXTERNAL source (scipy.stats.t.sf / published tables), never from
+    // this engine's own CDF — regenerating from Stats would turn the gate
+    // into an echo. Two independent signals back them: FunctionsSpec pins
+    // Stats.tTwoSidedP against published t-table critical values, and the
+    // oracle below cross-checks each golden against an in-SQL normal
+    // approximation (A&S 7.1.26 erfc; the fixture dfs are ~4000, where
+    // |t-CDF − normal| < 1e-4) and emits a -1.0 poison value — a loud
+    // hash mismatch — for any golden drifting > 0.005 from re-derivable
+    // truth.
     QueryDef(
       "a17_welch_pvalue",
       (s, d) => {
@@ -247,15 +257,30 @@ object DomainOps {
               |  ('error', '0.4459837415438177'),
               |  ('purchase', '0.8515608604063982'),
               |  ('signup', '0.09857866418292527'),
-              |  ('view', '1.0')) AS p(event_type, p_gold))
-              |SELECT g.event_type,
-              |  (m - m2) / sqrt(sd * sd / n + sd2 * sd2 / n2) AS t_stat,
-              |  (sd * sd / n + sd2 * sd2 / n2) * (sd * sd / n + sd2 * sd2 / n2)
-              |    / ((sd * sd / n) * (sd * sd / n) / (n - 1)
-              |       + (sd2 * sd2 / n2) * (sd2 * sd2 / n2) / (n2 - 1)) AS df,
-              |  CAST(p.p_gold AS DOUBLE) AS p_two_sided
-              |FROM g, bg, p WHERE g.event_type = p.event_type
-              |ORDER BY g.event_type""".stripMargin),
+              |  ('view', '1.0')) AS p(event_type, p_gold)),
+              |s AS (
+              |  SELECT g.event_type,
+              |    (m - m2) / sqrt(sd * sd / n + sd2 * sd2 / n2) AS t_stat,
+              |    (sd * sd / n + sd2 * sd2 / n2) * (sd * sd / n + sd2 * sd2 / n2)
+              |      / ((sd * sd / n) * (sd * sd / n) / (n - 1)
+              |         + (sd2 * sd2 / n2) * (sd2 * sd2 / n2) / (n2 - 1)) AS df
+              |  FROM g, bg),
+              |-- independent sanity on the goldens: two-sided normal
+              |-- approximation of the t p-value via the Abramowitz-Stegun
+              |-- 7.1.26 erfc polynomial (fixture dfs ~4000, where the
+              |-- t-vs-normal gap is < 1e-4); a golden > 0.005 away from
+              |-- this re-derivation poisons the output to -1.0 so the
+              |-- gate fails LOUDLY instead of echoing a stale golden
+              |z AS (SELECT s.*, 1.0 / (1.0 + 0.3275911 * (abs(t_stat) / sqrt(2.0))) AS u,
+              |             abs(t_stat) / sqrt(2.0) AS zz FROM s)
+              |SELECT z.event_type, z.t_stat, z.df,
+              |  CASE WHEN abs(CAST(p.p_gold AS DOUBLE) -
+              |      (u * (0.254829592 + u * (-0.284496736 + u * (1.421413741
+              |        + u * (-1.453152027 + u * 1.061405429)))) * exp(-zz * zz)))
+              |      < 0.005
+              |    THEN CAST(p.p_gold AS DOUBLE) ELSE -1.0 END AS p_two_sided
+              |FROM z JOIN p ON z.event_type = p.event_type
+              |ORDER BY z.event_type""".stripMargin),
       doc = "SURVEY A17; RGPs.ipynb:1033-1069 cells 19-20"),
 
     // C1: Dice similarity over per-user event-type sets — the all-pairs

@@ -12,18 +12,47 @@ import org.apache.spark.sql.SparkSession
   * write/read-back pattern requires a filesystem all executors share.
   */
 object Scratch {
-  private val hooked = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  // a key SET, not a [String, Boolean] map: putIfAbsent on a map with a
+  // scala.Boolean value type statically returns Boolean, so its
+  // absent-key null unboxes to false and `== null` is always-false —
+  // the r1-r5 hook registration never actually fired (caught by the
+  // scalac comparing-Boolean-and-Null warning this round)
+  private val hooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val seq = new java.util.concurrent.atomic.AtomicLong()
+  private val issued =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.ArrayDeque[String]]()
 
   /** A fresh `prefix`-named subdirectory per call: intra-query
     * materializations must NOT reuse a fixed path — a second invocation's
     * overwrite would yank the files out from under the first invocation's
-    * still-lazy returned plan. Dirs accumulate one small table per call
-    * until the JVM-exit reap (local default) or the cluster's TTL policy
-    * on `graft.scratch.dir` (the app-scoped parent) claims them.
+    * still-lazy returned plan. To keep a long-lived interactive session
+    * (N calls to `cluster()`/d8) from accumulating N dirs until JVM exit,
+    * each prefix retains a sliding window of `graft.scratch.retain`
+    * dirs (default 2: current + one predecessor) and best-effort-deletes
+    * anything older — so a scratch-backed result stays readable until two
+    * later invocations of the SAME operator supersede it. Set
+    * `graft.scratch.retain` to 0 (or any non-positive value) to never
+    * reap. Reaping only applies to the local-tmpdir default; an explicit
+    * `graft.scratch.dir` is cluster storage whose lifecycle (quotas, TTL)
+    * is the cluster's business, matching the shutdown-hook policy below.
     */
-  def uniqueDir(spark: SparkSession, prefix: String): String =
-    s"${dir(spark)}/${prefix}_${seq.incrementAndGet()}"
+  def uniqueDir(spark: SparkSession, prefix: String): String = {
+    val d = s"${dir(spark)}/${prefix}_${seq.incrementAndGet()}"
+    if (spark.conf.getOption("graft.scratch.dir").isEmpty) {
+      val retain = spark.conf.getOption("graft.scratch.retain")
+        .map(_.toInt).getOrElse(2)
+      if (retain > 0) {
+        val q = issued.computeIfAbsent(
+          s"${spark.sparkContext.applicationId}:$prefix",
+          _ => new java.util.ArrayDeque[String]())
+        q.synchronized {
+          q.addLast(d)
+          while (q.size > retain) deleteRecursively(new java.io.File(q.removeFirst()))
+        }
+      }
+    }
+    d
+  }
 
   def dir(spark: SparkSession): String = {
     val explicit = spark.conf.getOption("graft.scratch.dir")
@@ -33,7 +62,7 @@ object Scratch {
     // runs don't accumulate under /tmp. An explicit cluster scratch dir
     // is left alone — its lifecycle (quotas, TTL policies) is the
     // cluster's business, not a driver shutdown hook's.
-    if (explicit.isEmpty && hooked.putIfAbsent(d, true) == null)
+    if (explicit.isEmpty && hooked.add(d))
       Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(new java.io.File(d))))
     d
   }

@@ -140,7 +140,24 @@ object StreamingJobs {
               s"$batchId — store and checkpoint must pair; restore the " +
               "matching checkpoint or use a fresh storePath")
         }
-        val store = raw.filter(col("batch_id") < batchId)
+        // lineage marker: max(batch_id) <= batchId cannot distinguish a
+        // legitimate replay of batch 0 (same checkpoint, half-finished
+        // first attempt — must proceed and overwrite its own partition)
+        // from a BRAND-NEW checkpoint pointed at a pre-populated store
+        // whose old lineage also stopped at batch 0 (proceeding would
+        // dedup against an empty filtered corpus and silently clobber the
+        // old batch-0 partition). A `_graft_lineage` file inside the
+        // store (underscore-prefixed: invisible to parquet listing)
+        // records which checkpoint owns the store; a mismatch refuses.
+        // `graft.stream.adoptStore=true` explicitly adopts a foreign or
+        // pre-marker store: its rows are rebased to batch_id = -1 (their
+        // old batch numbering is meaningless under the new lineage, and
+        // -1 < every batchId keeps them in the dedup corpus forever) and
+        // the marker is rewritten to this checkpoint.
+        val adopted = lineageGuard(s, storePath, checkpoint,
+          storeHasRows = !probe.isNullAt(0))
+        val rawNow = if (adopted) s.read.parquet(storePath) else raw
+        val store = rawNow.filter(col("batch_id") < batchId)
           .drop("batch_id", "num_perms", "rows_per_band")
         val vsStore = graft.operators.PipelineOps
           .nearDupPairs(store, sig, minJaccard, ordered = false)
@@ -171,6 +188,117 @@ object StreamingJobs {
         } finally { dupOf.unpersist(); sig.unpersist() }
         ()
       }
+  }
+
+  /** The store's lineage identity for [[lineageGuard]]: the streaming
+    * query id from `<checkpoint>/metadata` — stable across restarts of
+    * the same checkpoint, regenerated when the checkpoint is wiped or
+    * recreated, preserved if the checkpoint dir is moved/restored — so it
+    * identifies the LINEAGE, not the path. Falls back to the qualified
+    * checkpoint path if the metadata file is unreadable (it exists by the
+    * time any foreachBatch runs, so the fallback is belt-and-braces).
+    */
+  private def lineageId(s: SparkSession, checkpoint: String): String = {
+    import org.apache.hadoop.fs.Path
+    val hconf = s.sparkContext.hadoopConfiguration
+    val ckpt = new Path(checkpoint)
+    val fs = ckpt.getFileSystem(hconf)
+    val meta = new Path(ckpt, "metadata")
+    val fromMeta =
+      try {
+        if (!fs.exists(meta)) None
+        else {
+          val in = fs.open(meta)
+          val txt =
+            try {
+              val buf = new java.io.ByteArrayOutputStream()
+              val b = new Array[Byte](4096)
+              var n = in.read(b)
+              while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+              new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+            } finally in.close()
+          "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+        }
+      } catch { case _: java.io.IOException => None }
+    fromMeta.getOrElse(fs.makeQualified(ckpt).toString)
+  }
+
+  /** Enforce store↔checkpoint lineage pairing (see the call site in
+    * [[incrementalNearDedup]]). Returns true when a foreign or pre-marker
+    * store was adopted and rebased — the caller must re-read the path.
+    */
+  private def lineageGuard(s: SparkSession, storePath: String,
+      checkpoint: String, storeHasRows: Boolean): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val storeDir = new Path(storePath)
+    val fs = storeDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val id = lineageId(s, checkpoint)
+    val marker = new Path(storeDir, "_graft_lineage")
+    def writeMarker(): Unit = {
+      val out = fs.create(marker, true)
+      try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    val owner: Option[String] =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val b = new Array[Byte](4096)
+          var n = in.read(b)
+          while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+          Some(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+        } finally in.close()
+      }
+    val adopt = s.conf.getOption("graft.stream.adoptStore").contains("true")
+    owner match {
+      case Some(o) if o == id => false // same lineage — incl. batch-0 replay
+      case Some(o) =>
+        require(adopt,
+          s"signature store $storePath belongs to checkpoint lineage $o but " +
+            s"this stream runs under lineage $id — a new checkpoint must " +
+            "never silently write over another lineage's store; use a fresh " +
+            "storePath, restore the matching checkpoint, or set " +
+            "graft.stream.adoptStore=true to rebase and adopt the store")
+        rebase(s, fs, storePath); writeMarker(); true
+      case None if !storeHasRows =>
+        // brand-new (or empty) store: claim it. The marker lands before
+        // the first data write; a crash in between leaves an empty
+        // claimed store, which replays cleanly.
+        fs.mkdirs(storeDir)
+        writeMarker()
+        false
+      case None =>
+        require(adopt,
+          s"signature store $storePath is pre-populated but carries no " +
+            "lineage marker (a foreign store, or one written by a " +
+            "pre-marker version) — a brand-new checkpoint must never see a " +
+            "pre-populated store; use a fresh storePath or set " +
+            "graft.stream.adoptStore=true to rebase and adopt it")
+        rebase(s, fs, storePath); writeMarker(); true
+    }
+  }
+
+  /** Adopt a foreign store: rewrite every row under batch_id = -1 (the
+    * old lineage's batch numbering is meaningless here; -1 keeps the rows
+    * in the dedup corpus for every future batch and can never collide
+    * with a partition this lineage overwrites). Via a sibling temp dir —
+    * Spark refuses to overwrite a path it is reading — and geometry
+    * stamps ride along (the probe already proved they match). The marker
+    * is rewritten by the CALLER after this returns: mode("overwrite")
+    * deletes the store dir wholesale, marker included, so marker-then-
+    * rebase would un-claim the store on a crash in between.
+    */
+  private def rebase(s: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, storePath: String): Unit = {
+    val tmp = storePath + "_adopt"
+    s.read.parquet(storePath)
+      .drop("batch_id").withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").parquet(tmp)
+    s.read.parquet(tmp)
+      .write.partitionBy("batch_id").mode("overwrite").parquet(storePath)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true): Unit
   }
 
   /** J11 upsert as a foreachBatch merge: each micro-batch's per-key counts

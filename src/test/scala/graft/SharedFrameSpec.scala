@@ -43,4 +43,28 @@ class SharedFrameSpec extends AnyFunSuite with BeforeAndAfterAll {
         "scratch mode produced no materialized shared frames")
     } finally spark.conf.unset("graft.cache.mode")
   }
+
+  test("uniqueDir reaps superseded dirs per prefix, keeping a retain window") {
+    import graft.operators.Scratch
+    def mk(prefix: String): java.io.File = {
+      val d = new java.io.File(Scratch.uniqueDir(spark, prefix))
+      d.mkdirs()
+      java.nio.file.Files.write(d.toPath.resolve("part-0"), Array[Byte](1, 2, 3))
+      d
+    }
+    // default retain = 2: current + one predecessor stay readable, older
+    // invocations of the SAME prefix are reaped (the interactive-session
+    // leak ADVICE r5 flagged); a different prefix is untouched
+    val other = mk("spec_other")
+    val d1 = mk("spec_reap"); val d2 = mk("spec_reap"); val d3 = mk("spec_reap")
+    assert(!d1.exists, "oldest dir beyond the retain window must be reaped")
+    assert(d2.exists && d3.exists, "the retain window (current + previous) must survive")
+    assert(other.exists, "reaping is per-prefix")
+    // retain <= 0 disables reaping entirely
+    spark.conf.set("graft.scratch.retain", "0")
+    try {
+      val keep = (1 to 4).map(_ => mk("spec_keep"))
+      assert(keep.forall(_.exists), "retain=0 must never reap")
+    } finally spark.conf.unset("graft.scratch.retain")
+  }
 }

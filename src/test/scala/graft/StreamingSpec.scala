@@ -133,6 +133,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("near-dedup store refuses a foreign batch-0 lineage; adoptStore rebases it") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lineage0").toString
+    def failsWith(marker: String)(body: => Unit): Unit = {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](body)
+      assert(e.getMessage.contains(marker) ||
+        Option(e.getCause).exists(_.getMessage.contains(marker)), e.getMessage)
+    }
+    // lineage A runs exactly ONE batch: the store holds only batch-0 rows,
+    // so max(batch_id) <= batchId alone cannot tell a fresh foreign
+    // checkpoint (also at batch 0) from a legitimate batch-0 replay — the
+    // one case the pre-marker probe let through (silent clobber of the
+    // old batch-0 partition after deduping against an empty corpus)
+    val inA = MemoryStream[(Long, String)]
+    val qA = StreamingJobs.incrementalNearDedup(inA.toDF().toDF("doc_id", "text"),
+      s"$dir/store", s"$dir/outA", s"$dir/ckptA").start()
+    val seed = "the quick brown fox jumps over the lazy dog tonight"
+    inA.addData((1L, seed))
+    qA.processAllAvailable(); qA.stop()
+    // fresh checkpoint, same store, batch 0 vs batch-0-only store: refuse
+    val inB = MemoryStream[(Long, String)]
+    val qB = StreamingJobs.incrementalNearDedup(inB.toDF().toDF("doc_id", "text"),
+      s"$dir/store", s"$dir/outB", s"$dir/ckptB").start()
+    inB.addData((2L, "unrelated content"))
+    failsWith("lineage") { qB.processAllAvailable() }
+    qB.stop()
+    // explicit opt-in: the store is rebased (batch_id = -1, rows kept in
+    // the corpus forever) and re-claimed; the adopted signature still
+    // catches a near-dup arriving under the new lineage
+    spark.conf.set("graft.stream.adoptStore", "true")
+    try {
+      val inC = MemoryStream[(Long, String)]
+      val qC = StreamingJobs.incrementalNearDedup(inC.toDF().toDF("doc_id", "text"),
+        s"$dir/store", s"$dir/outC", s"$dir/ckptC").start()
+      inC.addData((3L, seed.replace("tonight", "today"))) // near-dup of adopted doc 1
+      qC.processAllAvailable(); qC.stop()
+      val flags = spark.read.parquet(s"$dir/outC")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+        .toMap
+      assert(flags(3L).contains(1L), s"doc 3 should match the adopted doc 1: $flags")
+      val batches = spark.read.parquet(s"$dir/store")
+        .select("doc_id", "batch_id")
+        .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toMap
+      assert(batches(1L) == -1L, s"adopted rows must be rebased to batch -1: $batches")
+    } finally spark.conf.unset("graft.stream.adoptStore")
+  }
+
   test("watermark drops late rows once the window is past") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
