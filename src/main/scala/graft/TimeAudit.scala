@@ -215,6 +215,35 @@ object TimeAudit {
       time("x3_shares_cache")(SparkEntry.queries("x3_anchor_phylo")(spark, d).count())
     }
 
+    // ---- m-family real PNG codec: batched reader vs per-row ImageIO ----
+    // decode cost only (the encoded frame is persisted + materialized
+    // first); the delta is what one-reader-per-batch amortization buys
+    // over the ImageIO.read convenience path's per-image reader
+    // construction + plugin-registry scan.
+    {
+      import graft.functions.PngCodec
+      import spark.implicits._
+      val png = spark.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .flatMap(id => (0 until 20).map(k => id * 131 + k)) // ~20× corpus
+        .mapPartitions(_.map(id => (id, PngCodec.synthesize(id))))
+        .toDF("doc_id", "png").persist()
+      time("png_encode_materialize")(png.count())
+      for (r <- 1 to 2) {
+        time(s"png_decode_batched_r$r")(png.as[(Long, Array[Byte])]
+          .mapPartitions(_.grouped(64).flatMap(b =>
+            PngCodec.decodeBatch(b)((id, _, _, px) => (id, px.foldLeft(0L)(_ + _)))))
+          .toDF("id", "s").agg(sum("s")).collect())
+        time(s"png_decode_perrow_r$r")(png.as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, bytes) =>
+            val (_, _, px) = PngCodec.decodeOne(bytes)
+            (id, px.foldLeft(0L)(_ + _))
+          })
+          .toDF("id", "s").agg(sum("s")).collect())
+      }
+      png.unpersist(): Unit
+    }
+
     spark.stop()
   }
 }

@@ -1,0 +1,145 @@
+package graft.functions
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** A REAL image codec behind the m-family multimodal operators (SURVEY
+  * §2.9): deterministic 8-bit grayscale PNGs synthesized from the doc id,
+  * then decoded with `javax.imageio`'s PNG reader — genuine compressed
+  * payloads flowing through a genuine decoder, not a stand-in fold over
+  * the text column (the r1-r5 stub the round-5 review flagged as the one
+  * plumbing-only seam).
+  *
+  * The pixel function is closed-form — `pixel(x, y) = (7x + 13y + id)
+  * mod 256`, `w = 8 + id mod 5`, `h = 8 + id mod 7` — so a SQL oracle can
+  * recompute every decoded feature without being able to decode PNG
+  * itself: the DuckDB gate checks the whole encode→decode→feature
+  * pipeline end to end (a decoder bug, a raster-order mix-up, or an
+  * encode/decode asymmetry all surface as hash mismatches). Grayscale
+  * `TYPE_BYTE_GRAY` keeps the sample roundtrip exact (no color-space
+  * conversion touches the values).
+  *
+  * Batching: [[decodeBatch]] constructs ONE PNG `ImageReader` per batch
+  * and reuses it across the batch's images — amortizing the reader
+  * construction + plugin-registry scan that per-image `ImageIO.read`
+  * pays every call (that convenience path also scans the registry per
+  * invocation). This is the shape a real media pipeline needs at 100 TB:
+  * codec setup cost per BATCH, not per row. [[decodeOne]] is the
+  * per-row convenience baseline, kept for the TimeAudit comparison.
+  *
+  * On real corpora, swap [[synthesize]] for the stored binary column;
+  * everything downstream of the `(id, bytes)` pair is payload-agnostic.
+  */
+object PngCodec {
+
+  /** Closed-form pixel value; `Math.floorMod` keeps negative seeds in
+    * [0, 256) (the raster sample range).
+    */
+  def pixel(x: Int, y: Int, seed: Long): Int =
+    Math.floorMod(7L * x + 13L * y + seed, 256L).toInt
+
+  /** Deterministic per-doc dimensions: 8..12 × 8..14 — small enough to
+    * keep sf0.1 cheap, large enough that every 4×4 thumbnail bucket is
+    * non-empty.
+    */
+  def dims(id: Long): (Int, Int) =
+    ((8 + Math.floorMod(id, 5L)).toInt, (8 + Math.floorMod(id, 7L)).toInt)
+
+  /** Encode the closed-form image for `id` as a real PNG byte stream. */
+  def synthesize(id: Long): Array[Byte] = {
+    val (w, h) = dims(id)
+    synthesize(w, h, id)
+  }
+
+  /** Encode a `w`×`h` closed-form image with an arbitrary seed (specs use
+    * degenerate sizes the id-derived corpus never produces).
+    */
+  def synthesize(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pixel(x, y, seed)); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode a batch of PNGs with a single reused `ImageReader`, mapping
+    * each to `f(id, width, height, pixels)` (pixels row-major). The
+    * result is materialized before the reader is disposed — `f` must not
+    * retain the raster, only derived values.
+    */
+  def decodeBatch[T](batch: Iterable[(Long, Array[Byte])])(
+      f: (Long, Int, Int, Array[Int]) => T): Vector[T] = {
+    val readers = ImageIO.getImageReadersByFormatName("png")
+    require(readers.hasNext, "no PNG ImageReader installed")
+    val reader = readers.next()
+    try {
+      batch.iterator.map { case (id, bytes) =>
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        try {
+          reader.setInput(iis, true, true)
+          val img = reader.read(0)
+          f(id, img.getWidth, img.getHeight, grayPixels(img))
+        } finally iis.close()
+      }.toVector
+    } finally reader.dispose()
+  }
+
+  /** Per-row baseline: the `ImageIO.read` convenience path (fresh reader
+    * + registry scan per image). Functionally identical to the batched
+    * path; exists so TimeAudit can measure what batching saves.
+    */
+  def decodeOne(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    (img.getWidth, img.getHeight, grayPixels(img))
+  }
+
+  private def grayPixels(img: BufferedImage): Array[Int] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    px
+  }
+
+  /** `tw`×`th` box-filter downsample (what every image/audio resize is):
+    * bucket (bx, by) covers x ∈ [bx·w/tw, (bx+1)·w/tw) × the analogous y
+    * span and emits its floor-averaged value; a degenerate bucket (w < tw
+    * or h < th) emits -1 — unreachable from the id-derived corpus (w, h ≥
+    * 8) but pinned by MultimodalSpec.
+    */
+  def boxThumb(w: Int, h: Int, px: Array[Int], tw: Int = 4, th: Int = 4): Array[Long] = {
+    val out = new Array[Long](tw * th)
+    var b = 0
+    while (b < tw * th) {
+      val bx = b % tw
+      val by = b / tw
+      val x0 = bx * w / tw; val x1 = (bx + 1) * w / tw
+      val y0 = by * h / th; val y1 = (by + 1) * h / th
+      if (x1 == x0 || y1 == y0) out(b) = -1L
+      else {
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += px(y * w + x); x += 1 }
+          y += 1
+        }
+        out(b) = sum / ((x1 - x0).toLong * (y1 - y0))
+      }
+      b += 1
+    }
+    out
+  }
+}

@@ -1197,95 +1197,95 @@ object PipelineOps {
              |FROM f ORDER BY doc_id, frame_idx""".stripMargin),
       doc = "multimodal/frame sampling over opaque payloads"),
 
-    // M3: batched decode → feature extraction. The Spark-side plumbing a
-    // real image/audio decoder needs — typed input rows, fixed-size row
-    // batches per partition (the Arrow/mapInPandas batch shape), a decode
-    // call per batch, fixed-width feature output — with the codec itself
-    // stubbed to a deterministic per-row computation (this container has
-    // no media libs; swap `stubDecode` for the real batched codec). The
-    // stub is SQL-expressible so the whole pipeline stays oracle-checked.
+    // M3: batched decode → feature extraction over REAL PNG payloads.
+    // Stage 1 synthesizes a deterministic grayscale PNG per doc — the
+    // testdata tables carry no media, so payload generation rides inside
+    // the query; on a real corpus this stage IS the stored binary column
+    // (everything downstream of the (id, bytes) pair is payload-
+    // agnostic). Stage 2 is the operator proper: binary column → batched
+    // javax.imageio decode (ONE reusable ImageReader per 64-row batch,
+    // graft.functions.PngCodec.decodeBatch — codec setup cost per batch,
+    // not per row) → fixed-width features. The image's closed-form pixel
+    // function makes every decoded feature SQL-recomputable, so the
+    // DuckDB gate checks the whole encode→decode→feature pipeline: a
+    // decoder bug, raster-order mix-up, or encode/decode asymmetry all
+    // surface as hash mismatches.
     QueryDef(
       "m3_decode_features",
       (s, d) => {
         import s.implicits._
-        val src = T.documents(s, d)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
-        def stubDecode(batch: Seq[(Long, String)]): Iterator[(Long, Long, Long, Long)] =
-          batch.iterator.map { case (id, text) =>
-            val cps = if (text == null) Array.empty[Int]
-              else text.codePoints().toArray
-            val sum16 = cps.iterator.take(16).foldLeft(0L)(_ + _)
-            (id, cps.length.toLong,
-              if (cps.isEmpty) -1L else cps(0).toLong, sum16)
-          }
-        src.mapPartitions(_.grouped(64).flatMap(stubDecode))
-          .toDF("doc_id", "f_len", "f_first", "f_sum16")
+        val png = T.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, graft.functions.PngCodec.synthesize(id))))
+          .toDF("doc_id", "png")
+        png.as[(Long, Array[Byte])]
+          .mapPartitions(_.grouped(64).flatMap { batch =>
+            graft.functions.PngCodec.decodeBatch(batch) { (id, w, h, px) =>
+              var sum = 0L
+              var i = 0
+              while (i < px.length) { sum += px(i); i += 1 }
+              (id, w.toLong, h.toLong, sum, px(0).toLong)
+            }
+          })
+          .toDF("doc_id", "px_w", "px_h", "px_sum", "px_first")
           .orderBy(col("doc_id"))
       },
-      // coalesce(text, '') pins the null-text contract: the stub decoder
-      // maps null to the empty payload (f_len=0, f_first=-1, f_sum16=0),
-      // so the oracle must too — bare length(NULL)/ord(NULL) would
-      // propagate NULL and silently diverge on any corpus with null text
-      Some("""WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
-             |SELECT doc_id, CAST(length(text) AS BIGINT) AS f_len,
-             |  CAST(CASE WHEN length(text) = 0 THEN -1
-             |       ELSE ord(substring(text, 1, 1)) END AS BIGINT) AS f_first,
-             |  CAST(coalesce(list_sum(list_transform(
-             |    range(1, least(length(text), 16) + 1),
-             |    i -> ord(substring(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS f_sum16
-             |FROM t ORDER BY doc_id""".stripMargin),
-      doc = "multimodal/batched decode + feature extraction (stub codec)"),
+      // the oracle re-derives the decoded pixels from the closed form
+      // (pixel(x,y) = (7x + 13y + doc_id) mod 256 at w = 8 + id%5,
+      // h = 8 + id%7) — DuckDB can't decode PNG, but it doesn't need to
+      Some("""WITH g AS (SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS w,
+             |                         CAST(8 + doc_id % 7 AS INT) AS h
+             |            FROM documents)
+             |SELECT doc_id, CAST(w AS BIGINT) AS px_w, CAST(h AS BIGINT) AS px_h,
+             |  CAST(list_sum([((i % w) * 7 + (i // w) * 13 + doc_id) % 256
+             |                 FOR i IN range(0, w * h)]) AS BIGINT) AS px_sum,
+             |  CAST(doc_id % 256 AS BIGINT) AS px_first
+             |FROM g ORDER BY doc_id""".stripMargin),
+      doc = "multimodal/batched decode + features over real PNGs (javax.imageio)"),
 
-    // M4: resize — the brief's fourth multimodal verb, as a 16-bucket box
-    // filter over the decoded payload (what every image/audio downsample
-    // is): bucket b of a length-L payload covers codepoints
-    // [bL/16, (b+1)L/16) and emits their floor-average; empty buckets
-    // (L < 16) emit -1. Same batched mapPartitions codec shape as m3
-    // (swap the stub for a real resampler batch call); deterministic and
-    // SQL-expressible, so the whole pipeline stays oracle-checked.
-    // Thumbnail is emitted array_join'd (the g8 convention for the
-    // driver's column-hash gate); ASCII corpus makes ord == codePointAt.
+    // M4: resize — the brief's fourth multimodal verb, as a REAL 4×4
+    // box-filter thumbnail over decoded PNG pixels (what every image
+    // downsample is): bucket (bx,by) covers x ∈ [bx·w/4, (bx+1)·w/4) ×
+    // the analogous y span and emits its floor-average. Same synthesize →
+    // batched-decode shape as m3 (PngCodec.decodeBatch, one reader per
+    // batch); the closed-form pixels keep the whole decode→resample
+    // pipeline oracle-checked. Thumbnail is emitted array_join'd
+    // row-major (the g8 convention for the driver's column-hash gate).
     QueryDef(
       "m4_resize_thumbnail",
       (s, d) => {
         import s.implicits._
-        val src = T.documents(s, d)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
-        def stubResize(batch: Seq[(Long, String)]): Iterator[(Long, Long, String)] =
-          batch.iterator.map { case (id, text) =>
-            val cps = if (text == null) Array.empty[Int]
-              else text.codePoints().toArray
-            val len = cps.length
-            val thumb = (0 until 16).map { b =>
-              // long arithmetic: b * len overflows Int past ~143M
-              // codepoints (the oracle's // is 64-bit)
-              val start = (b.toLong * len / 16).toInt
-              val end = ((b + 1).toLong * len / 16).toInt
-              if (end == start) -1L
-              else {
-                var sum = 0L; var i = start
-                while (i < end) { sum += cps(i); i += 1 }
-                sum / (end - start)
-              }
+        val png = T.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, graft.functions.PngCodec.synthesize(id))))
+          .toDF("doc_id", "png")
+        png.as[(Long, Array[Byte])]
+          .mapPartitions(_.grouped(64).flatMap { batch =>
+            graft.functions.PngCodec.decodeBatch(batch) { (id, w, h, px) =>
+              (id, w.toLong, h.toLong,
+                graft.functions.PngCodec.boxThumb(w, h, px).mkString(","))
             }
-            (id, len.toLong, thumb.mkString(","))
-          }
-        src.mapPartitions(_.grouped(64).flatMap(stubResize))
-          .toDF("doc_id", "orig_len", "thumb")
+          })
+          .toDF("doc_id", "px_w", "px_h", "thumb")
           .orderBy(col("doc_id"))
       },
-      Some("""WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
-             |c AS (SELECT doc_id, length(text) AS L,
-             |        [ord(substring(text, i, 1))
-             |         FOR i IN range(1, length(text) + 1)] AS cp
-             |      FROM t)
-             |SELECT doc_id, CAST(L AS BIGINT) AS orig_len,
-             |  array_to_string(
-             |    [CAST(CASE WHEN ((b+1)*L)//16 = (b*L)//16 THEN -1
-             |          ELSE list_sum(cp[(b*L)//16 + 1 : ((b+1)*L)//16])
-             |               // (((b+1)*L)//16 - (b*L)//16) END AS BIGINT)
+      // nested comprehension: outer b = thumbnail bucket, inner i = pixel
+      // index, floor-averaged over the bucket's exact box. Buckets are
+      // never empty here (w, h ≥ 8 ≥ 4); the codec's degenerate-bucket
+      // -1 branch is pinned by MultimodalSpec instead.
+      Some("""WITH g AS (SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS w,
+             |                         CAST(8 + doc_id % 7 AS INT) AS h
+             |            FROM documents)
+             |SELECT doc_id, CAST(w AS BIGINT) AS px_w, CAST(h AS BIGINT) AS px_h,
+             |  array_to_string([
+             |     CAST(list_sum([((i % w) * 7 + (i // w) * 13 + doc_id) % 256
+             |                    FOR i IN range(0, w * h)
+             |                    IF (i % w) >= ((b % 4) * w) // 4
+             |                     AND (i % w) < (((b % 4) + 1) * w) // 4
+             |                     AND (i // w) >= ((b // 4) * h) // 4
+             |                     AND (i // w) < (((b // 4) + 1) * h) // 4])
+             |        // (((((b % 4) + 1) * w) // 4 - ((b % 4) * w) // 4)
+             |           * ((((b // 4) + 1) * h) // 4 - ((b // 4) * h) // 4)) AS BIGINT)
              |     FOR b IN range(0, 16)], ',') AS thumb
-             |FROM c ORDER BY doc_id""".stripMargin),
-      doc = "multimodal/resize: 16-bucket box-filter downsample (stub codec, m3's batch shape)")
+             |FROM g ORDER BY doc_id""".stripMargin),
+      doc = "multimodal/resize: 4×4 box-filter over real decoded PNG pixels")
   )
 }

@@ -1,15 +1,14 @@
 package graft
 
+import graft.functions.PngCodec
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Edge branches of the multimodal stub codecs that the synthetic corpus
-  * never exercises (sf* documents are all ≥ 48 chars, no nulls): the m4
-  * box-filter resize on empty / shorter-than-thumbnail / non-multiple
-  * payloads and null text, checked against an independent per-codepoint
-  * reference fold.
+/** The m-family's real PNG codec: encode→decode roundtrip exactness,
+  * batched-reader vs per-row decode equivalence, degenerate thumbnail
+  * buckets (unreachable from the id-derived corpus, whose w,h ≥ 8), and
+  * the m3/m4 queries against an independent per-pixel reference fold.
   */
 class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -21,33 +20,71 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  private def refThumb(text: String): String = {
-    val cps = if (text == null) Array.empty[Int] else text.codePoints().toArray
-    (0 until 16).map { b =>
-      val slice = cps.slice(b * cps.length / 16, (b + 1) * cps.length / 16)
-      if (slice.isEmpty) -1L else slice.map(_.toLong).sum / slice.length
-    }.mkString(",")
+  private def refPixels(w: Int, h: Int, seed: Long): Array[Int] =
+    Array.tabulate(w * h)(i => PngCodec.pixel(i % w, i / w, seed))
+
+  test("png synthesize → decode roundtrips the closed-form pixels exactly") {
+    val cases = Seq((1, 1, 0L), (3, 5, 7L), (16, 16, 255L), (5, 2, -9L), (12, 14, 1234567L))
+    for ((w, h, seed) <- cases) {
+      val (dw, dh, px) = PngCodec.decodeOne(PngCodec.synthesize(w, h, seed))
+      assert((dw, dh) == (w, h), s"dims for ($w,$h,$seed)")
+      assert(px.sameElements(refPixels(w, h, seed)), s"pixels for ($w,$h,$seed)")
+    }
   }
 
-  test("m4 resize: empty, null, sub-thumbnail, and non-multiple lengths") {
+  test("batched decode (reused reader) matches the per-row path") {
+    val batch = (0L until 40L).map(id => id -> PngCodec.synthesize(id))
+    val batched = PngCodec.decodeBatch(batch)((id, w, h, px) => (id, w, h, px.toSeq))
+    val perRow = batch.map { case (id, bytes) =>
+      val (w, h, px) = PngCodec.decodeOne(bytes); (id, w, h, px.toSeq)
+    }
+    assert(batched == perRow.toVector)
+  }
+
+  test("boxThumb: degenerate buckets emit -1, others floor-average their exact box") {
+    // w = 3 < 4: bucket column bx=1 has x-span [3/4, 6/4) = [0, 1) at
+    // integer division — spans collapse for SOME bx; check against an
+    // independent fold over the same box definition
+    val (w, h, seed) = (3, 9, 5L)
+    val px = refPixels(w, h, seed)
+    val got = PngCodec.boxThumb(w, h, px)
+    val want = (0 until 16).map { b =>
+      val (bx, by) = (b % 4, b / 4)
+      val xs = (bx * w / 4) until ((bx + 1) * w / 4)
+      val ys = (by * h / 4) until ((by + 1) * h / 4)
+      val vals = for (y <- ys; x <- xs) yield px(y * w + x).toLong
+      if (vals.isEmpty) -1L else vals.sum / vals.length
+    }
+    assert(got.toSeq == want)
+    assert(got.contains(-1L), "a 3-wide image must produce at least one empty bucket")
+    // 4×4 source → identity resize (every bucket is exactly one pixel)
+    val idPx = refPixels(4, 4, 11L)
+    assert(PngCodec.boxThumb(4, 4, idPx).toSeq == idPx.map(_.toLong).toSeq)
+  }
+
+  test("m3/m4 queries match an independent reference over assorted doc ids") {
     import spark.implicits._
-    val docs = Seq[(Long, String)](
-      (1L, ""),                       // empty -> all buckets -1
-      (2L, null),                     // null text = empty payload contract
-      (3L, "abcde"),                  // L < 16: 11 empty buckets interleave
-      (4L, "0123456789abcdef"),       // L == 16: one codepoint per bucket
-      (5L, "z" * 37),                 // non-multiple: buckets of 2 and 3
-      (6L, (0 until 160).map(i => ('a' + i % 26).toChar).mkString))
-    val dir = java.nio.file.Files.createTempDirectory("graft_m4").toString
-    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
-    val got = SparkEntry.queries("m4_resize_thumbnail")(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
-    val want = docs.map { case (id, t) =>
-      (id, if (t == null) 0L else t.codePoints().count(), refThumb(t))
-    }.sortBy(_._1).toList
-    assert(got == want)
-    // L == 16 really is the identity resize
-    assert(got.find(_._1 == 4L).get._3 ==
-      "0123456789abcdef".map(_.toLong).mkString(","))
+    val ids = Seq(0L, 1L, 4L, 6L, 34L, 35L, 999L, 123456789L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_png").toString
+    ids.map(id => (id, s"doc $id")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val m3 = SparkEntry.queries("m3_decode_features")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val m3Want = ids.sorted.map { id =>
+      val (w, h) = PngCodec.dims(id)
+      val px = refPixels(w, h, id)
+      (id, w.toLong, h.toLong, px.map(_.toLong).sum, px(0).toLong)
+    }
+    assert(m3.toSeq == m3Want)
+
+    val m4 = SparkEntry.queries("m4_resize_thumbnail")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val m4Want = ids.sorted.map { id =>
+      val (w, h) = PngCodec.dims(id)
+      (id, w.toLong, h.toLong,
+        PngCodec.boxThumb(w, h, refPixels(w, h, id)).mkString(","))
+    }
+    assert(m4.toSeq == m4Want)
   }
 }
