@@ -889,6 +889,15 @@ object PipelineOps {
         // by observed size, not by an asserted comment. countDistinct
         // still runs map-side-partial on (h, doc); the stream is derived
         // twice, but both derivations are scan+project — no exchange.
+        // SKEW posture (SkewSpec): a pathologically hot digest (site
+        // boilerplate shared by ~every doc) fattens one fact partition,
+        // and AQE CANNOT skew-split this join — the dim side's
+        // HashAggregate sits between its shuffle and the join, which the
+        // skew rule's both-children-are-shuffle-stages pattern excludes
+        // (pinned negatively in SkewSpec). At that point the mitigation
+        // is Skew.saltedJoin(gramStream, dupH, "h", salts) or
+        // materializing dupH first; the clean-corpus default needs
+        // neither.
         val dupH = gramStream
           .groupBy(col("h"))
           .agg(countDistinct(col("doc_id")).as("nd"))

@@ -3,35 +3,170 @@ package graft
 import graft.operators.Skew
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
+/** 100 TB skew posture for the per-key shuffle family (d9b's digest join,
+  * the W1-W5 / g-family `Window.partitionBy(doc_id/strain)` plans): one
+  * pathological key holding ~10% of all rows.
+  *
+  * Three mitigations, each pinned:
+  *  - JOINS split at runtime: AQE's skew-join carves the hot partition
+  *    into task-sized slices — but ONLY when both join children are
+  *    direct shuffle stages; d9b's literal shape (fact joined to its own
+  *    dup-key AGGREGATE) is not splittable, pinned negatively below;
+  *  - so for the agg-dim shape the operative mitigation is manual:
+  *    [[Skew.saltedJoin]] produces identical rows while scattering the
+  *    hot key over `salts` sub-keys;
+  *  - WINDOWS cannot split a key (every frame needs its full partition):
+  *    the honest bound is max-task-input = hot key + its partition's fair
+  *    share of cold keys — LINEAR in the hot key's size, no amplification
+  *    — asserted against the same Murmur3 hash model HashPartitioning
+  *    uses, plus output correctness on the hot key itself.
+  */
 class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val parts = 8
 
   private lazy val spark = SparkSession.builder()
     .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.shuffle.partitions", parts)
+    .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
   override def afterAll(): Unit = spark.stop()
 
-  test("salted join equals plain join on skewed data") {
-    import spark.implicits._
-    // 90% of rows share one hot key
-    val big = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i))
-      .toDF("key", "v")
-    val small = Seq(("hot", "H"), ("k950", "A"), ("k999", "B"), ("miss", "X"))
-      .toDF("key", "label")
-    val plain = big.join(small, "key").select("key", "v", "label")
-    val salted = Skew.saltedJoin(big, small, "key", salts = 8)
-      .select("key", "v", "label")
-    assert(salted.count() == plain.count())
-    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
-    // the hot key actually scatters across salts
-    val saltsUsed = big.filter(col("key") === "hot")
-      .withColumn("s", pmod(xxhash64(struct(col("key"), col("v"))), lit(8)))
-      .select("s").distinct().count()
-    assert(saltsUsed > 4)
+  private val hotN = 20000L
+  private val coldKeys = 2000L
+  private val totalN = 200000L
+
+  /** 200k rows; key 0 holds 10%, 2000 cold keys share the rest. `pad`
+    * fattens rows so byte-based AQE thresholds see the skew too — sha2
+    * per row, NOT a constant-fill lpad: the shuffle codec compresses a
+    * partition of near-identical pads to almost nothing, hiding the
+    * skew from AQE's (compressed) map-output statistics.
+    */
+  private def skewed() = {
+    spark.range(totalN)
+      .select(
+        when(col("id") < hotN, 0L)
+          .otherwise(col("id") % coldKeys + 1).as("key"),
+        col("id").as("seq"),
+        (col("id") % 97).as("value"),
+        sha2(col("id").cast("string").cast("binary"), 256).as("pad"))
+  }
+
+  test("AQE skew split: fires on direct shuffle joins, NOT through an agg-derived dim") {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // 32 partitions put the hot key at ~4.5× the median partition (at
+      // 8, hot + fair-share is only ~1.9× median — not officially skewed)
+      "spark.sql.shuffle.partitions" -> "32",
+      // scaled-down byte thresholds: the spec's ~MB hot partition plays
+      // the role of the production default's 256 MB one
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      // keep the sort-merge join (skew split's target); at real scale
+      // neither side of d9b's dup join is broadcastable anyway
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = skewed()
+      // positive pin: dim is a plain table, so BOTH join children are
+      // Sort(ShuffleQueryStage) — the only shape OptimizeSkewedJoin
+      // matches — and the hot partition gets carved into task slices
+      val dimPlain = spark.range(coldKeys + 1)
+        .select(col("id").as("key"), lit(1L).as("n"))
+      val direct = fact.join(dimPlain, Seq("key"))
+      // materialize THIS dataframe's query execution — a count() would
+      // build (and finalize) a different AQE plan around an agg
+      assert(direct.collect().length == totalN)
+      val directPlan = direct.queryExecution.executedPlan.toString
+      assert(directPlan.contains("skew=true"),
+        s"AQE did not mark the hot partition for skew split:\n$directPlan")
+      // negative pin (the d9b literal shape): an agg-derived dim puts a
+      // HashAggregate between the dim shuffle and the join, the pattern
+      // no longer matches, and AQE CANNOT split the hot fact partition —
+      // splitting partition i of one side requires re-reading the exact
+      // shuffle output of partition i on the other, which an intervening
+      // operator forbids. The operative mitigation for a hot key in a
+      // fact-join-derived-dim is Skew.saltedJoin (next test) or
+      // materializing the dim to storage first (both sides become plain
+      // scans). Pinned so a Spark upgrade that lifts the limitation
+      // surfaces as a failing expectation, not silent behavior drift.
+      val dimAgg = fact.groupBy(col("key")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+      val throughAgg = fact.join(dimAgg, Seq("key"))
+      assert(throughAgg.collect().length == totalN)
+      assert(!throughAgg.queryExecution.executedPlan.toString.contains("skew=true"),
+        "AQE now splits through an agg-derived dim — update the d9b posture docs")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("saltedJoin scatters the hot key and reproduces the plain join exactly") {
+    val fact = skewed()
+    val dim = fact.groupBy(col("key")).agg(count(lit(1)).as("n"))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("key"), col("seq"), col("n"))
+        .collect().map(_.toString).sorted.toSeq
+    val plain = canon(fact.join(dim, Seq("key")))
+    val salted = canon(Skew.saltedJoin(fact, dim, "key", salts = 8))
+    assert(salted == plain)
+    // the scatter is real: the hot key's rows spread over all 8 salts
+    val spread = fact.filter(col("key") === 0L)
+      .withColumn("__salt",
+        pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(8)).cast("int"))
+      .groupBy(col("__salt")).count().collect()
+    assert(spread.length == 8, s"hot key landed on ${spread.length}/8 salts")
+    assert(spread.map(_.getLong(1)).max < hotN / 2,
+      "no salt may keep a majority of the hot key")
+  }
+
+  test("window over a pathological key: tail is linear in the hot key, results exact") {
+    val df = skewed()
+    // W1's shape: trailing rolling mean per key
+    val w = Window.partitionBy(col("key")).orderBy(col("seq")).rowsBetween(-3, 0)
+    val rolled = df.select(col("key"), col("seq"), col("value"),
+      avg(col("value")).over(w).as("roll"))
+    // the plan partitions by the key alone — never SinglePartition
+    val plan = rolled.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("hashpartitioning(key"), s"window must shuffle by key:\n$plan")
+    assert(!plan.contains("singlepartition"), s"window fell to a global partition:\n$plan")
+    val t0 = System.nanoTime()
+    val out = rolled.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out.length == totalN, "window is row-preserving")
+    // hot-key correctness: same sequential mean the window computes
+    val hot = out.filter(_.getLong(0) == 0L).sortBy(_.getLong(1))
+    assert(hot.length == hotN)
+    for (p <- Seq(0, 1, 3, 50, hotN.toInt - 1)) {
+      val vals = (math.max(0, p - 3) to p).map(i => (i % 97).toDouble)
+      assert(math.abs(hot(p).getDouble(3) - vals.sum / vals.length) < 1e-9,
+        s"rolling mean at hot position $p")
+    }
+    // the documented bound: the window CANNOT split a key, so the tail
+    // task's input is hotN + its partition's fair share of cold keys.
+    // Model it with the same hash HashPartitioning uses (Murmur3 via
+    // hash()): max partition ≈ hot + cold/parts, and NEVER more than
+    // hot + 3× fair share — linear in the hot key, zero amplification.
+    val byPart = df.groupBy(pmod(hash(col("key")), lit(parts)).as("p"))
+      .count().collect().map(_.getLong(1))
+    val maxPart = byPart.max
+    val fairCold = (totalN - hotN) / parts
+    assert(maxPart >= hotN, "the hot key lives in one partition — that IS the tail")
+    assert(maxPart <= hotN + 3 * fairCold,
+      s"tail partition $maxPart exceeds hot + 3×fair-share ${hotN + 3 * fairCold}")
+    info(f"window over 10%%-hot key: $secs%.2f s for $totalN rows, " +
+      s"tail partition $maxPart rows (hot $hotN + fair cold ≈ $fairCold)")
   }
 }
