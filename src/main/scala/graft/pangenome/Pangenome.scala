@@ -80,8 +80,8 @@ object Pangenome {
           expr("substring(Sequence, CAST(Start AS INT), CAST(End - Start + 1 AS INT))")))
       .drop("Sequence")
       .select(col("Name"), col("Start"), col("End"), col("Length"), col("Strand"),
-        col("Product"), col("Strain"), col("FeatureType"), col("Variation"),
-        col("FullSequences"))
+        col("Product"), col("Strain"), col("Contig"), col("FeatureType"),
+        col("Variation"), col("FullSequences"))
 
     // J6: cluster reference sequence (null when the cluster has no
     // aligned-seq file -> repaired later, 01_creatingDatabase.cypher:129)
@@ -90,9 +90,14 @@ object Pangenome {
         col("reference_locus") === col("rf"), "left")
       .drop("rf")
 
-    // O1+W4+G1: neighbour edges — consecutive features per strain in
-    // genome order. Partitioned lag (the strain-boundary fix per SURVEY G1).
-    val w = Window.partitionBy(col("Strain")).orderBy(col("Start"), col("Name"))
+    // O1+W4+G1: neighbour edges — consecutive features per CHAIN in
+    // genome order, where a chain is (Strain, Contig): a multi-contig
+    // strain (plasmids, draft assemblies) yields several NEIGHBOUR
+    // chains, never an edge across the replicon boundary (SURVEY §4;
+    // the reference's one-chain assumption is the Contig="0" special
+    // case). Partitioned lag (the strain-boundary fix per SURVEY G1).
+    val w = Window.partitionBy(col("Strain"), col("Contig"))
+      .orderBy(col("Start"), col("Name"))
     val neighbourEdges = features
       .withColumn("sourceFeature", lag(col("Name"), 1).over(w))
       .filter(col("sourceFeature").isNotNull)
@@ -262,16 +267,31 @@ object Pangenome {
   // Analyses  (GIsInStrain.ipynb + RGPs.ipynb, SURVEY §3 entry point 3)
   // ------------------------------------------------------------------
 
+  /** Features with a guaranteed `Contig` column: synthetic builders
+    * ([[graft.Rehearsal]], the brute-force specs) construct feature
+    * frames without one — absent means the reference's single-chain
+    * assumption, normalized to the constant chain "0" so one code path
+    * serves both (`(Strain, "0")` partitions identically to `(Strain)`).
+    */
+  private def withContig(df: DataFrame): DataFrame =
+    if (df.columns.contains("Contig")) df else df.withColumn("Contig", lit("0"))
+
   /** Genome-track query (lifecycle #1): per-strain ordered features with
     * z-scored GC/CAI, deviation flags and the W1-W3 rolling windows —
     * GIsInStrain.ipynb cells 3-8 as one plan: join -> position -> windows.
+    *
+    * `position` is per STRAIN (global coordinates order replicons in
+    * concatenation order), but the rolling windows partition by
+    * `(Strain, Contig)`: GC smoothing and GI flags must not blend across
+    * a replicon boundary (a plasmid's first window starts fresh, it does
+    * not inherit the chromosome tail's composition).
     */
   def genomeTrack(e: EnrichedTables, g: GraphTables): DataFrame = {
     val pos = Window.partitionBy(col("Strain")).orderBy(col("Start"), col("Name"))
     val nGenomes = g.ortholog
       .join(g.clusters.select(col("cluster_id"), col("number_genomes")), Seq("cluster_id"))
       .select(col("feature_id"), col("number_genomes"))
-    val tracked = e.features
+    val tracked = withContig(e.features)
       .join(e.strains.withColumnRenamed("name", "strain_name"),
         col("Strain") === col("strain_name"))
       .join(nGenomes, col("Name") === col("feature_id"), "left")
@@ -280,7 +300,7 @@ object Pangenome {
       .withColumn("z_CAI", (col("CAI") - col("avg_CAI")) / col("stDev_CAI"))
       .withColumn("deviating_GC", (abs(col("z_GC")) >= 1.5).cast("int"))
       .withColumn("deviating_CAI", (abs(col("z_CAI")) >= 1.5).cast("int"))
-    val wp = Window.partitionBy(col("Strain")).orderBy(col("position"))
+    val wp = Window.partitionBy(col("Strain"), col("Contig")).orderBy(col("position"))
     tracked
       .withColumn("smooth_GC", avg(col("z_GC")).over(wp.rowsBetween(-9, 0)))
       .withColumn("gi_flag",
@@ -288,7 +308,8 @@ object Pangenome {
           .cast("int"))
       .withColumn("rare_flag",
         (max(col("number_genomes")).over(wp.rowsBetween(-4, 0)) <= 600).cast("int"))
-      .select(col("Strain"), col("position"), col("Name"), col("GC"), col("CAI"),
+      .select(col("Strain"), col("Contig"), col("position"), col("Name"),
+        col("GC"), col("CAI"),
         col("z_GC"), col("z_CAI"), col("deviating_GC"), col("deviating_CAI"),
         col("smooth_GC"), col("gi_flag"), col("rare_flag"), col("number_genomes"))
   }
@@ -340,19 +361,29 @@ object Pangenome {
 
     // positional model: feature positions per strain (W5)
     val pos = Window.partitionBy(col("Strain")).orderBy(col("Start"), col("Name"))
-    val positioned = e.features
+    val positioned = withContig(e.features)
       .withColumn("position", row_number().over(pos))
       .join(g.ortholog.withColumnRenamed("feature_id", "Name"), Seq("Name"))
 
-    // G7: anchor occurrences of c1/c2 in the same strain within path bounds
-    // (per-occurrence multiplicity: every qualifying f1/f2 pair is a path)
-    val f1 = positioned.select(col("Strain"), col("cluster_id").as("c1"),
+    // G7: anchor occurrences of c1/c2 in the same strain AND same contig
+    // within path bounds (per-occurrence multiplicity: every qualifying
+    // f1/f2 pair is a path). The contig equality is the NEIGHBOUR-path
+    // fidelity guard: a path `-[:NEIGHBOUR*]->` can never cross a
+    // replicon boundary, so two anchors on different contigs of the same
+    // strain are NOT a span even when their positions are close. The
+    // body join below needs no guard of its own: global coordinates make
+    // each contig a contiguous position block, so every position strictly
+    // between two same-contig anchors lies on that contig.
+    val f1 = positioned.select(col("Strain"), col("Contig"),
+      col("cluster_id").as("c1"),
       col("Name").as("anchor1"), col("position").as("pos1"))
-    val f2 = positioned.select(col("Strain").as("st2"), col("cluster_id").as("c2b"),
+    val f2 = positioned.select(col("Strain").as("st2"), col("Contig").as("ct2"),
+      col("cluster_id").as("c2b"),
       col("Name").as("anchor2"), col("position").as("pos2"))
     val spans = anchorPairs
       .join(f1, Seq("c1"))
-      .join(f2, col("Strain") === col("st2") && col("c2b") === col("c2") &&
+      .join(f2, col("Strain") === col("st2") && col("Contig") === col("ct2") &&
+        col("c2b") === col("c2") &&
         (col("pos2") - col("pos1")).between(minEdges, maxEdges))
       .select(col("Strain"), col("c1"), col("c2"), col("anchor1"), col("anchor2"),
         col("pos1"), col("pos2"))

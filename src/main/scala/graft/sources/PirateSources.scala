@@ -17,14 +17,27 @@ object PirateSources {
 
   /** S1+S2: co-ords/<Strain>.co-ords.tsv — 7 projected columns + strain
     * from the file name; Type renamed FeatureType (pirateToDatabase.py:19-28).
+    *
+    * A `Contig` column, when the co-ords carry one (draft assemblies /
+    * plasmids), rides along so the chain derivation can break NEIGHBOUR
+    * chains at replicon boundaries; absent, every feature lands on the
+    * single default chain "0" — the reference's one-chain-per-genome
+    * assumption (01_creatingDatabase.cypher:108-119), which its
+    * 770-complete-genome dataset satisfies. Coordinates stay GLOBAL into
+    * the concatenated genome string either way (the reference's
+    * concatenation model, pirateToDatabase.py:136-173), so substring
+    * extraction is contig-agnostic.
     */
-  def readCoords(spark: SparkSession, coordsDir: String): DataFrame =
-    spark.read.option("sep", "\t").option("header", "true").csv(coordsDir)
+  def readCoords(spark: SparkSession, coordsDir: String): DataFrame = {
+    val raw = spark.read.option("sep", "\t").option("header", "true").csv(coordsDir)
+    val contig = if (raw.columns.contains("Contig")) col("Contig") else lit("0")
+    raw
       .withColumn("Strain",
         regexp_extract(input_file_name(), "([^/]+?)\\.[^/]*$", 1))
       .select(col("Name"), col("Start").cast("long"), col("End").cast("long"),
         col("Length").cast("long"), col("Type").as("FeatureType"),
-        col("Strand"), col("Product"), col("Strain"))
+        col("Strand"), col("Product"), col("Strain"), contig.as("Contig"))
+  }
 
   /** S3+P1-P3: PIRATE.gene_families.tsv — fixed columns by position
     * (0,1,3,4,6 + the three length columns by name), the variable
