@@ -118,8 +118,15 @@ object Rehearsal {
     Pangenome.EtlTables(features, clusters, neighbourEdges)
   }
 
-  /** Run the lifecycle against `dir`; returns (stage -> seconds, rgp rows). */
-  def run(spark: SparkSession, nStrains: Int, dir: String): (Seq[(String, Double)], Long) = {
+  /** Run the lifecycle against `dir`; returns (stage -> seconds, rgp rows,
+    * analysis stats). The stats block mirrors BASELINE.md's notebook-golden
+    * table (RGPs.ipynb cells 12/25/35/38/54/67/89-91) so each round's
+    * rehearsal reports the same cardinalities the reference recorded at
+    * full scale — in ratio form against the synthetic shape, since the
+    * real 770-genome dataset is not in the sandbox.
+    */
+  def run(spark: SparkSession, nStrains: Int, dir: String)
+      : (Seq[(String, Double)], Long, Seq[(String, String)]) = {
     val timings = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     def stage[A](name: String)(body: => A): A = {
       val t0 = System.nanoTime()
@@ -175,19 +182,68 @@ object Rehearsal {
     // components for the flat clustering, broadcast LCA index for the
     // phylo spread — maxExactRows/maxDriverN forced low so the rehearsal
     // exercises the paths a 100 TB run would take, not the small-N exacts
+    // Analysis sinks are parquet since r6 (was noop): the outputs are
+    // small (pairs above the Dice floor, one label per insertion, one row
+    // per anchor group) and materializing them lets the untimed stats
+    // block below read them back instead of recomputing the whole stage.
     stage("insertion_dice") {
       Pangenome.insertionDice(rgps, minDice = 0.5, maxExactRows = 5000)
-        .write.format("noop").mode("overwrite").save()
+        .write.mode("overwrite").parquet(s"$dir/dice")
     }
     stage("insertion_clusters") {
       Pangenome.insertionClusters(rgps, cutoff = 0.3, maxDriverN = 5000)
-        .write.format("noop").mode("overwrite").save()
+        .write.mode("overwrite").parquet(s"$dir/clusters")
     }
     stage("anchor_phylo") {
       Pangenome.anchorPhylo(rgps, balancedNewick(nStrains))
-        .write.format("noop").mode("overwrite").save()
+        .write.mode("overwrite").parquet(s"$dir/phylo")
     }
-    (timings.toSeq, nRgps)
+
+    // UNTIMED: the notebook-golden cardinalities (BASELINE.md correctness
+    // table). Cheap driver-side aggregates over the already-materialized
+    // stage outputs; all values land in rehearsal_out.json so NOTES can
+    // diff them round-over-round alongside the stage times.
+    val stats = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    // cells 35/37-38: strains with >=1 insertion; max insertions per strain
+    val perStrain = rgps.groupBy(col("Strain")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("strains"), max(col("n")).as("mx")).head()
+    stats += "strains_with_insertion" -> perStrain.getLong(0).toString
+    stats += "max_insertions_per_strain" -> perStrain.getLong(1).toString
+    // cell 25: GC/CAI t-test significance cross-tab at p < 0.05
+    val sig = rgps.agg(
+      sum(when(col("p_GC") < 0.05 && col("p_CAI") < 0.05, 1).otherwise(0)),
+      sum(when(col("p_GC") < 0.05 && !(col("p_CAI") < 0.05), 1).otherwise(0)),
+      sum(when(!(col("p_GC") < 0.05) && col("p_CAI") < 0.05, 1).otherwise(0)),
+      sum(when(col("p_GC").isNull || col("p_CAI").isNull, 1).otherwise(0))).head()
+    stats += "sig_both" -> sig.getLong(0).toString
+    stats += "sig_gc_only" -> sig.getLong(1).toString
+    stats += "sig_cai_only" -> sig.getLong(2).toString
+    stats += "sig_nan" -> sig.getLong(3).toString
+    // cells 70-84: Dice pair structure above the 0.5 floor
+    stats += "n_dice_pairs" -> spark.read.parquet(s"$dir/dice").count().toString
+    // cells 89-91: flat clusters @ jaccard-distance 0.3 — count, largest,
+    // size spread (np.std in cell 91 is the POPULATION std-dev)
+    val cl = spark.read.parquet(s"$dir/clusters")
+      .groupBy(col("label")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)), max(col("sz")), stddev_pop(col("sz"))).head()
+    stats += "n_flat_clusters" -> cl.getLong(0).toString
+    stats += "max_cluster_size" -> cl.getLong(1).toString
+    stats += "stddev_cluster_size" -> fmt(cl.getDouble(2))
+    // cells 54/67: per-anchor-group phylo spread; the most-spread group
+    val ph = spark.read.parquet(s"$dir/phylo")
+    val phTop = ph.orderBy(col("max_distance").desc, col("c1"), col("c2"))
+      .select(col("n_distances"), col("min_distance"),
+        col("mean_distance"), col("max_distance"))
+      .limit(1).collect()
+    stats += "n_anchor_groups" -> ph.count().toString
+    phTop.headOption.foreach { r =>
+      stats += "top_group_n_pairs" -> r.getLong(0).toString
+      stats += "top_group_min_dist" -> fmt(r.getDouble(1))
+      stats += "top_group_mean_dist" -> fmt(r.getDouble(2))
+      stats += "top_group_max_dist" -> fmt(r.getDouble(3))
+    }
+    (timings.toSeq, nRgps, stats.toSeq)
   }
 
   /** Balanced binary Newick over S000..S(n-1), unit branch lengths —
@@ -214,12 +270,15 @@ object Rehearsal {
     spark.sparkContext.setLogLevel("WARN")
     val dir = java.nio.file.Files.createTempDirectory("graft_rehearsal").toString
     try {
-      val (timings, nRgps) = run(spark, nStrains, dir)
+      val (timings, nRgps, stats) = run(spark, nStrains, dir)
       val total = timings.map(_._2).sum
       def f(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
       val stages = timings.map { case (k, v) => s""""$k":${f(v)}""" }.mkString(",")
+      // stats values are numeric strings built with Locale.ROOT — emit bare
+      val analysis = stats.map { case (k, v) => s""""$k":$v""" }.mkString(",")
       val line = s"""{"metric":"rehearsal_total","value":${f(total)},"unit":"sec",""" +
-        s""""n_strains":$nStrains,"n_rgps":$nRgps,"stages":{$stages}}"""
+        s""""n_strains":$nStrains,"n_rgps":$nRgps,"stages":{$stages},""" +
+        s""""analysis":{$analysis}}"""
       Raw.stdout.println(line)
       java.nio.file.Files.write(java.nio.file.Paths.get("rehearsal_out.json"),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

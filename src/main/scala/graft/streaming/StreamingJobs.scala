@@ -65,8 +65,9 @@ object StreamingJobs {
     * shuffle-free on the store side. Dup linkage is one-hop (dup_of = the
     * matched doc); batch-mode d8 does the full transitive closure.
     *
-    * Band geometry defaults to [[graft.operators.Similarity.bandGeometryFor]]
-    * at `minJaccard` (the verify floor IS the tuner's input), so the
+    * Band geometry defaults to [[graft.operators.Similarity.geometryFor]]
+    * at `minJaccard` (the verify floor IS the tuner's input; `graft.lsh.*`
+    * session confs override cluster-wide), so the
     * default stream has ≥ 0.8 candidate recall at its own floor; pass
     * BOTH knobs to pin a geometry explicitly. The store only ever holds
     * ONE geometry — bands from different geometries never compare — so
@@ -82,7 +83,7 @@ object StreamingJobs {
       s"pass both numPerms and rowsPerBand or neither, got ($numPerms, $rowsPerBand)")
     val (p, r) =
       if (numPerms > 0) (numPerms, rowsPerBand)
-      else graft.operators.Similarity.bandGeometryFor(minJaccard)
+      else graft.operators.Similarity.geometryFor(docs.sparkSession, minJaccard)
     require(p % r == 0, s"rowsPerBand must divide the $p-perm signature, got $r")
     docs.writeStream
       .option("checkpointLocation", checkpoint)

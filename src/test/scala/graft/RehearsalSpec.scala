@@ -25,13 +25,23 @@ class RehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("miniature lifecycle: all stages run, islands surface as RGPs") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rehearsal_spec").toString
     try {
-      val (timings, nRgps) = Rehearsal.run(spark, nStrains = 12, dir)
+      val (timings, nRgps, stats) = Rehearsal.run(spark, nStrains = 12, dir)
       assert(timings.map(_._1) == Seq("etl_materialize", "build_graph",
         "enrich", "genome_track", "rgp_mine",
         "insertion_dice", "insertion_clusters", "anchor_phylo"))
       assert(timings.forall(_._2 > 0))
       // deterministic generator -> deterministic miner output
       assert(nRgps == 68L, s"expected the planted-island RGP count, got $nRgps")
+      // the notebook-golden stats block is complete and self-consistent
+      val sm = stats.toMap
+      assert(Seq("strains_with_insertion", "max_insertions_per_strain",
+        "sig_both", "sig_gc_only", "sig_cai_only", "sig_nan",
+        "n_dice_pairs", "n_flat_clusters", "max_cluster_size",
+        "stddev_cluster_size", "n_anchor_groups").forall(sm.contains), s"stats: $stats")
+      assert(sm("strains_with_insertion").toLong <= 12L)
+      // every insertion gets exactly one flat-cluster label
+      assert(sm("n_flat_clusters").toLong >= 1L &&
+        sm("max_cluster_size").toLong <= nRgps)
       // the graph boundary actually materialized
       val g = graft.pangenome.Schemas.readGraph(spark, s"$dir/graph")
       assert(g.features.count() > 0 && g.clusterNeighbours.count() > 0)
