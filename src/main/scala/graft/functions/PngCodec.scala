@@ -56,6 +56,12 @@ object PngCodec {
     * degenerate sizes the id-derived corpus never produces).
     */
   def synthesize(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(render(w, h, seed), "png", bos)
+    bos.toByteArray
+  }
+
+  private def render(w: Int, h: Int, seed: Long): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
     var y = 0
@@ -64,9 +70,31 @@ object PngCodec {
       while (x < w) { raster.setSample(x, y, 0, pixel(x, y, seed)); x += 1 }
       y += 1
     }
-    val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    img
+  }
+
+  /** Encode a batch of ids with a single reused PNG `ImageWriter` — the
+    * encode-side mirror of [[decodeBatch]]. `ImageIO.write`'s convenience
+    * path scans the plugin registry and constructs a fresh writer plus
+    * output stream per call: per-row codec setup, the exact cost the
+    * batched decode shape exists to amortize. Byte-identical to
+    * [[synthesize]] (same `ImageWriter` implementation underneath),
+    * pinned by MultimodalSpec.
+    */
+  def encodeBatch(batch: Iterator[Long]): Iterator[(Long, Array[Byte])] = {
+    val writers = ImageIO.getImageWritersByFormatName("png")
+    require(writers.hasNext, "no PNG ImageWriter installed")
+    val writer = writers.next()
+    try {
+      batch.map { id =>
+        val (w, h) = dims(id)
+        val bos = new ByteArrayOutputStream()
+        val ios = ImageIO.createImageOutputStream(bos)
+        try { writer.setOutput(ios); writer.write(render(w, h, id)) }
+        finally ios.close()
+        (id, bos.toByteArray)
+      }.toVector.iterator
+    } finally writer.dispose()
   }
 
   /** Decode a batch of PNGs with a single reused `ImageReader`, mapping

@@ -24,6 +24,33 @@ object PipelineOps {
   private def norm(c: Column): Column =
     array_join(filter(split(trim(lower(c)), " "), x => x =!= ""), " ")
 
+  /** Partition-level PNG synthesis: ONE reused `ImageWriter` per
+    * partition ([[graft.functions.PngCodec.encodeBatch]]), not the
+    * per-row `ImageIO.write` convenience path. An object-level val, not
+    * a lambda at the call site: [[pngPayloads]]' two callers must build
+    * CANONICALLY EQUAL plans for the CacheManager to dedupe the shared
+    * frame, and `MapPartitions` plan equality compares the function
+    * reference — a fresh closure per call would defeat it.
+    */
+  private val encodePartition: Iterator[Long] => Iterator[(Long, Array[Byte])] =
+    graft.functions.PngCodec.encodeBatch
+
+  /** The m-family's synthesized binary column, shared m3/m4 (lazy persist
+    * or scratch via [[SharedFrame]]): payload generation is harness-only
+    * — a real corpus READS its stored binary column rather than encoding
+    * one per query — so the two multimodal queries share one
+    * materialization instead of paying the PNG encode twice per bench
+    * pass. Downstream of the `(doc_id, png)` pair everything is
+    * payload-agnostic.
+    */
+  private def pngPayloads(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    SharedFrame(
+      T.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(encodePartition).toDF("doc_id", "png"),
+      "m_png", d)
+  }
+
   /** SQL text of the canonical normalization (hoist into a column before
     * using inside lambdas — a regex inside a per-trigram lambda re-executes
     * per element).
@@ -1223,10 +1250,7 @@ object PipelineOps {
       "m3_decode_features",
       (s, d) => {
         import s.implicits._
-        val png = T.documents(s, d).select(col("doc_id")).as[Long]
-          .mapPartitions(_.map(id => (id, graft.functions.PngCodec.synthesize(id))))
-          .toDF("doc_id", "png")
-        png.as[(Long, Array[Byte])]
+        pngPayloads(s, d).as[(Long, Array[Byte])]
           .mapPartitions(_.grouped(64).flatMap { batch =>
             graft.functions.PngCodec.decodeBatch(batch) { (id, w, h, px) =>
               var sum = 0L
@@ -1263,10 +1287,7 @@ object PipelineOps {
       "m4_resize_thumbnail",
       (s, d) => {
         import s.implicits._
-        val png = T.documents(s, d).select(col("doc_id")).as[Long]
-          .mapPartitions(_.map(id => (id, graft.functions.PngCodec.synthesize(id))))
-          .toDF("doc_id", "png")
-        png.as[(Long, Array[Byte])]
+        pngPayloads(s, d).as[(Long, Array[Byte])]
           .mapPartitions(_.grouped(64).flatMap { batch =>
             graft.functions.PngCodec.decodeBatch(batch) { (id, w, h, px) =>
               (id, w.toLong, h.toLong,

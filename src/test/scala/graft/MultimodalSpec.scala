@@ -41,6 +41,19 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batched == perRow.toVector)
   }
 
+  test("batched encode (reused writer) is byte-identical to synthesize") {
+    val ids = (0L until 40L) ++ Seq(Long.MaxValue, -1L)
+    val batched = PngCodec.encodeBatch(ids.iterator).toVector
+    assert(batched.map(_._1) == ids.toVector)
+    for (((id, bytes), i) <- batched.zipWithIndex) {
+      assert(bytes.sameElements(PngCodec.synthesize(ids(i))), s"bytes for id $id")
+      // and the payloads are genuine PNG: magic + decodable closed form
+      assert(bytes.take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+      val (w, h, px) = PngCodec.decodeOne(bytes)
+      assert((w, h) == PngCodec.dims(id) && px.sameElements(refPixels(w, h, id)))
+    }
+  }
+
   test("boxThumb: degenerate buckets emit -1, others floor-average their exact box") {
     // w = 3 < 4: bucket column bx=1 has x-span [3/4, 6/4) = [0, 1) at
     // integer division — spans collapse for SOME bx; check against an

@@ -4,12 +4,12 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** `graft.cache.mode=scratch` swaps the five session lazy-persists
+/** `graft.cache.mode=scratch` swaps the session lazy-persists
   * (positional, anchor spans, c1/c2 bitsets, d2 signatures, d7 quantized
-  * base) for write-once Scratch parquet — the one-shot-ETL form for a
-  * cluster run. Both modes must produce identical rows for every
-  * consumer, and scratch mode must actually materialize under the
-  * session scratch dir.
+  * base, m-family PNG payloads) for write-once Scratch parquet — the
+  * one-shot-ETL form for a cluster run. Both modes must produce identical
+  * rows for every consumer, and scratch mode must actually materialize
+  * under the session scratch dir.
   */
 class SharedFrameSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -30,7 +30,8 @@ class SharedFrameSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("scratch mode reproduces persist-mode results for every shared-frame consumer") {
     val names = Seq("c1_dice_similarity", "c2_jaccard_distance", "d2_minhash_lsh",
-      "d7_ann_ivf", "x2_rgp_mine", "x3_anchor_phylo")
+      "d7_ann_ivf", "x2_rgp_mine", "x3_anchor_phylo",
+      "m3_decode_features", "m4_resize_thumbnail")
     val persistMode = names.map(n => n -> rows(n)).toMap
     spark.conf.set("graft.cache.mode", "scratch")
     try {
