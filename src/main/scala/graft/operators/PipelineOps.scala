@@ -1316,6 +1316,54 @@ object PipelineOps {
              |           * ((((b // 4) + 1) * h) // 4 - ((b // 4) * h) // 4)) AS BIGINT)
              |     FOR b IN range(0, 16)], ',') AS thumb
              |FROM g ORDER BY doc_id""".stripMargin),
-      doc = "multimodal/resize: 4×4 box-filter over real decoded PNG pixels")
+      doc = "multimodal/resize: 4×4 box-filter over real decoded PNG pixels"),
+
+    // M5: audio decode → feature extraction over REAL WAV payloads — the
+    // PNG story (m3/m4) replayed on the second modality: deterministic
+    // 8-bit unsigned mono PCM synthesized per doc, decoded through
+    // javax.sound.sampled's RIFF/WAVE reader, reduced to integer-only
+    // signal features (amplitude sum, energy about the 128 midpoint,
+    // strict midpoint crossings). The closed-form samples keep the whole
+    // container→decoder→feature pipeline DuckDB-oracle-checked — a header
+    // mix-up, signed/unsigned confusion, or sample-order bug all surface
+    // as hash mismatches. WAV PCM is uncompressed (~1.06 bytes/sample),
+    // so unlike the PNG family there is no Deflate cost to amortize and
+    // no reusable reader object in the javax.sound API — the batching
+    // lever is the mapPartitions fan-out itself.
+    QueryDef(
+      "m5_audio_features",
+      (s, d) => {
+        import s.implicits._
+        T.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, graft.functions.WavCodec.synthesize(id))))
+          .toDF("doc_id", "wav").as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, bytes) =>
+            val (rate, samples) = graft.functions.WavCodec.decode(bytes)
+            val (ampSum, energy, crossings) = graft.functions.WavCodec.features(samples)
+            (id, samples.length.toLong, rate.toLong, ampSum, energy, crossings)
+          })
+          .toDF("doc_id", "n_samples", "sample_rate", "amp_sum", "energy",
+            "midpoint_crossings")
+          .orderBy(col("doc_id"))
+      },
+      // the oracle re-derives the decoded samples from the closed form
+      // (sample(i) = (13i + doc_id) mod 256 over n = 256 + id%64 samples
+      // at 8 kHz) — DuckDB can't parse RIFF, but it doesn't need to
+      Some("""WITH g AS (SELECT doc_id, CAST(256 + doc_id % 64 AS INT) AS n
+             |            FROM documents)
+             |SELECT doc_id,
+             |  CAST(n AS BIGINT) AS n_samples,
+             |  CAST(8000 AS BIGINT) AS sample_rate,
+             |  CAST(list_sum([(13 * i + doc_id) % 256
+             |                 FOR i IN range(0, n)]) AS BIGINT) AS amp_sum,
+             |  CAST(list_sum([((13 * i + doc_id) % 256 - 128)
+             |                 * ((13 * i + doc_id) % 256 - 128)
+             |                 FOR i IN range(0, n)]) AS BIGINT) AS energy,
+             |  CAST(len([i FOR i IN range(1, n)
+             |            IF ((13 * (i - 1) + doc_id) % 256 - 128)
+             |             * ((13 * i + doc_id) % 256 - 128) < 0]) AS BIGINT)
+             |    AS midpoint_crossings
+             |FROM g ORDER BY doc_id""".stripMargin),
+      doc = "multimodal/audio: decode + signal features over real WAV PCM (javax.sound)")
   )
 }

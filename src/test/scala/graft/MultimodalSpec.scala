@@ -75,6 +75,35 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(PngCodec.boxThumb(4, 4, idPx).toSeq == idPx.map(_.toLong).toSeq)
   }
 
+  test("wav synthesize → decode roundtrips the closed-form samples exactly") {
+    import graft.functions.WavCodec
+    val cases = Seq((1, 0L), (2, 7L), (256, 255L), (319, -9L), (300, 1234567L))
+    for ((n, seed) <- cases) {
+      val (rate, samples) = WavCodec.decode(WavCodec.synthesize(n, seed))
+      assert(rate == 8000f, s"rate for ($n,$seed)")
+      assert(samples.length == n, s"length for ($n,$seed)")
+      assert(samples.sameElements(Array.tabulate(n)(WavCodec.sample(_, seed))),
+        s"samples for ($n,$seed)")
+    }
+    // genuine RIFF container, not raw PCM
+    assert(WavCodec.synthesize(0L).take(4)
+      .sameElements("RIFF".getBytes("US-ASCII")))
+  }
+
+  test("wav features match an independent fold over the samples") {
+    import graft.functions.WavCodec
+    val samples = Array(128, 130, 125, 128, 120, 200, 0, 255, 128, 1)
+    val (ampSum, energy, crossings) = WavCodec.features(samples)
+    assert(ampSum == samples.map(_.toLong).sum)
+    assert(energy == samples.map(s => (s - 128L) * (s - 128L)).sum)
+    // strict sign changes of (s - 128): 130→125, 125→... 128 is neither
+    // positive nor negative, so a through-midpoint pair with an exact-128
+    // sample between them does NOT count
+    val signs = samples.map(_ - 128)
+    val want = signs.sliding(2).count(p => p(0).toLong * p(1) < 0)
+    assert(crossings == want)
+  }
+
   test("m3/m4 queries match an independent reference over assorted doc ids") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 4L, 6L, 34L, 35L, 999L, 123456789L)
@@ -99,5 +128,17 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
         PngCodec.boxThumb(w, h, refPixels(w, h, id)).mkString(","))
     }
     assert(m4.toSeq == m4Want)
+
+    import graft.functions.WavCodec
+    val m5 = SparkEntry.queries("m5_audio_features")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val m5Want = ids.sorted.map { id =>
+      val n = WavCodec.nSamples(id)
+      val samples = Array.tabulate(n)(WavCodec.sample(_, id))
+      val (ampSum, energy, crossings) = WavCodec.features(samples)
+      (id, n.toLong, 8000L, ampSum, energy, crossings)
+    }
+    assert(m5.toSeq == m5Want)
   }
 }
