@@ -38,16 +38,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map to
-    * TimestampType. Sessions set spark.sql.legacy.parquet.nanosAsLong=true, so
-    * the column arrives as Long nanos; normalize to µs TimestampType here
-    * (integer div — double division would lose precision above 2^53 ns).
+  /** events.ts has shipped as two physical parquet types across testdata
+    * generations, normalized here to one logical type (µs TimestampType)
+    * so every downstream plan — window(), epoch casts, watermarks — sees
+    * the same column either way:
+    *  - TIMESTAMP(NANOS): Spark 4 refuses to map it to TimestampType;
+    *    sessions set spark.sql.legacy.parquet.nanosAsLong=true, so it
+    *    arrives as Long nanos → timestamp_micros(ns div 1000) (integer
+    *    div — double division would lose precision above 2^53 ns);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    TimestampNTZType, which Spark's ANSI rules won't cast to numeric
+    *    → cast to TimestampType, value-preserving under the UTC session
+    *    timezone every entry point pins.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = t(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(t(s, d, "events"))
+
+  /** The ts normalization alone, for frames NOT read through [[t]] (the
+    * file-source streaming read stages its own copy of events.parquet).
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => raw
     }
   }

@@ -239,9 +239,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       stage.resolve("events.parquet"))
-    val streamRaw = nanosSpark.readStream.schema(schema)
-      .parquet(stage.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val streamRaw = graft.Tables.normalizeEventTs(
+      nanosSpark.readStream.schema(schema).parquet(stage.toString))
     val q = StreamingJobs.tumblingCounts(streamRaw)
       .writeStream.format("memory").queryName("file_stream")
       .outputMode("complete").start()
