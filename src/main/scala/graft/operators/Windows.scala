@@ -54,6 +54,39 @@ object Windows {
              |WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
              |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
              |ORDER BY user_id, event_id""".stripMargin),
-      doc = "SURVEY W3; GIsInStrain.ipynb:176 cell 8")
+      doc = "SURVEY W3; GIsInStrain.ipynb:176 cell 8"),
+
+    // W6: time-range trailing window (count + exact sum over the last 10
+    // minutes per user) via the SKEW-SAFE chunked plan — Skew.rangeRolling
+    // chunks the time axis into 40-minute spans, carries each chunk's
+    // trailing 10 minutes into the next, and windows per (user, chunk), so
+    // a pathological user spreads over span/W tasks instead of serializing
+    // into one (SkewSpec pins plain-window equality and the scatter; the
+    // plain plan is w1-w3's). The oracle is the PLAIN range window — the
+    // whole point is bit-identical results from a skew-immune plan: long
+    // sums and counts are exact, so regrouping cannot move a ulp.
+    QueryDef(
+      "w6_skew_rolling",
+      (s, d) => {
+        val tenMinUs = 600000000L // 10 min in epoch micros
+        Skew.rangeRolling(
+          T.events(s, d).withColumn("ord", unix_micros(col("ts"))),
+          keys = Seq("user_id"), ordCol = col("ord"), window = tenMinUs)(w =>
+          Seq(
+            "roll_cnt" -> count(col("value")).over(w),
+            "roll_sum" -> (sum(floor(col("value") * lit(1e6) + lit(0.5))
+              .cast("long")).over(w).cast("double") / lit(1e6))))
+          .select(col("event_id"), col("user_id"), col("roll_cnt"), col("roll_sum"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  count(value) OVER win AS roll_cnt,
+             |  CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) OVER win AS DOUBLE)
+             |    / 1e6 AS roll_sum
+             |FROM events
+             |WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |               RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin),
+      doc = "SURVEY W1-family at 100 TB posture; skew-safe chunked range window (Skew.rangeRolling)")
   )
 }

@@ -169,4 +169,44 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(f"window over 10%%-hot key: $secs%.2f s for $totalN rows, " +
       s"tail partition $maxPart rows (hot $hotN + fair cold ≈ $fairCold)")
   }
+
+  test("rangeRolling: chunked plan equals the plain range window, hot key scatters over chunks") {
+    import org.apache.spark.sql.expressions.WindowSpec
+    val df = skewed()
+    val win = 100L
+    def aggs(w: WindowSpec): Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "cnt" -> count(col("value")).over(w),
+      "s" -> sum(col("value")).over(w),
+      "mx" -> max(col("value")).over(w))
+    val plainW = Window.partitionBy(col("key")).orderBy(col("seq"))
+      .rangeBetween(-win, 0)
+    def canon(out: org.apache.spark.sql.DataFrame): Seq[String] =
+      out.select(col("key"), col("seq"), col("cnt"), col("s"), col("mx"))
+        .collect().map(_.toString).sorted.toSeq
+    val plain = canon(aggs(plainW).foldLeft(df.toDF()) {
+      case (acc, (n, c)) => acc.withColumn(n, c)
+    })
+    val chunked = Skew.rangeRolling(df, Seq("key"), col("seq"), win)(aggs)
+    assert(canon(chunked) == plain,
+      "chunked range window must be row-for-row identical to the plain window")
+    // the scatter is structural: the exchange hashes (key, __chunk), so
+    // the hot key's rows land in span/W = 20000/400 = 50 chunk groups
+    // instead of one window partition
+    val plan = chunked.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(key") && plan.contains("__chunk"),
+      s"chunked window must shuffle by (key, __chunk):\n$plan")
+    val hotChunks = hotN / (win * 4)
+    info(s"hot key scatters over $hotChunks chunk groups (was: 1 window partition)")
+    assert(hotChunks >= 50)
+    // floor-division chunking is exact for negative ords too: a span
+    // crossing zero must not double- or zero-count at the boundary
+    val neg = spark.range(-7L, 8L).select(lit(0L).as("key"),
+      col("id").as("seq"), col("id").as("value"))
+    val negPlain = canon(aggs(Window.partitionBy(col("key")).orderBy(col("seq"))
+      .rangeBetween(-3L, 0)).foldLeft(neg.toDF()) {
+      case (acc, (n, c)) => acc.withColumn(n, c)
+    })
+    val negChunked = canon(Skew.rangeRolling(neg, Seq("key"), col("seq"), 3L)(aggs))
+    assert(negChunked == negPlain, "negative-ord chunk boundaries must stay exact")
+  }
 }
