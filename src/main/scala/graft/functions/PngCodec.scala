@@ -61,7 +61,7 @@ object PngCodec {
     bos.toByteArray
   }
 
-  private def render(w: Int, h: Int, seed: Long): BufferedImage = {
+  private[functions] def render(w: Int, h: Int, seed: Long): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
     var y = 0
@@ -128,7 +128,7 @@ object PngCodec {
     (img.getWidth, img.getHeight, grayPixels(img))
   }
 
-  private def grayPixels(img: BufferedImage): Array[Int] = {
+  private[functions] def grayPixels(img: BufferedImage): Array[Int] = {
     val (w, h) = (img.getWidth, img.getHeight)
     val raster = img.getRaster
     val px = new Array[Int](w * h)

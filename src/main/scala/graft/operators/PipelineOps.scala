@@ -1233,6 +1233,48 @@ object PipelineOps {
              |FROM f ORDER BY doc_id, frame_idx""".stripMargin),
       doc = "multimodal/frame sampling over opaque payloads"),
 
+    // M2b: frame sampling over a REAL multi-frame container — the video
+    // analogue of m3/m5's codec realism: a length-prefixed stream of
+    // genuine PNG frames ("GRFT" | n | n × (len | png)), demuxed and
+    // frame-sampled (every 2nd frame) with skipped frames never decoded —
+    // only their length prefix is read to seek past them, so decode cost
+    // scales with the SAMPLE while IO scales with the container, the
+    // whole point of frame sampling at 100 TB. One ImageWriter/
+    // ImageReader per partition, reused across all docs' frames
+    // (graft.functions.FrameContainer). The closed-form frames keep
+    // demux + sampling + decode DuckDB-oracle-checked end to end.
+    QueryDef(
+      "m2b_container_frames",
+      (s, d) => {
+        import s.implicits._
+        T.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(graft.functions.FrameContainer.synthesizePartition)
+          .toDF("doc_id", "container").as[(Long, Array[Byte])]
+          .mapPartitions(rows =>
+            graft.functions.FrameContainer.decodeSampledPartition(rows, stride = 2))
+          .toDF("doc_id", "frame_idx", "px_w", "px_h", "px_sum")
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      // the oracle re-derives every SAMPLED frame from the closed forms
+      // (nFrames = 4 + id%5, sampled fi ∈ range(0, n, 2), dims
+      // (8+(id+fi)%3) × (8+(id+2fi)%4), pixel = (7x+13y+131·id+fi) mod
+      // 256) — DuckDB can't demux the container, but it doesn't need to
+      Some("""WITH g AS (SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS n
+             |            FROM documents),
+             |f AS (SELECT doc_id, CAST(unnest(range(0, n, 2)) AS INT) AS fi FROM g),
+             |d AS (SELECT doc_id, fi,
+             |        CAST(8 + (doc_id + fi) % 3 AS INT) AS w,
+             |        CAST(8 + (doc_id + 2 * fi) % 4 AS INT) AS h,
+             |        131 * doc_id + fi AS seed
+             |      FROM f)
+             |SELECT doc_id,
+             |  CAST(fi AS BIGINT) AS frame_idx,
+             |  CAST(w AS BIGINT) AS px_w, CAST(h AS BIGINT) AS px_h,
+             |  CAST(list_sum([((i % w) * 7 + (i // w) * 13 + seed) % 256
+             |                 FOR i IN range(0, w * h)]) AS BIGINT) AS px_sum
+             |FROM d ORDER BY doc_id, frame_idx""".stripMargin),
+      doc = "multimodal/frame sampling over a real PNG-frame container (demux + sampled decode)"),
+
     // M3: batched decode → feature extraction over REAL PNG payloads.
     // Stage 1 synthesizes a deterministic grayscale PNG per doc — the
     // testdata tables carry no media, so payload generation rides inside

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.PngCodec
+import graft.functions.{FrameContainer, PngCodec}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -140,5 +140,46 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       (id, n.toLong, 8000L, ampSum, energy, crossings)
     }
     assert(m5.toSeq == m5Want)
+
+    val m2b = SparkEntry.queries("m2b_container_frames")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val m2bWant = ids.sorted.flatMap { id =>
+      (0 until FrameContainer.nFrames(id) by 2).map { f =>
+        val (w, h) = FrameContainer.frameDims(id, f)
+        val px = refPixels(w, h, FrameContainer.frameSeed(id, f))
+        (id, f.toLong, w.toLong, h.toLong, px.map(_.toLong).sum)
+      }
+    }
+    assert(m2b.toSeq == m2bWant)
+  }
+
+  test("frame container: demux + full decode roundtrips every closed-form frame") {
+    val ids = Seq(0L, 1L, 4L, 7L, 123456789L)
+    val containers = FrameContainer.synthesizePartition(ids.iterator).toVector
+    // container is genuine: magic header, frame count, length-prefixed PNGs
+    for ((id, bytes) <- containers)
+      assert(bytes.take(4).sameElements(FrameContainer.Magic), s"magic for $id")
+    // stride 1 = decode everything: matches the closed form frame by frame
+    val all = FrameContainer.decodeSampledPartition(containers.iterator, 1).toVector
+    val want = ids.flatMap { id =>
+      (0 until FrameContainer.nFrames(id)).map { f =>
+        val (w, h) = FrameContainer.frameDims(id, f)
+        (id, f.toLong, w.toLong, h.toLong,
+          refPixels(w, h, FrameContainer.frameSeed(id, f)).map(_.toLong).sum)
+      }
+    }
+    assert(all == want)
+  }
+
+  test("frame container: stride sampling keeps exactly every k-th frame") {
+    val ids = Seq(3L, 5L) // nFrames = 4 + id mod 5 = 7 and 4
+    val containers = FrameContainer.synthesizePartition(ids.iterator).toVector
+    val s3 = FrameContainer.decodeSampledPartition(containers.iterator, 3).toVector
+    assert(s3.map(t => (t._1, t._2)) ==
+      Seq((3L, 0L), (3L, 3L), (3L, 6L), (5L, 0L), (5L, 3L)))
+    // stride beyond the frame count still emits frame 0 (never an empty doc)
+    val s99 = FrameContainer.decodeSampledPartition(containers.iterator, 99).toVector
+    assert(s99.map(t => (t._1, t._2)) == Seq((3L, 0L), (5L, 0L)))
   }
 }
