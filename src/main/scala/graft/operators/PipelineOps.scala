@@ -1406,6 +1406,194 @@ object PipelineOps {
              |             * ((13 * i + doc_id) % 256 - 128) < 0]) AS BIGINT)
              |    AS midpoint_crossings
              |FROM g ORDER BY doc_id""".stripMargin),
-      doc = "multimodal/audio: decode + signal features over real WAV PCM (javax.sound)")
+      doc = "multimodal/audio: decode + signal features over real WAV PCM (javax.sound)"),
+
+    // X6: the LLM training-data pipeline END TO END as one declarative
+    // plan — the composite the d/t-families exist for: quality gate (t2's
+    // exact arithmetic) → language gate (t1's argmax) → exact dedup keep-
+    // min (d1's digest groupBy) → minhash near-dup removal (d2's
+    // signature → band join → verified pairs, drop every id2) → per-lang
+    // corpus stats. Every shuffle is keyed (digest / band key / lang);
+    // the survivor frame and its signature frame are SharedFrame'd (the
+    // signature feeds four consumers inside nearDupPairs, the survivors
+    // feed the signature pass and the final anti-join). Catalyst sees ONE
+    // plan, so the quality/lang projections fuse into the first scan —
+    // at 100 TB the pipeline reads the corpus once, shuffles digests and
+    // band keys only, and aggregates a per-lang rollup.
+    QueryDef(
+      "x6_corpus_pipeline",
+      (s, d) => {
+        graft.functions.GraftExtensions.registerInto(s)
+        // t2's quality arithmetic, verbatim (the oracle mirrors t2's SQL)
+        val toks = filter(split(col("text"), " "), x => x =!= "")
+        val nToks = size(toks)
+        val nChars = length(col("text"))
+        val stop = size(array_intersect(array_distinct(toks),
+          array(Seq("the", "a", "of", "and", "is", "table", "row").map(lit): _*)))
+        // t1's language argmax, verbatim
+        def lscore(words: Seq[String]) =
+          size(array_intersect(array_distinct(split(lower(col("text")), " ")),
+            array(words.map(lit): _*)))
+        val scored = T.documents(s, d)
+          .withColumn("n_toks", nToks)
+          .withColumn("mean_tok_len",
+            when(nToks > 0, (nChars - (nToks - 1)).cast("double") / nToks).otherwise(0.0))
+          .withColumn("stop_ratio",
+            when(nToks > 0, stop.cast("double") / nToks).otherwise(0.0))
+          .withColumn("quality",
+            when(col("n_toks") >= 5, 1.0).otherwise(0.0) * 0.4 +
+              when(col("mean_tok_len").between(3.0, 10.0), 1.0).otherwise(0.0) * 0.3 +
+              when(col("stop_ratio") > 0, 1.0).otherwise(0.0) * 0.3)
+          .withColumn("s_de", lscore(Seq("der", "die", "und", "ist", "von")))
+          .withColumn("s_en", lscore(Seq("the", "a", "of", "and", "is")))
+          .withColumn("s_es", lscore(Seq("el", "los", "y", "de", "es")))
+          .withColumn("s_fr", lscore(Seq("le", "la", "et", "de", "est")))
+        val best = greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr"))
+        val gated = scored
+          .withColumn("pred_lang",
+            when(best === 0, "unknown")
+              .when(col("s_de") === best, "de")
+              .when(col("s_en") === best, "en")
+              .when(col("s_es") === best, "es")
+              .otherwise("fr"))
+          .filter(col("quality") >= 0.7 && col("pred_lang") =!= "unknown")
+          .select(col("doc_id"), col("text"), col("n_toks"),
+            col("quality"), col("pred_lang"))
+        // d1's exact dedup: one digest shuffle, keep the min doc_id per
+        // normalized text (min ids are unique, so the join-back needs
+        // the id alone)
+        val keepIds = gated
+          .withColumn("h", md5(norm(col("text"))))
+          .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        val deduped = SharedFrame(gated.join(keepIds, Seq("doc_id")), "x6_dd", d)
+        // d2's near-dup removal on the survivors: banded candidates,
+        // verified Jaccard >= 0.5, drop every pair's larger id
+        val sig = SharedFrame(minhashSignatures(
+          deduped.select(col("doc_id"), col("text"))), "x6_sig", d)
+        val dropIds = nearDupPairs(sig, sig, 0.5)
+          .select(col("id2").as("doc_id")).distinct()
+        // the per-lang rollup carries the FUNNEL sizes, not just the
+        // final stats: the synthetic corpus is homogeneous English, so a
+        // one-row result would be a weak gate — emitting every stage's
+        // survivor count makes any stage error shift a column
+        val gStats = gated.groupBy(col("pred_lang"))
+          .agg(count(lit(1)).as("n_gated"))
+        val dStats = deduped.groupBy(col("pred_lang"))
+          .agg(count(lit(1)).as("n_after_exact"))
+        deduped.join(dropIds, Seq("doc_id"), "left_anti")
+          .groupBy(col("pred_lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_toks").cast("long")).as("n_tokens"),
+            (sum(floor(col("quality") * lit(10.0) + lit(0.5)).cast("long"))
+              .cast("double") / lit(10.0) / count(lit(1))).as("q_mean"))
+          .join(gStats, Seq("pred_lang"))
+          .join(dStats, Seq("pred_lang"))
+          .select(col("pred_lang"), col("n_gated"), col("n_after_exact"),
+            col("n_docs"), col("n_tokens"), col("q_mean"))
+          .orderBy(col("pred_lang"))
+      },
+      // the full funnel re-derived: t2's quality CTE, t1's argmax, d1's
+      // digest keep-min, then d2's complete minhash re-derivation (mod-p
+      // permutations, band keys, candidates, string-intersect Jaccard)
+      // over the SURVIVORS, and the same exact-decimal rollup
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |    len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_toks,
+             |    len(list_intersect(
+             |      list_distinct(list_filter(str_split(text, ' '), x -> x <> '')),
+             |      ['the','a','of','and','is','table','row'])) AS stop
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, text, n_toks,
+             |    CASE WHEN n_toks >= 5 THEN 1.0 ELSE 0.0 END * 0.4 +
+             |    CASE WHEN (CASE WHEN n_toks > 0
+             |               THEN CAST(length(text) - (n_toks - 1) AS DOUBLE) / n_toks
+             |               ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END * 0.3 +
+             |    CASE WHEN stop > 0 THEN 1.0 ELSE 0.0 END * 0.3 AS quality
+             |  FROM t),
+             |sc AS (
+             |  SELECT doc_id, text, n_toks, quality,
+             |    len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+             |        ['der','die','und','ist','von'])) AS s_de,
+             |    len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+             |        ['the','a','of','and','is'])) AS s_en,
+             |    len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+             |        ['el','los','y','de','es'])) AS s_es,
+             |    len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+             |        ['le','la','et','de','est'])) AS s_fr
+             |  FROM q WHERE quality >= 0.7),
+             |gated AS (
+             |  SELECT doc_id, text, n_toks, quality,
+             |    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+             |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+             |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+             |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+             |         ELSE 'fr' END AS pred_lang
+             |  FROM sc
+             |  WHERE greatest(s_de, s_en, s_es, s_fr) > 0),
+             |dd AS (
+             |  SELECT g.* FROM gated g
+             |  JOIN (SELECT md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS h,
+             |               min(doc_id) AS doc_id
+             |        FROM gated GROUP BY 1) k USING (doc_id)),
+             |toksm AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split(lower(text), ' '), x -> x != '') AS tk
+             |  FROM dd),
+             |sh AS (
+             |  SELECT doc_id,
+             |         CASE WHEN len(tk) < 2 THEN tk
+             |              ELSE list_distinct([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))])
+             |         END AS s
+             |  FROM toksm),
+             |hashes AS (
+             |  SELECT doc_id, s,
+             |         [list_reduce([unicode(c)::BIGINT FOR c IN string_split(g, '')],
+             |                      (a, b) -> (a * 31 + b) % 1000000007) FOR g IN s] AS hs
+             |  FROM sh),
+             |sigs AS (
+             |  SELECT doc_id, s,
+             |         [list_min([((2654435761 + 40503 * i) % 1000000007 *
+             |                     (h % 1000000007) % 1000000007
+             |                     + (2246822519 + 9973 * i)) % 1000000007 FOR h IN hs])
+             |          FOR i IN range(0, 32)] AS sig
+             |  FROM hashes),
+             |bands AS (
+             |  SELECT doc_id, s,
+             |         [list_reduce([b] || [sig[i] FOR i IN range(4*b + 1, 4*b + 5)],
+             |                      (a, x) -> (a * 1315423911 + x) % 1000000007)
+             |          FOR b IN range(0, 8)] AS bk
+             |  FROM sigs),
+             |exploded AS (
+             |  SELECT doc_id, unnest(bk) AS k FROM bands),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+             |  FROM exploded a JOIN exploded b ON a.k = b.k AND a.doc_id < b.doc_id),
+             |verified AS (
+             |  SELECT id1, id2,
+             |         len(list_intersect(x.s, y.s))::DOUBLE /
+             |           (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+             |  FROM cand JOIN bands x ON cand.id1 = x.doc_id
+             |            JOIN bands y ON cand.id2 = y.doc_id),
+             |dropped AS (
+             |  SELECT DISTINCT id2 AS doc_id FROM verified WHERE jaccard >= 0.5),
+             |gstats AS (
+             |  SELECT pred_lang, count(*) AS n_gated FROM gated GROUP BY pred_lang),
+             |dstats AS (
+             |  SELECT pred_lang, count(*) AS n_after_exact FROM dd GROUP BY pred_lang),
+             |fin AS (
+             |  SELECT pred_lang,
+             |    count(*) AS n_docs,
+             |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+             |    CAST(sum(CAST(floor(quality * 10.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             |      / 10.0 / count(*) AS q_mean
+             |  FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+             |  GROUP BY pred_lang)
+             |SELECT pred_lang, n_gated, n_after_exact, n_docs, n_tokens, q_mean
+             |FROM fin JOIN gstats USING (pred_lang) JOIN dstats USING (pred_lang)
+             |ORDER BY pred_lang""".stripMargin),
+      doc = "pipeline composite: quality gate -> lang gate -> exact dedup -> minhash near-dup removal -> per-lang stats (the brief's training-data pipeline end to end)")
   )
 }
