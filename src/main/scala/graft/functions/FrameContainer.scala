@@ -23,10 +23,11 @@ import javax.imageio.ImageIO
   * the per-frame decode end to end (a length-prefix bug, an off-stride
   * sample, or a seed mix-up all surface as hash mismatches).
   *
-  * Batching: one `ImageWriter`/`ImageReader` per PARTITION, reused
-  * across all docs' frames — the [[PngCodec.decodeBatch]] lesson applied
-  * at the container level, where the per-frame fan-out multiplies the
-  * per-use codec setup cost a convenience path would pay.
+  * Batching: one `ImageWriter`/`ImageReader` per [[PngCodec.CodecChunk]]
+  * docs, reused across the chunk's frames — the [[PngCodec.decodeBatch]]
+  * lesson applied at the container level, where the per-frame fan-out
+  * multiplies the per-use codec setup cost a convenience path would pay.
+  * Chunked (not per-partition) so live payload bytes stay bounded.
   */
 object FrameContainer {
 
@@ -40,39 +41,43 @@ object FrameContainer {
     ((8 + Math.floorMod(id + f, 3L)).toInt,
       (8 + Math.floorMod(id + 2L * f, 4L)).toInt)
 
-  /** Encode one partition's containers with a single reused PNG
-    * `ImageWriter`. Materialized before the writer is disposed.
+  /** Encode one partition's containers with one reused PNG `ImageWriter`
+    * per [[PngCodec.CodecChunk]]-doc chunk (each chunk is a strict `Seq`,
+    * materialized before its writer is disposed): codec setup amortized
+    * 64×, live payload bytes bounded by the chunk — never the whole
+    * partition, which with real media is an executor OOM.
     */
-  def synthesizePartition(ids: Iterator[Long]): Iterator[(Long, Array[Byte])] = {
-    val writers = ImageIO.getImageWritersByFormatName("png")
-    require(writers.hasNext, "no PNG ImageWriter installed")
-    val writer = writers.next()
-    try {
-      ids.map { id =>
-        val n = nFrames(id)
-        val out = new ByteArrayOutputStream()
-        val dos = new DataOutputStream(out)
-        dos.write(Magic)
-        dos.writeInt(n)
-        var f = 0
-        while (f < n) {
-          val (w, h) = frameDims(id, f)
-          val frame = new ByteArrayOutputStream()
-          val ios = ImageIO.createImageOutputStream(frame)
-          try {
-            writer.setOutput(ios)
-            writer.write(PngCodec.render(w, h, frameSeed(id, f)))
-          } finally ios.close()
-          val bytes = frame.toByteArray
-          dos.writeInt(bytes.length)
-          dos.write(bytes)
-          f += 1
+  def synthesizePartition(ids: Iterator[Long]): Iterator[(Long, Array[Byte])] =
+    ids.grouped(PngCodec.CodecChunk).flatMap { chunk =>
+      val writers = ImageIO.getImageWritersByFormatName("png")
+      require(writers.hasNext, "no PNG ImageWriter installed")
+      val writer = writers.next()
+      try {
+        chunk.map { id =>
+          val n = nFrames(id)
+          val out = new ByteArrayOutputStream()
+          val dos = new DataOutputStream(out)
+          dos.write(Magic)
+          dos.writeInt(n)
+          var f = 0
+          while (f < n) {
+            val (w, h) = frameDims(id, f)
+            val frame = new ByteArrayOutputStream()
+            val ios = ImageIO.createImageOutputStream(frame)
+            try {
+              writer.setOutput(ios)
+              writer.write(PngCodec.render(w, h, frameSeed(id, f)))
+            } finally ios.close()
+            val bytes = frame.toByteArray
+            dos.writeInt(bytes.length)
+            dos.write(bytes)
+            f += 1
+          }
+          dos.flush()
+          (id, out.toByteArray)
         }
-        dos.flush()
-        (id, out.toByteArray)
-      }.toVector.iterator
-    } finally writer.dispose()
-  }
+      } finally writer.dispose()
+    }
 
   /** Demux one partition's containers, decode every `stride`-th frame
     * (frame 0 always included) with a single reused `ImageReader`, and
@@ -84,36 +89,44 @@ object FrameContainer {
   def decodeSampledPartition(rows: Iterator[(Long, Array[Byte])], stride: Int)
       : Iterator[(Long, Long, Long, Long, Long)] = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
-    val readers = ImageIO.getImageReadersByFormatName("png")
-    require(readers.hasNext, "no PNG ImageReader installed")
-    val reader = readers.next()
-    try {
-      rows.flatMap { case (id, bytes) =>
-        val in = new DataInputStream(new ByteArrayInputStream(bytes))
-        val magic = new Array[Byte](4)
-        in.readFully(magic)
-        require(java.util.Arrays.equals(magic, Magic),
-          s"bad container magic for doc $id")
-        val n = in.readInt()
-        (0 until n).flatMap { f =>
-          val len = in.readInt()
-          if (f % stride != 0) { in.skipNBytes(len.toLong); None }
-          else {
-            val png = new Array[Byte](len)
-            in.readFully(png)
-            val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(png))
-            try {
-              reader.setInput(iis, true, true)
-              val img = reader.read(0)
-              val px = PngCodec.grayPixels(img)
-              var sum = 0L
-              var i = 0
-              while (i < px.length) { sum += px(i); i += 1 }
-              Some((id, f.toLong, img.getWidth.toLong, img.getHeight.toLong, sum))
-            } finally iis.close()
+    // one reused ImageReader per CodecChunk-doc chunk (strict Seq per
+    // chunk → decoded features materialize before the reader is
+    // disposed); the outer grouped iterator stays lazy, so at most one
+    // chunk's containers are live at a time — bounded memory, amortized
+    // codec setup (the whole-partition toVector this replaces held every
+    // container in the partition simultaneously)
+    rows.grouped(PngCodec.CodecChunk).flatMap { chunk =>
+      val readers = ImageIO.getImageReadersByFormatName("png")
+      require(readers.hasNext, "no PNG ImageReader installed")
+      val reader = readers.next()
+      try {
+        chunk.flatMap { case (id, bytes) =>
+          val in = new DataInputStream(new ByteArrayInputStream(bytes))
+          val magic = new Array[Byte](4)
+          in.readFully(magic)
+          require(java.util.Arrays.equals(magic, Magic),
+            s"bad container magic for doc $id")
+          val n = in.readInt()
+          (0 until n).flatMap { f =>
+            val len = in.readInt()
+            if (f % stride != 0) { in.skipNBytes(len.toLong); None }
+            else {
+              val png = new Array[Byte](len)
+              in.readFully(png)
+              val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(png))
+              try {
+                reader.setInput(iis, true, true)
+                val img = reader.read(0)
+                val px = PngCodec.grayPixels(img)
+                var sum = 0L
+                var i = 0
+                while (i < px.length) { sum += px(i); i += 1 }
+                Some((id, f.toLong, img.getWidth.toLong, img.getHeight.toLong, sum))
+              } finally iis.close()
+            }
           }
         }
-      }.toVector.iterator
-    } finally reader.dispose()
+      } finally reader.dispose()
+    }
   }
 }

