@@ -32,9 +32,23 @@ import org.apache.spark.sql.functions._
   */
 object Rehearsal {
 
-  /** EtlTables-shaped synthetic pangenome, built lazily (no jobs here). */
-  def synthesize(spark: SparkSession, nStrains: Int): Pangenome.EtlTables = {
+  /** EtlTables-shaped synthetic pangenome, built lazily (no jobs here).
+    *
+    * `hotFactor` > 1 plants a PATHOLOGICAL strain: strain 0's genome is
+    * `hotFactor` concatenated copies of the 6,500-slot cycle (position-
+    * indexed feature names keep every feature unique; family membership,
+    * island structure, variation and lonely flags repeat per copy — the
+    * paralog shape real mega-genomes/misassemblies produce). At
+    * hotFactor = 86 over 770 strains, strain 0 holds 86/(86+769) ≈ 10%
+    * of ALL features — the SkewSpec hot-key model at lifecycle scale,
+    * stressing every per-Strain window (lag edges, genome track) and
+    * per-Strain shuffle in the pipeline. hotFactor = 1 is bit-identical
+    * to the uniform corpus.
+    */
+  def synthesize(spark: SparkSession, nStrains: Int, hotFactor: Int = 1): Pangenome.EtlTables = {
+    require(hotFactor >= 1, s"hotFactor must be >= 1, got $hotFactor")
     val slotsPerStrain = 6500
+    val hotSlots = slotsPerStrain.toLong * hotFactor
     val codons = graft.functions.Cai.SharpEcoliIndex.keys.toSeq.sorted
     val codArr = array(codons.map(lit): _*)
 
@@ -45,9 +59,16 @@ object Rehearsal {
           (pmod(xxhash64(salt, i), lit(codons.size)) + 1).cast("int"))), ""),
       lit("TGA"))
 
-    val base = spark.range(nStrains.toLong * slotsPerStrain)
-      .select((col("id") / slotsPerStrain).cast("long").as("sid"),
-        (col("id") % slotsPerStrain).as("slot"))
+    // sid/pos: strain 0 occupies [0, hotSlots), the rest follow uniformly;
+    // pos is the genome position (unique per strain), slot the gene-family
+    // cycle index — identical for hotFactor = 1
+    val base = spark.range(hotSlots + (nStrains - 1).toLong * slotsPerStrain)
+      .select(
+        when(col("id") < hotSlots, 0L)
+          .otherwise(((col("id") - hotSlots) / slotsPerStrain).cast("long") + 1).as("sid"),
+        when(col("id") < hotSlots, col("id"))
+          .otherwise((col("id") - hotSlots) % slotsPerStrain).as("pos"))
+      .withColumn("slot", col("pos") % slotsPerStrain)
       .withColumn("islot", col("slot") % 65)
       .withColumn("islandId", (col("slot") / 65).cast("long"))
       .withColumn("isAccessory", col("islot") >= 57)
@@ -60,9 +81,9 @@ object Rehearsal {
       .withColumn("lonely", pmod(col("h"), lit(1000)) < 3)
 
     val features = base.select(
-      format_string("S%03d_f%04d", col("sid"), col("slot")).as("Name"),
-      (col("slot") * 1500 + 1).as("Start"),
-      (col("slot") * 1500 + col("nCodons") * 3 + 6).as("End"),
+      format_string("S%03d_f%04d", col("sid"), col("pos")).as("Name"),
+      (col("pos") * 1500 + 1).as("Start"),
+      (col("pos") * 1500 + col("nCodons") * 3 + 6).as("End"),
       (col("nCodons") * 3 + 6).cast("long").as("Length"),
       when(pmod(col("h"), lit(2)) === 0, "+").otherwise("-").as("Strand"),
       when(col("isAccessory") && col("islot") === 58, "phage integrase")
@@ -89,7 +110,7 @@ object Rehearsal {
     val clusters = base.filter(!col("lonely"))
       .select(col("slot"),
         format_string("S%03d", col("sid")).as("Strain"),
-        format_string("S%03d_f%04d", col("sid"), col("slot")).as("Name"),
+        format_string("S%03d_f%04d", col("sid"), col("pos")).as("Name"),
         (col("nCodons") * 3 + 6).cast("long").as("Length"))
       .groupBy(col("slot"))
       // count the strain COLUMN, not a fixed-width Name prefix: above 999
@@ -125,7 +146,7 @@ object Rehearsal {
     * full scale — in ratio form against the synthetic shape, since the
     * real 770-genome dataset is not in the sandbox.
     */
-  def run(spark: SparkSession, nStrains: Int, dir: String)
+  def run(spark: SparkSession, nStrains: Int, dir: String, hotFactor: Int = 1)
       : (Seq[(String, Double)], Long, Seq[(String, String)]) = {
     val timings = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     def stage[A](name: String)(body: => A): A = {
@@ -138,7 +159,7 @@ object Rehearsal {
     // ETL-equivalent: materialize the source tables (the reference's CSV
     // load step); downstream stages read from disk like the real boundary
     stage("etl_materialize") {
-      val t = synthesize(spark, nStrains)
+      val t = synthesize(spark, nStrains, hotFactor)
       t.features.repartition(col("Strain"))
         .write.mode("overwrite").parquet(s"$dir/etl/features")
       t.clusters.write.mode("overwrite").parquet(s"$dir/etl/clusters")
@@ -259,6 +280,10 @@ object Rehearsal {
   def main(args: Array[String]): Unit = {
     val nStrains = args.headOption
       .orElse(sys.env.get("SPARK_GRAFT_REHEARSAL_STRAINS")).getOrElse("770").toInt
+    // second arg / env: hot-strain factor (strain 0 gets hotFactor×6500
+    // features — 86 ≈ 10% of the corpus on one strain at 770 strains)
+    val hotFactor = args.drop(1).headOption
+      .orElse(sys.env.get("SPARK_GRAFT_REHEARSAL_HOT")).getOrElse("1").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -270,17 +295,18 @@ object Rehearsal {
     spark.sparkContext.setLogLevel("WARN")
     val dir = java.nio.file.Files.createTempDirectory("graft_rehearsal").toString
     try {
-      val (timings, nRgps, stats) = run(spark, nStrains, dir)
+      val (timings, nRgps, stats) = run(spark, nStrains, dir, hotFactor)
       val total = timings.map(_._2).sum
       def f(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
       val stages = timings.map { case (k, v) => s""""$k":${f(v)}""" }.mkString(",")
       // stats values are numeric strings built with Locale.ROOT — emit bare
       val analysis = stats.map { case (k, v) => s""""$k":$v""" }.mkString(",")
       val line = s"""{"metric":"rehearsal_total","value":${f(total)},"unit":"sec",""" +
-        s""""n_strains":$nStrains,"n_rgps":$nRgps,"stages":{$stages},""" +
-        s""""analysis":{$analysis}}"""
+        s""""n_strains":$nStrains,"hot_factor":$hotFactor,"n_rgps":$nRgps,""" +
+        s""""stages":{$stages},"analysis":{$analysis}}"""
       Raw.stdout.println(line)
-      java.nio.file.Files.write(java.nio.file.Paths.get("rehearsal_out.json"),
+      val out = if (hotFactor > 1) "rehearsal_out_hot.json" else "rehearsal_out.json"
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally {
       // scrub the scratch tables

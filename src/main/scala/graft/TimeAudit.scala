@@ -244,6 +244,62 @@ object TimeAudit {
       png.unpersist(): Unit
     }
 
+    // ---- d4 dispatch crossover: blocked quadratic vs PrefixJoin ----
+    // The d4 size dispatch (PipelineOps, footerRowCount threshold) was
+    // asserted lossless but never TIMED past sf0.1; this measures both
+    // branches on 1x/2x/4x/8x corpora (5k -> 40k docs). Replica tokens
+    // are hashed per rep LENGTH-PRESERVINGLY, so replicas are ~disjoint
+    // across reps (no fake cross-rep duplicate pairs inflating the
+    // output) but keep their original length — hence the SAME (lang, lb)
+    // blocks: growing N grows block SIZES, the regime the dispatch
+    // guards against (a variant with free-length hashes, which spreads
+    // replicas into fresh length buckets instead, measured quadratic
+    // 0.74/0.96/1.93/7.73 s vs prefix 9.9/13.4/10.0/75.6 s at 1/2/4/8x —
+    // when blocks stay small the quadratic wins at every N; see
+    // NOTES_r7).
+    {
+      import graft.operators.PrefixJoin
+      def corpus(k: Int) = {
+        val base = spark.read.parquet(s"$d/documents.parquet")
+          .select(col("lang"), col("doc_id"), col("text"))
+          .withColumn("rep", explode(expr(s"sequence(0, ${k - 1})")))
+          .withColumn("text",
+            when(col("rep") === 0, col("text"))
+              .otherwise(expr("""array_join(transform(
+                  filter(split(lower(text), ' '), x -> x != ''),
+                  t -> substring(repeat(hex(xxhash64(concat(t, CAST(rep AS STRING)))), 3),
+                                 1, length(t))), ' ')""")))
+          .withColumn("doc_id", col("doc_id") * 16 + col("rep"))
+        base
+          .select(col("lang"), floor(length(col("text")) / 32).as("lb"),
+            col("doc_id"), expr(normSql).as("nt"))
+          .withColumn("g", expr(
+            """CASE WHEN length(nt) < 3 THEN CAST(array() AS ARRAY<BIGINT>)
+              |ELSE array_sort(array_distinct(transform(sequence(1, length(nt) - 2),
+              |       i -> xxhash64(substring(nt, i, 3))))) END""".stripMargin))
+          .drop("nt")
+          .repartition(col("lang"), col("lb"))
+          .persist()
+      }
+      for (k <- Seq(1, 2, 4, 8)) {
+        val docs = corpus(k)
+        val n = docs.count() // materialize untimed
+        val a = docs.select(col("lang"), col("lb"), col("doc_id").as("id1"), col("g").as("g1"))
+        val b = docs.select(col("lang").as("l2"), col("lb").as("lb2"),
+          col("doc_id").as("id2"), col("g").as("g2"))
+        val quad = a.join(b, col("lang") === col("l2") && col("lb") === col("lb2") &&
+            col("id1") < col("id2"))
+          .withColumn("inter", expr("sorted_intersect_size(g1, g2)"))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (size(col("g1")) + size(col("g2")) - col("inter")))
+          .filter(col("jaccard") >= 0.35)
+        time(s"d4_quadratic_${k}x_n$n")(quad.count())
+        time(s"d4_prefixjoin_${k}x_n$n")(
+          PrefixJoin.jaccardPairs(docs, "doc_id", "g", Seq("lang", "lb"), 0.35).count())
+        docs.unpersist(): Unit
+      }
+    }
+
     spark.stop()
   }
 }

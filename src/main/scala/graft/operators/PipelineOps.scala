@@ -98,6 +98,50 @@ object PipelineOps {
     wavPayloads(s, d).count(): Unit
   }
 
+  /** The x6/x6b shared quality + language gate — t2's exact quality
+    * arithmetic and t1's language argmax, verbatim (the oracles mirror
+    * those queries' SQL). SharedFrame'd: within each composite it feeds
+    * several consumers (rep metrics, keep-min dedup, join-back, stage
+    * stats), and across the two funnel composites the CacheManager (or
+    * the scratch path's write-once keying) dedupes the identical plan,
+    * so the corpus scan + projections materialize once per dataset.
+    */
+  private def corpusGated(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), x => x =!= "")
+    val nToks = size(toks)
+    val nChars = length(col("text"))
+    val stop = size(array_intersect(array_distinct(toks),
+      array(Seq("the", "a", "of", "and", "is", "table", "row").map(lit): _*)))
+    def lscore(words: Seq[String]) =
+      size(array_intersect(array_distinct(split(lower(col("text")), " ")),
+        array(words.map(lit): _*)))
+    val scored = T.documents(s, d)
+      .withColumn("n_toks", nToks)
+      .withColumn("mean_tok_len",
+        when(nToks > 0, (nChars - (nToks - 1)).cast("double") / nToks).otherwise(0.0))
+      .withColumn("stop_ratio",
+        when(nToks > 0, stop.cast("double") / nToks).otherwise(0.0))
+      .withColumn("quality",
+        when(col("n_toks") >= 5, 1.0).otherwise(0.0) * 0.4 +
+          when(col("mean_tok_len").between(3.0, 10.0), 1.0).otherwise(0.0) * 0.3 +
+          when(col("stop_ratio") > 0, 1.0).otherwise(0.0) * 0.3)
+      .withColumn("s_de", lscore(Seq("der", "die", "und", "ist", "von")))
+      .withColumn("s_en", lscore(Seq("the", "a", "of", "and", "is")))
+      .withColumn("s_es", lscore(Seq("el", "los", "y", "de", "es")))
+      .withColumn("s_fr", lscore(Seq("le", "la", "et", "de", "est")))
+    val best = greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr"))
+    SharedFrame(scored
+      .withColumn("pred_lang",
+        when(best === 0, "unknown")
+          .when(col("s_de") === best, "de")
+          .when(col("s_en") === best, "en")
+          .when(col("s_es") === best, "es")
+          .otherwise("fr"))
+      .filter(col("quality") >= 0.7 && col("pred_lang") =!= "unknown")
+      .select(col("doc_id"), col("text"), col("n_toks"),
+        col("quality"), col("pred_lang")), "x6_gated", d)
+  }
+
   /** SQL text of the canonical normalization (hoist into a column before
     * using inside lambdas — a regex inside a per-trigram lambda re-executes
     * per element).
@@ -410,18 +454,27 @@ object PipelineOps {
           // trigram column behind its own exchange (measured ~35% off the
           // whole query at sf0.1)
           .repartition(col("lang"), col("lb"))
-        // Size dispatch (measured, sf0.1/5k docs: blocked quadratic ~10 s,
-        // prefix-filtered index ~3x slower — at t=0.35 prefixes span 65% of
-        // each token set, so candidate generation costs more than the
-        // in-block pair scan until blocks get big). Above the threshold the
-        // quadratic's hot-block blowup dominates and the LOSSLESS prefix
-        // index (PrefixJoin, output proven bit-identical in PrefixJoinSpec)
+        // Size dispatch, tuned from the r7 TimeAudit crossover sweep
+        // (1/2/4/8x corpora, 5k -> 40k docs, length-preserving replicas
+        // so block SIZES grow with N — the regime that kills the
+        // quadratic): quadratic 0.57/1.46/3.86/17.1 s vs PrefixJoin
+        // 3.2/4.8/16.3/40.6 s. The quadratic wins at every measured size
+        // but grows ~4x per doubling on the last step vs the prefix
+        // index's ~2.5x; the measured growth rates cross near ~100-150k
+        // docs, so the dispatch switches at 100k (the conservative end).
+        // In the other regime (replicas spread into fresh length buckets,
+        // block count grows, sizes don't) the quadratic wins at every N
+        // (0.74/0.96/1.93/7.7 s vs 9.9/13.4/10.0/75.6 s) — see NOTES_r7.
+        // At t=0.35 prefixes span 65% of each token set, so candidate
+        // generation costs more than the in-block pair scan until blocks
+        // get big. Above the threshold the LOSSLESS prefix index
+        // (PrefixJoin, output proven bit-identical in PrefixJoinSpec)
         // takes over. Both branches produce identical rows — the dispatch
         // never changes the answer, only the plan. The cardinality comes
         // from the parquet FOOTERS (driver-side metadata, zero Spark jobs
         // at plan build — the same de-eager contract x1/x2/rgpMine honor).
         val pairs =
-          if (T.footerRowCount(s, d, "documents") <= 50000) {
+          if (T.footerRowCount(s, d, "documents") <= 100000) {
             val a = docs.select(col("lang"), col("lb"), col("doc_id").as("id1"), col("g").as("g1"))
             val b = docs.select(col("lang").as("l2"), col("lb").as("lb2"),
               col("doc_id").as("id2"), col("g").as("g2"))
@@ -1468,46 +1521,7 @@ object PipelineOps {
       "x6_corpus_pipeline",
       (s, d) => {
         graft.functions.GraftExtensions.registerInto(s)
-        // t2's quality arithmetic, verbatim (the oracle mirrors t2's SQL)
-        val toks = filter(split(col("text"), " "), x => x =!= "")
-        val nToks = size(toks)
-        val nChars = length(col("text"))
-        val stop = size(array_intersect(array_distinct(toks),
-          array(Seq("the", "a", "of", "and", "is", "table", "row").map(lit): _*)))
-        // t1's language argmax, verbatim
-        def lscore(words: Seq[String]) =
-          size(array_intersect(array_distinct(split(lower(col("text")), " ")),
-            array(words.map(lit): _*)))
-        val scored = T.documents(s, d)
-          .withColumn("n_toks", nToks)
-          .withColumn("mean_tok_len",
-            when(nToks > 0, (nChars - (nToks - 1)).cast("double") / nToks).otherwise(0.0))
-          .withColumn("stop_ratio",
-            when(nToks > 0, stop.cast("double") / nToks).otherwise(0.0))
-          .withColumn("quality",
-            when(col("n_toks") >= 5, 1.0).otherwise(0.0) * 0.4 +
-              when(col("mean_tok_len").between(3.0, 10.0), 1.0).otherwise(0.0) * 0.3 +
-              when(col("stop_ratio") > 0, 1.0).otherwise(0.0) * 0.3)
-          .withColumn("s_de", lscore(Seq("der", "die", "und", "ist", "von")))
-          .withColumn("s_en", lscore(Seq("the", "a", "of", "and", "is")))
-          .withColumn("s_es", lscore(Seq("el", "los", "y", "de", "es")))
-          .withColumn("s_fr", lscore(Seq("le", "la", "et", "de", "est")))
-        val best = greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr"))
-        // SharedFrame'd like the survivors/signatures: gated feeds THREE
-        // consumers (keepIds, the dedup join-back, gStats) — without the
-        // materialization each branch would re-run the scan + quality/
-        // lang projections, tripling the corpus read the comment below
-        // claims happens once
-        val gated = SharedFrame(scored
-          .withColumn("pred_lang",
-            when(best === 0, "unknown")
-              .when(col("s_de") === best, "de")
-              .when(col("s_en") === best, "en")
-              .when(col("s_es") === best, "es")
-              .otherwise("fr"))
-          .filter(col("quality") >= 0.7 && col("pred_lang") =!= "unknown")
-          .select(col("doc_id"), col("text"), col("n_toks"),
-            col("quality"), col("pred_lang")), "x6_gated", d)
+        val gated = corpusGated(s, d)
         // d1's exact dedup: one digest shuffle, keep the min doc_id per
         // normalized text (min ids are unique, so the join-back needs
         // the id alone)
@@ -1643,6 +1657,251 @@ object PipelineOps {
              |SELECT pred_lang, n_gated, n_after_exact, n_docs, n_tokens, q_mean
              |FROM fin JOIN gstats USING (pred_lang) JOIN dstats USING (pred_lang)
              |ORDER BY pred_lang""".stripMargin),
-      doc = "pipeline composite: quality gate -> lang gate -> exact dedup -> minhash near-dup removal -> per-lang stats (the brief's training-data pipeline end to end)")
+      doc = "pipeline composite: quality gate -> lang gate -> exact dedup -> minhash near-dup removal -> per-lang stats (the brief's training-data pipeline end to end)"),
+
+    // X6b: the FULL funnel — x6 plus the two stages it left out: t5's
+    // repetition gate (Gopher-style: drop docs whose top bigram holds
+    // > 8% of bigram positions or whose repeated trigrams cover > 2% of
+    // trigram positions, applied only where >= 20 gram positions make
+    // the statistic meaningful — integer-exact threshold arithmetic,
+    // tb·25 > 2·nb / dt·50 > nt, no FP compare crosses the oracle
+    // boundary) and
+    // d9b's span-level dedup over the near-dup SURVIVORS (cross-document
+    // duplicated 6-gram coverage merged into maximal spans; the rollup
+    // reports how many tokens span-dedup would remove — the Lee et al.
+    // edit a pipeline applies AFTER document-level dedup). Funnel:
+    // quality -> lang -> repetition -> exact dedup -> minhash near-dup
+    // -> span dedup -> per-lang rollup carrying every stage's survivor
+    // count. Shuffles stay keyed (doc hash / digest / band key / lang);
+    // gated/deduped/signature/survivor frames are SharedFrame'd for
+    // their multiple consumers.
+    QueryDef(
+      "x6b_corpus_pipeline_full",
+      (s, d) => {
+        graft.functions.GraftExtensions.registerInto(s)
+        val gated = corpusGated(s, d)
+        // t5's repetition metrics over the gated docs (every gated doc
+        // has >= 5 tokens, so bigram/trigram counts are non-empty and
+        // the inner joins below are row-preserving)
+        val withTs = gated.withColumn("ts",
+          expr("filter(split(lower(text), ' '), x -> x != '')"))
+        def counts(n: Int) = withTs
+          .select(col("doc_id"), explode(expr(s"hashed_ngrams(ts, $n)")).as("h"))
+          .groupBy(col("doc_id"), col("h"))
+          .agg(count(lit(1)).as("c"))
+        val bg = counts(2).groupBy(col("doc_id"))
+          .agg(max(col("c")).as("tb"), sum(col("c")).as("nb"))
+        val tg = counts(3).groupBy(col("doc_id"))
+          .agg(sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dt"),
+            sum(col("c")).as("nt"))
+        // the thresholds only apply where the statistic is meaningful
+        // (>= 20 gram positions): a 10-token doc's UNIQUE top bigram is
+        // already 1/9 > 8%, so without the length qualifier the gate
+        // rejects every short document
+        val repKept = withTs
+          .join(bg, Seq("doc_id"))
+          .join(tg, Seq("doc_id"))
+          .filter(!((col("nb") >= 20 && col("tb") * 25 > col("nb") * 2) ||
+            (col("nt") >= 20 && col("dt") * 50 > col("nt"))))
+          .drop("tb", "nb", "dt", "nt")
+        // d1's exact dedup keep-min over the repetition survivors
+        val keepIds = repKept
+          .withColumn("hm", md5(norm(col("text"))))
+          .groupBy(col("hm")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        val deduped = SharedFrame(repKept.join(keepIds, Seq("doc_id")), "x6b_dd", d)
+        // d2's near-dup removal on the survivors
+        val sig = SharedFrame(minhashSignatures(
+          deduped.select(col("doc_id"), col("text"))), "x6b_sig", d)
+        val dropIds = nearDupPairs(sig, sig, 0.5)
+          .select(col("id2").as("doc_id")).distinct()
+        val surv = SharedFrame(
+          deduped.join(dropIds, Seq("doc_id"), "left_anti"), "x6b_surv", d)
+        // d9b's span stage over the survivors: duplicated 6-gram
+        // positions -> gaps-and-islands merge -> per-doc covered tokens
+        val n = 6
+        val gramStream = surv
+          .select(col("doc_id"),
+            posexplode(expr(s"hashed_ngrams(ts, $n)")).as(Seq("pos0", "h")))
+          .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+        val dupH = gramStream.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") > 1).select(col("h"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val cover = gramStream.join(dupH, Seq("h"))
+          .select(col("doc_id"), col("pos"))
+          .withColumn("new_island",
+            when(col("pos") > lag(col("pos"), 1).over(w) + n, 1)
+              .when(lag(col("pos"), 1).over(w).isNull, 1)
+              .otherwise(0))
+          .withColumn("island", sum(col("new_island")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("doc_id"), col("island"))
+          .agg(min(col("pos")).as("s0"), (max(col("pos")) + (n - 1)).as("s1"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("s1") - col("s0") + 1).as("cov"))
+        val gStats = gated.groupBy(col("pred_lang")).agg(count(lit(1)).as("n_gated"))
+        val rStats = repKept.groupBy(col("pred_lang")).agg(count(lit(1)).as("n_after_rep"))
+        val dStats = deduped.groupBy(col("pred_lang")).agg(count(lit(1)).as("n_after_exact"))
+        surv.join(cover, Seq("doc_id"), "left")
+          .withColumn("cov", coalesce(col("cov"), lit(0L)))
+          .groupBy(col("pred_lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks").cast("long")).as("n_tokens"),
+            sum(col("cov")).as("span_tokens"))
+          .join(gStats, Seq("pred_lang"))
+          .join(rStats, Seq("pred_lang"))
+          .join(dStats, Seq("pred_lang"))
+          .select(col("pred_lang"), col("n_gated"), col("n_after_rep"),
+            col("n_after_exact"), col("n_docs"), col("n_tokens"),
+            col("span_tokens"),
+            (col("n_tokens") - col("span_tokens")).as("n_tokens_clean"))
+          .orderBy(col("pred_lang"))
+      },
+      // x6's oracle extended with the t5 repetition CTEs (bagg/tagg/rep)
+      // and the d9b span CTEs over the survivors (pos6..cover); the
+      // minhash re-derivation is x6's, re-rooted at the rep survivors
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |    len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_toks,
+             |    len(list_intersect(
+             |      list_distinct(list_filter(str_split(text, ' '), x -> x <> '')),
+             |      ['the','a','of','and','is','table','row'])) AS stop
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, text, n_toks,
+             |    CASE WHEN n_toks >= 5 THEN 1.0 ELSE 0.0 END * 0.4 +
+             |    CASE WHEN (CASE WHEN n_toks > 0
+             |               THEN CAST(length(text) - (n_toks - 1) AS DOUBLE) / n_toks
+             |               ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END * 0.3 +
+             |    CASE WHEN stop > 0 THEN 1.0 ELSE 0.0 END * 0.3 AS quality
+             |  FROM t),
+             |sc AS (
+             |  SELECT doc_id, text, n_toks, quality,
+             |    len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+             |        ['der','die','und','ist','von'])) AS s_de,
+             |    len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+             |        ['the','a','of','and','is'])) AS s_en,
+             |    len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+             |        ['el','los','y','de','es'])) AS s_es,
+             |    len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+             |        ['le','la','et','de','est'])) AS s_fr
+             |  FROM q WHERE quality >= 0.7),
+             |gated AS (
+             |  SELECT doc_id, text, n_toks, quality,
+             |    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+             |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+             |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+             |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+             |         ELSE 'fr' END AS pred_lang
+             |  FROM sc
+             |  WHERE greatest(s_de, s_en, s_es, s_fr) > 0),
+             |tk AS (
+             |  SELECT doc_id, pred_lang, n_toks, text,
+             |         list_filter(str_split(lower(text), ' '), x -> x <> '') AS ts
+             |  FROM gated),
+             |bagg AS (
+             |  SELECT doc_id, CAST(max(c) AS BIGINT) AS tb, CAST(sum(c) AS BIGINT) AS nb
+             |  FROM (SELECT doc_id, md5(array_to_string(ts[i : i + 1], ' ')) AS h, count(*) AS c
+             |        FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts), 1))) AS i FROM tk)
+             |        GROUP BY doc_id, h)
+             |  GROUP BY doc_id),
+             |tagg AS (
+             |  SELECT doc_id,
+             |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dt,
+             |    CAST(sum(c) AS BIGINT) AS nt
+             |  FROM (SELECT doc_id, md5(array_to_string(ts[i : i + 2], ' ')) AS h, count(*) AS c
+             |        FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 1, 1))) AS i FROM tk)
+             |        GROUP BY doc_id, h)
+             |  GROUP BY doc_id),
+             |rep AS (
+             |  SELECT tk.* FROM tk JOIN bagg USING (doc_id) JOIN tagg USING (doc_id)
+             |  WHERE NOT (nb >= 20 AND tb * 25 > 2 * nb)
+             |    AND NOT (nt >= 20 AND dt * 50 > nt)),
+             |dd AS (
+             |  SELECT r.* FROM rep r
+             |  JOIN (SELECT md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS hh,
+             |               min(doc_id) AS doc_id
+             |        FROM rep GROUP BY 1) k USING (doc_id)),
+             |sh AS (
+             |  SELECT doc_id,
+             |         CASE WHEN len(ts) < 2 THEN ts
+             |              ELSE list_distinct([ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))])
+             |         END AS s
+             |  FROM dd),
+             |hashes AS (
+             |  SELECT doc_id, s,
+             |         [list_reduce([unicode(c)::BIGINT FOR c IN string_split(g, '')],
+             |                      (a, b) -> (a * 31 + b) % 1000000007) FOR g IN s] AS hs
+             |  FROM sh),
+             |sigs AS (
+             |  SELECT doc_id, s,
+             |         [list_min([((2654435761 + 40503 * i) % 1000000007 *
+             |                     (h % 1000000007) % 1000000007
+             |                     + (2246822519 + 9973 * i)) % 1000000007 FOR h IN hs])
+             |          FOR i IN range(0, 32)] AS sig
+             |  FROM hashes),
+             |bands AS (
+             |  SELECT doc_id, s,
+             |         [list_reduce([b] || [sig[i] FOR i IN range(4*b + 1, 4*b + 5)],
+             |                      (a, x) -> (a * 1315423911 + x) % 1000000007)
+             |          FOR b IN range(0, 8)] AS bk
+             |  FROM sigs),
+             |exploded AS (
+             |  SELECT doc_id, unnest(bk) AS k FROM bands),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+             |  FROM exploded a JOIN exploded b ON a.k = b.k AND a.doc_id < b.doc_id),
+             |verified AS (
+             |  SELECT id1, id2,
+             |         len(list_intersect(x.s, y.s))::DOUBLE /
+             |           (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+             |  FROM cand JOIN bands x ON cand.id1 = x.doc_id
+             |            JOIN bands y ON cand.id2 = y.doc_id),
+             |dropped AS (
+             |  SELECT DISTINCT id2 AS doc_id FROM verified WHERE jaccard >= 0.5),
+             |surv AS (
+             |  SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+             |pos6 AS (
+             |  SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 4, 1))) AS i FROM surv),
+             |grams6 AS (
+             |  SELECT doc_id, i, md5(array_to_string(ts[i : i + 5], ' ')) AS h FROM pos6),
+             |dup6 AS (
+             |  SELECT h FROM grams6 GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+             |dp AS (
+             |  SELECT doc_id, i AS p FROM grams6 JOIN dup6 USING (h)),
+             |isl AS (
+             |  SELECT doc_id, p,
+             |    CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL THEN 1
+             |         WHEN p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 6 THEN 1
+             |         ELSE 0 END AS new_island
+             |  FROM dp),
+             |grp AS (
+             |  SELECT doc_id, p,
+             |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY p
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM isl),
+             |spans AS (
+             |  SELECT doc_id, min(p) AS s0, max(p) + 5 AS s1 FROM grp GROUP BY doc_id, island),
+             |cover AS (
+             |  SELECT doc_id, CAST(sum(s1 - s0 + 1) AS BIGINT) AS cov FROM spans GROUP BY doc_id),
+             |gstats AS (
+             |  SELECT pred_lang, count(*) AS n_gated FROM gated GROUP BY pred_lang),
+             |rstats AS (
+             |  SELECT pred_lang, count(*) AS n_after_rep FROM rep GROUP BY pred_lang),
+             |dstats AS (
+             |  SELECT pred_lang, count(*) AS n_after_exact FROM dd GROUP BY pred_lang),
+             |fin AS (
+             |  SELECT pred_lang, count(*) AS n_docs,
+             |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+             |    CAST(sum(coalesce(cov, 0)) AS BIGINT) AS span_tokens
+             |  FROM surv LEFT JOIN cover USING (doc_id)
+             |  GROUP BY pred_lang)
+             |SELECT pred_lang, n_gated, n_after_rep, n_after_exact, n_docs, n_tokens,
+             |  span_tokens, n_tokens - span_tokens AS n_tokens_clean
+             |FROM fin JOIN gstats USING (pred_lang) JOIN rstats USING (pred_lang)
+             |         JOIN dstats USING (pred_lang)
+             |ORDER BY pred_lang""".stripMargin),
+      doc = "pipeline composite, full funnel: quality -> lang -> repetition -> exact dedup -> minhash near-dup -> span dedup -> per-lang stats")
   )
 }

@@ -55,4 +55,47 @@ class CorpusPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("de", 1L, 1L, 1L, 11L, 1.0),
       ("en", 3L, 2L, 1L, 10L, 1.0)))
   }
+
+  test("x6b full funnel: repetition gate and span dedup move the counts they should") {
+    import spark.implicits._
+    val enBase = "the quick brown fox jumps over the lazy dog again"
+    // an 8-token span shared by docs 8 and 9 whose surrounding 16 tokens
+    // are disjoint: bigram Jaccard 7/39 ≈ 0.18 < 0.5, so BOTH survive
+    // minhash near-dup — but the three 6-grams fully inside the span are
+    // cross-document duplicates, so span dedup merges them into one
+    // 8-token covered span per doc
+    val sharedSpan = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, enBase),
+      (2L, "  THE   quick brown fox jumps over the lazy dog again "),
+      (3L, "the quick brown fox jumps over the lazy cat again"),
+      (4L, "der hund und die katze von haus ist gross is here"),
+      (5L, "the small tidy list"),
+      (6L, "zzz qqq www rrr ttt yyy uuu iii ooo ppp"),
+      // repetition reject: "the cat" holds 11 of 22 bigram positions
+      // (11·25 > 2·22, and nb >= 20 so the gate applies — shorter docs
+      // like 1-4 are exempt); quality scores exactly 0.7 (mean token
+      // length 68/23 < 3 costs the length term) and lang passes, so
+      // ONLY the repetition gate can drop it
+      (7L, Iterator.fill(11)("the cat").mkString(" ") + " is"),
+      (8L, "the ancient forest murmurs softly beneath silver moonlight " +
+        sharedSpan + " while distant rivers carve valleys through quiet stone"),
+      (9L, "a clever merchant counts coins inside wooden stalls " +
+        sharedSpan + " before morning light reaches crowded market squares today"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_x6b").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+
+    val out = SparkEntry.queries("x6b_corpus_pipeline_full")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+
+    // en funnel: 6 gated (1,2,3,7,8,9) -> repetition drops 7 -> exact
+    // dedup drops 2 -> near-dup drops 3 -> survivors {1, 8, 9}, 58
+    // tokens; span dedup covers the 8-token shared span in BOTH 8 and 9
+    // (merged from the three duplicated 6-gram positions each) -> 16
+    // span tokens, 42 clean. de: doc 4 sails through alone, untouched.
+    assert(out.toSeq == Seq(
+      ("de", 1L, 1L, 1L, 1L, 11L, 0L, 11L),
+      ("en", 6L, 5L, 4L, 3L, 58L, 16L, 42L)))
+  }
 }

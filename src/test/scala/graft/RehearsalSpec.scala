@@ -50,4 +50,30 @@ class RehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(e.filter(org.apache.spark.sql.functions.col("GC").isNotNull).count() > 0)
     } finally graft.operators.Scratch.deleteRecursively(new java.io.File(dir))
   }
+
+  test("hot-strain variant: strain 0 carries hotFactor x features, lifecycle still completes") {
+    // hotFactor = 1 must be bit-identical to the uniform generator (the
+    // nRgps == 68 pin above runs through the same refactored sid/pos path)
+    val uniform = Rehearsal.synthesize(spark, nStrains = 6)
+    val hot = Rehearsal.synthesize(spark, nStrains = 6, hotFactor = 4)
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val perStrain = hot.features.groupBy(col("Strain")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val uniformPer = uniform.features.groupBy(col("Strain")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // non-hot strains are unchanged rows; strain 0 is ~4x its uniform self
+    assert(perStrain("S001") == uniformPer("S001"))
+    assert(perStrain("S000") > 3L * uniformPer("S000"),
+      s"hot strain not inflated: ${perStrain("S000")} vs uniform ${uniformPer("S000")}")
+    // names stay unique (position-indexed) even across repeated slot cycles
+    val n = hot.features.count()
+    assert(hot.features.select(countDistinct(col("Name"))).head().getLong(0) == n)
+    // the full lifecycle runs on the skewed corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft_rehearsal_hot").toString
+    try {
+      val (timings, nRgps, _) = Rehearsal.run(spark, nStrains = 6, dir, hotFactor = 4)
+      assert(timings.forall(_._2 > 0))
+      assert(nRgps > 0, "skewed corpus must still yield planted-island RGPs")
+    } finally graft.operators.Scratch.deleteRecursively(new java.io.File(dir))
+  }
 }
