@@ -293,6 +293,13 @@ object Rehearsal {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional: route the lifecycle's per-strain windows through the Skew
+    // two-phase plans (bit-identical output, SkewLifecycleSpec) — lets a
+    // hot-factor run exercise the mitigation at matched scale
+    sys.env.get("SPARK_GRAFT_SKEW_TRACK")
+      .foreach(v => spark.conf.set("graft.skew.trackChunkSpan", v))
+    sys.env.get("SPARK_GRAFT_SKEW_CHAIN")
+      .foreach(v => spark.conf.set("graft.skew.chainChunkSpan", v))
     val dir = java.nio.file.Files.createTempDirectory("graft_rehearsal").toString
     try {
       val (timings, nRgps, stats) = run(spark, nStrains, dir, hotFactor)

@@ -140,25 +140,76 @@ object Skew {
     * keys whose frames span many value chunks); the hot key spreads over
     * nRows/W tasks instead of one. Cost vs the plain plan: one extra
     * data shuffle (to __rchunk) plus the 1/chunkFactor carry
-    * duplication.
+    * duplication. The callback's spec arrives framed `(-window, 0)`;
+    * re-framing it to any SHORTER trailing reach (`spec.rowsBetween(-j,
+    * 0)`, j <= window) is safe — the carries cover the deepest frame —
+    * which lets one pass compute several window widths (genomeTrack's
+    * 10/20/5 family).
     */
   def rowsRolling(df: DataFrame, keys: Seq[String], ordCol: Column,
       tieCols: Seq[Column], window: Int, chunkSpan: Long, chunkFactor: Int = 4)(
       aggs: WindowSpec => Seq[(String, Column)]): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
-    require(chunkSpan > 0, s"chunkSpan must be positive, got $chunkSpan")
     require(chunkFactor >= 2, s"chunkFactor must be >= 2, got $chunkFactor")
+    val (unioned, spec) =
+      chunkedByRn(df, keys, ordCol, tieCols, window, chunkSpan, chunkFactor)
+    val rolled = aggs(spec.rowsBetween(-window, 0)).foldLeft(unioned) {
+      case (acc, (name, c)) => acc.withColumn(name, c)
+    }
+    rolled.filter(!col("__carry")).drop("__rn", "__rchunk", "__carry")
+  }
+
+  /** Skew-safe per-key `lag` — the chain-edge shape (G1/W4: "previous
+    * feature in genome order" per strain) without the per-key window.
+    * Same two-phase machinery as [[rowsRolling]]; the callback receives
+    * an UNFRAMED chunked WindowSpec (lead/lag reject explicit frames)
+    * and must only use `lag(..., k)` with `k <= maxOffset` over it — a
+    * `lead`, or a lag deeper than the carry, would read rows the chunk
+    * does not carry. Result is row-for-row identical to
+    * `lag(...).over(Window.partitionBy(keys).orderBy(ordCol, tieCols…))`
+    * (SkewSpec, including the first-rows-null boundary and sparse keys);
+    * the hot key scatters over nRows/(maxOffset·chunkFactor) tasks.
+    */
+  def chunkedLag(df: DataFrame, keys: Seq[String], ordCol: Column,
+      tieCols: Seq[Column], maxOffset: Int, chunkSpan: Long, chunkFactor: Int = 4)(
+      aggs: WindowSpec => Seq[(String, Column)]): DataFrame = {
+    require(maxOffset > 0, s"maxOffset must be positive, got $maxOffset")
+    // lag wants many rows per carried row, so amortize harder by default:
+    // a chunkFactor of 4 on maxOffset=1 would duplicate 25% of the input
+    val factor = math.max(chunkFactor, 64 / math.max(maxOffset, 1))
+    val (unioned, spec) =
+      chunkedByRn(df, keys, ordCol, tieCols, maxOffset, chunkSpan, factor)
+    val lagged = aggs(spec).foldLeft(unioned) {
+      case (acc, (name, c)) => acc.withColumn(name, c)
+    }
+    lagged.filter(!col("__carry")).drop("__rn", "__rchunk", "__carry")
+  }
+
+  /** GLOBAL per-key row numbers (dense, 1-based, ordered by `(ordCol,
+    * tieCols…)`) computed WITHOUT a per-key window — phase 1 of the
+    * two-phase machinery exposed on its own, because it IS the W5
+    * "position in genome" derivation at 100 TB posture: value-chunk the
+    * order axis, `row_number` locally per (key…, chunk) (bounded tasks),
+    * aggregate one count row per chunk, exclusive-prefix-sum the tiny
+    * count frame, join the offsets back. `out` is LongType; the plain
+    * `row_number()` it replaces is IntegerType — cast at the call site
+    * if schema parity matters. `(ordCol, tieCols…)` must totally order
+    * rows within a key.
+    */
+  def globalRowNumber(df: DataFrame, keys: Seq[String], ordCol: Column,
+      tieCols: Seq[Column], chunkSpan: Long, out: String): DataFrame = {
+    require(chunkSpan > 0, s"chunkSpan must be positive, got $chunkSpan")
     requireNoTempCols(df)
+    require(!df.columns.contains(out), s"output column $out already exists")
     val keyCols = keys.map(col)
     val base = df.withColumn("__ord", ordCol)
     // same sign-safe integral floor division as rangeRolling
     val chunkOf = expr(s"(__ord - pmod(__ord, ${chunkSpan}L)) div ${chunkSpan}L")
     val withChunk = base.withColumn("__chunk", chunkOf)
     val ordering = col("__ord") +: tieCols
-    // phase 1: global rn = exclusive prefix sum of (key, chunk) counts
-    // + local row_number. The offsets window partitions by key alone but
-    // runs over ONE ROW PER CHUNK — the hot key contributes
-    // span/chunkSpan rows there, not its data.
+    // the offsets window partitions by key alone but runs over ONE ROW
+    // PER CHUNK — the hot key contributes span/chunkSpan rows there,
+    // not its data
     val offsets = withChunk
       .groupBy(keyCols :+ col("__chunk"): _*)
       .agg(count(lit(1)).as("__cnt"))
@@ -169,13 +220,28 @@ object Skew {
               .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .drop("__cnt")
-    val withRn = withChunk
+    withChunk
       .withColumn("__lrn", row_number().over(
         Window.partitionBy(keyCols :+ col("__chunk"): _*).orderBy(ordering: _*)))
       .join(offsets, keys :+ "__chunk")
-      .withColumn("__rn", col("__off") + col("__lrn"))
-      .drop("__lrn", "__off")
-    // phase 2: rangeRolling's carry on the contiguous rn axis
+      .withColumn(out, col("__off") + col("__lrn"))
+      .drop("__ord", "__chunk", "__lrn", "__off")
+  }
+
+  /** Shared phase-1 + phase-2 scaffolding: global rn, row-chunks of
+    * `W = window · chunkFactor`, trailing-`window` carries into the next
+    * chunk, and the (key…, __rchunk)-partitioned rn-ordered spec (frame
+    * applied by the caller). The returned frame still carries
+    * `__rn`/`__rchunk`/`__carry`; callers compute their windowed columns
+    * then `filter(!__carry)` and drop the temps.
+    */
+  private def chunkedByRn(df: DataFrame, keys: Seq[String], ordCol: Column,
+      tieCols: Seq[Column], window: Int, chunkSpan: Long, chunkFactor: Int)
+      : (DataFrame, WindowSpec) = {
+    require(window > 0, s"window must be positive, got $window")
+    require(chunkFactor >= 2, s"chunkFactor must be >= 2, got $chunkFactor")
+    val withRn = globalRowNumber(df, keys, ordCol, tieCols, chunkSpan, "__rn")
+    val keyCols = keys.map(col)
     val w = window.toLong * chunkFactor
     val rchunkOf = expr(s"(__rn - 1) div ${w}L")
     val cur = withRn.withColumn("__rchunk", rchunkOf).withColumn("__carry", lit(false))
@@ -186,11 +252,6 @@ object Skew {
     val spec = Window
       .partitionBy(keyCols :+ col("__rchunk"): _*)
       .orderBy(col("__rn"))
-      .rowsBetween(-window, 0)
-    val rolled = aggs(spec).foldLeft(cur.unionByName(carry)) {
-      case (acc, (name, c)) => acc.withColumn(name, c)
-    }
-    rolled.filter(!col("__carry"))
-      .drop("__ord", "__chunk", "__rn", "__rchunk", "__carry")
+    (cur.unionByName(carry), spec)
   }
 }
