@@ -1698,12 +1698,17 @@ object PipelineOps {
         // (>= 20 gram positions): a 10-token doc's UNIQUE top bigram is
         // already 1/9 > 8%, so without the length qualifier the gate
         // rejects every short document
-        val repKept = withTs
+        // SharedFrame'd: repKept feeds THREE consumers (keepIds, the
+        // dedup join-back, rStats) and its upstream is the expensive
+        // part of the whole composite — two exploded n-gram aggregations
+        // over every gated doc — which would otherwise recompute per
+        // consumer
+        val repKept = SharedFrame(withTs
           .join(bg, Seq("doc_id"))
           .join(tg, Seq("doc_id"))
           .filter(!((col("nb") >= 20 && col("tb") * 25 > col("nb") * 2) ||
             (col("nt") >= 20 && col("dt") * 50 > col("nt"))))
-          .drop("tb", "nb", "dt", "nt")
+          .drop("tb", "nb", "dt", "nt"), "x6b_rep", d)
         // d1's exact dedup keep-min over the repetition survivors
         val keepIds = repKept
           .withColumn("hm", md5(norm(col("text"))))

@@ -122,6 +122,28 @@ object Windows {
              |WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
              |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
              |ORDER BY user_id, event_id""".stripMargin),
-      doc = "SURVEY W1-W3 family at 100 TB posture; skew-safe two-phase rows window (Skew.rowsRolling)")
+      doc = "SURVEY W1-W3 family at 100 TB posture; skew-safe two-phase rows window (Skew.rowsRolling)"),
+
+    // W8: per-key POSITION (w5's row_number) via the distributed
+    // prefix-sum — Skew.globalRowNumber, the two-phase plans' phase 1 on
+    // its own: local row_number per (user, 2-day chunk), one count row
+    // per chunk, exclusive running sum over the tiny count frame, join
+    // back. No task ever holds a whole user's history; the oracle is the
+    // PLAIN row_number — bit-identical numbering from a skew-immune plan.
+    QueryDef(
+      "w8_skew_position",
+      (s, d) =>
+        Skew.globalRowNumber(
+          T.events(s, d).withColumn("ord", unix_micros(col("ts"))),
+          keys = Seq("user_id"), ordCol = col("ord"),
+          tieCols = Seq(col("event_id")),
+          chunkSpan = 172800000000L, out = "position")
+          .select(col("event_id"), col("user_id"), col("position"))
+          .orderBy(col("user_id"), col("event_id")),
+      Some("""SELECT event_id, user_id,
+             |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |       AS BIGINT) AS position
+             |FROM events ORDER BY user_id, event_id""".stripMargin),
+      doc = "SURVEY W5 at 100 TB posture; distributed per-key position (Skew.globalRowNumber)")
   )
 }
