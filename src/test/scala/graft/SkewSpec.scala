@@ -278,6 +278,56 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("__rchunk"), s"lag must window per (key, __rchunk):\n$plan")
   }
 
+  test("seeded random corpora: rowsRolling and chunkedLag equal the plain plans across geometries") {
+    import org.apache.spark.sql.expressions.WindowSpec
+    import spark.implicits._
+    for (seed <- 0 until 6) {
+      val rnd = new scala.util.Random(seed)
+      val nKeys = 1 + rnd.nextInt(8)
+      val n = 200 + rnd.nextInt(600)
+      // strictly increasing, gappy, signed ord domain shared across keys
+      // (so (key, ord) is unique — a total order, both plans' contract);
+      // ~half the rows land on hot key 0
+      var ord = -5000L
+      val rows = (0 until n).map { _ =>
+        ord += 1 + rnd.nextInt(97)
+        val key = if (rnd.nextBoolean()) 0L else rnd.nextInt(nKeys).toLong
+        (key, ord, rnd.nextInt(1000).toLong)
+      }
+      val df = rows.toDF("key", "seq", "value")
+      val window = 1 + rnd.nextInt(7)
+      val chunkSpan = 1L + rnd.nextInt(500)
+      val chunkFactor = 2 + rnd.nextInt(5)
+      def canon(out: org.apache.spark.sql.DataFrame, cols: Seq[String]): Seq[String] =
+        out.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+      // rolling aggregates
+      def aggs(w: WindowSpec): Seq[(String, org.apache.spark.sql.Column)] = Seq(
+        "cnt" -> count(col("value")).over(w),
+        "s" -> sum(col("value")).over(w),
+        "mx" -> max(col("value")).over(w))
+      val rollCols = Seq("key", "seq", "cnt", "s", "mx")
+      val plainRoll = canon(aggs(Window.partitionBy(col("key")).orderBy(col("seq"))
+        .rowsBetween(-window, 0)).foldLeft(df.toDF()) {
+        case (acc, (nm, c)) => acc.withColumn(nm, c)
+      }, rollCols)
+      val chunkedRoll = canon(Skew.rowsRolling(df, Seq("key"), col("seq"), Nil,
+        window, chunkSpan, chunkFactor)(aggs), rollCols)
+      assert(chunkedRoll == plainRoll,
+        s"rowsRolling mismatch at seed=$seed window=$window span=$chunkSpan factor=$chunkFactor")
+      // lags at depth 1 and at the full carry depth
+      def lagAggs(w: WindowSpec): Seq[(String, org.apache.spark.sql.Column)] = Seq(
+        "p1" -> lag(col("value"), 1).over(w),
+        "pk" -> lag(col("value"), window).over(w))
+      val lagCols = Seq("key", "seq", "p1", "pk")
+      val plainLag = canon(lagAggs(Window.partitionBy(col("key")).orderBy(col("seq")))
+        .foldLeft(df.toDF()) { case (acc, (nm, c)) => acc.withColumn(nm, c) }, lagCols)
+      val chunkedLag = canon(Skew.chunkedLag(df, Seq("key"), col("seq"), Nil,
+        maxOffset = window, chunkSpan, chunkFactor)(lagAggs), lagCols)
+      assert(chunkedLag == plainLag,
+        s"chunkedLag mismatch at seed=$seed maxOffset=$window span=$chunkSpan factor=$chunkFactor")
+    }
+  }
+
   test("chunked windows refuse temp-column collisions and degenerate chunkFactor") {
     val df = skewed().withColumnRenamed("value", "__chunk")
     val ex = intercept[IllegalArgumentException] {
