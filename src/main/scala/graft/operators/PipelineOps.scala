@@ -1522,14 +1522,18 @@ object PipelineOps {
       (s, d) => {
         graft.functions.GraftExtensions.registerInto(s)
         val gated = corpusGated(s, d)
-        // d1's exact dedup: one digest shuffle, keep the min doc_id per
-        // normalized text (min ids are unique, so the join-back needs
-        // the id alone)
-        val keepIds = gated
+        // d1's exact dedup as ONE digest-keyed window (row_number over
+        // the normalized-text hash, ordered by doc_id, keep rank 1 ==
+        // the min-doc_id row): one shuffle, one pass over gated —
+        // replacing the r6 groupBy + join-back shape that shuffled twice
+        // and consumed gated twice. Near-unique digests mean the window
+        // partitions are tiny (no skew surface).
+        val deduped = SharedFrame(gated
           .withColumn("h", md5(norm(col("text"))))
-          .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
-          .select(col("doc_id"))
-        val deduped = SharedFrame(gated.join(keepIds, Seq("doc_id")), "x6_dd", d)
+          .withColumn("__keep", row_number().over(
+            Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+          .filter(col("__keep") === 1)
+          .drop("h", "__keep"), "x6_dd", d)
         // d2's near-dup removal on the survivors: banded candidates,
         // verified Jaccard >= 0.5, drop every pair's larger id
         val sig = SharedFrame(minhashSignatures(
@@ -1698,23 +1702,24 @@ object PipelineOps {
         // (>= 20 gram positions): a 10-token doc's UNIQUE top bigram is
         // already 1/9 > 8%, so without the length qualifier the gate
         // rejects every short document
-        // SharedFrame'd: repKept feeds THREE consumers (keepIds, the
-        // dedup join-back, rStats) and its upstream is the expensive
-        // part of the whole composite — two exploded n-gram aggregations
-        // over every gated doc — which would otherwise recompute per
-        // consumer
+        // SharedFrame'd: repKept feeds the dedup window AND rStats, and
+        // its upstream is the expensive part of the whole composite —
+        // two exploded n-gram aggregations over every gated doc — which
+        // would otherwise recompute per consumer
         val repKept = SharedFrame(withTs
           .join(bg, Seq("doc_id"))
           .join(tg, Seq("doc_id"))
           .filter(!((col("nb") >= 20 && col("tb") * 25 > col("nb") * 2) ||
             (col("nt") >= 20 && col("dt") * 50 > col("nt"))))
           .drop("tb", "nb", "dt", "nt"), "x6b_rep", d)
-        // d1's exact dedup keep-min over the repetition survivors
-        val keepIds = repKept
+        // d1's exact dedup keep-min over the repetition survivors —
+        // x6's one-shuffle window form (rank 1 per digest == min doc_id)
+        val deduped = SharedFrame(repKept
           .withColumn("hm", md5(norm(col("text"))))
-          .groupBy(col("hm")).agg(min(col("doc_id")).as("doc_id"))
-          .select(col("doc_id"))
-        val deduped = SharedFrame(repKept.join(keepIds, Seq("doc_id")), "x6b_dd", d)
+          .withColumn("__keep", row_number().over(
+            Window.partitionBy(col("hm")).orderBy(col("doc_id"))))
+          .filter(col("__keep") === 1)
+          .drop("hm", "__keep"), "x6b_dd", d)
         // d2's near-dup removal on the survivors
         val sig = SharedFrame(minhashSignatures(
           deduped.select(col("doc_id"), col("text"))), "x6b_sig", d)
