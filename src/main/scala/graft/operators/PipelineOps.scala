@@ -1912,6 +1912,115 @@ object PipelineOps {
              |FROM fin JOIN gstats USING (pred_lang) JOIN rstats USING (pred_lang)
              |         JOIN dstats USING (pred_lang)
              |ORDER BY pred_lang""".stripMargin),
-      doc = "pipeline composite, full funnel: quality -> lang -> repetition -> exact dedup -> minhash near-dup -> span dedup -> per-lang stats")
+      doc = "pipeline composite, full funnel: quality -> lang -> repetition -> exact dedup -> minhash near-dup -> span dedup -> per-lang stats"),
+
+    // X7: MULTIMODAL curation — the m-family's real decode composed into
+    // the relational funnel: text quality + language gates (x6's shared
+    // gated frame) joined with per-doc image features from a genuine
+    // javax.imageio decode of the stored PNG column (pngPayloads, the
+    // m3/m4 shared frame), then cross-modality curation rules — discard
+    // tiny images (min dimension >= 9) and out-of-range mean brightness
+    // — and a per-lang rollup of both modalities' statistics. The
+    // brightness ratio is ONE IEEE division in both engines (identical
+    // bits); everything else is integer-exact. The closed-form pixels
+    // keep the whole text-gate -> decode -> filter -> rollup pipeline
+    // DuckDB-hash-checked — the m-family's first appearance inside an
+    // oracled composite. At 100 TB this is the curation shape that
+    // matters: one scan of the corpus, one scan of the media column,
+    // a doc_id-keyed join, and a tiny per-lang aggregate.
+    QueryDef(
+      "x7_multimodal_corpus",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftExtensions.registerInto(s)
+        val gated = corpusGated(s, d)
+        val img = pngPayloads(s, d).as[(Long, Array[Byte])]
+          .mapPartitions(_.grouped(64).flatMap { batch =>
+            graft.functions.PngCodec.decodeBatch(batch) { (id, w, h, px) =>
+              var sum = 0L
+              var i = 0
+              while (i < px.length) { sum += px(i); i += 1 }
+              (id, w.toLong, h.toLong, sum)
+            }
+          }).toDF("doc_id", "px_w", "px_h", "px_sum")
+        gated.join(img, Seq("doc_id"))
+          .filter(col("px_w") >= 9 && col("px_h") >= 9)
+          .withColumn("brightness",
+            col("px_sum").cast("double") / (col("px_w") * col("px_h")))
+          .filter(col("brightness") >= 120.0 && col("brightness") <= 136.0)
+          .groupBy(col("pred_lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks").cast("long")).as("n_tokens"),
+            sum(col("px_w") * col("px_h")).as("n_px"),
+            sum(col("px_sum")).as("px_sum_total"),
+            max(col("px_w")).as("max_w"),
+            max(col("px_h")).as("max_h"))
+          .withColumn("mean_brightness",
+            col("px_sum_total").cast("double") / col("n_px"))
+          .select(col("pred_lang"), col("n_docs"), col("n_tokens"),
+            col("n_px"), col("px_sum_total"), col("max_w"), col("max_h"),
+            col("mean_brightness"))
+          .orderBy(col("pred_lang"))
+      },
+      // the image side re-derived from the closed forms (m3's oracle
+      // arithmetic); the text side is x6's gate CTEs
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |    len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_toks,
+             |    len(list_intersect(
+             |      list_distinct(list_filter(str_split(text, ' '), x -> x <> '')),
+             |      ['the','a','of','and','is','table','row'])) AS stop
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, text, n_toks,
+             |    CASE WHEN n_toks >= 5 THEN 1.0 ELSE 0.0 END * 0.4 +
+             |    CASE WHEN (CASE WHEN n_toks > 0
+             |               THEN CAST(length(text) - (n_toks - 1) AS DOUBLE) / n_toks
+             |               ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END * 0.3 +
+             |    CASE WHEN stop > 0 THEN 1.0 ELSE 0.0 END * 0.3 AS quality
+             |  FROM t),
+             |sc AS (
+             |  SELECT doc_id, n_toks, quality,
+             |    len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+             |        ['der','die','und','ist','von'])) AS s_de,
+             |    len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+             |        ['the','a','of','and','is'])) AS s_en,
+             |    len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+             |        ['el','los','y','de','es'])) AS s_es,
+             |    len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+             |        ['le','la','et','de','est'])) AS s_fr
+             |  FROM q WHERE quality >= 0.7),
+             |gated AS (
+             |  SELECT doc_id, n_toks,
+             |    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+             |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+             |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+             |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+             |         ELSE 'fr' END AS pred_lang
+             |  FROM sc
+             |  WHERE greatest(s_de, s_en, s_es, s_fr) > 0),
+             |g0 AS (
+             |  SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS w,
+             |                 CAST(8 + doc_id % 7 AS INT) AS h
+             |  FROM documents),
+             |img AS (
+             |  SELECT doc_id, CAST(w AS BIGINT) AS px_w, CAST(h AS BIGINT) AS px_h,
+             |    CAST(list_sum([((i % w) * 7 + (i // w) * 13 + doc_id) % 256
+             |                   FOR i IN range(0, w * h)]) AS BIGINT) AS px_sum
+             |  FROM g0),
+             |f AS (
+             |  SELECT pred_lang, n_toks, px_w, px_h, px_sum
+             |  FROM gated JOIN img USING (doc_id)
+             |  WHERE px_w >= 9 AND px_h >= 9
+             |    AND CAST(px_sum AS DOUBLE) / (px_w * px_h) BETWEEN 120.0 AND 136.0)
+             |SELECT pred_lang,
+             |  count(*) AS n_docs,
+             |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+             |  CAST(sum(px_w * px_h) AS BIGINT) AS n_px,
+             |  CAST(sum(px_sum) AS BIGINT) AS px_sum_total,
+             |  max(px_w) AS max_w, max(px_h) AS max_h,
+             |  CAST(sum(px_sum) AS DOUBLE) / sum(px_w * px_h) AS mean_brightness
+             |FROM f GROUP BY pred_lang ORDER BY pred_lang""".stripMargin),
+      doc = "pipeline composite, multimodal: text quality/lang gates joined with real decoded image features, cross-modality curation filter, per-lang rollup")
   )
 }
