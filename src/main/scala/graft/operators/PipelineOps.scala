@@ -2021,6 +2021,255 @@ object PipelineOps {
              |  max(px_w) AS max_w, max(px_h) AS max_h,
              |  CAST(sum(px_sum) AS DOUBLE) / sum(px_w * px_h) AS mean_brightness
              |FROM f GROUP BY pred_lang ORDER BY pred_lang""".stripMargin),
-      doc = "pipeline composite, multimodal: text quality/lang gates joined with real decoded image features, cross-modality curation filter, per-lang rollup")
+      doc = "pipeline composite, multimodal: text quality/lang gates joined with real decoded image features, cross-modality curation filter, per-lang rollup"),
+
+    // D10: benchmark decontamination — the eval-overlap gate every
+    // production pretraining pipeline runs before training (GPT-3
+    // appendix C, Gopher/MassiveText §A2, Llama 2: flag or drop training
+    // documents sharing long n-grams with the evaluation suite). The
+    // "benchmark" here is the deterministic doc_id % 10 == 7 slice
+    // standing in for the real eval set; n = 6 rides above the
+    // incidental-overlap floor for the same reason as d9 (production
+    // pipelines use 8–13-gram windows, same machinery). Scale shape:
+    // grams are digested BEFORE any shuffle (hashed_ngrams, 8 bytes on
+    // the wire), the train side is (doc, digest)-distinct so an in-doc
+    // repeat costs one row, and the probe is a LEFT SEMI join — no row
+    // multiplication however many eval documents share a gram. In
+    // production the eval digest set is bounded by the benchmark SUITE
+    // (a broadcastable dimension); here it scales with the corpus (10%
+    // of it), so the plan deliberately stays an unhinted shuffle join
+    // and lets AQE downgrade to broadcast when the digest side really
+    // is small.
+    QueryDef(
+      "d10_decontaminate",
+      (s, d) => {
+        graft.functions.GraftExtensions.registerInto(s)
+        val n = 6
+        val toks = filter(split(lower(col("text")), " "), x => x =!= "")
+        val base = T.documents(s, d).select(col("doc_id"), toks.as("ts"))
+        val grams = base
+          .select(col("doc_id"), explode(expr(s"hashed_ngrams(ts, $n)")).as("h"))
+        val evalGrams = grams.filter(col("doc_id") % 10 === 7)
+          .select(col("h")).distinct()
+        val hits = grams.filter(col("doc_id") % 10 =!= 7)
+          .dropDuplicates("doc_id", "h")
+          .join(evalGrams, Seq("h"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("ch"))
+        base.filter(col("doc_id") % 10 =!= 7)
+          .select(col("doc_id"),
+            greatest(size(col("ts")) - (n - 1), lit(0)).cast("long").as("n_grams"))
+          .join(hits, Seq("doc_id"), "left")
+          .withColumn("n_contaminated_grams", coalesce(col("ch"), lit(0L)))
+          .select(col("doc_id"), col("n_grams"), col("n_contaminated_grams"),
+            when(col("n_grams") > 0,
+              col("n_contaminated_grams").cast("double") / col("n_grams"))
+              .otherwise(0.0).as("contaminated_frac"),
+            (col("n_contaminated_grams") > 0).cast("int").as("is_contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      // d9's gram convention: the oracle groups by gram TEXT (md5) where
+      // Spark moves xxhash64 digests — distinct counts and semi-join
+      // membership are equal modulo 64-bit collisions
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(str_split(lower(text), ' '), x -> x <> '') AS ts
+             |  FROM documents),
+             |pos AS (
+             |  SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 4, 1))) AS i FROM toks),
+             |grams AS (
+             |  SELECT doc_id, md5(array_to_string(ts[i : i + 5], ' ')) AS h FROM pos),
+             |ev AS (SELECT DISTINCT h FROM grams WHERE doc_id % 10 = 7),
+             |tr AS (SELECT DISTINCT doc_id, h FROM grams WHERE doc_id % 10 != 7),
+             |hits AS (
+             |  SELECT doc_id, count(*) AS ch FROM tr JOIN ev USING (h) GROUP BY doc_id)
+             |SELECT t.doc_id,
+             |  CAST(greatest(len(ts) - 5, 0) AS BIGINT) AS n_grams,
+             |  coalesce(ch, 0) AS n_contaminated_grams,
+             |  CASE WHEN len(ts) - 5 > 0
+             |       THEN CAST(coalesce(ch, 0) AS DOUBLE) / (len(ts) - 5)
+             |       ELSE 0.0 END AS contaminated_frac,
+             |  CAST(coalesce(ch, 0) > 0 AS INT) AS is_contaminated
+             |FROM toks t LEFT JOIN hits USING (doc_id)
+             |WHERE t.doc_id % 10 != 7 ORDER BY doc_id""".stripMargin),
+      doc = "pipeline/decontamination: per-train-doc eval n-gram overlap stats (GPT-3 App. C / Gopher A2 gate); brief's dedup family, eval-facing"),
+
+    // T6: deterministic stratified downsampling to a uniform language
+    // mix — the data-mixing step that turns a filtered corpus into a
+    // training MIX with chosen group proportions (here: every lang down
+    // to the smallest lang's count, the degenerate "balance the mix"
+    // target; weighted targets are the same arithmetic with a per-group
+    // quota row). Sampling is BERNOULLI by a portable per-doc hash, not
+    // rank-based: a rank quota needs a per-group global sort (one fat
+    // task per hot group — exactly the W-family skew stall), while the
+    // hash gate is a pure map-side filter whose only shuffle is the
+    // tiny per-group count. The keep test h·cnt < quota·P is EXACT
+    // integer cross-multiplication — no double rounding crosses the
+    // oracle boundary (bound: cnt < 9.2e9 per group before the int64
+    // product overflows; beyond that precompute quota·P/cnt per group
+    // on the counts frame). Deterministic: membership is a pure
+    // function of doc_id and the group counts, stable across runs,
+    // partitionings, and engines.
+    QueryDef(
+      "t6_stratified_sample",
+      (s, d) => {
+        val P = 1000000007L
+        val docs = T.documents(s, d).select(col("doc_id"), col("lang"))
+        val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+        val quota = counts.agg(min(col("cnt")).as("quota"))
+        docs
+          .withColumn("sample_hash",
+            ((col("doc_id") % P) * 2654435761L + 2246822519L) % P)
+          .join(broadcast(counts), Seq("lang"))
+          .crossJoin(broadcast(quota))
+          .filter(col("sample_hash") * col("cnt") < col("quota") * P)
+          .select(col("doc_id"), col("lang"), col("sample_hash"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+             |q AS (SELECT min(cnt) AS quota FROM c),
+             |h AS (SELECT doc_id, lang,
+             |        ((doc_id % 1000000007) * 2654435761 + 2246822519) % 1000000007
+             |          AS sample_hash
+             |      FROM documents)
+             |SELECT doc_id, lang, sample_hash
+             |FROM h JOIN c USING (lang) CROSS JOIN q
+             |WHERE sample_hash * cnt < quota * 1000000007
+             |ORDER BY doc_id""".stripMargin),
+      doc = "pipeline/data mixing: deterministic hash-Bernoulli stratified downsample to a uniform per-lang mix; brief's training-data pipeline"),
+
+    // X8: training-set assembly — the funnel's LAST mile: the gated
+    // corpus (x6's quality + language gates) is decontaminated against
+    // the eval slice (d10's semi-join gate, doc-level drop), rebalanced
+    // to a uniform predicted-language mix (t6's hash-Bernoulli sampler,
+    // quota = smallest clean pred_lang count), then dealt into 8
+    // deterministic shards by the same portable hash — the
+    // write-your-training-shards step, reported as per-shard doc/lang/
+    // token stats carrying the funnel scalars (train-gated and clean
+    // counts) so any stage error shifts a column. Scale: the only
+    // corpus-wide shuffles are keyed on gram digest (decontamination)
+    // and shard_id (8-way rollup); counts/quota/funnel scalars are
+    // domain-bounded frames (≤ 4 langs, 1 row) under explicit
+    // broadcast. sf0.01's gated corpus is all-en, so the sampler keeps
+    // every clean doc there (quota = the one lang's count) — the
+    // multi-lang path where sampling actually drops docs is pinned in
+    // MixDecontamSpec's planted corpus, x6's precedent for stages the
+    // homogeneous testdata can't move.
+    QueryDef(
+      "x8_training_mix",
+      (s, d) => {
+        graft.functions.GraftExtensions.registerInto(s)
+        val P = 1000000007L
+        val n = 6
+        val gated = corpusGated(s, d)
+        val evalGrams = T.documents(s, d)
+          .filter(col("doc_id") % 10 === 7)
+          .select(explode(expr(
+            s"hashed_ngrams(filter(split(lower(text), ' '), x -> x != ''), $n)")).as("h"))
+          .distinct()
+        val trainGrams = gated.filter(col("doc_id") % 10 =!= 7)
+          .select(col("doc_id"), explode(expr(
+            s"hashed_ngrams(filter(split(lower(text), ' '), x -> x != ''), $n)")).as("h"))
+          .dropDuplicates("doc_id", "h")
+        val contaminated = trainGrams.join(evalGrams, Seq("h"), "left_semi")
+          .select(col("doc_id")).distinct()
+        // clean feeds three consumers (counts, sampler, n_clean scalar)
+        val clean = SharedFrame(
+          gated.filter(col("doc_id") % 10 =!= 7)
+            .join(contaminated, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("n_toks"), col("pred_lang")), "x8_clean", d)
+        val counts = clean.groupBy(col("pred_lang")).agg(count(lit(1)).as("cnt"))
+        val quota = counts.agg(min(col("cnt")).as("quota"))
+        val nGated = gated.filter(col("doc_id") % 10 =!= 7)
+          .agg(count(lit(1)).as("n_train_gated"))
+        val nClean = clean.agg(count(lit(1)).as("n_clean"))
+        clean
+          .withColumn("h", ((col("doc_id") % P) * 2654435761L + 2246822519L) % P)
+          .join(broadcast(counts), Seq("pred_lang"))
+          .crossJoin(broadcast(quota))
+          .filter(col("h") * col("cnt") < col("quota") * P)
+          .withColumn("shard_id", col("h") % 8)
+          .groupBy(col("shard_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("pred_lang")).as("n_langs"),
+            sum(col("n_toks").cast("long")).as("n_tokens"))
+          .crossJoin(broadcast(nGated))
+          .crossJoin(broadcast(nClean))
+          .select(col("shard_id"), col("n_docs"), col("n_langs"),
+            col("n_tokens"), col("n_train_gated"), col("n_clean"))
+          .orderBy(col("shard_id"))
+      },
+      // x6's gate CTEs + d10's decontamination + t6's sampler arithmetic,
+      // re-rooted at the gated train slice
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |    len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_toks,
+             |    len(list_intersect(
+             |      list_distinct(list_filter(str_split(text, ' '), x -> x <> '')),
+             |      ['the','a','of','and','is','table','row'])) AS stop
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, text, n_toks,
+             |    CASE WHEN n_toks >= 5 THEN 1.0 ELSE 0.0 END * 0.4 +
+             |    CASE WHEN (CASE WHEN n_toks > 0
+             |               THEN CAST(length(text) - (n_toks - 1) AS DOUBLE) / n_toks
+             |               ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END * 0.3 +
+             |    CASE WHEN stop > 0 THEN 1.0 ELSE 0.0 END * 0.3 AS quality
+             |  FROM t),
+             |sc AS (
+             |  SELECT doc_id, text, n_toks,
+             |    len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+             |        ['der','die','und','ist','von'])) AS s_de,
+             |    len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+             |        ['the','a','of','and','is'])) AS s_en,
+             |    len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+             |        ['el','los','y','de','es'])) AS s_es,
+             |    len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+             |        ['le','la','et','de','est'])) AS s_fr
+             |  FROM q WHERE quality >= 0.7),
+             |gated AS (
+             |  SELECT doc_id, text, n_toks,
+             |    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+             |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+             |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+             |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+             |         ELSE 'fr' END AS pred_lang
+             |  FROM sc WHERE greatest(s_de, s_en, s_es, s_fr) > 0),
+             |evtoks AS (
+             |  SELECT doc_id, list_filter(str_split(lower(text), ' '), x -> x <> '') AS ts
+             |  FROM documents WHERE doc_id % 10 = 7),
+             |ev AS (
+             |  SELECT DISTINCT md5(array_to_string(ts[i : i + 5], ' ')) AS h
+             |  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 4, 1))) AS i
+             |        FROM evtoks)),
+             |trtoks AS (
+             |  SELECT doc_id, list_filter(str_split(lower(text), ' '), x -> x <> '') AS ts
+             |  FROM gated WHERE doc_id % 10 != 7),
+             |tg AS (
+             |  SELECT DISTINCT doc_id, md5(array_to_string(ts[i : i + 5], ' ')) AS h
+             |  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 4, 1))) AS i
+             |        FROM trtoks)),
+             |cont AS (SELECT DISTINCT doc_id FROM tg JOIN ev USING (h)),
+             |clean AS (
+             |  SELECT doc_id, n_toks, pred_lang FROM gated
+             |  WHERE doc_id % 10 != 7 AND doc_id NOT IN (SELECT doc_id FROM cont)),
+             |c AS (SELECT pred_lang, count(*) AS cnt FROM clean GROUP BY pred_lang),
+             |qq AS (SELECT min(cnt) AS quota FROM c),
+             |kept AS (
+             |  SELECT clean.*,
+             |         ((doc_id % 1000000007) * 2654435761 + 2246822519) % 1000000007 AS h
+             |  FROM clean JOIN c USING (pred_lang) CROSS JOIN qq
+             |  WHERE ((doc_id % 1000000007) * 2654435761 + 2246822519) % 1000000007 * cnt
+             |        < quota * 1000000007),
+             |sh AS (
+             |  SELECT h % 8 AS shard_id, count(*) AS n_docs,
+             |         count(DISTINCT pred_lang) AS n_langs,
+             |         CAST(sum(n_toks) AS BIGINT) AS n_tokens
+             |  FROM kept GROUP BY 1),
+             |scal AS (
+             |  SELECT (SELECT count(*) FROM gated WHERE doc_id % 10 != 7) AS n_train_gated,
+             |         (SELECT count(*) FROM clean) AS n_clean)
+             |SELECT shard_id, n_docs, n_langs, n_tokens, n_train_gated, n_clean
+             |FROM sh CROSS JOIN scal ORDER BY shard_id""".stripMargin),
+      doc = "pipeline composite: training-set assembly — gates -> decontaminate vs eval slice -> uniform-mix downsample -> deterministic 8-way sharding with funnel-carrying per-shard stats")
   )
 }

@@ -59,7 +59,9 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d5_cosine_topk", "d5b_cosine_topk_agg",     // broadcast query vectors
     "d7_ann_ivf",             // broadcast sampled centroids
     "j15_cross_pairs",        // the operator IS the cross product (bounded)
-    "x2_rgp_mine", "x3_anchor_phylo", "x4_core_genes") // broadcast scalars
+    "t6_stratified_sample",   // broadcast 1-row quota scalar
+    "x2_rgp_mine", "x3_anchor_phylo", "x4_core_genes", // broadcast scalars
+    "x8_training_mix")        // broadcast quota/funnel 1-row scalars
 
   test("BroadcastNestedLoopJoin only in the documented broadcast/theta set") {
     val offenders = plans.collect {
@@ -76,7 +78,9 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "a17_welch_pvalue", "a17_welch_t",
     "c1_dice_similarity", "c2_jaccard_distance",
     "o5_explode_distinct", "p15_null_predicates",
-    "x2_rgp_mine", "x3_anchor_phylo", "x4_core_genes")
+    "t6_stratified_sample",   // 1-row min-count quota scalar
+    "x2_rgp_mine", "x3_anchor_phylo", "x4_core_genes",
+    "x8_training_mix")        // 1-row quota + funnel-count scalars
 
   test("single-partition exchanges only under scalar aggregates") {
     val offenders = plans.collect {
@@ -129,9 +133,11 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "j16_point_lookup",                       // literal key list
     "j1_broadcast_inner", "j7_explode_join", "j8_star_join", // closed dims
     "p11_deviation_flag", "p12_zscore_flag",  // per-event-type stats (5)
+    "t6_stratified_sample",                   // lang-domain counts + 1-row quota
     "x1_genome_track",                        // per-event-type counts
     "x2_rgp_mine", "x3_anchor_phylo",         // type-pair anchors + 1-row scalars
-    "x4_core_genes", "x5_feature_metrics")    // broadcast scalars
+    "x4_core_genes", "x5_feature_metrics",    // broadcast scalars
+    "x8_training_mix")                        // pred_lang counts + 1-row scalars
 
   test("forced broadcast hints only on bounded-domain frames") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
