@@ -2270,6 +2270,173 @@ object PipelineOps {
              |         (SELECT count(*) FROM clean) AS n_clean)
              |SELECT shard_id, n_docs, n_langs, n_tokens, n_train_gated, n_clean
              |FROM sh CROSS JOIN scal ORDER BY shard_id""".stripMargin),
-      doc = "pipeline composite: training-set assembly — gates -> decontaminate vs eval slice -> uniform-mix downsample -> deterministic 8-way sharding with funnel-carrying per-shard stats")
+      doc = "pipeline composite: training-set assembly — gates -> decontaminate vs eval slice -> uniform-mix downsample -> deterministic 8-way sharding with funnel-carrying per-shard stats"),
+
+    // D11: cross-source duplication matrix — for every source pair, how
+    // many distinct 6-grams they share and the containment coefficient
+    // shared / min(|A|, |B|) (the cross-dump overlap analysis run on
+    // multi-crawl corpora before choosing mixing weights; RefinedWeb /
+    // Dolma publish exactly this matrix across CommonCrawl snapshots).
+    // Scale shape: the gram stream is digested then (source, digest)-
+    // deduped BEFORE the pair join, so each source contributes one row
+    // per distinct gram; the self-join is keyed on the digest and its
+    // fan-out per digest is bounded by the SOURCE domain (k sources →
+    // ≤ k²/2 pairs per digest), never by corpus size. Per-source totals
+    // are a k-row frame under explicit broadcast.
+    QueryDef(
+      "d11_source_overlap",
+      (s, d) => {
+        graft.functions.GraftExtensions.registerInto(s)
+        val n = 6
+        val toks = filter(split(lower(col("text")), " "), x => x =!= "")
+        // two consumers (totals + both join sides) — materialize once
+        val sg = SharedFrame(
+          T.documents(s, d).select(col("source"), toks.as("ts"))
+            .select(col("source"), explode(expr(s"hashed_ngrams(ts, $n)")).as("h"))
+            .dropDuplicates("source", "h"), "d11_sg", d)
+        val tot = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        sg.select(col("source").as("s1"), col("h"))
+          .join(sg.select(col("source").as("s2"), col("h").as("h2")),
+            col("h") === col("h2") && col("s1") < col("s2"))
+          .groupBy(col("s1"), col("s2"))
+          .agg(count(lit(1)).as("shared_grams"))
+          .join(broadcast(tot.select(col("source").as("s1"), col("n").as("n1"))), Seq("s1"))
+          .join(broadcast(tot.select(col("source").as("s2"), col("n").as("n2"))), Seq("s2"))
+          .select(col("s1"), col("s2"), col("shared_grams"), col("n1"), col("n2"),
+            (col("shared_grams").cast("double") / least(col("n1"), col("n2")))
+              .as("containment"))
+          .orderBy(col("s1"), col("s2"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source,
+             |         list_filter(str_split(lower(text), ' '), x -> x <> '') AS ts
+             |  FROM documents),
+             |pos AS (
+             |  SELECT doc_id, source, ts, unnest(range(1, greatest(len(ts) - 4, 1))) AS i
+             |  FROM toks),
+             |grams AS (
+             |  SELECT DISTINCT source, md5(array_to_string(ts[i : i + 5], ' ')) AS h
+             |  FROM pos),
+             |tot AS (SELECT source, count(*) AS n FROM grams GROUP BY source),
+             |pairs AS (
+             |  SELECT a.source AS s1, b.source AS s2, count(*) AS shared_grams
+             |  FROM grams a JOIN grams b ON a.h = b.h AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT s1, s2, shared_grams, t1.n AS n1, t2.n AS n2,
+             |  CAST(shared_grams AS DOUBLE) / least(t1.n, t2.n) AS containment
+             |FROM pairs JOIN tot t1 ON s1 = t1.source JOIN tot t2 ON s2 = t2.source
+             |ORDER BY s1, s2""".stripMargin),
+      doc = "pipeline/corpus analytics: cross-source shared-gram matrix with containment coefficients (the cross-dump overlap study); brief's dedup family, corpus-level"),
+
+    // T7: PII scrubbing — redact email addresses and long digit runs
+    // (the C4/RefinedWeb-style pre-training privacy pass), reporting the
+    // scrubbed text plus per-category match counts. Pure map-side: one
+    // scan, two codegen'd regex passes, no shuffle at all (the orderBy
+    // is presentation). The patterns stay inside the Java-regex ∩ RE2
+    // subset (character classes + bounded quantifiers, no backrefs or
+    // lookarounds) so both engines produce identical matches. The
+    // sf-corpus contains no PII, so the oracle pins the IDENTITY path
+    // (text passes through unredacted, zero counts); redaction itself
+    // is pinned by MixDecontamSpec's planted emails/numbers — x6's
+    // precedent for stages the testdata can't move.
+    QueryDef(
+      "t7_pii_scrub",
+      (s, d) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val num = "[0-9]{3,}"
+        T.documents(s, d).select(col("doc_id"),
+          regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"), num, "<NUM>")
+            .as("scrubbed"),
+          size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(num), lit(0))).as("n_numbers"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '[0-9]{3,}', '<NUM>', 'g') AS scrubbed,
+             |  len(regexp_extract_all(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             |  len(regexp_extract_all(text, '[0-9]{3,}')) AS n_numbers
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "pipeline/text: PII redaction (emails, long digit runs) with per-category counts; the C4-style privacy pass"),
+
+    // D12: per-label embedding cluster quality — centroid cohesion stats
+    // for a labeled embedding set (the curation read on clustered
+    // training embeddings: a label whose members barely point at their
+    // own centroid is noise or a mixed cluster). The centroid is the
+    // un-normalized element-wise SUM vector — cosine to the sum equals
+    // cosine to the mean, so no division touches the integer stage.
+    // Scale shape: vectors quantize to int64 (d8's grid), the
+    // element-wise sum is a (label, position)-keyed partial aggregation
+    // (never a whole-vector single task), the ≤-label-domain centroid
+    // frame broadcasts back, and per-member cosines quantize to 1e-6
+    // fixed point BEFORE the mean so no order-dependent double summation
+    // crosses the oracle boundary (operators.Exact's rule).
+    QueryDef(
+      "d12_embedding_centroids",
+      (s, d) => {
+        val q = T.embeddings(s, d).select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))")
+            .as("qv"))
+        val cvec = q.select(col("label"), posexplode(col("qv")).as(Seq("p", "v")))
+          .groupBy(col("label"), col("p"))
+          .agg(sum(col("v")).as("sv"))
+          .groupBy(col("label"))
+          .agg(expr("transform(array_sort(collect_list(struct(p, sv))), x -> x.sv)")
+            .as("sv"))
+        q.join(broadcast(cvec), Seq("label"))
+          .withColumn("dot",
+            expr("aggregate(zip_with(qv, sv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+          .withColumn("nn",
+            expr("aggregate(zip_with(qv, qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+          .withColumn("cc",
+            expr("aggregate(zip_with(sv, sv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+          .filter(col("nn") > 0 && col("cc") > 0)
+          .withColumn("cq",
+            floor(col("dot").cast("double") /
+              sqrt(col("nn").cast("double") * col("cc").cast("double")) *
+              lit(1000000) + lit(0.5)).cast("long"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            (sum(col("cq")).cast("double") / lit(1000000) / count(lit(1)))
+              .as("mean_cos_to_centroid"),
+            (min(col("cq")).cast("double") / lit(1000000)).as("min_cos"),
+            (max(col("cq")).cast("double") / lit(1000000)).as("max_cos"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id, label,
+             |    [floor((embedding[i] * 1000)::DOUBLE + 0.5)::BIGINT
+             |     FOR i IN range(1, len(embedding) + 1)] AS qv
+             |  FROM embeddings),
+             |px AS (
+             |  SELECT vec_id, label, unnest(qv) AS v,
+             |         unnest(range(1, len(qv) + 1)) AS p
+             |  FROM q),
+             |cent AS (
+             |  SELECT label, p, CAST(sum(v) AS BIGINT) AS sv FROM px GROUP BY label, p),
+             |cvec AS (
+             |  SELECT label, list(sv ORDER BY p) AS sv FROM cent GROUP BY label),
+             |m AS (
+             |  SELECT q.label, q.vec_id,
+             |    list_reduce([q.qv[i] * c.sv[i] FOR i IN range(1, len(q.qv) + 1)],
+             |                (a, b) -> a + b) AS dot,
+             |    list_reduce([q.qv[i] * q.qv[i] FOR i IN range(1, len(q.qv) + 1)],
+             |                (a, b) -> a + b) AS nn,
+             |    list_reduce([c.sv[i] * c.sv[i] FOR i IN range(1, len(c.sv) + 1)],
+             |                (a, b) -> a + b) AS cc
+             |  FROM q JOIN cvec c USING (label)),
+             |qc AS (
+             |  SELECT label,
+             |    floor(dot::DOUBLE / sqrt(nn::DOUBLE * cc::DOUBLE) * 1000000 + 0.5)::BIGINT
+             |      AS cq
+             |  FROM m WHERE nn > 0 AND cc > 0)
+             |SELECT label, count(*) AS n_vecs,
+             |  CAST(sum(cq) AS DOUBLE) / 1000000 / count(*) AS mean_cos_to_centroid,
+             |  CAST(min(cq) AS DOUBLE) / 1000000 AS min_cos,
+             |  CAST(max(cq) AS DOUBLE) / 1000000 AS max_cos
+             |FROM qc GROUP BY label ORDER BY label""".stripMargin),
+      doc = "pipeline/embedding analytics: per-label centroid cohesion (quantized-exact mean/min/max cosine to centroid); curation read on clustered embeddings")
   )
 }

@@ -90,4 +90,80 @@ class MixDecontamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(h(4) % 8 == 7 && h(6) % 8 == 7)
     assert(out.toSeq == Seq((7L, 2L, 2L, 21L, 5L, 4L)))
   }
+
+  test("t7: planted email and digit run are redacted; clean text is identity") {
+    val dir = writeDocs(Seq(
+      (1L, "contact me at john.doe@example.com or call 5551234 now please ok", "en"),
+      (2L, "no private information in this one at all today", "en")), "t7")
+
+    val out = SparkEntry.queries("t7_pii_scrub")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (1L, "contact me at <EMAIL> or call <NUM> now please ok", 1, 1),
+      (2L, "no private information in this one at all today", 0, 0)))
+  }
+
+  test("d11: a shared 6-gram across sources yields exactly one overlap row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d11").toString
+    Seq(
+      // srcA and srcB share the 6-gram "one two three four five six";
+      // srcC shares nothing. 7 tokens => 2 grams per doc.
+      (1L, "one two three four five six seven", "srcA"),
+      (2L, "zzz one two three four five six", "srcB"),
+      (3L, "totally different words entirely over here again", "srcC"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+
+    val out = SparkEntry.queries("d11_source_overlap")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(("srcA", "srcB", 1L, 2L, 2L, 0.5)))
+  }
+
+  test("d12: hand-sized clusters get exact quantized cohesion stats") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d12").toString
+    Seq(
+      // label 0: two orthogonal unit vectors; each is at 45 deg to the
+      // sum centroid => cos = 1/sqrt(2), cq = floor(0.7071068*1e6 + .5)
+      (10L, Array(1.0f, 0.0f), 0),
+      (11L, Array(0.0f, 1.0f), 0),
+      // label 1: a single vector is its own centroid => cos exactly 1
+      (12L, Array(3.0f, 4.0f), 1))
+      .toDF("vec_id", "embedding", "label").write.parquet(s"$dir/embeddings.parquet")
+
+    val out = SparkEntry.queries("d12_embedding_centroids")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val c45 = 707107.0 / 1000000
+    assert(out.toSeq == Seq(
+      (0, 2L, (707107.0 + 707107.0) / 1000000 / 2, c45, c45),
+      (1, 1L, 1000000.0 / 1000000 / 1, 1.0, 1.0)))
+  }
+
+  test("ShardSink: written shards match the portable hash and round-trip") {
+    import spark.implicits._
+    import graft.operators.ShardSink
+    val docs = (0L until 40L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_shards").toString + "/out"
+
+    val manifest = ShardSink.writeTrainingShards(docs, "doc_id", path, 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val expected = (0L until 40L).groupBy(i => ShardSink.sampleHash(i) % 4)
+      .map { case (s, ids) => (s.toInt, ids.size.toLong) }.toSeq.sorted
+    assert(manifest.toSeq == expected)
+
+    // read-back: every row kept its text and sits in its hash's shard
+    val back = spark.read.parquet(path)
+      .select("doc_id", "text", "shard_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(back.length == 40)
+    assert(back.forall { case (id, text, s) =>
+      text == s"doc number $id" && s == (ShardSink.sampleHash(id) % 4).toInt })
+
+    // determinism: a second write of the same frame lands identically
+    val manifest2 = ShardSink.writeTrainingShards(docs, "doc_id", path, 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(manifest2.toSeq == manifest.toSeq)
+  }
 }

@@ -128,6 +128,8 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "a11_dedup_compute_join",                 // (lang, source) domain dim
     "a15_core_membership",                    // 1-row group-size scalar
     "a17_welch_pvalue", "a17_welch_t",        // 1-row background moments
+    "d11_source_overlap",                     // per-source totals (source domain)
+    "d12_embedding_centroids",                // label-domain centroid frame
     "d5_cosine_topk", "d5b_cosine_topk_agg",  // 10 query vectors
     "d7_ann_ivf",                             // centroids capped ~4096
     "j16_point_lookup",                       // literal key list
