@@ -75,6 +75,55 @@ object StreamingJobs {
     * fails fast on a mismatch instead of silently matching nothing
     * against a store written under different knobs.
     */
+  /** Streaming decontamination — d10's eval-overlap gate at INGEST time:
+    * each micro-batch of (doc_id, text) is 6-gram-digested and probed
+    * against a static eval digest frame; contaminated documents are
+    * dropped before the clean append. The gate a live crawl pipeline
+    * runs so eval-tainted pages never reach the training store.
+    *
+    * The eval frame is static per stream (benchmark suites change by
+    * release, not by batch — restart the stream to adopt a new one) and
+    * bounded by the SUITE size, so at scale the caller persists it once
+    * and Spark broadcasts the per-batch semi join. Per batch: digests
+    * only shuffle (8 bytes), the probe is LEFT SEMI (no multiplication),
+    * the doc gate LEFT ANTI — d10's exact shapes, re-run incrementally.
+    * foreachBatch (incrementalNearDedup's precedent) because the
+    * gram-explode → per-doc distinct → anti-join chain needs full batch
+    * semantics, not row-at-a-time append.
+    */
+  def streamingDecontaminate(docs: DataFrame, evalDigests: DataFrame,
+      outPath: String, checkpoint: String) = {
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        graft.functions.GraftExtensions.registerInto(s)
+        val grams = batch.select(col("doc_id"),
+          explode(expr(
+            "hashed_ngrams(filter(split(lower(text), ' '), x -> x != ''), 6)"))
+            .as("h"))
+        val contaminated = grams.join(evalDigests, Seq("h"), "left_semi")
+          .select(col("doc_id")).distinct()
+        batch.join(contaminated, Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+  }
+
+  /** The static eval digest frame for [[streamingDecontaminate]]: the
+    * distinct 6-gram digests of the benchmark documents. Persist (or
+    * write once and re-read) before starting the stream so every batch
+    * probes the materialized set instead of re-digesting the suite.
+    */
+  def evalDigestsOf(evalDocs: DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.registerInto(evalDocs.sparkSession)
+    evalDocs.select(
+      explode(expr(
+        "hashed_ngrams(filter(split(lower(text), ' '), x -> x != ''), 6)"))
+        .as("h"))
+      .distinct()
+  }
+
   def incrementalNearDedup(docs: DataFrame, storePath: String, outPath: String,
       checkpoint: String, minJaccard: Double = 0.5,
       numPerms: Int = 0, rowsPerBand: Int = 0) = {

@@ -91,6 +91,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stored == Set(1L, 2L, 4L))
   }
 
+  test("streaming decontamination drops eval-tainted docs across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon").toString
+    // static eval suite: one doc, 8 tokens => 3 eval 6-grams
+    val evalDigests = StreamingJobs.evalDigestsOf(
+      Seq((7L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text")).persist()
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamingJobs.streamingDecontaminate(
+      docs, evalDigests, s"$dir/out", s"$dir/ckpt").start()
+    input.addData(
+      (1L, "alpha beta gamma delta epsilon zeta different tail here now"), // tainted
+      (2L, "totally unrelated words about nothing important here at all"))
+    q.processAllAvailable()
+    input.addData(
+      (3L, "more clean text with no benchmark overlap at all today"),
+      (4L, "prefix words then beta gamma delta epsilon zeta eta trailing")) // tainted
+    q.processAllAvailable()
+    q.stop()
+    evalDigests.unpersist()
+    val kept = spark.read.parquet(s"$dir/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"contaminated docs 1 and 4 must be dropped: $kept")
+  }
+
   test("near-dedup store refuses a stream with a different band geometry") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
