@@ -2442,6 +2442,90 @@ object PipelineOps {
              |  CAST(min(cq) AS DOUBLE) / 1000000 AS min_cos,
              |  CAST(max(cq) AS DOUBLE) / 1000000 AS max_cos
              |FROM qc GROUP BY label ORDER BY label""".stripMargin),
-      doc = "pipeline/embedding analytics: per-label centroid cohesion (quantized-exact mean/min/max cosine to centroid); curation read on clustered embeddings")
+      doc = "pipeline/embedding analytics: per-label centroid cohesion (quantized-exact mean/min/max cosine to centroid); curation read on clustered embeddings"),
+
+    // T8: sliding-window document chunking — the context-window split
+    // every RAG / long-doc-embedding pipeline runs (window 64 tokens,
+    // stride 48 => 16-token overlap): chunk k covers token span
+    // [k*48, min(k*48 + 64, n)); the chunk count 1 + ceil((n-64)/48)
+    // stops as soon as a window reaches the end, so no trailing chunk is
+    // fully contained in its predecessor. Pure map-side fan-out — one
+    // scan, zero shuffles (the orderBy is presentation); the ceil is
+    // (greatest(n-64, 0) + 47) div 48 on non-negative ints, so floor
+    // division agrees across engines and no double crosses the oracle.
+    QueryDef(
+      "t8_chunk_spans",
+      (s, d) =>
+        T.documents(s, d)
+          .select(col("doc_id"),
+            size(filter(split(col("text"), " "), x => x =!= "")).as("n"))
+          .filter(col("n") > 0)
+          .withColumn("ci",
+            explode(sequence(lit(0L),
+              expr("(greatest(n - 64, 0) + 47) div 48"))))
+          .select(col("doc_id"), col("ci").as("chunk_idx"),
+            (col("ci") * 48).as("start_tok"),
+            least(col("ci") * 48 + 64, col("n")).as("end_tok"),
+            (least(col("ci") * 48 + 64, col("n")) - col("ci") * 48)
+              .as("n_chunk_toks"))
+          .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, len(list_filter(str_split(text, ' '), x -> x <> '')) AS n
+             |  FROM documents),
+             |k AS (
+             |  SELECT doc_id, n,
+             |         unnest(range(0, ((greatest(n - 64, 0) + 47) // 48) + 1)) AS ci
+             |  FROM t WHERE n > 0)
+             |SELECT doc_id, ci AS chunk_idx, ci * 48 AS start_tok,
+             |  least(ci * 48 + 64, n) AS end_tok,
+             |  least(ci * 48 + 64, n) - ci * 48 AS n_chunk_toks
+             |FROM k ORDER BY doc_id, chunk_idx""".stripMargin),
+      doc = "pipeline/text: sliding-window chunk spans (64-token window, 48 stride) for context-length splitting"),
+
+    // T9: deterministic sequence packing — the concat-then-split layout
+    // GPT-style pretraining uses to fill fixed-length sequences: docs are
+    // hash-dealt into 16 shards (t6/x8's portable hash), concatenated in
+    // doc_id order within each shard, and every doc reports the token
+    // offset where it lands plus the 256-token pack its first token falls
+    // in. The running sum is a per-shard sequential window — at a fixed
+    // shard count that is 16 long tasks at 100 TB, the documented
+    // W-family stall; production raises the shard count (packing is
+    // shard-local, so more shards = more parallelism, same layout law)
+    // or routes the prefix sum through Skew.globalRowNumber's two-phase
+    // chunked pattern, which generalizes verbatim from counts to sums.
+    QueryDef(
+      "t9_sequence_pack",
+      (s, d) => {
+        val P = 1000000007L
+        val w = Window.partitionBy(col("shard_id")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.documents(s, d)
+          .select(col("doc_id"),
+            (((col("doc_id") % P) * 2654435761L + 2246822519L) % P % 16)
+              .as("shard_id"),
+            size(filter(split(col("text"), " "), x => x =!= "")).as("n"))
+          .filter(col("n") > 0)
+          .withColumn("cum", sum(col("n")).over(w))
+          .select(col("doc_id"), col("shard_id"),
+            (col("cum") - col("n")).as("tok_offset"),
+            expr("(cum - n) div 256").as("pack_id"),
+            col("n").cast("long").as("n_toks"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 1000000007) * 2654435761 + 2246822519) % 1000000007 % 16
+             |      AS shard_id,
+             |    len(list_filter(str_split(text, ' '), x -> x <> '')) AS n
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, shard_id, n,
+             |    sum(n) OVER (PARTITION BY shard_id ORDER BY doc_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM t WHERE n > 0)
+             |SELECT doc_id, shard_id, CAST(cum - n AS BIGINT) AS tok_offset,
+             |  CAST((cum - n) // 256 AS BIGINT) AS pack_id, CAST(n AS BIGINT) AS n_toks
+             |FROM c ORDER BY doc_id""".stripMargin),
+      doc = "pipeline/text: deterministic shard-local sequence packing (concat in doc_id order, 256-token packs) with per-doc offsets")
   )
 }

@@ -141,6 +141,39 @@ class MixDecontamSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1, 1L, 1000000.0 / 1000000 / 1, 1.0, 1.0)))
   }
 
+  test("t8: chunk geometry at the window/stride boundaries") {
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, words(3), "en"), (2L, words(64), "en"), (3L, words(65), "en"),
+      (4L, words(112), "en"), (5L, words(113), "en")), "t8")
+    val out = SparkEntry.queries("t8_chunk_spans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // n=64 is one full window; n=65 spills 17 tokens into a second
+    // chunk; n=112 = 48+64 ends exactly at chunk 1; n=113 needs a third
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 3L, 3L),
+      (2L, 0L, 0L, 64L, 64L),
+      (3L, 0L, 0L, 64L, 64L), (3L, 1L, 48L, 65L, 17L),
+      (4L, 0L, 0L, 64L, 64L), (4L, 1L, 48L, 112L, 64L),
+      (5L, 0L, 0L, 64L, 64L), (5L, 1L, 48L, 112L, 64L), (5L, 2L, 96L, 113L, 17L)))
+  }
+
+  test("t9: offsets are shard-local running sums; packs split every 256 tokens") {
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val ids = (0L until 10L)
+    val dir = writeDocs(ids.map(i => (i, words(100), "en")), "t9")
+    val out = SparkEntry.queries("t9_sequence_pack")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val expected = ids.map(i => (i, h(i) % 16))
+      .groupBy(_._2).toSeq.flatMap { case (shard, docs) =>
+        docs.map(_._1).sorted.zipWithIndex.map { case (id, k) =>
+          (id, shard, 100L * k, (100L * k) / 256, 100L) }
+      }.sortBy(_._1)
+    assert(out.toSeq == expected)
+  }
+
   test("ShardSink: written shards match the portable hash and round-trip") {
     import spark.implicits._
     import graft.operators.ShardSink
