@@ -1,0 +1,239 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Matched-scale rehearsal for the TRAINING-DATA pipeline family — the
+  * corpus-side analogue of [[Rehearsal]]'s 770-strain lifecycle: synthesize
+  * a corpus 100x the sf0.1 documents table (default 500k docs, ~50M
+  * tokens) with PLANTED duplicate/contamination structure, then run the
+  * curation funnel a pretraining pipeline actually runs — single-scan text
+  * metrics, exact dedup, minhash near-dup, cross-doc duplicate spans,
+  * eval-slice decontamination, mix + shard — wall-clocked per stage.
+  *
+  * The generator is pure Spark (one `range`, hash-derived columns, zero
+  * driver loops) and deterministic: every token is a function of the
+  * document's content seed via `xxhash64`, so re-runs are bit-identical
+  * and the analysis block doubles as a cross-run regression pin.
+  *
+  * Planted structure (all rates structural, not random, so miniature runs
+  * in the spec still exercise every stage):
+  *  - exact duplicates: id ≡ 1 (mod 37) copies id-1's text verbatim
+  *    (consecutive ids can't both be ≡ 1 mod 37, so the copy source is
+  *    always an original);
+  *  - near duplicates: id ≡ 1 (mod 41) copies its predecessor's text with
+  *    ONE substituted token (2 changed bigram shingles out of ~n — well
+  *    above the 0.5 Jaccard verify floor); the base skips back one extra
+  *    id when the predecessor is itself an exact-dup copy;
+  *  - eval slice: id ≡ 7 (mod 200) — the stand-in benchmark suite;
+  *  - contamination: id ≡ 9 (mod 53) (and not itself eval) carries the
+  *    nearest eval doc's first 10 tokens at positions 20-29 => 5 shared
+  *    6-grams for d10 to find;
+  *  - languages 5-way skewed (en-heavy) from the content seed, so exact
+  *    dups land in their source's language; sources uniform over 20.
+  */
+object CorpusRehearsal {
+
+  /** The synthetic corpus plan (no jobs here): doc_id, lang, source, text. */
+  def synthesize(spark: SparkSession, nDocs: Long): DataFrame = {
+    require(nDocs > 0, s"nDocs must be positive, got $nDocs")
+    val id = col("id")
+    // content seed: exact dups copy id-1; near-dups copy id-1 (or id-2
+    // when id-1 is an exact-dup copy, so the near-dup tracks the text
+    // its predecessor actually carries)
+    val nearBase = when(pmod(id - 1, lit(37)) === 1, id - 2).otherwise(id - 1)
+    val seed = when(pmod(id, lit(41)) === 1 && id > 1, nearBase)
+      .when(pmod(id, lit(37)) === 1 && id > 0, id - 1)
+      .otherwise(id)
+    val isNear = pmod(id, lit(41)) === 1 && id > 1
+    val isEval = pmod(id, lit(200)) === 7
+    val isCont = pmod(id, lit(53)) === 9 && !isEval
+    val evalSeed = (id - pmod(id, lit(200))) + 7
+
+    // language derives from the CONTENT SEED (so a copy shares its
+    // source's language, and injected eval tokens — built from the eval
+    // doc's seed — reproduce the eval doc's own token strings exactly)
+    def langOf(s: Column): Column = {
+      val lr = pmod(xxhash64(lit(1), s), lit(20))
+      when(lr < 9, "en").when(lr < 12, "es")
+        .when(lr < 15, "de").when(lr < 18, "fr").otherwise("zh")
+    }
+    val nTok = (pmod(xxhash64(lit(2), col("seed")), lit(80)) + 60).cast("int")
+    // one substituted token per near-dup, inside every doc's range
+    val subPos = pmod(xxhash64(lit(3), id), lit(50)) + 5
+
+    def tok(seedCol: Column, i: Column): Column =
+      concat(langOf(seedCol), lit("w"),
+        pmod(xxhash64(lit(4), seedCol, i), lit(3000)))
+
+    spark.range(nDocs)
+      .withColumn("seed", seed)
+      .withColumn("source", concat(lit("src"), pmod(xxhash64(lit(5), id), lit(20))))
+      .withColumn("text", array_join(
+        transform(sequence(lit(0), nTok - 1), i =>
+          when(isCont && i.between(20, 29), tok(evalSeed, i - 20))
+            .when(isNear && i === subPos, concat(lit("sub"), id))
+            .otherwise(tok(col("seed"), i))), " "))
+      .select(id.as("doc_id"), langOf(col("seed")).as("lang"),
+        col("source"), col("text"))
+  }
+
+  /** Runs the staged funnel against a materialized corpus; returns
+    * (per-stage seconds, analysis counts as Locale-ROOT numeric strings).
+    */
+  def run(spark: SparkSession, nDocs: Long, dir: String)
+      : (Seq[(String, Double)], Seq[(String, String)]) = {
+    graft.functions.GraftExtensions.registerInto(spark)
+    val timings = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val stats = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def stage[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      timings += name -> (System.nanoTime() - t0) / 1e9
+      r
+    }
+    def put(k: String, v: Long): Unit = stats += k -> v.toString
+
+    // the ETL boundary: generation cost stays out of the operator stages,
+    // like the lifecycle rehearsal's etl_materialize
+    stage("materialize") {
+      synthesize(spark, nDocs).write.mode("overwrite").parquet(s"$dir/documents")
+    }
+    val docs = spark.read.parquet(s"$dir/documents")
+    val toks = filter(split(col("text"), " "), x => x =!= "")
+
+    // T-family: one scan, one rollup — doc/token/chunk totals
+    stage("text_metrics") {
+      val r = docs
+        .select(size(toks).as("n"))
+        .withColumn("ck", expr("(greatest(n - 64, 0) + 47) div 48 + 1"))
+        .agg(count(lit(1)), sum(col("n").cast("long")), sum(col("ck").cast("long")))
+        .collect()(0)
+      put("n_docs", r.getLong(0)); put("n_tokens", r.getLong(1))
+      put("n_chunks", r.getLong(2))
+    }
+
+    // D1: digest-keyed exact dedup
+    stage("exact_dedup") {
+      val r = docs
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)), sum(col("c") - 1))
+        .collect()(0)
+      put("n_exact_groups", r.getLong(0)); put("n_exact_copies", r.getLong(1))
+    }
+
+    // D2: minhash near-dup over the full corpus; drop list materialized
+    // for the funnel stage (id2 of every verified pair)
+    stage("minhash_neardup") {
+      val sig = graft.operators.PipelineOps
+        .minhashSignatures(docs.select(col("doc_id"), col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = graft.operators.PipelineOps.nearDupPairs(sig, sig, 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      put("n_neardup_pairs", pairs.count())
+      pairs.select(col("id2").as("doc_id")).distinct()
+        .write.mode("overwrite").parquet(s"$dir/neardup_drop")
+      pairs.unpersist(blocking = true): Unit
+      sig.unpersist(blocking = true): Unit
+    }
+
+    // D9: cross-document duplicated 6-gram coverage (digests only)
+    stage("dup_spans") {
+      val g = docs
+        .select(col("doc_id"), explode(expr("hashed_ngrams(filter(split(text, ' '), x -> x != ''), 6)")).as("h"))
+        .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
+      val r = g
+        .withColumn("dw", count(lit(1)).over(Window.partitionBy(col("h"))))
+        .filter(col("dw") > 1)
+        .agg(countDistinct(col("doc_id")), sum(col("c")))
+        .collect()(0)
+      put("n_docs_with_dup_spans", r.getLong(0))
+      put("n_dup_gram_positions", if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    // D10: eval-overlap decontamination (the single-derivation window
+    // plan); contaminated ids materialized for the funnel stage
+    stage("decontaminate") {
+      val cont = docs
+        .select(col("doc_id"), explode(expr("hashed_ngrams(filter(split(text, ' '), x -> x != ''), 6)")).as("h"))
+        .dropDuplicates("doc_id", "h")
+        .withColumn("ev",
+          max(when(col("doc_id") % 200 === 7, 1).otherwise(0))
+            .over(Window.partitionBy(col("h"))))
+        .filter(col("doc_id") % 200 =!= 7 && col("ev") === 1)
+        .select(col("doc_id")).distinct()
+      cont.write.mode("overwrite").parquet(s"$dir/contaminated")
+      put("n_contaminated", spark.read.parquet(s"$dir/contaminated").count())
+    }
+
+    // X8 tail: survivors -> uniform-lang quota sample -> 16-way shard
+    stage("mix_shard") {
+      val P = 1000000007L
+      val dropNear = spark.read.parquet(s"$dir/neardup_drop")
+      val cont = spark.read.parquet(s"$dir/contaminated")
+      val canonical = docs
+        .withColumn("h", md5(col("text")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("lang"), size(toks).as("n"))
+      val clean = canonical
+        .filter(col("doc_id") % 200 =!= 7)
+        .join(dropNear, Seq("doc_id"), "left_anti")
+        .join(cont, Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val counts = clean.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      val quota = counts.agg(min(col("cnt")).as("quota"))
+      val sampled = clean
+        .withColumn("sh", ((col("doc_id") % P) * 2654435761L + 2246822519L) % P)
+        .join(broadcast(counts), Seq("lang"))
+        .crossJoin(broadcast(quota))
+        .filter(col("sh") * col("cnt") < col("quota") * P)
+        .withColumn("shard_id", col("sh") % 16)
+      val r = sampled
+        .groupBy(col("shard_id")).agg(count(lit(1)).as("c"), sum(col("n")).as("t"))
+        .agg(count(lit(1)), sum(col("c")), min(col("c")), max(col("c")),
+          sum(col("t")))
+        .collect()(0)
+      put("n_clean", clean.count())
+      clean.unpersist(blocking = true): Unit
+      put("n_shards", r.getLong(0)); put("n_sampled", r.getLong(1))
+      put("min_shard_docs", r.getLong(2)); put("max_shard_docs", r.getLong(3))
+      put("sampled_tokens", r.getLong(4))
+    }
+
+    (timings.toSeq, stats.toSeq)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_CORPUS_DOCS")).getOrElse("500000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    try {
+      val (timings, stats) = run(spark, nDocs, dir)
+      val total = timings.map(_._2).sum
+      def f(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+      val stages = timings.map { case (k, v) => s""""$k":${f(v)}""" }.mkString(",")
+      val analysis = stats.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      val line = s"""{"metric":"corpus_rehearsal_total","value":${f(total)},""" +
+        s""""unit":"sec","n_docs":$nDocs,"stages":{$stages},"analysis":{$analysis}}"""
+      Raw.stdout.println(line)
+      java.nio.file.Files.write(java.nio.file.Paths.get("corpus_rehearsal_out.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally {
+      graft.operators.Scratch.deleteRecursively(new java.io.File(dir))
+      spark.stop()
+    }
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CorpusRehearsal at miniature scale: the planted dup/contamination laws
+  * hold document-by-document, every funnel stage moves, and the generator
+  * is deterministic (the full-scale artifact's analysis block doubles as
+  * a cross-run pin because of it).
+  */
+class CorpusRehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("planted copy/near-dup/contamination laws hold row-by-row") {
+    val docs = CorpusRehearsal.synthesize(spark, 300)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // id = 38 (= 1 mod 37) copies 37 verbatim
+    assert(docs(38L) == docs(37L))
+    // id = 42 (= 1 mod 41) differs from 41 in EXACTLY one token
+    val (a, b) = (docs(42L).split(" "), docs(41L).split(" "))
+    assert(a.length == b.length)
+    assert(a.zip(b).count { case (x, y) => x != y } == 1)
+    // id = 9 (= 9 mod 53) carries eval doc 7's first 10 tokens at 20-29
+    val (c9, e7) = (docs(9L).split(" "), docs(7L).split(" "))
+    assert(c9.slice(20, 30).toSeq == e7.slice(0, 10).toSeq)
+  }
+
+  test("every funnel stage moves at miniature scale; counts are coherent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_creh").toString
+    val (timings, stats) = CorpusRehearsal.run(spark, 2000, dir)
+    val m = stats.toMap.view.mapValues(_.toLong).toMap
+    assert(timings.map(_._1) == Seq("materialize", "text_metrics",
+      "exact_dedup", "minhash_neardup", "dup_spans", "decontaminate", "mix_shard"))
+    assert(m("n_docs") == 2000 && m("n_tokens") > 0 && m("n_chunks") >= 2000)
+    assert(m("n_exact_copies") > 0)
+    assert(m("n_exact_groups") == m("n_docs") - m("n_exact_copies"))
+    // every exact copy is also a J=1 near-dup pair
+    assert(m("n_neardup_pairs") >= m("n_exact_copies"))
+    // ~ n/53 contaminated, minus eval/dup overlaps
+    assert(m("n_contaminated") >= 20 && m("n_contaminated") <= 45,
+      s"contaminated=${m("n_contaminated")}")
+    assert(m("n_clean") < m("n_docs") && m("n_sampled") <= m("n_clean"))
+    assert(m("n_shards") == 16)
+    assert(m("max_shard_docs") <= 2 * m("min_shard_docs"),
+      s"shards unbalanced: ${m("min_shard_docs")}..${m("max_shard_docs")}")
+    graft.operators.Scratch.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("generator is deterministic across plan builds") {
+    def digest(): Long = CorpusRehearsal.synthesize(spark, 500)
+      .agg(sum(pmod(
+        xxhash64(col("doc_id"), col("lang"), col("source"), col("text")),
+        lit(1000000007L))))
+      .collect()(0).getLong(0)
+    assert(digest() == digest())
+  }
+}
