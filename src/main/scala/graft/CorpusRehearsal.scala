@@ -35,20 +35,34 @@ import org.apache.spark.sql.functions._
   */
 object CorpusRehearsal {
 
-  /** The synthetic corpus plan (no jobs here): doc_id, lang, source, text. */
-  def synthesize(spark: SparkSession, nDocs: Long): DataFrame = {
+  /** The synthetic corpus plan (no jobs here): doc_id, lang, source, text.
+    *
+    * `hotCopies` > 1 plants a MEGA-DUPLICATE: documents 0 until
+    * hotCopies all carry doc 0's text verbatim — the boilerplate/
+    * template page a real crawl contains tens of thousands of times.
+    * This is the classic LSH failure mode: all copies share every band
+    * key, so a minhash-first plan generates C(hotCopies, 2) candidate
+    * pairs from that one bucket (1.25e9 pairs at 50k copies). The
+    * funnel's exact-dedup-FIRST ordering (x6's ordering) is what
+    * contains it: one digest group, one canonical survivor, and the
+    * band join never sees the clones.
+    */
+  def synthesize(spark: SparkSession, nDocs: Long, hotCopies: Long = 1): DataFrame = {
     require(nDocs > 0, s"nDocs must be positive, got $nDocs")
+    require(hotCopies >= 1 && hotCopies <= nDocs,
+      s"hotCopies must be in [1, $nDocs], got $hotCopies")
     val id = col("id")
     // content seed: exact dups copy id-1; near-dups copy id-1 (or id-2
     // when id-1 is an exact-dup copy, so the near-dup tracks the text
     // its predecessor actually carries)
     val nearBase = when(pmod(id - 1, lit(37)) === 1, id - 2).otherwise(id - 1)
-    val seed = when(pmod(id, lit(41)) === 1 && id > 1, nearBase)
+    val seed = when(id < hotCopies, lit(0L))
+      .when(pmod(id, lit(41)) === 1 && id > 1, nearBase)
       .when(pmod(id, lit(37)) === 1 && id > 0, id - 1)
       .otherwise(id)
-    val isNear = pmod(id, lit(41)) === 1 && id > 1
+    val isNear = id >= hotCopies && pmod(id, lit(41)) === 1 && id > 1
     val isEval = pmod(id, lit(200)) === 7
-    val isCont = pmod(id, lit(53)) === 9 && !isEval
+    val isCont = id >= hotCopies && pmod(id, lit(53)) === 9 && !isEval
     val evalSeed = (id - pmod(id, lit(200))) + 7
 
     // language derives from the CONTENT SEED (so a copy shares its
@@ -81,8 +95,17 @@ object CorpusRehearsal {
 
   /** Runs the staged funnel against a materialized corpus; returns
     * (per-stage seconds, analysis counts as Locale-ROOT numeric strings).
+    *
+    * Stage ORDER is load-bearing: exact dedup runs BEFORE minhash (x6's
+    * ordering), so a mega-duplicate (`hotCopies`) collapses to one
+    * canonical doc ahead of the band join — minhash-first would place
+    * all clones in the same buckets and generate C(hotCopies, 2)
+    * candidates. The d9-shaped dup-span stage deliberately still runs
+    * on the RAW corpus: its digest WINDOW (count per partition) absorbs
+    * a 50k-row hot digest linearly, demonstrating which sketch shapes
+    * survive mega-dups without the dedup prefix and which don't.
     */
-  def run(spark: SparkSession, nDocs: Long, dir: String)
+  def run(spark: SparkSession, nDocs: Long, dir: String, hotCopies: Long = 1)
       : (Seq[(String, Double)], Seq[(String, String)]) = {
     graft.functions.GraftExtensions.registerInto(spark)
     val timings = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
@@ -94,11 +117,14 @@ object CorpusRehearsal {
       r
     }
     def put(k: String, v: Long): Unit = stats += k -> v.toString
+    // the benchmark suite never contains the boilerplate clone block
+    def isEval = col("doc_id") % 200 === 7 && col("doc_id") >= hotCopies
 
     // the ETL boundary: generation cost stays out of the operator stages,
     // like the lifecycle rehearsal's etl_materialize
     stage("materialize") {
-      synthesize(spark, nDocs).write.mode("overwrite").parquet(s"$dir/documents")
+      synthesize(spark, nDocs, hotCopies)
+        .write.mode("overwrite").parquet(s"$dir/documents")
     }
     val docs = spark.read.parquet(s"$dir/documents")
     val toks = filter(split(col("text"), " "), x => x =!= "")
@@ -114,22 +140,31 @@ object CorpusRehearsal {
       put("n_chunks", r.getLong(2))
     }
 
-    // D1: digest-keyed exact dedup
+    // D1: digest-keyed exact dedup; canonical survivors (keep-min window,
+    // x6's single-shuffle shape) materialized for every later stage
     stage("exact_dedup") {
-      val r = docs
-        .groupBy(md5(col("text")).as("h"))
-        .agg(count(lit(1)).as("c"))
-        .agg(count(lit(1)), sum(col("c") - 1))
-        .collect()(0)
-      put("n_exact_groups", r.getLong(0)); put("n_exact_copies", r.getLong(1))
+      docs
+        .withColumn("h", md5(col("text")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("lang"), size(toks).as("n"))
+        .write.mode("overwrite").parquet(s"$dir/canonical")
+      val groups = spark.read.parquet(s"$dir/canonical").count()
+      put("n_exact_groups", groups)
+      put("n_exact_copies", nDocs - groups)
     }
+    val canonical = spark.read.parquet(s"$dir/canonical")
 
-    // D2: minhash near-dup over the full corpus; drop list materialized
-    // for the funnel stage (id2 of every verified pair)
+    // D2: minhash near-dup over the exact-dedup SURVIVORS (the ordering
+    // that contains mega-dup buckets); drop list materialized for the
+    // funnel stage (id2 of every verified pair)
     stage("minhash_neardup") {
       val sig = graft.operators.PipelineOps
-        .minhashSignatures(docs.select(col("doc_id"), col("text")))
+        .minhashSignatures(docs.select(col("doc_id"), col("text"))
+          .join(canonical.select(col("doc_id")), Seq("doc_id"), "left_semi"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      put("n_sig_docs", sig.count())
       val pairs = graft.operators.PipelineOps.nearDupPairs(sig, sig, 0.5)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       put("n_neardup_pairs", pairs.count())
@@ -160,9 +195,9 @@ object CorpusRehearsal {
         .select(col("doc_id"), explode(expr("hashed_ngrams(filter(split(text, ' '), x -> x != ''), 6)")).as("h"))
         .dropDuplicates("doc_id", "h")
         .withColumn("ev",
-          max(when(col("doc_id") % 200 === 7, 1).otherwise(0))
+          max(when(isEval, 1).otherwise(0))
             .over(Window.partitionBy(col("h"))))
-        .filter(col("doc_id") % 200 =!= 7 && col("ev") === 1)
+        .filter(!isEval && col("ev") === 1)
         .select(col("doc_id")).distinct()
       cont.write.mode("overwrite").parquet(s"$dir/contaminated")
       put("n_contaminated", spark.read.parquet(s"$dir/contaminated").count())
@@ -173,14 +208,8 @@ object CorpusRehearsal {
       val P = 1000000007L
       val dropNear = spark.read.parquet(s"$dir/neardup_drop")
       val cont = spark.read.parquet(s"$dir/contaminated")
-      val canonical = docs
-        .withColumn("h", md5(col("text")))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("h")).orderBy(col("doc_id"))))
-        .filter(col("rk") === 1)
-        .select(col("doc_id"), col("lang"), size(toks).as("n"))
       val clean = canonical
-        .filter(col("doc_id") % 200 =!= 7)
+        .filter(!isEval)
         .join(dropNear, Seq("doc_id"), "left_anti")
         .join(cont, Seq("doc_id"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -210,6 +239,10 @@ object CorpusRehearsal {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption
       .orElse(sys.env.get("SPARK_GRAFT_CORPUS_DOCS")).getOrElse("500000").toLong
+    // second arg / env: mega-duplicate size (docs [0, hotCopies) all
+    // carry doc 0's text — the boilerplate-page model)
+    val hotCopies = args.drop(1).headOption
+      .orElse(sys.env.get("SPARK_GRAFT_CORPUS_HOT")).getOrElse("1").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -221,15 +254,18 @@ object CorpusRehearsal {
     spark.sparkContext.setLogLevel("WARN")
     val dir = java.nio.file.Files.createTempDirectory("graft_corpus").toString
     try {
-      val (timings, stats) = run(spark, nDocs, dir)
+      val (timings, stats) = run(spark, nDocs, dir, hotCopies)
       val total = timings.map(_._2).sum
       def f(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
       val stages = timings.map { case (k, v) => s""""$k":${f(v)}""" }.mkString(",")
       val analysis = stats.map { case (k, v) => s""""$k":$v""" }.mkString(",")
       val line = s"""{"metric":"corpus_rehearsal_total","value":${f(total)},""" +
-        s""""unit":"sec","n_docs":$nDocs,"stages":{$stages},"analysis":{$analysis}}"""
+        s""""unit":"sec","n_docs":$nDocs,"hot_copies":$hotCopies,""" +
+        s""""stages":{$stages},"analysis":{$analysis}}"""
       Raw.stdout.println(line)
-      java.nio.file.Files.write(java.nio.file.Paths.get("corpus_rehearsal_out.json"),
+      val out = if (hotCopies > 1) "corpus_rehearsal_out_hot.json"
+        else "corpus_rehearsal_out.json"
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally {
       graft.operators.Scratch.deleteRecursively(new java.io.File(dir))

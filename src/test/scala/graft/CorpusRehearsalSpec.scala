@@ -45,8 +45,10 @@ class CorpusRehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m("n_docs") == 2000 && m("n_tokens") > 0 && m("n_chunks") >= 2000)
     assert(m("n_exact_copies") > 0)
     assert(m("n_exact_groups") == m("n_docs") - m("n_exact_copies"))
-    // every exact copy is also a J=1 near-dup pair
-    assert(m("n_neardup_pairs") >= m("n_exact_copies"))
+    // minhash runs on the exact-dedup survivors (the ordering that
+    // contains mega-dup buckets) and still finds the planted near-dups
+    assert(m("n_sig_docs") == m("n_exact_groups"))
+    assert(m("n_neardup_pairs") > 0)
     // ~ n/53 contaminated, minus eval/dup overlaps
     assert(m("n_contaminated") >= 20 && m("n_contaminated") <= 45,
       s"contaminated=${m("n_contaminated")}")
@@ -54,6 +56,19 @@ class CorpusRehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m("n_shards") == 16)
     assert(m("max_shard_docs") <= 2 * m("min_shard_docs"),
       s"shards unbalanced: ${m("min_shard_docs")}..${m("max_shard_docs")}")
+    graft.operators.Scratch.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("a mega-duplicate collapses at exact dedup; no band-bucket explosion downstream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_creh_hot").toString
+    val (_, stats) = CorpusRehearsal.run(spark, 2000, dir, hotCopies = 500)
+    val m = stats.toMap.view.mapValues(_.toLong).toMap
+    // 500 clones -> 1 canonical; the band join never sees the clone block
+    assert(m("n_exact_copies") >= 499, s"copies=${m("n_exact_copies")}")
+    assert(m("n_sig_docs") == m("n_exact_groups"))
+    // pairs stay at the planted scale (no C(500,2) bucket blowup)
+    assert(m("n_neardup_pairs") < 200, s"pairs=${m("n_neardup_pairs")}")
+    assert(m("n_sampled") <= m("n_clean"))
     graft.operators.Scratch.deleteRecursively(new java.io.File(dir))
   }
 

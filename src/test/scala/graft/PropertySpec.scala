@@ -102,4 +102,36 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("T8: chunk spans tile [0, n) with exact 16-token overlaps") {
+    // scalar mirror of the t8_chunk_spans arithmetic (64 window / 48
+    // stride): K = ceil((n-64)/48) by non-negative floor division
+    forAll(Gen.chooseNum(1, 5000)) { n =>
+      val k = (math.max(n - 64, 0) + 47) / 48
+      val spans = (0 to k).map(i => (i * 48, math.min(i * 48 + 64, n)))
+      assert(spans.head._1 == 0 && spans.last._2 == n)
+      spans.foreach { case (s, e) => assert(s < e && e - s <= 64) }
+      spans.sliding(2).filter(_.size == 2).foreach { w =>
+        val (Seq((_, e1), (s2, e2))) = (w: @unchecked)
+        assert(e1 - s2 == 16, s"n=$n: overlap ${e1 - s2}")
+        assert(e2 > e1)
+      }
+      // exact-16 overlaps + endpoints pinned above => full cover, no
+      // chunk contained in another; total length is then determined:
+      assert(spans.map { case (s, e) => e - s }.sum == n + 16 * k)
+    }
+  }
+
+  test("T6: hash-Bernoulli sampler keeps everything at quota and is antitone in group size") {
+    val p = 1000000007L
+    def h(id: Long) = ((id % p) * 2654435761L + 2246822519L) % p
+    forAll(Gen.chooseNum(0L, 10000000L), Gen.chooseNum(1L, 100000L),
+      Gen.chooseNum(1L, 100000L)) { (id, quota, extra) =>
+      // cnt == quota: h < p always => every doc of the smallest group kept
+      assert(h(id) * quota < quota * p)
+      // keep predicate is antitone in cnt: dropped at cnt stays dropped at cnt+extra
+      val cnt = quota + extra
+      if (h(id) * cnt >= quota * p) assert(h(id) * (cnt + extra) >= quota * p)
+    }
+  }
 }
