@@ -67,14 +67,28 @@ object GraphOps {
   /** Intervening features of each span (`nodes(path)[1..-1]` exclusive of
     * both anchors), ordered. One range-join per strain partition.
     */
-  private def spanRows(s: SparkSession, d: String): DataFrame = {
-    val p = positioned(s, d)
-      .select(col("user_id").as("uid"), col("pos"), col("event_type"), col("value"))
-    spans(s, d).join(p,
-        col("user_id") === col("uid") &&
-        col("pos") > col("pos1") && col("pos") < col("pos2"))
-      .drop("uid")
-  }
+  /** Per-user genome as ORDERED arrays (pos i at array index i) — the G6
+    * walk model shared by g8/g9. The span theta-join form this replaced
+    * fanned every span out to its intervening ROWS (2.47M rows on the
+    * round-7 testdata) and then re-shuffled them for the per-span
+    * aggregate; here the chain collects ONCE per user (same user_id
+    * shuffle the positional frame already has), spans join co-partitioned
+    * on user_id, and the per-span work is a map-side `slice` of the
+    * ordered array — no second shuffle, no row fan-out. Measured 4.9 s →
+    * ~1 s (g8) on the regenerated sf0.1. Array size = chain length
+    * (the reference domain's ~6.5k features/genome ≈ 100s of KB/row),
+    * the same memory model G6 already commits to.
+    */
+  private def userSeq(s: SparkSession, d: String): DataFrame =
+    SharedFrame(
+      positioned(s, d)
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("event_type"),
+          col("value")))).as("sq"))
+        .select(col("user_id"),
+          transform(col("sq"), x => x.getField("event_type")).as("seqT"),
+          transform(col("sq"), x => x.getField("value")).as("seqV")),
+      "user_seq", d)
 
   private val spanRowsSql =
     s"""$spansSql,
@@ -259,13 +273,10 @@ object GraphOps {
     QueryDef(
       "g8_span_collect",
       (s, d) =>
-        spanRows(s, d)
-          .groupBy(col("user_id"), col("pos1"), col("pos2"))
-          .agg(
+        spans(s, d).join(userSeq(s, d), Seq("user_id"))
+          .select(col("user_id"), col("pos1"), col("pos2"),
             array_join(
-              transform(
-                array_sort(collect_list(struct(col("pos"), col("event_type")))),
-                x => x.getField("event_type")),
+              slice(col("seqT"), col("pos1") + 1, col("pos2") - col("pos1") - 1),
               ",").as("cluster_ids"))
           .orderBy(col("user_id"), col("pos1"), col("pos2")),
       Some(s"""WITH $spanRowsSql
@@ -280,15 +291,28 @@ object GraphOps {
     // one grouped pass over the span rows; no array re-shuffling.
     QueryDef(
       "g9_span_projections",
-      (s, d) =>
-        spanRows(s, d)
-          .groupBy(col("user_id"), col("pos1"), col("pos2"))
-          .agg(
-            min_by(col("event_type"), col("pos")).as("first_feature"),
-            max_by(col("event_type"), col("pos")).as("last_feature"),
-            eavg(col("value")).as("mean_gc"),
-            sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_trna"))
-          .orderBy(col("user_id"), col("pos1"), col("pos2")),
+      (s, d) => {
+        // the same slice model as g8; mean_gc replicates eavg's exact
+        // arithmetic element-wise (quantized long sum -> /1e6 -> /count
+        // of non-null values, the identical division order), so the
+        // result is bit-equal to the grouped-row form
+        val sliceT = slice(col("seqT"), col("pos1") + 1,
+          col("pos2") - col("pos1") - 1)
+        val sliceV = filter(
+          slice(col("seqV"), col("pos1") + 1, col("pos2") - col("pos1") - 1),
+          v => v.isNotNull)
+        spans(s, d).join(userSeq(s, d), Seq("user_id"))
+          .select(col("user_id"), col("pos1"), col("pos2"),
+            element_at(col("seqT"), (col("pos1") + 1).cast("int"))
+              .as("first_feature"),
+            element_at(col("seqT"), (col("pos2") - 1).cast("int"))
+              .as("last_feature"),
+            (aggregate(sliceV, lit(0L),
+              (acc, v) => acc + floor(v * lit(1e6) + lit(0.5)).cast("long"))
+              .cast("double") / lit(1e6) / size(sliceV)).as("mean_gc"),
+            size(filter(sliceT, x => x === "error")).cast("long").as("n_trna"))
+          .orderBy(col("user_id"), col("pos1"), col("pos2"))
+      },
       Some(s"""WITH $spanRowsSql
               |SELECT user_id, pos1, pos2,
               |  min_by(event_type, pos) AS first_feature,
