@@ -2374,10 +2374,13 @@ object PipelineOps {
     // cosine to the mean, so no division touches the integer stage.
     // Scale shape: vectors quantize to int64 (d8's grid), the
     // element-wise sum is a (label, position)-keyed partial aggregation
-    // (never a whole-vector single task), the ≤-label-domain centroid
-    // frame broadcasts back, and per-member cosines quantize to 1e-6
-    // fixed point BEFORE the mean so no order-dependent double summation
-    // crosses the oracle boundary (operators.Exact's rule).
+    // (never a whole-vector single task), the centroid frame broadcasts
+    // back, and per-member cosines quantize to 1e-6 fixed point BEFORE
+    // the mean so no order-dependent double summation crosses the oracle
+    // boundary (operators.Exact's rule). The broadcast hint is legal
+    // because `label` here is a CLASS vocabulary (10 values) — for
+    // open-ended label sets (e.g. cluster ids from d8) drop the hint and
+    // let the label-keyed shuffle join carry it at any cardinality.
     QueryDef(
       "d12_embedding_centroids",
       (s, d) => {
