@@ -218,31 +218,56 @@ object Analyses {
         val p = positioned(s, d)
         val spans = anchorSpans(p, d)
 
-        // intervening rows + grouped projections + Welch t (G8-G10 + A17)
-        val body = p.select(col("user_id").as("bu"), col("pos").as("bpos"),
-          col("event_type").as("btype"), col("value").as("bval"))
-        val spanRows = spans.join(body,
-          col("user_id") === col("bu") &&
-          col("bpos") > col("pos1") && col("bpos") < col("pos2"))
+        // Span bodies via the ordered-array walk model (g8/g9's re-plan,
+        // shared frame): each span's intervening rows are a map-side
+        // `slice` of the per-user pos-ordered arrays instead of a
+        // spans×width theta-join fan-out (~1M rows on the round-7
+        // testdata) plus a regroup shuffle. Positions are dense
+        // row_numbers, so every span (pos2-pos1 ≥ 3) has ≥ 2 intervening
+        // rows — the inner-join group always exists, and the slice order
+        // IS the (bpos, btype) sort the grouped form paid array_sort for.
+        // The quantized mean/stddev replicate eavg/estddev element-wise
+        // (identical division order, g9's proof pattern); long
+        // accumulators are exact here because the slice sums are bounded
+        // by width·(v·1e4)² ≪ 2^63 — an unbounded-width caller would use
+        // the grouped decimal path instead.
+        val width = col("pos2") - col("pos1") - lit(1)
+        val sliceT = slice(col("seqT"), col("pos1") + 1, width)
+        val sliceV = filter(slice(col("seqV"), col("pos1") + 1, width),
+          v => v.isNotNull)
+        val nV = size(sliceV)
+        // nV = 0 (all-null values in the span) must yield null like
+        // eavg's null-sum, not an ANSI DIVIDE_BY_ZERO (the rgpMine
+        // zero-variance lesson)
+        val m1 = when(nV === 0, lit(null).cast("double"))
+          .otherwise(aggregate(sliceV, lit(0L),
+            (acc, v) => acc + floor(v * lit(1e6) + lit(0.5)).cast("long"))
+            .cast("double") / lit(1e6) / nV)
+        val sV = aggregate(sliceV, lit(0L),
+          (acc, v) => acc + floor(v * lit(1e4) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1e4)
+        val s2V = aggregate(sliceV, lit(0L), (acc, v) => {
+          val q = floor(v * lit(1e4) + lit(0.5)).cast("long"); acc + q * q
+        }).cast("double") / lit(1e8)
+        val nD = nV.cast("double")
+        val sd1 = when(nV < 2, lit(null).cast("double"))
+          .otherwise(sqrt(greatest((s2V - sV * sV / nD) / (nD - lit(1.0)),
+            lit(0.0))))
 
         val bg = p.groupBy(col("user_id").as("su"))
           .agg(eavg(col("value")).as("mu0"), estddev(col("value")).as("sd0"))
 
-        spanRows
-          .groupBy(col("user_id"), col("c1"), col("c2"), col("pos1"), col("pos2"))
-          .agg(
-            (col("pos2") - col("pos1") - 1).as("insertion_nb_features"),
-            min_by(col("btype"), col("bpos")).as("first_feature"),
-            array_join(
-              transform(
-                array_sort(collect_list(struct(col("bpos"), col("btype")))),
-                x => x.getField("btype")),
-              ",").as("cluster_ids"),
-            sum(when(col("btype") === "error", 1).otherwise(0)).as("n_trna"),
-            max(when(col("btype") === "purchase", 1).otherwise(0)).as("has_mobile"),
-            count(col("bval")).cast("double").as("n1"),
-            eavg(col("bval")).as("m1"),
-            estddev(col("bval")).as("sd1"))
+        spans.join(Positional.userSeq(s, d), Seq("user_id"))
+          .select(col("user_id"), col("c1"), col("c2"), col("pos1"), col("pos2"),
+            width.as("insertion_nb_features"),
+            element_at(col("seqT"), (col("pos1") + 1).cast("int"))
+              .as("first_feature"),
+            array_join(sliceT, ",").as("cluster_ids"),
+            size(filter(sliceT, x => x === "error")).cast("long").as("n_trna"),
+            exists(sliceT, x => x === "purchase").cast("int").as("has_mobile"),
+            nV.cast("double").as("n1"),
+            m1.as("m1"),
+            sd1.as("sd1"))
           .filter(col("has_mobile") === 1) // requireMobile
           // per-user background moments: same no-forced-broadcast rule as
           // x1's stats (scales with users; AQE upgrades when small)

@@ -67,28 +67,12 @@ object GraphOps {
   /** Intervening features of each span (`nodes(path)[1..-1]` exclusive of
     * both anchors), ordered. One range-join per strain partition.
     */
-  /** Per-user genome as ORDERED arrays (pos i at array index i) — the G6
-    * walk model shared by g8/g9. The span theta-join form this replaced
-    * fanned every span out to its intervening ROWS (2.47M rows on the
-    * round-7 testdata) and then re-shuffled them for the per-span
-    * aggregate; here the chain collects ONCE per user (same user_id
-    * shuffle the positional frame already has), spans join co-partitioned
-    * on user_id, and the per-span work is a map-side `slice` of the
-    * ordered array — no second shuffle, no row fan-out. Measured 4.9 s →
-    * ~1 s (g8) on the regenerated sf0.1. Array size = chain length
-    * (the reference domain's ~6.5k features/genome ≈ 100s of KB/row),
-    * the same memory model G6 already commits to.
+  /** The ordered-array walk model (see [[Positional.userSeq]] — now
+    * shared with x2's RGP body, so g8/g9/x2 materialize ONE frame).
+    * Measured 4.9 s → ~1 s (g8) on the regenerated sf0.1.
     */
   private def userSeq(s: SparkSession, d: String): DataFrame =
-    SharedFrame(
-      positioned(s, d)
-        .groupBy(col("user_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("event_type"),
-          col("value")))).as("sq"))
-        .select(col("user_id"),
-          transform(col("sq"), x => x.getField("event_type")).as("seqT"),
-          transform(col("sq"), x => x.getField("value")).as("seqV")),
-      "user_seq", d)
+    Positional.userSeq(s, d)
 
   private val spanRowsSql =
     s"""$spansSql,

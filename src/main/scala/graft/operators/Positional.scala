@@ -43,4 +43,27 @@ object Positional {
         .select(col("user_id"), col("event_type"), col("value"), col("pos"),
           col("prev")),
       "positional", d)
+
+  /** Per-user genome as ORDERED arrays (pos i at array index i) — the G6
+    * walk model shared by the g8/g9 span projections and x2's RGP body.
+    * The span theta-join form this replaced fanned every span out to its
+    * intervening ROWS (2.47M rows for g8, ~1M for x2 on the round-7
+    * testdata) and then re-shuffled them for the per-span aggregate; here
+    * the chain collects ONCE per user (same user_id shuffle the
+    * positional frame already has), spans join co-partitioned on user_id,
+    * and the per-span work is a map-side `slice` of the ordered array —
+    * no second shuffle, no row fan-out. Array size = chain length (the
+    * reference domain's ~6.5k features/genome ≈ 100s of KB/row), the
+    * same memory model G6 already commits to.
+    */
+  def userSeq(s: SparkSession, d: String): DataFrame =
+    SharedFrame(
+      frame(s, d)
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("event_type"),
+          col("value")))).as("sq"))
+        .select(col("user_id"),
+          transform(col("sq"), x => x.getField("event_type")).as("seqT"),
+          transform(col("sq"), x => x.getField("value")).as("seqV")),
+      "user_seq", d)
 }
