@@ -241,14 +241,14 @@ object CoreRelational {
     // fix documented in SURVEY G1.
     QueryDef(
       "g1_lag_edges",
-      (s, d) => {
-        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        T.events(s, d)
-          .withColumn("src", lag(col("event_id"), 1).over(w))
-          .filter(col("src").isNotNull)
-          .select(col("src"), col("event_id").as("dst"), col("user_id"))
-          .orderBy(col("src"), col("dst"))
-      },
+      (s, d) =>
+        // prev_id is the same lag from the shared positional cache
+        // (one window pass serves the whole g1-g5 neighbour family)
+        Positional.frame(s, d)
+          .filter(col("prev_id").isNotNull)
+          .select(col("prev_id").as("src"), col("event_id").as("dst"),
+            col("user_id"))
+          .orderBy(col("src"), col("dst")),
       Some("""SELECT src, dst, user_id FROM (
              |  SELECT lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
              |         event_id AS dst, user_id

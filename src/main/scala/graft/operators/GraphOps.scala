@@ -90,9 +90,10 @@ object GraphOps {
     QueryDef(
       "g2_edge_contraction",
       (s, d) => {
-        val e = T.events(s, d)
-          .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
-          .filter(col("prev").isNotNull)
+        // `prev` reads the shared positional cache (same window spec) —
+        // the whole g1-g5 neighbour family derives its edges from ONE
+        // cached window pass instead of five
+        val e = positioned(s, d).filter(col("prev").isNotNull)
         e.groupBy(col("prev").as("c1"), col("event_type").as("c2"))
           .agg(count(lit(1)).as("number_of_members"),
             array_join(sort_array(collect_list(col("user_id").cast("string"))), ";")
@@ -140,9 +141,7 @@ object GraphOps {
     QueryDef(
       "g4_degree_agg",
       (s, d) => {
-        val e = T.events(s, d)
-          .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
-          .filter(col("prev").isNotNull)
+        val e = positioned(s, d).filter(col("prev").isNotNull)
         e.groupBy(col("prev").as("src"))
           .agg(count(lit(1)).as("nb_out"))
           .orderBy(col("src"))
@@ -160,9 +159,7 @@ object GraphOps {
     QueryDef(
       "g5_majority_filter",
       (s, d) => {
-        val e = T.events(s, d)
-          .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
-          .filter(col("prev").isNotNull)
+        val e = positioned(s, d).filter(col("prev").isNotNull)
           .select(col("prev").as("c1"), col("event_type").as("c2"))
         val dir = e.groupBy(col("c1"), col("c2")).agg(count(lit(1)).as("w"))
         // undirected view: union of both orientations

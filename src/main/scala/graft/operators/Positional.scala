@@ -40,8 +40,12 @@ object Positional {
           col("value"))
         .withColumn("pos", row_number().over(wOrd))
         .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
-        .select(col("user_id"), col("event_type"), col("value"), col("pos"),
-          col("prev")),
+        // prev_id serves the G1 edge derivation from the same cached
+        // pass (three functions, one window spec -> ONE Window operator);
+        // +16 B/row buys the whole g1-g5 neighbour family cache reuse
+        .withColumn("prev_id", lag(col("event_id"), 1).over(wOrd))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("pos"), col("prev"), col("prev_id")),
       "positional", d)
 
   /** Per-user genome as ORDERED arrays (pos i at array index i) — the G6
