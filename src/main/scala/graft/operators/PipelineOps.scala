@@ -2529,6 +2529,68 @@ object PipelineOps {
              |SELECT doc_id, shard_id, CAST(cum - n AS BIGINT) AS tok_offset,
              |  CAST((cum - n) // 256 AS BIGINT) AS pack_id, CAST(n AS BIGINT) AS n_toks
              |FROM c ORDER BY doc_id""".stripMargin),
-      doc = "pipeline/text: deterministic shard-local sequence packing (concat in doc_id order, 256-token packs) with per-doc offsets")
+      doc = "pipeline/text: deterministic shard-local sequence packing (concat in doc_id order, 256-token packs) with per-doc offsets"),
+
+    // T10: temperature-based multilingual mixing — resample the corpus
+    // toward q_l ∝ n_l^α (the XLM-R/mBERT exponential-smoothing mix;
+    // public literature), here at α = 0.5 so the weight is sqrt(n_l):
+    // IEEE sqrt is CORRECTLY ROUNDED on every engine, so — unlike a
+    // pow(x, 0.3) whose last ulp is libm's business — the quantized
+    // weight floor(sqrt(n)·1e6 + 0.5) is bit-identical in Spark and
+    // DuckDB and no FP crosses the oracle boundary (the p10 quantized-
+    // transcendental precedent). Targets and per-doc copy counts are
+    // exact int64 arithmetic: target_l = N·w_l div W, every doc gets
+    // target div n_l copies, and the remainder is dealt by the t6
+    // portable hash (h mod n_l < target mod n_l) — head langs
+    // downsample (copies may be 0), tail langs upsample (copies ≥ 2),
+    // all map-side after a ≤ lang-domain broadcast. The long
+    // cross-multiply n·w_l is exact while N·sqrt(N)·1e6 < 2^63 (~2e8
+    // docs); beyond that the t9 rule applies: lift the two scalars to
+    // decimal(38,0). Explode is sequence(1, copies) — pure fan-out,
+    // zero shuffles beyond the lang-count aggregate.
+    QueryDef(
+      "t10_temperature_mix",
+      (s, d) => {
+        val P = 1000000007L
+        val docs = T.documents(s, d).select(col("doc_id"), col("lang"))
+        val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+        val weights = counts.withColumn("wq",
+          floor(sqrt(col("cnt").cast("double")) * lit(1e6) + lit(0.5))
+            .cast("long"))
+        val tot = weights.agg(sum(col("cnt")).as("n"), sum(col("wq")).as("wsum"))
+        val targets = weights.crossJoin(broadcast(tot))
+          .withColumn("target", expr("n * wq div wsum"))
+          .select(col("lang"), col("cnt"), col("target"))
+        docs
+          .withColumn("h", ((col("doc_id") % P) * 2654435761L + 2246822519L) % P)
+          .join(broadcast(targets), Seq("lang"))
+          .withColumn("copies", expr("target div cnt") +
+            when(expr("h % cnt") < expr("target % cnt"), 1L).otherwise(0L))
+          .filter(col("copies") >= 1)
+          .select(col("doc_id"), col("lang"),
+            explode(sequence(lit(1L), col("copies"))).as("copy_idx"))
+          .orderBy(col("doc_id"), col("copy_idx"))
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+             |w AS (SELECT lang, cnt,
+             |        CAST(floor(sqrt(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+             |          AS wq
+             |      FROM c),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             |               CAST(sum(wq) AS BIGINT) AS wsum FROM w),
+             |t AS (SELECT lang, cnt, (n * wq) // wsum AS target
+             |      FROM w CROSS JOIN tot),
+             |cp AS (
+             |  SELECT d.doc_id, d.lang,
+             |    target // cnt +
+             |      CASE WHEN ((d.doc_id % 1000000007) * 2654435761 + 2246822519)
+             |                  % 1000000007 % cnt < target % cnt
+             |           THEN 1 ELSE 0 END AS copies
+             |  FROM documents d JOIN t USING (lang))
+             |SELECT doc_id, lang,
+             |  CAST(UNNEST(generate_series(1, copies)) AS BIGINT) AS copy_idx
+             |FROM cp WHERE copies >= 1
+             |ORDER BY doc_id, copy_idx""".stripMargin),
+      doc = "pipeline/data mixing: deterministic temperature resampling toward n_l^0.5 (exponential smoothing, XLM-R-style) with exact integer copy dealing")
   )
 }

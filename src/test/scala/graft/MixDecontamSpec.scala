@@ -91,6 +91,23 @@ class MixDecontamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((7L, 2L, 2L, 21L, 5L, 4L)))
   }
 
+  test("t10: temperature mix upsamples the tail lang and hash-deals the head remainder") {
+    val dir = writeDocs(
+      (0L to 8L).map(i => (i, "x", "en")) :+ ((10L, "x", "fr")), "t10")
+
+    val out = SparkEntry.queries("t10_temperature_mix")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // cnt: en 9, fr 1; wq = floor(sqrt(cnt)*1e6+0.5) = (3e6, 1e6); W = 4e6;
+    // N = 10 => targets: en = 10*3e6 div 4e6 = 7, fr = 10*1e6 div 4e6 = 2.
+    // en: base 7 div 9 = 0 copies + 1 iff h(id) mod 9 < 7 (the remainder
+    // deal); fr: base 2, remainder 0 => doc 10 exactly twice, ungated.
+    val keptEn = (0L to 8L).filter(i => h(i) % 9 < 7)
+    val expected = (keptEn.map(i => (i, "en", 1L)) ++
+      Seq((10L, "fr", 1L), (10L, "fr", 2L))).sortBy(t => (t._1, t._3))
+    assert(out.toSeq == expected)
+    assert(keptEn.nonEmpty && keptEn.size < 9) // the hash gate actually moves
+  }
+
   test("t7: planted email and digit run are redacted; clean text is identity") {
     val dir = writeDocs(Seq(
       (1L, "contact me at john.doe@example.com or call 5551234 now please ok", "en"),
