@@ -2591,6 +2591,61 @@ object PipelineOps {
              |  CAST(UNNEST(generate_series(1, copies)) AS BIGINT) AS copy_idx
              |FROM cp WHERE copies >= 1
              |ORDER BY doc_id, copy_idx""".stripMargin),
-      doc = "pipeline/data mixing: deterministic temperature resampling toward n_l^0.5 (exponential smoothing, XLM-R-style) with exact integer copy dealing")
+      doc = "pipeline/data mixing: deterministic temperature resampling toward n_l^0.5 (exponential smoothing, XLM-R-style) with exact integer copy dealing"),
+
+    // T11: unigram-LM surprisal scoring — the CCNet-family quality
+    // signal (rank docs by how surprising their tokens are under a
+    // corpus LM; head/middle/tail buckets drive keep/drop/re-weight
+    // decisions). A float ln() here would be the one transcendental the
+    // oracle can't pin (p10 dodges that by shipping its codon logs as
+    // PRECOMPUTED quantized literals — impossible for data-dependent
+    // counts), so the surprisal is the exact integer BIT LENGTH of
+    // T div cnt (x3's conv(·,10,2) trick; DuckDB: length(bin(·))) —
+    // floor(log2) resolution, bit-identical on every engine, and the
+    // only division is the final sum/n both engines do once in double.
+    // Scale: one token-keyed shuffle for the vocab, one for the join
+    // back (heavy-hitter tokens like 'the' are 1-row build-side keys —
+    // AQE's skew split or Skew.saltedJoin's two-level shape absorb
+    // them), one doc-keyed aggregate. No FP crosses the oracle.
+    QueryDef(
+      "t11_unigram_surprisal",
+      (s, d) => {
+        val toks = T.documents(s, d)
+          .select(col("doc_id"),
+            explode(filter(split(lower(col("text")), " "), x => x =!= ""))
+              .as("tok"))
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val tot = vocab.agg(sum(col("cnt")).as("t_total"))
+        toks.join(vocab, Seq("tok"))
+          .crossJoin(broadcast(tot))
+          .withColumn("bits",
+            length(conv(expr("t_total div cnt"), 10, 2)).cast("long"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_toks"), sum(col("bits")).as("bits_sum"))
+          .withColumn("mean_bits",
+            col("bits_sum").cast("double") / col("n_toks"))
+          .withColumn("band",
+            when(col("mean_bits") < 8, "head")
+              .when(col("mean_bits") < 12, "middle").otherwise("tail"))
+          .select(col("doc_id"), col("n_toks"), col("bits_sum"),
+            col("mean_bits"), col("band"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(str_split(lower(text), ' '), x -> x <> '')) AS tok
+             |  FROM documents),
+             |v AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_total FROM v),
+             |b AS (SELECT doc_id, length(bin(t_total // cnt)) AS bits
+             |      FROM toks JOIN v USING (tok) CROSS JOIN tot)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+             |  CAST(sum(bits) AS BIGINT) AS bits_sum,
+             |  CAST(sum(bits) AS DOUBLE) / count(*) AS mean_bits,
+             |  CASE WHEN CAST(sum(bits) AS DOUBLE) / count(*) < 8 THEN 'head'
+             |       WHEN CAST(sum(bits) AS DOUBLE) / count(*) < 12 THEN 'middle'
+             |       ELSE 'tail' END AS band
+             |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "pipeline/text: unigram-LM surprisal quality scoring (CCNet-style head/middle/tail banding) via exact integer bit-length surprisal")
   )
 }

@@ -108,6 +108,21 @@ class MixDecontamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keptEn.nonEmpty && keptEn.size < 9) // the hash gate actually moves
   }
 
+  test("t11: bit-length surprisal is exact integer arithmetic") {
+    val dir = writeDocs(Seq(
+      (1L, Seq.fill(14)("c").mkString(" "), "en"),
+      (2L, "c r1 r2 r3", "en")), "t11")
+
+    val out = SparkEntry.queries("t11_unigram_surprisal")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4)))
+    // T = 18 tokens; cnt(c) = 15 => bits = bitlen(18 div 15 = 1) = 1;
+    // unique tokens => bits = bitlen(18) = 5 ('10010')
+    assert(out.toSeq == Seq(
+      (1L, 14L, 14L, 1.0, "head"),
+      (2L, 4L, 16L, 4.0, "head")))
+  }
+
   test("t7: planted email and digit run are redacted; clean text is identity") {
     val dir = writeDocs(Seq(
       (1L, "contact me at john.doe@example.com or call 5551234 now please ok", "en"),

@@ -61,6 +61,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "j15_cross_pairs",        // the operator IS the cross product (bounded)
     "t6_stratified_sample",   // broadcast 1-row quota scalar
     "t10_temperature_mix",    // broadcast 1-row (N, W) weight-total scalar
+    "t11_unigram_surprisal",  // broadcast 1-row corpus-token-total scalar
     "x2_rgp_mine", "x3_anchor_phylo", "x4_core_genes", // broadcast scalars
     "x8_training_mix")        // broadcast quota/funnel 1-row scalars
 
@@ -81,6 +82,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "o5_explode_distinct", "p15_null_predicates",
     "t6_stratified_sample",   // 1-row min-count quota scalar
     "t10_temperature_mix",    // 1-row (N, W) weight-total scalar
+    "t11_unigram_surprisal",  // 1-row corpus-token-total scalar
     "x2_rgp_mine", "x3_anchor_phylo", "x4_core_genes",
     "x8_training_mix")        // 1-row quota + funnel-count scalars
 
@@ -139,6 +141,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "p11_deviation_flag", "p12_zscore_flag",  // per-event-type stats (5)
     "t6_stratified_sample",                   // lang-domain counts + 1-row quota
     "t10_temperature_mix",                    // lang-domain targets + 1-row totals
+    "t11_unigram_surprisal",                  // 1-row corpus-token total
     "x1_genome_track",                        // per-event-type counts
     "x2_rgp_mine", "x3_anchor_phylo",         // type-pair anchors + 1-row scalars
     "x4_core_genes", "x5_feature_metrics",    // broadcast scalars
