@@ -2646,6 +2646,196 @@ object PipelineOps {
              |       WHEN CAST(sum(bits) AS DOUBLE) / count(*) < 12 THEN 'middle'
              |       ELSE 'tail' END AS band
              |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-      doc = "pipeline/text: unigram-LM surprisal quality scoring (CCNet-style head/middle/tail banding) via exact integer bit-length surprisal")
+      doc = "pipeline/text: unigram-LM surprisal quality scoring (CCNet-style head/middle/tail banding) via exact integer bit-length surprisal"),
+
+    // X9: curriculum assembly — the t11/t10 capstone composite: x6's
+    // quality + language gates → t11's surprisal banding computed on the
+    // gated TRAIN slice (vocab from the data being curated, the CCNet
+    // shape) with the tail band dropped → d10's decontamination gate
+    // (run AFTER banding: grams are only derived for docs that can
+    // still ship) → t10's temperature mix on predicted language
+    // (copies, not keep/drop — tail langs upsample) → deterministic
+    // 8-way sharding where a doc's copies spread over shards via
+    // (h + copy_idx) mod 8, reported as per-shard stats carrying every
+    // stage's survivor count. Scale: corpus-wide shuffles are keyed on
+    // token (vocab + join-back), gram digest, and shard_id; every
+    // scalar/domain frame (token total, weight totals, funnel counts,
+    // lang targets) broadcasts. The gated frame is the same
+    // SharedFrame x6/x6b/x8 read; banded and clean feed 3 consumers
+    // each and are SharedFrame'd too.
+    QueryDef(
+      "x9_curriculum_mix",
+      (s, d) => {
+        graft.functions.GraftExtensions.registerInto(s)
+        val P = 1000000007L
+        val n = 6
+        val gated = corpusGated(s, d)
+        val train = gated.filter(col("doc_id") % 10 =!= 7)
+
+        // t11's bit-length surprisal, vocab = the gated train slice
+        val toks = train.select(col("doc_id"),
+          explode(filter(split(lower(col("text")), " "), x => x =!= ""))
+            .as("tok"))
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val vtot = vocab.agg(sum(col("cnt")).as("t_total"))
+        val bits = toks.join(vocab, Seq("tok"))
+          .crossJoin(broadcast(vtot))
+          .withColumn("b",
+            length(conv(expr("t_total div cnt"), 10, 2)).cast("long"))
+          .groupBy(col("doc_id"))
+          .agg((sum(col("b")).cast("double") / count(lit(1))).as("mean_bits"))
+        val banded = SharedFrame(
+          train.join(bits, Seq("doc_id")).filter(col("mean_bits") < 12)
+            .select(col("doc_id"), col("text"), col("n_toks"),
+              col("pred_lang")), "x9_banded", d)
+
+        // d10's gate over the banded survivors
+        val evalGrams = T.documents(s, d)
+          .filter(col("doc_id") % 10 === 7)
+          .select(explode(expr(
+            s"hashed_ngrams(filter(split(lower(text), ' '), x -> x != ''), $n)")).as("h"))
+          .distinct()
+        val trainGrams = banded
+          .select(col("doc_id"), explode(expr(
+            s"hashed_ngrams(filter(split(lower(text), ' '), x -> x != ''), $n)")).as("h"))
+          .dropDuplicates("doc_id", "h")
+        val contaminated = trainGrams.join(evalGrams, Seq("h"), "left_semi")
+          .select(col("doc_id")).distinct()
+        val clean = SharedFrame(
+          banded.join(contaminated, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("n_toks"), col("pred_lang")),
+          "x9_clean", d)
+
+        // t10's temperature dealing on pred_lang
+        val counts = clean.groupBy(col("pred_lang")).agg(count(lit(1)).as("cnt"))
+        val weights = counts.withColumn("wq",
+          floor(sqrt(col("cnt").cast("double")) * lit(1e6) + lit(0.5))
+            .cast("long"))
+        val wtot = weights.agg(sum(col("cnt")).as("nn"), sum(col("wq")).as("wsum"))
+        val targets = weights.crossJoin(broadcast(wtot))
+          .withColumn("target", expr("nn * wq div wsum"))
+          .select(col("pred_lang"), col("cnt"), col("target"))
+
+        val nGated = train.agg(count(lit(1)).as("n_train_gated"))
+        val nBand = banded.agg(count(lit(1)).as("n_banded"))
+        val nClean = clean.agg(count(lit(1)).as("n_clean"))
+        clean
+          .withColumn("h", ((col("doc_id") % P) * 2654435761L + 2246822519L) % P)
+          .join(broadcast(targets), Seq("pred_lang"))
+          .withColumn("copies", expr("target div cnt") +
+            when(expr("h % cnt") < expr("target % cnt"), 1L).otherwise(0L))
+          .filter(col("copies") >= 1)
+          .withColumn("copy_idx", explode(sequence(lit(1L), col("copies"))))
+          .withColumn("shard_id", (col("h") + col("copy_idx")) % 8)
+          .groupBy(col("shard_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("doc_id")).as("n_src_docs"),
+            sum(col("n_toks").cast("long")).as("n_tokens"))
+          .crossJoin(broadcast(nGated))
+          .crossJoin(broadcast(nBand))
+          .crossJoin(broadcast(nClean))
+          .select(col("shard_id"), col("n_rows"), col("n_src_docs"),
+            col("n_tokens"), col("n_train_gated"), col("n_banded"),
+            col("n_clean"))
+          .orderBy(col("shard_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |    len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_toks,
+             |    len(list_intersect(
+             |      list_distinct(list_filter(str_split(text, ' '), x -> x <> '')),
+             |      ['the','a','of','and','is','table','row'])) AS stop
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, text, n_toks,
+             |    CASE WHEN n_toks >= 5 THEN 1.0 ELSE 0.0 END * 0.4 +
+             |    CASE WHEN (CASE WHEN n_toks > 0
+             |               THEN CAST(length(text) - (n_toks - 1) AS DOUBLE) / n_toks
+             |               ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END * 0.3 +
+             |    CASE WHEN stop > 0 THEN 1.0 ELSE 0.0 END * 0.3 AS quality
+             |  FROM t),
+             |sc AS (
+             |  SELECT doc_id, text, n_toks,
+             |    len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+             |        ['der','die','und','ist','von'])) AS s_de,
+             |    len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+             |        ['the','a','of','and','is'])) AS s_en,
+             |    len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+             |        ['el','los','y','de','es'])) AS s_es,
+             |    len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+             |        ['le','la','et','de','est'])) AS s_fr
+             |  FROM q WHERE quality >= 0.7),
+             |gated AS (
+             |  SELECT doc_id, text, n_toks,
+             |    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+             |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+             |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+             |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+             |         ELSE 'fr' END AS pred_lang
+             |  FROM sc WHERE greatest(s_de, s_en, s_es, s_fr) > 0),
+             |tr AS (SELECT * FROM gated WHERE doc_id % 10 != 7),
+             |ttoks AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(str_split(lower(text), ' '), x -> x <> '')) AS tok
+             |  FROM tr),
+             |v AS (SELECT tok, count(*) AS cnt FROM ttoks GROUP BY tok),
+             |vt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_total FROM v),
+             |db AS (
+             |  SELECT doc_id,
+             |    CAST(sum(length(bin(t_total // cnt))) AS DOUBLE) / count(*) AS mean_bits
+             |  FROM ttoks JOIN v USING (tok) CROSS JOIN vt GROUP BY doc_id),
+             |banded AS (
+             |  SELECT tr.* FROM tr JOIN db USING (doc_id) WHERE mean_bits < 12),
+             |evtoks AS (
+             |  SELECT doc_id, list_filter(str_split(lower(text), ' '), x -> x <> '') AS ts
+             |  FROM documents WHERE doc_id % 10 = 7),
+             |ev AS (
+             |  SELECT DISTINCT md5(array_to_string(ts[i : i + 5], ' ')) AS h
+             |  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 4, 1))) AS i
+             |        FROM evtoks)),
+             |btoks AS (
+             |  SELECT doc_id, list_filter(str_split(lower(text), ' '), x -> x <> '') AS ts
+             |  FROM banded),
+             |tg AS (
+             |  SELECT DISTINCT doc_id, md5(array_to_string(ts[i : i + 5], ' ')) AS h
+             |  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 4, 1))) AS i
+             |        FROM btoks)),
+             |cont AS (SELECT DISTINCT doc_id FROM tg JOIN ev USING (h)),
+             |clean AS (
+             |  SELECT doc_id, n_toks, pred_lang FROM banded
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+             |c AS (SELECT pred_lang, count(*) AS cnt FROM clean GROUP BY pred_lang),
+             |w AS (SELECT pred_lang, cnt,
+             |        CAST(floor(sqrt(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS wq
+             |      FROM c),
+             |wt AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn,
+             |              CAST(sum(wq) AS BIGINT) AS wsum FROM w),
+             |tgt AS (SELECT pred_lang, cnt, (nn * wq) // wsum AS target
+             |        FROM w CROSS JOIN wt),
+             |cp AS (
+             |  SELECT cl.doc_id, cl.pred_lang, cl.n_toks,
+             |    ((cl.doc_id % 1000000007) * 2654435761 + 2246822519) % 1000000007 AS h,
+             |    target // cnt +
+             |      CASE WHEN ((cl.doc_id % 1000000007) * 2654435761 + 2246822519)
+             |                  % 1000000007 % cnt < target % cnt
+             |           THEN 1 ELSE 0 END AS copies
+             |  FROM clean cl JOIN tgt USING (pred_lang)),
+             |ex AS (
+             |  SELECT doc_id, pred_lang, n_toks, h,
+             |    CAST(UNNEST(generate_series(1, copies)) AS BIGINT) AS copy_idx
+             |  FROM cp WHERE copies >= 1),
+             |sh AS (
+             |  SELECT (h + copy_idx) % 8 AS shard_id, count(*) AS n_rows,
+             |    count(DISTINCT doc_id) AS n_src_docs,
+             |    CAST(sum(n_toks) AS BIGINT) AS n_tokens
+             |  FROM ex GROUP BY 1),
+             |scal AS (
+             |  SELECT (SELECT count(*) FROM tr) AS n_train_gated,
+             |         (SELECT count(*) FROM banded) AS n_banded,
+             |         (SELECT count(*) FROM clean) AS n_clean)
+             |SELECT shard_id, n_rows, n_src_docs, n_tokens,
+             |  n_train_gated, n_banded, n_clean
+             |FROM sh CROSS JOIN scal ORDER BY shard_id""".stripMargin),
+      doc = "pipeline composite: curriculum assembly — gates -> surprisal banding (t11, tail dropped) -> decontaminate -> temperature mix (t10, copies) -> 8-way sharding with funnel-carrying stats")
   )
 }

@@ -123,6 +123,40 @@ class MixDecontamSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 4L, 16L, 4.0, "head")))
   }
 
+  test("x9: band gate drops the surprising doc; temperature mix upsamples fr") {
+    // 9 identical en docs (500 common tokens each), one fr doc (100
+    // tokens), one en doc of 19 unique tokens + 'the'. Vocab T = 4620:
+    // common tokens bitlen(4620 div ~900) = 3, fr tokens bitlen(231) = 8,
+    // unique tokens bitlen(4620) = 13 => the gibberish doc's mean_bits
+    // (3 + 19*13)/20 = 12.5 lands in the dropped tail band while en (3.0)
+    // and fr (8.0) stay. Then t10's dealing on clean = {9 en, 1 fr}:
+    // targets en 7 / fr 2 => en keeps iff h mod 9 < 7, fr ships twice.
+    val enIds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 8L, 9L)
+    val en = ("the a of and is " * 100).trim
+    // the quality gate's stop list is English, so the fr doc must clear
+    // 0.7 via n_toks (0.4) + mean_tok_len 3.0 (0.3); 'est' carries s_fr
+    val fr = ("les des une est pour " * 20).trim
+    val gib = "the " + (1 to 19).map(i => f"z$i%02d").mkString(" ")
+    val dir = writeDocs(enIds.map(i => (i, en, "en")) ++
+      Seq((10L, fr, "fr"), (11L, gib, "en")), "x9")
+
+    val out = SparkEntry.queries("x9_curriculum_mix")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val keptEn = enIds.filter(i => h(i) % 9 < 7)
+    val m = scala.collection.mutable.Map[Long, (Long, Set[Long], Long)]()
+      .withDefault(_ => (0L, Set.empty[Long], 0L))
+    def add(sh: Long, id: Long, tk: Long): Unit = {
+      val (r, s, t) = m(sh); m(sh) = (r + 1, s + id, t + tk)
+    }
+    keptEn.foreach(i => add((h(i) + 1) % 8, i, 500L))
+    add((h(10L) + 1) % 8, 10L, 100L); add((h(10L) + 2) % 8, 10L, 100L)
+    val expected = m.toSeq.map { case (sh, (r, s, t)) =>
+      (sh, r, s.size.toLong, t, 11L, 10L, 10L) }.sortBy(_._1)
+    assert(out.toSeq == expected)
+    assert(keptEn.size < 9) // the en downsample gate actually moves
+  }
+
   test("t7: planted email and digit run are redacted; clean text is identity") {
     val dir = writeDocs(Seq(
       (1L, "contact me at john.doe@example.com or call 5551234 now please ok", "en"),

@@ -63,7 +63,8 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t10_temperature_mix",    // broadcast 1-row (N, W) weight-total scalar
     "t11_unigram_surprisal",  // broadcast 1-row corpus-token-total scalar
     "x2_rgp_mine", "x3_anchor_phylo", "x4_core_genes", // broadcast scalars
-    "x8_training_mix")        // broadcast quota/funnel 1-row scalars
+    "x8_training_mix",        // broadcast quota/funnel 1-row scalars
+    "x9_curriculum_mix")      // broadcast token-total/weight/funnel scalars
 
   test("BroadcastNestedLoopJoin only in the documented broadcast/theta set") {
     val offenders = plans.collect {
@@ -84,7 +85,8 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t10_temperature_mix",    // 1-row (N, W) weight-total scalar
     "t11_unigram_surprisal",  // 1-row corpus-token-total scalar
     "x2_rgp_mine", "x3_anchor_phylo", "x4_core_genes",
-    "x8_training_mix")        // 1-row quota + funnel-count scalars
+    "x8_training_mix",        // 1-row quota + funnel-count scalars
+    "x9_curriculum_mix")      // 1-row token-total/weight/funnel scalars
 
   test("single-partition exchanges only under scalar aggregates") {
     val offenders = plans.collect {
@@ -142,6 +144,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t6_stratified_sample",                   // lang-domain counts + 1-row quota
     "t10_temperature_mix",                    // lang-domain targets + 1-row totals
     "t11_unigram_surprisal",                  // 1-row corpus-token total
+    "x9_curriculum_mix",                      // lang targets + 1-row totals
     "x1_genome_track",                        // per-event-type counts
     "x2_rgp_mine", "x3_anchor_phylo",         // type-pair anchors + 1-row scalars
     "x4_core_genes", "x5_feature_metrics",    // broadcast scalars
