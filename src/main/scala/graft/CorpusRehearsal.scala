@@ -233,6 +233,81 @@ object CorpusRehearsal {
       put("sampled_tokens", r.getLong(4))
     }
 
+    // T11: surprisal banding over the canonical survivors — the CCNet
+    // quality gate at corpus scale (vocab build + join-back + per-doc
+    // fold; the heavy-hitter join is the stage's point). The synthetic
+    // vocabulary is nearly uniform (~15k tokens at ~equal counts =>
+    // every token ~14 bits), so the BAND distribution is degenerate by
+    // design — the stage pins the quantized mean-surprisal moments and
+    // times the machinery; band movement is t11's planted-spec job.
+    stage("surprisal_band") {
+      val ctoks = docs
+        .join(canonical.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), explode(toks).as("tok"))
+      val vocab = ctoks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val vtot = vocab.agg(sum(col("cnt")).as("t_total"))
+      val r = ctoks.join(vocab, Seq("tok"))
+        .crossJoin(broadcast(vtot))
+        .withColumn("b", length(conv(expr("t_total div cnt"), 10, 2)).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg((sum(col("b")).cast("double") / count(lit(1))).as("mean_bits"))
+        .agg(count(lit(1)),
+          sum(when(col("mean_bits") < 8, 1L).otherwise(0L)),
+          sum(when(col("mean_bits") >= 8 && col("mean_bits") < 12, 1L)
+            .otherwise(0L)),
+          sum(when(col("mean_bits") >= 12, 1L).otherwise(0L)),
+          min(floor(col("mean_bits") * 1000).cast("long")),
+          max(floor(col("mean_bits") * 1000).cast("long")))
+        .collect()(0)
+      put("n_banded_docs", r.getLong(0)); put("n_band_head", r.getLong(1))
+      put("n_band_middle", r.getLong(2)); put("n_band_tail", r.getLong(3))
+      put("min_mean_bits_milli", r.getLong(4))
+      put("max_mean_bits_milli", r.getLong(5))
+    }
+
+    // T10: temperature dealing (q_l ∝ sqrt n_l) on the same clean
+    // survivors the quota sampler consumed — the UPSAMPLING mix, where
+    // the en-heavy skew means tail langs ship multiple copies. Rebuilds
+    // clean from the materialized drop lists (two anti joins — cheap,
+    // and keeps the stage self-contained after mix_shard unpersists).
+    stage("temperature_mix") {
+      val P = 1000000007L
+      val dropNear = spark.read.parquet(s"$dir/neardup_drop")
+      val cont = spark.read.parquet(s"$dir/contaminated")
+      val clean = canonical.filter(!isEval)
+        .join(dropNear, Seq("doc_id"), "left_anti")
+        .join(cont, Seq("doc_id"), "left_anti")
+      val counts = clean.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      val weights = counts.withColumn("wq",
+        floor(sqrt(col("cnt").cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+      val wtot = weights.agg(sum(col("cnt")).as("nn"), sum(col("wq")).as("wsum"))
+      val targets = weights.crossJoin(broadcast(wtot))
+        .withColumn("target", expr("nn * wq div wsum"))
+        .select(col("lang"), col("cnt"), col("target"))
+      val dealt = clean
+        .withColumn("h", ((col("doc_id") % P) * 2654435761L + 2246822519L) % P)
+        .join(broadcast(targets), Seq("lang"))
+        .withColumn("copies", expr("target div cnt") +
+          when(expr("h % cnt") < expr("target % cnt"), 1L).otherwise(0L))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // movement pins: the en-heavy skew means SOME doc ships >= 2
+      // copies (tail-lang upsample) and some en docs ship 0 (the
+      // remainder deal) even though Σ copies ≈ n_clean by construction
+      val d = dealt.agg(max(col("copies")),
+        sum(when(col("copies") === 0, 1L).otherwise(0L))).collect()(0)
+      put("max_doc_copies", d.getLong(0)); put("n_mix_dropped", d.getLong(1))
+      val r = dealt
+        .filter(col("copies") >= 1)
+        .withColumn("copy_idx", explode(sequence(lit(1L), col("copies"))))
+        .withColumn("shard_id", (col("h") + col("copy_idx")) % 16)
+        .groupBy(col("shard_id")).agg(count(lit(1)).as("c"), sum(col("n")).as("t"))
+        .agg(sum(col("c")), min(col("c")), max(col("c")), sum(col("t")))
+        .collect()(0)
+      dealt.unpersist(blocking = true): Unit
+      put("n_mix_rows", r.getLong(0)); put("min_mix_shard_docs", r.getLong(1))
+      put("max_mix_shard_docs", r.getLong(2)); put("mix_tokens", r.getLong(3))
+    }
+
     (timings.toSeq, stats.toSeq)
   }
 

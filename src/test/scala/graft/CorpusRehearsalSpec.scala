@@ -41,7 +41,8 @@ class CorpusRehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (timings, stats) = CorpusRehearsal.run(spark, 2000, dir)
     val m = stats.toMap.view.mapValues(_.toLong).toMap
     assert(timings.map(_._1) == Seq("materialize", "text_metrics",
-      "exact_dedup", "minhash_neardup", "dup_spans", "decontaminate", "mix_shard"))
+      "exact_dedup", "minhash_neardup", "dup_spans", "decontaminate",
+      "mix_shard", "surprisal_band", "temperature_mix"))
     assert(m("n_docs") == 2000 && m("n_tokens") > 0 && m("n_chunks") >= 2000)
     assert(m("n_exact_copies") > 0)
     assert(m("n_exact_groups") == m("n_docs") - m("n_exact_copies"))
@@ -56,6 +57,21 @@ class CorpusRehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m("n_shards") == 16)
     assert(m("max_shard_docs") <= 2 * m("min_shard_docs"),
       s"shards unbalanced: ${m("min_shard_docs")}..${m("max_shard_docs")}")
+    // surprisal banding covers every canonical survivor; the synthetic
+    // vocab is near-uniform so the moments sit in a tight band
+    assert(m("n_banded_docs") == m("n_exact_groups"))
+    assert(m("n_band_head") + m("n_band_middle") + m("n_band_tail")
+      == m("n_banded_docs"))
+    assert(m("min_mean_bits_milli") > 0 &&
+      m("min_mean_bits_milli") <= m("max_mean_bits_milli"))
+    // temperature dealing: Σ copies ≈ n_clean by construction, so the
+    // movement pins are per-doc — the en-heavy skew upsamples some
+    // tail-lang doc to ≥ 2 copies AND zero-deals some en docs
+    assert(m("n_mix_rows") > 0)
+    assert(m("max_doc_copies") >= 2, s"no upsample: ${m("max_doc_copies")}")
+    assert(m("n_mix_dropped") > 0, s"no downsample: ${m("n_mix_dropped")}")
+    assert(m("max_mix_shard_docs") <= 2 * m("min_mix_shard_docs"),
+      s"mix shards unbalanced: ${m("min_mix_shard_docs")}..${m("max_mix_shard_docs")}")
     graft.operators.Scratch.deleteRecursively(new java.io.File(dir))
   }
 
