@@ -2836,6 +2836,219 @@ object PipelineOps {
              |SELECT shard_id, n_rows, n_src_docs, n_tokens,
              |  n_train_gated, n_banded, n_clean
              |FROM sh CROSS JOIN scal ORDER BY shard_id""".stripMargin),
-      doc = "pipeline composite: curriculum assembly — gates -> surprisal banding (t11, tail dropped) -> decontaminate -> temperature mix (t10, copies) -> 8-way sharding with funnel-carrying stats")
+      doc = "pipeline composite: curriculum assembly — gates -> surprisal banding (t11, tail dropped) -> decontaminate -> temperature mix (t10, copies) -> 8-way sharding with funnel-carrying stats"),
+
+    // D13: SemDeDup — semantic deduplication over embeddings (Abbas et
+    // al. 2023, arXiv:2303.09540, public literature): coarse-cluster the
+    // corpus, then WITHIN each cluster drop every member that has a
+    // semantic duplicate (pair cosine >= tau) of higher keep-priority.
+    // The paper's keep rule: within a duplicate pair, keep the member
+    // with LOWER cosine to the cluster centroid (retain the extremes =
+    // diversity); tie-broken by vec_id. Cluster machinery is d7's:
+    // deterministic stride-sampled centroids (production retrains
+    // offline) and the identical nearest-centroid assignment, so the two
+    // queries share the `d7_base` quantized frame via SharedFrame.
+    // Scale shape: the within-cluster pair scan IS SemDeDup's semantics
+    // — the paper runs it per k-means cluster precisely to bound the
+    // quadratic at (N/K)² per cluster, and K grows with the corpus (the
+    // same footer-stride cap as d7 keeps K ≈ min(N/50, 4096) here). The
+    // only corpus-wide shuffles key on vec_id (assignment groupBy) and
+    // list_id (the member self-join); centroids broadcast. Exactness:
+    // quantized BIGINT dots, identical-double cosines for the tau
+    // compare (d6's rule), and the keep-priority compares on the
+    // 1e-6-fixed-pointed centroid cosine (d12's rule) so no FP
+    // inequality crosses the oracle boundary. tau = 0.3 is calibrated
+    // to this synthetic corpus (max within-cluster pair cosine 0.48);
+    // the paper sweeps 0.5–0.95 on real embeddings.
+    QueryDef(
+      "d13_semdedup",
+      (s, d) => {
+        val q = expr("transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))")
+        val base = SharedFrame(
+          T.embeddings(s, d).select(col("vec_id"), q.as("q"))
+            .withColumn("nn",
+              expr("aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")),
+          "d7_base", d)
+        val stride = math.max(50L,
+          T.footerRowCount(s, d, "embeddings") / 4096L)
+        val cents = base.filter(col("vec_id") % stride === 0)
+          .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
+        val simToCent =
+          expr("aggregate(zip_with(q, cq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+            .cast("double") / sqrt(col("nn").cast("double") * col("cn").cast("double"))
+        // nearest-centroid assignment (d7's tiebreak: max sim, then min
+        // cid) carrying the winning similarity, fixed-pointed for the
+        // keep-priority comparisons
+        val assigned = base.join(broadcast(cents))
+          .withColumn("sim", simToCent)
+          .groupBy(col("vec_id"))
+          .agg(max_by(struct(col("cid"), col("sim")),
+            struct(col("sim"), -col("cid"))).as("b"))
+          .select(col("vec_id"), col("b.cid").as("list_id"),
+            floor(col("b.sim") * lit(1000000) + lit(0.5)).cast("long").as("cqc"))
+        // three consumers (both sides of the pair scan + the survivor
+        // anti-join) — one materialization
+        val members = SharedFrame(base.join(assigned, "vec_id"), "d13_members", d)
+        val m2 = members.select(col("list_id").as("l2"), col("vec_id").as("id2"),
+          col("q").as("q2"), col("nn").as("n2"), col("cqc").as("p2"))
+        val dropped = members
+          .join(m2, col("list_id") === col("l2") && col("vec_id") =!= col("id2"))
+          .withColumn("dot",
+            expr("aggregate(zip_with(q, q2, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+          .withColumn("cos",
+            col("dot").cast("double") /
+              sqrt(col("nn").cast("double") * col("n2").cast("double")))
+          .filter(col("cos") >= 0.3 &&
+            (col("p2") < col("cqc") ||
+              (col("p2") === col("cqc") && col("id2") < col("vec_id"))))
+          .select(col("vec_id")).distinct()
+        members.join(dropped, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("list_id"),
+            (col("cqc").cast("double") / lit(1000000)).as("cos_centroid"))
+          .orderBy(col("vec_id"))
+      },
+      // Full re-derivation: d7's centroid/assignment CTEs (stride is the
+      // literal 50 — footerRowCount/4096 < 50 at every test SF), the
+      // pair scan, the paper's keep rule on the quantized centroid
+      // cosine, and the survivor anti-join.
+      Some("""WITH base AS (
+             |  SELECT vec_id,
+             |         [floor((embedding[i] * 1000)::DOUBLE + 0.5)::BIGINT
+             |          FOR i IN range(1, len(embedding) + 1)] AS q
+             |  FROM embeddings),
+             |withnn AS (
+             |  SELECT vec_id, q,
+             |         list_reduce([q[i] * q[i] FOR i IN range(1, len(q) + 1)],
+             |                     (a, b) -> a + b) AS nn
+             |  FROM base),
+             |cents AS (
+             |  SELECT vec_id AS cid, q AS cq, nn AS cn FROM withnn WHERE vec_id % 50 = 0),
+             |simsc AS (
+             |  SELECT v.vec_id, v.q, v.nn, c.cid,
+             |         list_reduce([v.q[i] * c.cq[i] FOR i IN range(1, len(v.q) + 1)],
+             |                     (a, b) -> a + b)::DOUBLE
+             |           / sqrt(v.nn::DOUBLE * c.cn::DOUBLE) AS sim
+             |  FROM withnn v CROSS JOIN cents c),
+             |assigned AS (
+             |  SELECT vec_id, cid AS list_id,
+             |         floor(sim * 1000000 + 0.5)::BIGINT AS cqc
+             |  FROM (
+             |    SELECT vec_id, cid, sim,
+             |           row_number() OVER (PARTITION BY vec_id
+             |                              ORDER BY sim DESC, cid ASC) AS rn
+             |    FROM simsc) WHERE rn = 1),
+             |m AS (
+             |  SELECT a.vec_id, a.list_id, a.cqc, w.q, w.nn
+             |  FROM assigned a JOIN withnn w USING (vec_id)),
+             |dropped AS (
+             |  SELECT DISTINCT m1.vec_id
+             |  FROM m m1 JOIN m m2
+             |    ON m1.list_id = m2.list_id AND m1.vec_id != m2.vec_id
+             |   AND list_reduce([m1.q[i] * m2.q[i] FOR i IN range(1, len(m1.q) + 1)],
+             |                   (a, b) -> a + b)::DOUBLE
+             |         / sqrt(m1.nn::DOUBLE * m2.nn::DOUBLE) >= 0.3
+             |   AND (m2.cqc < m1.cqc OR (m2.cqc = m1.cqc AND m2.vec_id < m1.vec_id)))
+             |SELECT vec_id, list_id, cqc::DOUBLE / 1000000 AS cos_centroid
+             |FROM m WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+             |ORDER BY vec_id""".stripMargin),
+      doc = "pipeline/dedup: SemDeDup semantic deduplication (cluster -> within-cluster cosine prune, keep-farthest-from-centroid); the embedding-space member of the dedup family"),
+
+    // T12: the Gopher rule table (Rae et al. 2021, §A1.1, public
+    // literature) — the per-rule diagnostic every curation run reads
+    // before picking thresholds: word count bounds, mean word length in
+    // [3, 10], symbol-to-word ratio (hash / ellipsis), bullet-start and
+    // ellipsis-end line fractions, alphabetic-word fraction, and
+    // stopword presence, each as its own flag plus the conjunction. t2
+    // folds a 3-rule subset into one score; this is the full table with
+    // per-rule accounting (what x6's gate would consume at production
+    // fidelity). One scan, zero shuffles; every ratio test is an exact
+    // integer cross-multiply (10·sym ≤ words, 5·alpha ≥ 4·words, ...)
+    // so no double crosses the oracle boundary. Words are space-split
+    // (the house tokenization); lines split on \n. The stopword rule is
+    // Gopher's 8-word list at threshold 1 — the sf vocabulary carries
+    // only 'the'; SemDedupGopherSpec trips every rule (bullets,
+    // ellipses, symbols, one-char words) on planted multi-line text.
+    QueryDef(
+      "t12_gopher_rules",
+      (s, d) => {
+        val toks = filter(split(col("text"), " "), x => x =!= "")
+        val lines = split(col("text"), "\n")
+        T.documents(s, d)
+          .withColumn("n_words", size(toks))
+          .withColumn("n_lines", size(lines))
+          .withColumn("wchars",
+            expr("aggregate(transform(filter(split(text, ' '), x -> x != ''), " +
+              "x -> length(x)), 0L, (a, b) -> a + b)"))
+          .withColumn("alpha_words",
+            size(filter(toks, x => x.rlike("[a-zA-Z]"))))
+          .withColumn("n_sym",
+            (length(col("text")) - length(replace(col("text"), lit("#"), lit("")))) +
+              (length(col("text")) - length(replace(col("text"), lit("..."), lit("")))) / 3)
+          .withColumn("bullet_lines",
+            size(filter(lines, l =>
+              substring(l, 1, 2) === "- " || substring(l, 1, 2) === "* ")))
+          .withColumn("ellipsis_lines",
+            size(filter(lines, l => substring(l, -3, 3) === "...")))
+          .withColumn("n_stop",
+            size(array_intersect(array_distinct(toks),
+              array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+                .map(lit): _*))))
+          .select(col("doc_id"), col("n_words"),
+            when(col("n_words").between(20, 100000), 1).otherwise(0).as("r_words"),
+            when(col("n_words") > 0 &&
+              col("wchars") >= col("n_words") * 3 &&
+              col("wchars") <= col("n_words") * 10, 1).otherwise(0).as("r_meanlen"),
+            when(col("n_sym") * 10 <= col("n_words"), 1).otherwise(0).as("r_symbol"),
+            when(col("bullet_lines") * 10 <= col("n_lines") * 9, 1)
+              .otherwise(0).as("r_bullet"),
+            when(col("ellipsis_lines") * 10 <= col("n_lines") * 3, 1)
+              .otherwise(0).as("r_ellipsis"),
+            when(col("alpha_words") * 5 >= col("n_words") * 4, 1)
+              .otherwise(0).as("r_alpha"),
+            when(col("n_stop") >= 1, 1).otherwise(0).as("r_stop"))
+          .withColumn("pass",
+            col("r_words") * col("r_meanlen") * col("r_symbol") * col("r_bullet") *
+              col("r_ellipsis") * col("r_alpha") * col("r_stop"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |    list_filter(str_split(text, ' '), x -> x <> '') AS toks,
+             |    str_split(text, chr(10)) AS lines
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id,
+             |    len(toks) AS n_words,
+             |    len(lines) AS n_lines,
+             |    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+             |         AS BIGINT) AS wchars,
+             |    len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+             |      AS alpha_words,
+             |    (length(text) - length(replace(text, '#', ''))) +
+             |      (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym,
+             |    len(list_filter(lines, l -> l[1:2] = '- ' OR l[1:2] = '* '))
+             |      AS bullet_lines,
+             |    len(list_filter(lines, l -> l[-3:] = '...')) AS ellipsis_lines,
+             |    len(list_intersect(list_distinct(toks),
+             |        ['the','be','to','of','and','that','have','with'])) AS n_stop
+             |  FROM t),
+             |f AS (
+             |  SELECT doc_id, n_words,
+             |    CASE WHEN n_words BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS r_words,
+             |    CASE WHEN n_words > 0 AND wchars >= n_words * 3
+             |              AND wchars <= n_words * 10 THEN 1 ELSE 0 END AS r_meanlen,
+             |    CASE WHEN n_sym * 10 <= n_words THEN 1 ELSE 0 END AS r_symbol,
+             |    CASE WHEN bullet_lines * 10 <= n_lines * 9 THEN 1 ELSE 0 END AS r_bullet,
+             |    CASE WHEN ellipsis_lines * 10 <= n_lines * 3 THEN 1 ELSE 0 END
+             |      AS r_ellipsis,
+             |    CASE WHEN alpha_words * 5 >= n_words * 4 THEN 1 ELSE 0 END AS r_alpha,
+             |    CASE WHEN n_stop >= 1 THEN 1 ELSE 0 END AS r_stop
+             |  FROM m)
+             |SELECT doc_id, n_words, r_words, r_meanlen, r_symbol, r_bullet,
+             |  r_ellipsis, r_alpha, r_stop,
+             |  r_words * r_meanlen * r_symbol * r_bullet * r_ellipsis * r_alpha * r_stop
+             |    AS pass
+             |FROM f ORDER BY doc_id""".stripMargin),
+      doc = "pipeline/text: full Gopher quality-rule table with per-rule flags (word count, mean word length, symbol/bullet/ellipsis ratios, alpha fraction, stopwords) + the conjunction")
   )
 }

@@ -58,6 +58,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "c1_dice_similarity", "c2_jaccard_distance", // id1<id2 theta, sets broadcast
     "d5_cosine_topk", "d5b_cosine_topk_agg",     // broadcast query vectors
     "d7_ann_ivf",             // broadcast sampled centroids
+    "d13_semdedup",           // broadcast sampled centroids (d7's frame)
     "j15_cross_pairs",        // the operator IS the cross product (bounded)
     "t6_stratified_sample",   // broadcast 1-row quota scalar
     "t10_temperature_mix",    // broadcast 1-row (N, W) weight-total scalar
@@ -138,6 +139,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d12_embedding_centroids",                // label-domain centroid frame
     "d5_cosine_topk", "d5b_cosine_topk_agg",  // 10 query vectors
     "d7_ann_ivf",                             // centroids capped ~4096
+    "d13_semdedup",                           // centroids capped ~4096 (d7's cap)
     "j16_point_lookup",                       // literal key list
     "j1_broadcast_inner", "j7_explode_join", "j8_star_join", // closed dims
     "p11_deviation_flag", "p12_zscore_flag",  // per-event-type stats (5)
