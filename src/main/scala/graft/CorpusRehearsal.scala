@@ -174,6 +174,48 @@ object CorpusRehearsal {
       sig.unpersist(blocking = true): Unit
     }
 
+    // D13: SemDeDup over the canonical survivors — the embedding-space
+    // near-dup detector run COMPLEMENTARY to minhash on the same input.
+    // Embeddings are deterministic bag-of-words random projections: 32
+    // dims, every coordinate an exact integer sum of per-token xxhash64
+    // contributions in [-1000, 1000], so exact copies map to identical
+    // vectors (already collapsed upstream) and a one-token near-dup
+    // moves each coordinate by at most 2001 against a ~60-140-token
+    // signal — pair cosine stays >= ~0.94, while random same-cluster
+    // pairs sit at |cos| ~ 1/sqrt(32) ≈ 0.18. tau = 0.9 therefore
+    // catches the planted mod-41 law through BOTH detectors (minus the
+    // boundary cases where the near pair straddles two clusters —
+    // SemDeDup's documented recall model) plus organically similar
+    // token mixes. K ≈ 512 clusters via the d7 stride pattern.
+    stage("semantic_dedup") {
+      // each token is string-hashed ONCE; the 32 per-dim contributions
+      // derive from the resulting long (12-byte hash input, ~10x
+      // cheaper than re-hashing the string per dim)
+      val emb = docs
+        .join(canonical.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as("vec_id"),
+          expr("transform(filter(split(text, ' '), x -> x != ''), " +
+            "t -> xxhash64(t))").as("hs"))
+        .select(col("vec_id"),
+          expr("transform(sequence(0, 31), j -> aggregate(" +
+            "hs, 0L, (acc, h) -> acc + pmod(xxhash64(j, h), 2001) - 1000))")
+            .as("q"))
+        .withColumn("nn",
+          expr("aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        // the quantized frame has four consumers inside semDedup
+        // (centroid filter, both assignment sides, members) — persist or
+        // synthesis recomputes per consumer (the un-persisted first cut
+        // of this stage read 341 s; persisted + long-hash it reads ~60)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val survivors = graft.operators.PipelineOps
+        .semDedup(emb, math.max(50L, nDocs / 512L), 0.9, "corpus_sem_members", dir)
+        .count()
+      val nCanonical = canonical.count()
+      emb.unpersist(blocking = true): Unit
+      put("n_sem_survivors", survivors)
+      put("n_sem_dropped", nCanonical - survivors)
+    }
+
     // D9: cross-document duplicated 6-gram coverage (digests only)
     stage("dup_spans") {
       val g = docs

@@ -179,6 +179,14 @@ object GraftExtensions {
     new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),
     (exprs: Seq[Expression]) => RollingHashExpr(exprs.head))
 
+  val longDotFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("long_dot"),
+    new ExpressionInfo(classOf[LongDotExpr].getName, "long_dot"),
+    (exprs: Seq[Expression]) => {
+      requireArity("long_dot(a, b)", 2, exprs)
+      LongDotExpr(exprs.head, exprs(1))
+    })
+
   val caiFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("cai_quantized"),
     new ExpressionInfo(classOf[CaiQuantizedExpr].getName, "cai_quantized"),
@@ -204,6 +212,8 @@ object GraftExtensions {
       .createOrReplaceTempFunction("hashed_ngrams", ngramsFn._3, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("rolling_hash", rollingFn._3, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("long_dot", longDotFn._3, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("cai_quantized", caiFn._3, "built-in")
     spark.sessionState.functionRegistry

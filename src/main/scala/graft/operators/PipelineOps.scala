@@ -216,6 +216,117 @@ object PipelineOps {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** SemDeDup core (Abbas et al. 2023) over a prepared quantized frame
+    * `(vec_id, q: array<long>, nn: long)`: stride-sampled centroids,
+    * d7's nearest-centroid assignment (max sim, then min cid), then a
+    * within-cluster pair scan that drops every member holding a
+    * semantic duplicate (pair cosine >= tau) of higher keep-priority —
+    * the paper's rule keeps the member FARTHEST from the centroid,
+    * tie-broken by vec_id, compared on the 1e-6-fixed-pointed centroid
+    * cosine so priority never depends on an FP inequality. Returns
+    * survivors `(vec_id, list_id, cqc)`.
+    *
+    * Scale shape: the cluster-bounded quadratic IS the operator's
+    * semantics (per-cluster pairs at (N/K)², K growing with the corpus
+    * via the caller's stride); the corpus-wide shuffles key on vec_id
+    * (assignment) and list_id (pair scan), centroids broadcast, and the
+    * members frame — three consumers: both pair sides + the survivor
+    * anti-join — materializes once under `membersName`/`cacheKey`
+    * ([[SharedFrame]]'s contract).
+    */
+  /** The t12 Gopher rule flags as added columns (`n_words`, the seven
+    * `r_*` integer flags, `pass`) over any frame with a `text` column —
+    * shared by the t12 diagnostic query and the streaming quality gate
+    * ([[graft.streaming.StreamingJobs.streamingQualityGate]]): every
+    * rule is a stateless per-row projection (exact integer
+    * cross-multiplies, no shuffle), so the same expressions compose
+    * into a batch scan or a streaming plan unchanged. `minStop` is the
+    * stopword-presence threshold (Gopher's paper form is 2; the sf
+    * vocabulary carries only 'the', so the t12 query pins 1).
+    */
+  def gopherFlags(docs: DataFrame, minStop: Int = 1): DataFrame = {
+    val toks = filter(split(col("text"), " "), x => x =!= "")
+    val lines = split(col("text"), "\n")
+    docs
+      .withColumn("n_words", size(toks))
+      .withColumn("n_lines", size(lines))
+      .withColumn("wchars",
+        expr("aggregate(transform(filter(split(text, ' '), x -> x != ''), " +
+          "x -> length(x)), 0L, (a, b) -> a + b)"))
+      .withColumn("alpha_words",
+        size(filter(toks, x => x.rlike("[a-zA-Z]"))))
+      .withColumn("n_sym",
+        (length(col("text")) - length(replace(col("text"), lit("#"), lit("")))) +
+          (length(col("text")) - length(replace(col("text"), lit("..."), lit("")))) / 3)
+      .withColumn("bullet_lines",
+        size(filter(lines, l =>
+          substring(l, 1, 2) === "- " || substring(l, 1, 2) === "* ")))
+      .withColumn("ellipsis_lines",
+        size(filter(lines, l => substring(l, -3, 3) === "...")))
+      .withColumn("n_stop",
+        size(array_intersect(array_distinct(toks),
+          array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+            .map(lit): _*))))
+      .withColumn("r_words",
+        when(col("n_words").between(20, 100000), 1).otherwise(0))
+      .withColumn("r_meanlen",
+        when(col("n_words") > 0 &&
+          col("wchars") >= col("n_words") * 3 &&
+          col("wchars") <= col("n_words") * 10, 1).otherwise(0))
+      .withColumn("r_symbol",
+        when(col("n_sym") * 10 <= col("n_words"), 1).otherwise(0))
+      .withColumn("r_bullet",
+        when(col("bullet_lines") * 10 <= col("n_lines") * 9, 1).otherwise(0))
+      .withColumn("r_ellipsis",
+        when(col("ellipsis_lines") * 10 <= col("n_lines") * 3, 1).otherwise(0))
+      .withColumn("r_alpha",
+        when(col("alpha_words") * 5 >= col("n_words") * 4, 1).otherwise(0))
+      .withColumn("r_stop",
+        when(col("n_stop") >= minStop, 1).otherwise(0))
+      .withColumn("pass",
+        col("r_words") * col("r_meanlen") * col("r_symbol") * col("r_bullet") *
+          col("r_ellipsis") * col("r_alpha") * col("r_stop"))
+      .drop("n_lines", "wchars", "alpha_words", "n_sym", "bullet_lines",
+        "ellipsis_lines", "n_stop")
+  }
+
+  def semDedup(base: DataFrame, stride: Long, tau: Double,
+      membersName: String, cacheKey: String): DataFrame = {
+    // the N×K assignment and the Σ|cluster|² pair scan each evaluate one
+    // dot per row — the codegen long_dot kernel, not the interpreted
+    // aggregate(zip_with(...)) fold, is what keeps the stage's cost in
+    // the arithmetic instead of lambda dispatch (identical BIGINT math,
+    // so oracles written against the builtin form are unaffected)
+    graft.functions.GraftExtensions.registerInto(base.sparkSession)
+    val cents = base.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
+    val simToCent =
+      expr("long_dot(q, cq)")
+        .cast("double") / sqrt(col("nn").cast("double") * col("cn").cast("double"))
+    val assigned = base.join(broadcast(cents))
+      .withColumn("sim", simToCent)
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("sim")),
+        struct(col("sim"), -col("cid"))).as("b"))
+      .select(col("vec_id"), col("b.cid").as("list_id"),
+        floor(col("b.sim") * lit(1000000) + lit(0.5)).cast("long").as("cqc"))
+    val members = SharedFrame(base.join(assigned, "vec_id"), membersName, cacheKey)
+    val m2 = members.select(col("list_id").as("l2"), col("vec_id").as("id2"),
+      col("q").as("q2"), col("nn").as("n2"), col("cqc").as("p2"))
+    val dropped = members
+      .join(m2, col("list_id") === col("l2") && col("vec_id") =!= col("id2"))
+      .withColumn("dot", expr("long_dot(q, q2)"))
+      .withColumn("cos",
+        col("dot").cast("double") /
+          sqrt(col("nn").cast("double") * col("n2").cast("double")))
+      .filter(col("cos") >= tau &&
+        (col("p2") < col("cqc") ||
+          (col("p2") === col("cqc") && col("id2") < col("vec_id"))))
+      .select(col("vec_id")).distinct()
+    members.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("list_id"), col("cqc"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // D1: exact dedup — hash-groupBy on normalized text; canonical row =
@@ -2871,38 +2982,7 @@ object PipelineOps {
           "d7_base", d)
         val stride = math.max(50L,
           T.footerRowCount(s, d, "embeddings") / 4096L)
-        val cents = base.filter(col("vec_id") % stride === 0)
-          .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
-        val simToCent =
-          expr("aggregate(zip_with(q, cq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
-            .cast("double") / sqrt(col("nn").cast("double") * col("cn").cast("double"))
-        // nearest-centroid assignment (d7's tiebreak: max sim, then min
-        // cid) carrying the winning similarity, fixed-pointed for the
-        // keep-priority comparisons
-        val assigned = base.join(broadcast(cents))
-          .withColumn("sim", simToCent)
-          .groupBy(col("vec_id"))
-          .agg(max_by(struct(col("cid"), col("sim")),
-            struct(col("sim"), -col("cid"))).as("b"))
-          .select(col("vec_id"), col("b.cid").as("list_id"),
-            floor(col("b.sim") * lit(1000000) + lit(0.5)).cast("long").as("cqc"))
-        // three consumers (both sides of the pair scan + the survivor
-        // anti-join) — one materialization
-        val members = SharedFrame(base.join(assigned, "vec_id"), "d13_members", d)
-        val m2 = members.select(col("list_id").as("l2"), col("vec_id").as("id2"),
-          col("q").as("q2"), col("nn").as("n2"), col("cqc").as("p2"))
-        val dropped = members
-          .join(m2, col("list_id") === col("l2") && col("vec_id") =!= col("id2"))
-          .withColumn("dot",
-            expr("aggregate(zip_with(q, q2, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
-          .withColumn("cos",
-            col("dot").cast("double") /
-              sqrt(col("nn").cast("double") * col("n2").cast("double")))
-          .filter(col("cos") >= 0.3 &&
-            (col("p2") < col("cqc") ||
-              (col("p2") === col("cqc") && col("id2") < col("vec_id"))))
-          .select(col("vec_id")).distinct()
-        members.join(dropped, Seq("vec_id"), "left_anti")
+        semDedup(base, stride, 0.3, "d13_members", d)
           .select(col("vec_id"), col("list_id"),
             (col("cqc").cast("double") / lit(1000000)).as("cos_centroid"))
           .orderBy(col("vec_id"))
@@ -2970,47 +3050,12 @@ object PipelineOps {
     // ellipses, symbols, one-char words) on planted multi-line text.
     QueryDef(
       "t12_gopher_rules",
-      (s, d) => {
-        val toks = filter(split(col("text"), " "), x => x =!= "")
-        val lines = split(col("text"), "\n")
-        T.documents(s, d)
-          .withColumn("n_words", size(toks))
-          .withColumn("n_lines", size(lines))
-          .withColumn("wchars",
-            expr("aggregate(transform(filter(split(text, ' '), x -> x != ''), " +
-              "x -> length(x)), 0L, (a, b) -> a + b)"))
-          .withColumn("alpha_words",
-            size(filter(toks, x => x.rlike("[a-zA-Z]"))))
-          .withColumn("n_sym",
-            (length(col("text")) - length(replace(col("text"), lit("#"), lit("")))) +
-              (length(col("text")) - length(replace(col("text"), lit("..."), lit("")))) / 3)
-          .withColumn("bullet_lines",
-            size(filter(lines, l =>
-              substring(l, 1, 2) === "- " || substring(l, 1, 2) === "* ")))
-          .withColumn("ellipsis_lines",
-            size(filter(lines, l => substring(l, -3, 3) === "...")))
-          .withColumn("n_stop",
-            size(array_intersect(array_distinct(toks),
-              array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
-                .map(lit): _*))))
-          .select(col("doc_id"), col("n_words"),
-            when(col("n_words").between(20, 100000), 1).otherwise(0).as("r_words"),
-            when(col("n_words") > 0 &&
-              col("wchars") >= col("n_words") * 3 &&
-              col("wchars") <= col("n_words") * 10, 1).otherwise(0).as("r_meanlen"),
-            when(col("n_sym") * 10 <= col("n_words"), 1).otherwise(0).as("r_symbol"),
-            when(col("bullet_lines") * 10 <= col("n_lines") * 9, 1)
-              .otherwise(0).as("r_bullet"),
-            when(col("ellipsis_lines") * 10 <= col("n_lines") * 3, 1)
-              .otherwise(0).as("r_ellipsis"),
-            when(col("alpha_words") * 5 >= col("n_words") * 4, 1)
-              .otherwise(0).as("r_alpha"),
-            when(col("n_stop") >= 1, 1).otherwise(0).as("r_stop"))
-          .withColumn("pass",
-            col("r_words") * col("r_meanlen") * col("r_symbol") * col("r_bullet") *
-              col("r_ellipsis") * col("r_alpha") * col("r_stop"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) =>
+        gopherFlags(T.documents(s, d))
+          .select(col("doc_id"), col("n_words"), col("r_words"),
+            col("r_meanlen"), col("r_symbol"), col("r_bullet"),
+            col("r_ellipsis"), col("r_alpha"), col("r_stop"), col("pass"))
+          .orderBy(col("doc_id")),
       Some("""WITH t AS (
              |  SELECT doc_id, text,
              |    list_filter(str_split(text, ' '), x -> x <> '') AS toks,
@@ -3049,6 +3094,66 @@ object PipelineOps {
              |  r_words * r_meanlen * r_symbol * r_bullet * r_ellipsis * r_alpha * r_stop
              |    AS pass
              |FROM f ORDER BY doc_id""".stripMargin),
-      doc = "pipeline/text: full Gopher quality-rule table with per-rule flags (word count, mean word length, symbol/bullet/ellipsis ratios, alpha fraction, stopwords) + the conjunction")
+      doc = "pipeline/text: full Gopher quality-rule table with per-rule flags (word count, mean word length, symbol/bullet/ellipsis ratios, alpha fraction, stopwords) + the conjunction"),
+
+    // T13: vocabulary coverage curve — the tokenizer-sizing read every
+    // BPE/vocab decision consumes: what fraction of all token
+    // OCCURRENCES the top-k vocabulary entries cover, at k = 10/25/100
+    // (the sf vocabulary holds 31 types, so the curve saturates at 100
+    // — the shape the real decision reads). One token-keyed shuffle for
+    // the type counts; the ranking window runs over the VOCABULARY, not
+    // the corpus — the c1/c2 vocab-domain single-partition precedent
+    // (types ≪ occurrences at every scale; a 1e8-type vocab at 100 TB
+    // would swap the window for the two-phase global rank,
+    // Skew.globalRowNumber's pattern, counts → sums verbatim). The
+    // coverage doubles are single exact long/long divisions, and the
+    // rank tiebreak (cnt DESC, tok ASC) is total, so both engines rank
+    // identically.
+    QueryDef(
+      "t13_vocab_coverage",
+      (s, d) => {
+        val vocab = T.documents(s, d)
+          .select(explode(filter(split(lower(col("text")), " "), x => x =!= ""))
+            .as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val ranked = vocab.withColumn("rk",
+          row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+        ranked
+          .agg(
+            sum(when(col("rk") <= 10, col("cnt"))).as("c10"),
+            sum(when(col("rk") <= 25, col("cnt"))).as("c25"),
+            sum(when(col("rk") <= 100, col("cnt"))).as("c100"),
+            sum(col("cnt")).as("total"),
+            count(lit(1)).as("v_size"))
+          .select(
+            expr("stack(3, 10, c10, 25, c25, 100, c100) as (k, covered)"),
+            col("total"), col("v_size"))
+          .withColumn("coverage",
+            col("covered").cast("double") / col("total"))
+          .select(col("k"), col("covered"), col("total"), col("v_size"),
+            col("coverage"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH t AS (
+             |  SELECT unnest(list_filter(str_split(lower(text), ' '), x -> x <> ''))
+             |    AS tok
+             |  FROM documents),
+             |v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+             |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rk
+             |      FROM v),
+             |a AS (
+             |  SELECT CAST(sum(CASE WHEN rk <= 10 THEN cnt END) AS BIGINT) AS c10,
+             |         CAST(sum(CASE WHEN rk <= 25 THEN cnt END) AS BIGINT) AS c25,
+             |         CAST(sum(CASE WHEN rk <= 100 THEN cnt END) AS BIGINT) AS c100,
+             |         CAST(sum(cnt) AS BIGINT) AS total,
+             |         count(*) AS v_size
+             |  FROM r)
+             |SELECT k, covered, total, v_size, covered::DOUBLE / total AS coverage
+             |FROM (
+             |  SELECT 10 AS k, c10 AS covered, total, v_size FROM a
+             |  UNION ALL SELECT 25, c25, total, v_size FROM a
+             |  UNION ALL SELECT 100, c100, total, v_size FROM a)
+             |ORDER BY k""".stripMargin),
+      doc = "pipeline/text: top-k vocabulary coverage curve (token-occurrence share of the k most frequent types) for tokenizer/vocab sizing")
   )
 }

@@ -49,4 +49,52 @@ object ShardSink {
       .agg(count(lit(1)).as("n_rows"))
       .orderBy(col("shard_id"))
   }
+
+  /** The t9 sequence-packing layout written as physical training input:
+    * docs hash-deal into `nShards` shards, concatenate in id order
+    * within each shard, and every row carries the token offset where
+    * the doc lands plus the `packTokens`-sized pack its first token
+    * falls in. Rows are sorted (pack_id, tok_offset) WITHIN each
+    * shard's files, so a loader streams packs sequentially without a
+    * read-side sort. Returns the per-shard manifest (n_docs, n_packs,
+    * n_tokens) read back from the written files.
+    *
+    * Scale notes (t9's): the per-shard prefix sum is one sequential
+    * window per shard — at a fixed shard count that is nShards long
+    * tasks at 100 TB, so production raises the shard count (packing is
+    * shard-local; more shards = more parallelism, same layout law) or
+    * routes the running sum through Skew.globalRowNumber's two-phase
+    * chunked pattern, which generalizes verbatim from counts to sums.
+    * Membership and offsets are pure functions of (id, token count), so
+    * re-runs land bit-identically.
+    */
+  def writePackedSequences(df: DataFrame, idCol: String, textCol: String,
+      path: String, nShards: Int, packTokens: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(packTokens > 0, s"packTokens must be positive, got $packTokens")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard_id")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("shard_id",
+        ((col(idCol) % P) * 2654435761L + 2246822519L) % P % nShards)
+      .withColumn("n_toks",
+        size(filter(split(col(textCol), " "), x => x =!= "")).cast("long"))
+      .filter(col("n_toks") > 0)
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("tok_offset", col("cum") - col("n_toks"))
+      .withColumn("pack_id", expr(s"tok_offset div $packTokens"))
+      .drop("cum")
+      .repartition(nShards, col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("pack_id"), col("tok_offset"))
+      .write.mode("overwrite")
+      .partitionBy("shard_id")
+      .parquet(path)
+    df.sparkSession.read.parquet(path)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("pack_id")).as("n_packs"),
+        sum(col("n_toks")).as("n_tokens"))
+      .orderBy(col("shard_id"))
+  }
 }

@@ -110,6 +110,20 @@ object StreamingJobs {
       }
   }
 
+  /** Streaming Gopher quality gate — t12's rule table applied at ingest
+    * time: every rule is a stateless per-row projection (exact integer
+    * cross-multiplies over the text column), so the gate composes
+    * DIRECTLY into the streaming plan as a select + filter inside
+    * whole-stage codegen — no foreachBatch, no state store; watermarks
+    * and sink semantics pass through unchanged. This is the contrast
+    * case to [[streamingDecontaminate]]/[[incrementalNearDedup]], whose
+    * cross-document semantics force batch boundaries. Returns the gated
+    * stream with the rule flags retained for downstream QA rollups.
+    */
+  def streamingQualityGate(docs: DataFrame, minStop: Int = 1): DataFrame =
+    graft.operators.PipelineOps.gopherFlags(docs, minStop)
+      .filter(col("pass") === 1)
+
   /** The static eval digest frame for [[streamingDecontaminate]]: the
     * distinct 6-gram digests of the benchmark documents. Persist (or
     * write once and re-read) before starting the stream so every batch

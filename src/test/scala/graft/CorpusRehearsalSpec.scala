@@ -41,8 +41,8 @@ class CorpusRehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (timings, stats) = CorpusRehearsal.run(spark, 2000, dir)
     val m = stats.toMap.view.mapValues(_.toLong).toMap
     assert(timings.map(_._1) == Seq("materialize", "text_metrics",
-      "exact_dedup", "minhash_neardup", "dup_spans", "decontaminate",
-      "mix_shard", "surprisal_band", "temperature_mix"))
+      "exact_dedup", "minhash_neardup", "semantic_dedup", "dup_spans",
+      "decontaminate", "mix_shard", "surprisal_band", "temperature_mix"))
     assert(m("n_docs") == 2000 && m("n_tokens") > 0 && m("n_chunks") >= 2000)
     assert(m("n_exact_copies") > 0)
     assert(m("n_exact_groups") == m("n_docs") - m("n_exact_copies"))
@@ -50,6 +50,11 @@ class CorpusRehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // contains mega-dup buckets) and still finds the planted near-dups
     assert(m("n_sig_docs") == m("n_exact_groups"))
     assert(m("n_neardup_pairs") > 0)
+    // the embedding-space detector (SemDeDup over deterministic
+    // bag-of-words projections) independently drops near-dups among
+    // the same canonical survivors; its counts partition the input
+    assert(m("n_sem_dropped") > 0, s"semdedup flat: ${m("n_sem_dropped")}")
+    assert(m("n_sem_survivors") + m("n_sem_dropped") == m("n_exact_groups"))
     // ~ n/53 contaminated, minus eval/dup overlaps
     assert(m("n_contaminated") >= 20 && m("n_contaminated") <= 45,
       s"contaminated=${m("n_contaminated")}")

@@ -265,4 +265,40 @@ class MixDecontamSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     assert(manifest2.toSeq == manifest.toSeq)
   }
+
+  test("packed-sequence sink: offsets are the shard-local running sum; packs floor-divide") {
+    import spark.implicits._
+    import graft.operators.ShardSink
+    val path = java.nio.file.Files.createTempDirectory("graft_pack").toString + "/packs"
+    // doc i carries (i % 5) + 1 tokens, so offsets and pack boundaries
+    // are hand-replayable below
+    val docs = (0L until 10L).map(i =>
+      (i, (0 to (i % 5).toInt).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val manifest = ShardSink
+      .writePackedSequences(docs, "doc_id", "text", path, 2, 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // replay the layout law: per shard, id-sorted running token sum
+    val law = (0L until 10L).map(i => (i, (i % 5) + 1))
+      .groupBy { case (i, _) => (ShardSink.sampleHash(i) % 2).toInt }
+    val expManifest = law.map { case (s, ds) =>
+      val sorted = ds.sortBy(_._1)
+      val offs = sorted.map(_._2).scanLeft(0L)(_ + _).init
+      (s, sorted.size.toLong, offs.map(_ / 8).distinct.size.toLong,
+        sorted.map(_._2).sum)
+    }.toSeq.sorted
+    assert(manifest.toSeq.sorted == expManifest)
+
+    // read-back: every row's offset and pack match the replay
+    val back = spark.read.parquet(path)
+      .select("doc_id", "tok_offset", "pack_id", "shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val expRows = law.flatMap { case (s, ds) =>
+      val sorted = ds.sortBy(_._1)
+      val offs = sorted.map(_._2).scanLeft(0L)(_ + _).init
+      sorted.zip(offs).map { case ((i, _), o) => (i, o, o / 8, s) }
+    }.toSet
+    assert(back.toSet == expRows)
+  }
 }

@@ -85,6 +85,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t6_stratified_sample",   // 1-row min-count quota scalar
     "t10_temperature_mix",    // 1-row (N, W) weight-total scalar
     "t11_unigram_surprisal",  // 1-row corpus-token-total scalar
+    "t13_vocab_coverage",     // vocab-domain ranking window (c1/c2 precedent)
     "x2_rgp_mine", "x3_anchor_phylo", "x4_core_genes",
     "x8_training_mix",        // 1-row quota + funnel-count scalars
     "x9_curriculum_mix")      // 1-row token-total/weight/funnel scalars

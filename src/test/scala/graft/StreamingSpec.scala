@@ -303,4 +303,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(edges == Seq(ChainEdge(1, 10, 11), ChainEdge(1, 11, 12),
       ChainEdge(2, 20, 21)))
   }
+
+  test("streaming quality gate drops rule-violating docs inside the plan") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    // stateless per-row gate: composes into the streaming plan directly
+    // (no foreachBatch) — SemDedupGopherSpec owns the per-rule flags;
+    // this pins that the SAME expressions gate a live stream
+    val gated = StreamingJobs.streamingQualityGate(
+      input.toDF().toDF("doc_id", "text"))
+    val q = gated.select("doc_id").writeStream.format("memory")
+      .queryName("gate_out").outputMode("append").start()
+    input.addData(
+      // 20 words, mean length 5, stopwords the/of => passes
+      (1L, "the quick brown foxes jumped over lazy dogs while many other " +
+        "small animals watched from of green field near town"),
+      // 7 space-split words => word-count rule drops it
+      (2L, "- alpha beta gamma\n- delta epsilon zeta"))
+    q.processAllAvailable()
+    input.addData(
+      // 26 one-char words => mean-word-length rule drops it
+      (3L, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+      // 20 words, mean length 5, stopwords the/with => passes
+      (4L, "the state keeps nothing here because every rule runs inside " +
+        "codegen over plain columns today right with more good words"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.sql("select doc_id from gate_out")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L), s"rule violators 2 and 3 must be dropped: $kept")
+  }
 }
