@@ -3154,6 +3154,138 @@ object PipelineOps {
              |  UNION ALL SELECT 25, c25, total, v_size FROM a
              |  UNION ALL SELECT 100, c100, total, v_size FROM a)
              |ORDER BY k""".stripMargin),
-      doc = "pipeline/text: top-k vocabulary coverage curve (token-occurrence share of the k most frequent types) for tokenizer/vocab sizing")
+      doc = "pipeline/text: top-k vocabulary coverage curve (token-occurrence share of the k most frequent types) for tokenizer/vocab sizing"),
+
+    // X10: embedding-side curation capstone — the composite the
+    // embedding family exists for, mirroring what x6 does for text:
+    // SemDeDup prune (d13, sharing its `d7_base`/`d13_members` caches)
+    // → per-label cohesion RE-MEASURED on the survivors with d12's
+    // exact arithmetic (centroid = elementwise survivor sum; member
+    // cosines fixed-pointed at 1e-6 BEFORE the mean), carrying
+    // n_before/n_kept per label so the rollup reads as a funnel. The
+    // curation question it answers: what did semantic pruning do to
+    // each label's cluster tightness? Scale shape: semDedup's
+    // vec_id/list_id shuffles plus label-keyed aggregates; the label
+    // centroid frame and per-label counts broadcast (label-domain,
+    // d12's hint precedent).
+    QueryDef(
+      "x10_embedding_curation",
+      (s, d) => {
+        graft.functions.GraftExtensions.registerInto(s)
+        val q = expr("transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))")
+        val base = SharedFrame(
+          T.embeddings(s, d).select(col("vec_id"), q.as("q"))
+            .withColumn("nn",
+              expr("aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")),
+          "d7_base", d)
+        val stride = math.max(50L,
+          T.footerRowCount(s, d, "embeddings") / 4096L)
+        val surv = semDedup(base, stride, 0.3, "d13_members", d)
+        val labeled = T.embeddings(s, d).select(col("vec_id"), col("label"))
+        val nBefore = labeled.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_before"))
+        val kept = surv.select(col("vec_id"))
+          .join(labeled, "vec_id")
+          .join(base, "vec_id")
+        val cvec = kept.select(col("label"), posexplode(col("q")).as(Seq("p", "v")))
+          .groupBy(col("label"), col("p"))
+          .agg(sum(col("v")).as("sv"))
+          .groupBy(col("label"))
+          .agg(expr("transform(array_sort(collect_list(struct(p, sv))), x -> x.sv)")
+            .as("sv"))
+        kept.join(broadcast(cvec), Seq("label"))
+          .withColumn("dot", expr("long_dot(q, sv)"))
+          .withColumn("cc", expr("long_dot(sv, sv)"))
+          .filter(col("nn") > 0 && col("cc") > 0)
+          .withColumn("cq",
+            floor(col("dot").cast("double") /
+              sqrt(col("nn").cast("double") * col("cc").cast("double")) *
+              lit(1000000) + lit(0.5)).cast("long"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_kept"),
+            (sum(col("cq")).cast("double") / lit(1000000) / count(lit(1)))
+              .as("mean_cos_kept"),
+            (min(col("cq")).cast("double") / lit(1000000)).as("min_cos_kept"))
+          .join(broadcast(nBefore), Seq("label"))
+          .select(col("label"), col("n_before"), col("n_kept"),
+            col("mean_cos_kept"), col("min_cos_kept"))
+          .orderBy(col("label"))
+      },
+      // d13's full prune re-derivation + d12's cohesion arithmetic
+      // re-rooted at the survivors
+      Some("""WITH base AS (
+             |  SELECT vec_id,
+             |         [floor((embedding[i] * 1000)::DOUBLE + 0.5)::BIGINT
+             |          FOR i IN range(1, len(embedding) + 1)] AS q
+             |  FROM embeddings),
+             |withnn AS (
+             |  SELECT vec_id, q,
+             |         list_reduce([q[i] * q[i] FOR i IN range(1, len(q) + 1)],
+             |                     (a, b) -> a + b) AS nn
+             |  FROM base),
+             |cents AS (
+             |  SELECT vec_id AS cid, q AS cq, nn AS cn FROM withnn WHERE vec_id % 50 = 0),
+             |simsc AS (
+             |  SELECT v.vec_id, v.q, v.nn, c.cid,
+             |         list_reduce([v.q[i] * c.cq[i] FOR i IN range(1, len(v.q) + 1)],
+             |                     (a, b) -> a + b)::DOUBLE
+             |           / sqrt(v.nn::DOUBLE * c.cn::DOUBLE) AS sim
+             |  FROM withnn v CROSS JOIN cents c),
+             |assigned AS (
+             |  SELECT vec_id, cid AS list_id,
+             |         floor(sim * 1000000 + 0.5)::BIGINT AS cqc
+             |  FROM (
+             |    SELECT vec_id, cid, sim,
+             |           row_number() OVER (PARTITION BY vec_id
+             |                              ORDER BY sim DESC, cid ASC) AS rn
+             |    FROM simsc) WHERE rn = 1),
+             |m AS (
+             |  SELECT a.vec_id, a.list_id, a.cqc, w.q, w.nn
+             |  FROM assigned a JOIN withnn w USING (vec_id)),
+             |dropped AS (
+             |  SELECT DISTINCT m1.vec_id
+             |  FROM m m1 JOIN m m2
+             |    ON m1.list_id = m2.list_id AND m1.vec_id != m2.vec_id
+             |   AND list_reduce([m1.q[i] * m2.q[i] FOR i IN range(1, len(m1.q) + 1)],
+             |                   (a, b) -> a + b)::DOUBLE
+             |         / sqrt(m1.nn::DOUBLE * m2.nn::DOUBLE) >= 0.3
+             |   AND (m2.cqc < m1.cqc OR (m2.cqc = m1.cqc AND m2.vec_id < m1.vec_id))),
+             |surv AS (
+             |  SELECT vec_id, q, nn FROM m
+             |  WHERE vec_id NOT IN (SELECT vec_id FROM dropped)),
+             |kept AS (
+             |  SELECT s.vec_id, e.label, s.q, s.nn
+             |  FROM surv s JOIN embeddings e USING (vec_id)),
+             |nb AS (SELECT label, count(*) AS n_before FROM embeddings GROUP BY label),
+             |px AS (
+             |  SELECT vec_id, label, unnest(q) AS v,
+             |         unnest(range(1, len(q) + 1)) AS p
+             |  FROM kept),
+             |cent AS (
+             |  SELECT label, p, CAST(sum(v) AS BIGINT) AS sv FROM px GROUP BY label, p),
+             |cvec AS (
+             |  SELECT label, list(sv ORDER BY p) AS sv FROM cent GROUP BY label),
+             |mm AS (
+             |  SELECT k.label, k.vec_id,
+             |    list_reduce([k.q[i] * c.sv[i] FOR i IN range(1, len(k.q) + 1)],
+             |                (a, b) -> a + b) AS dot,
+             |    k.nn AS nn,
+             |    list_reduce([c.sv[i] * c.sv[i] FOR i IN range(1, len(c.sv) + 1)],
+             |                (a, b) -> a + b) AS cc
+             |  FROM kept k JOIN cvec c USING (label)),
+             |qc AS (
+             |  SELECT label,
+             |    floor(dot::DOUBLE / sqrt(nn::DOUBLE * cc::DOUBLE) * 1000000 + 0.5)::BIGINT
+             |      AS cq
+             |  FROM mm WHERE nn > 0 AND cc > 0),
+             |agg AS (
+             |  SELECT label, count(*) AS n_kept,
+             |    CAST(sum(cq) AS DOUBLE) / 1000000 / count(*) AS mean_cos_kept,
+             |    CAST(min(cq) AS DOUBLE) / 1000000 AS min_cos_kept
+             |  FROM qc GROUP BY label)
+             |SELECT label, n_before, n_kept, mean_cos_kept, min_cos_kept
+             |FROM agg JOIN nb USING (label)
+             |ORDER BY label""".stripMargin),
+      doc = "pipeline composite: embedding curation funnel — SemDeDup prune then per-label cohesion re-measured on the survivors (n_before/n_kept funnel counts, quantized-exact mean/min cosine)")
   )
 }

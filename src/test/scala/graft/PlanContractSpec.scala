@@ -59,6 +59,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d5_cosine_topk", "d5b_cosine_topk_agg",     // broadcast query vectors
     "d7_ann_ivf",             // broadcast sampled centroids
     "d13_semdedup",           // broadcast sampled centroids (d7's frame)
+    "x10_embedding_curation", // semDedup's broadcast centroids inside
     "j15_cross_pairs",        // the operator IS the cross product (bounded)
     "t6_stratified_sample",   // broadcast 1-row quota scalar
     "t10_temperature_mix",    // broadcast 1-row (N, W) weight-total scalar
@@ -88,7 +89,12 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t13_vocab_coverage",     // vocab-domain ranking window (c1/c2 precedent)
     "x2_rgp_mine", "x3_anchor_phylo", "x4_core_genes",
     "x8_training_mix",        // 1-row quota + funnel-count scalars
-    "x9_curriculum_mix")      // 1-row token-total/weight/funnel scalars
+    "x9_curriculum_mix",      // 1-row token-total/weight/funnel scalars
+    // optimizer-injected runtime bloom-filter subquery on the survivor
+    // joins (InjectRuntimeFilter): the SinglePartition merges per-task
+    // bloom sketches into ONE constant-size filter — a scalar-aggregate
+    // shape, not a data funnel
+    "x10_embedding_curation")
 
   test("single-partition exchanges only under scalar aggregates") {
     val offenders = plans.collect {
@@ -141,6 +147,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d5_cosine_topk", "d5b_cosine_topk_agg",  // 10 query vectors
     "d7_ann_ivf",                             // centroids capped ~4096
     "d13_semdedup",                           // centroids capped ~4096 (d7's cap)
+    "x10_embedding_curation",                 // label-domain centroid/count frames
     "j16_point_lookup",                       // literal key list
     "j1_broadcast_inner", "j7_explode_join", "j8_star_join", // closed dims
     "p11_deviation_flag", "p12_zscore_flag",  // per-event-type stats (5)
