@@ -46,7 +46,7 @@ object PipelineOps {
   private def pngPayloads(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     import s.implicits._
     SharedFrame(
-      T.documents(s, d).select(col("doc_id")).as[Long]
+      T.documents(s, d).select(col("doc_id")).repartition(col("doc_id")).as[Long]
         .mapPartitions(encodePartition).toDF("doc_id", "png"),
       "m_png", d)
   }
@@ -69,12 +69,20 @@ object PipelineOps {
   private def containerPayloads(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     import s.implicits._
     SharedFrame(
-      T.documents(s, d).select(col("doc_id")).as[Long]
+      T.documents(s, d).select(col("doc_id")).repartition(col("doc_id")).as[Long]
         .mapPartitions(synthContainers).toDF("doc_id", "container"),
       "m_container", d)
   }
 
-  /** The m5 WAV payload column — same SharedFrame policy. */
+  /** The m5 WAV payload column — same SharedFrame policy, but NOT
+    * repartitioned like the PNG/container frames: javax.sound's
+    * `AudioSystem.getAudioInputStream` goes through the synchronized
+    * provider registry on every call, so a 32-way decode fan-out
+    * CONTENDS instead of parallelizing (measured: warm m5 0.5 s on one
+    * partition vs 1.9-2.3 s on 32 — the lock serializes the threads and
+    * adds arbitration on top). On a real corpus the fix is a decoder
+    * without a global registry, not more partitions.
+    */
   private def wavPayloads(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     import s.implicits._
     SharedFrame(
@@ -291,30 +299,61 @@ object PipelineOps {
   }
 
   def semDedup(base: DataFrame, stride: Long, tau: Double,
-      membersName: String, cacheKey: String): DataFrame = {
+      membersName: String, cacheKey: String,
+      maxCluster: Int = Int.MaxValue): DataFrame = {
     // the N×K assignment and the Σ|cluster|² pair scan each evaluate one
     // dot per row — the codegen long_dot kernel, not the interpreted
     // aggregate(zip_with(...)) fold, is what keeps the stage's cost in
     // the arithmetic instead of lambda dispatch (identical BIGINT math,
     // so oracles written against the builtin form are unaffected)
     graft.functions.GraftExtensions.registerInto(base.sparkSession)
+    require(maxCluster > 0, s"maxCluster must be positive, got $maxCluster")
     val cents = base.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
     val simToCent =
       expr("long_dot(q, cq)")
         .cast("double") / sqrt(col("nn").cast("double") * col("cn").cast("double"))
-    val assigned = base.join(broadcast(cents))
+    val assigned0 = base.join(broadcast(cents))
       .withColumn("sim", simToCent)
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("cid"), col("sim")),
         struct(col("sim"), -col("cid"))).as("b"))
       .select(col("vec_id"), col("b.cid").as("list_id"),
         floor(col("b.sim") * lit(1000000) + lit(0.5)).cast("long").as("cqc"))
+    // Oversized-cluster guard: stride-sampled centroids carry no balance
+    // promise, and ONE mega-cluster makes the pair scan quadratic in its
+    // size (the LSH-bucket failure mode in embedding space). With a
+    // finite maxCluster, clusters above it sub-split deterministically
+    // by vec_id hash into ceil(size / maxCluster) buckets and the pair
+    // scan keys on (cluster, bucket) — work bounded at ~size·maxCluster
+    // per hot cluster. The trade is SemDeDup's own: duplicates
+    // straddling sub-buckets go uncompared, exactly as the paper
+    // accepts across k-means cells (production raises K first; the
+    // guard is the backstop against adversarial concentration). Off by
+    // default — the plan (and d13's oracle) is byte-identical when
+    // maxCluster is unset.
+    val assigned =
+      if (maxCluster == Int.MaxValue) assigned0
+      else assigned0
+        .withColumn("csz",
+          count(lit(1)).over(Window.partitionBy(col("list_id"))))
+        .withColumn("sub",
+          pmod(xxhash64(col("vec_id")),
+            expr(s"(csz + ${maxCluster - 1}) div $maxCluster")))
+        .drop("csz")
     val members = SharedFrame(base.join(assigned, "vec_id"), membersName, cacheKey)
-    val m2 = members.select(col("list_id").as("l2"), col("vec_id").as("id2"),
-      col("q").as("q2"), col("nn").as("n2"), col("cqc").as("p2"))
+    val subCond =
+      if (maxCluster == Int.MaxValue) lit(true)
+      else col("sub") === col("sub2")
+    val m2 = {
+      val sel = Seq(col("list_id").as("l2"), col("vec_id").as("id2"),
+        col("q").as("q2"), col("nn").as("n2"), col("cqc").as("p2")) ++
+        (if (maxCluster == Int.MaxValue) Nil else Seq(col("sub").as("sub2")))
+      members.select(sel: _*)
+    }
     val dropped = members
-      .join(m2, col("list_id") === col("l2") && col("vec_id") =!= col("id2"))
+      .join(m2, col("list_id") === col("l2") && col("vec_id") =!= col("id2")
+        && subCond)
       .withColumn("dot", expr("long_dot(q, q2)"))
       .withColumn("cos",
         col("dot").cast("double") /
@@ -1580,8 +1619,11 @@ object PipelineOps {
     // mix-up, signed/unsigned confusion, or sample-order bug all surface
     // as hash mismatches. WAV PCM is uncompressed (~1.06 bytes/sample),
     // so unlike the PNG family there is no Deflate cost to amortize and
-    // no reusable reader object in the javax.sound API — the batching
-    // lever is the mapPartitions fan-out itself.
+    // no reusable reader object in the javax.sound API — and the decode
+    // fan-out does NOT parallelize either: getAudioInputStream's
+    // synchronized provider registry serializes concurrent decoders
+    // (measured on wavPayloads — see its scaladoc), so the payload
+    // frame deliberately keeps the single-split layout.
     QueryDef(
       "m5_audio_features",
       (s, d) => {

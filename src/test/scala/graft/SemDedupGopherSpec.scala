@@ -63,6 +63,34 @@ class SemDedupGopherSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_.getLong(0)).distinct.length == out.length)
   }
 
+  test("d13 guard: an oversized cluster sub-splits deterministically; recall is per bucket") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    // 24 identical vectors, one cluster (centroid = vec 0): the
+    // mega-cluster shape where the pair scan is quadratic in cluster
+    // size. Unguarded -> one survivor (the whole clique collapses).
+    val base = (0L until 24L).map(i => (i, Seq(1000L, 0L))).toDF("vec_id", "q")
+      .withColumn("nn",
+        expr("aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+    val unguarded = graft.operators.PipelineOps
+      .semDedup(base, 50L, 0.3, "guard_off", "t")
+      .collect().map(_.getLong(0)).toSet
+    assert(unguarded == Set(0L))
+    // maxCluster = 8 -> ceil(24/8) = 3 hash buckets; pairs only form
+    // inside a bucket, so the survivors are exactly the per-bucket
+    // minimum ids (all cqc tie at 1e6) — the bounded-recall trade the
+    // guard documents
+    val guarded = graft.operators.PipelineOps
+      .semDedup(base, 50L, 0.3, "guard_on", "t", maxCluster = 8)
+      .collect().map(_.getLong(0)).toSet
+    val buckets = spark.range(24)
+      .selectExpr("id", "pmod(xxhash64(id), 3L) AS b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = buckets.groupBy(_._2).map(_._2.map(_._1).min).toSet
+    assert(guarded == expected, s"got $guarded expected $expected")
+    assert(guarded.size > 1 && guarded.size <= 3)
+  }
+
   test("t12: every Gopher rule trips on its planted document") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_t12").toString
