@@ -3328,6 +3328,142 @@ object PipelineOps {
              |SELECT label, n_before, n_kept, mean_cos_kept, min_cos_kept
              |FROM agg JOIN nb USING (label)
              |ORDER BY label""".stripMargin),
-      doc = "pipeline composite: embedding curation funnel — SemDeDup prune then per-label cohesion re-measured on the survivors (n_before/n_kept funnel counts, quantized-exact mean/min cosine)")
+      doc = "pipeline composite: embedding curation funnel — SemDeDup prune then per-label cohesion re-measured on the survivors (n_before/n_kept funnel counts, quantized-exact mean/min cosine)"),
+
+    // T14: hashed linear quality classifier — the fastText-style model
+    // filter every modern curation stack applies at scale (CCNet's
+    // wiki-vs-crawl classifier, DCLM-Baseline's fastText filter,
+    // FineWeb-Edu's educational scorer; all public literature). The
+    // trained model ships as PARAMETERS, not code, so the engine-side
+    // operator is: hash each token into a bounded feature space, look up
+    // the feature's weight, sum, threshold. Here the weight table is a
+    // deterministic stand-in (a Knuth-multiplicative map of the feature
+    // id onto [-1001, 1001]) — the plumbing, hashing, and exact
+    // arithmetic are the operator; swapping in real fastText weights is
+    // a broadcast lookup-table change. Scale shape: the weight lies in
+    // CLOSED FORM over the feature id, so the whole classifier is ONE
+    // map-side projection — zero shuffles, zero joins, whole-stage
+    // codegen over builtin higher-order functions; a billion documents
+    // classify embarrassingly parallel. Exactness: feature id = first 8
+    // hex chars of md5(token) (portable across engines), all weight
+    // arithmetic int64; the per-token score double is a single exact
+    // long/long division.
+    QueryDef(
+      "t14_quality_classifier",
+      (s, d) => {
+        val D = 4096L // hashed feature space (fastText's bucket trick)
+        val W = 2003L // weight modulus (prime): weights in [-1001, 1001]
+        T.documents(s, d)
+          .select(col("doc_id"),
+            filter(split(lower(col("text")), " "), x => x =!= "").as("ts"))
+          .withColumn("n_toks", size(col("ts")).cast("long"))
+          .withColumn("logit", expr(
+            s"""aggregate(
+               |  transform(ts, t ->
+               |    (CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) % ${D}L
+               |       * 2654435761L + 40503L) % ${W}L - ${(W - 1) / 2}L),
+               |  0L, (acc, x) -> acc + x)""".stripMargin))
+          .withColumn("score",
+            when(col("n_toks") > 0,
+              col("logit").cast("double") / col("n_toks"))
+              .otherwise(lit(0.0)))
+          .withColumn("keep_flag",
+            when(col("logit") >= 0, 1).otherwise(0))
+          .select(col("doc_id"), col("n_toks"), col("logit"), col("score"),
+            col("keep_flag"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(str_split(lower(text), ' '), x -> x <> '') AS ts
+             |  FROM documents),
+             |l AS (
+             |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_toks,
+             |    list_reduce(
+             |      list_prepend(CAST(0 AS BIGINT), list_transform(ts, t ->
+             |        ((CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 4096)
+             |           * 2654435761 + 40503) % 2003 - 1001)),
+             |      (a, b) -> a + b) AS logit
+             |  FROM t)
+             |SELECT doc_id, n_toks, logit,
+             |  CASE WHEN n_toks > 0 THEN logit::DOUBLE / n_toks ELSE 0.0 END
+             |    AS score,
+             |  CASE WHEN logit >= 0 THEN 1 ELSE 0 END AS keep_flag
+             |FROM l ORDER BY doc_id""".stripMargin),
+      doc = "pipeline/text: hashed linear quality classifier (fastText/DCLM/FineWeb-Edu shape) — md5-bucketed token features, int64 weight lookup in closed form, map-side logit + threshold, zero shuffles"),
+
+    // D14: DSIR data selection (Xie et al. 2023, arXiv:2302.03169,
+    // public literature) — importance resampling selects raw-corpus
+    // documents whose hashed-feature distribution looks like a TARGET
+    // domain: weight(x) = log p_target(x) - log p_raw(x) under two
+    // bag-of-ngrams unigram LMs. Target here = the `src0` slice (the
+    // stand-in for "formal text"/wikipedia in the paper); candidates =
+    // everything else. Exactness: per-token log-probabilities use t11's
+    // integer BIT LENGTH surprisal (bits(T div cnt), DuckDB
+    // length(bin(·))) with Laplace (+1, +V) smoothing so unseen-in-
+    // target tokens stay finite — the score is a pure int64 sum of
+    // (bits_raw - bits_target) over token positions, no transcendental
+    // ever crosses the oracle boundary. Scale shape: ONE token-keyed
+    // shuffle derives BOTH LMs (conditional sums over the same vocab
+    // agg), one join back (heavy-hitter tokens are AQE/salting
+    // territory, t11's note), one doc-keyed aggregate; the top-k select
+    // is Spark's TakeOrderedAndProject — per-partition heaps, never a
+    // global sort.
+    QueryDef(
+      "d14_dsir_select",
+      (s, d) => {
+        val toks = T.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(filter(split(lower(col("text")), " "), x => x =!= ""))
+              .as("tok"))
+        val vocab = toks.groupBy(col("tok")).agg(
+          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("cnt_t"),
+          sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("cnt_r"))
+        val tot = vocab.agg(sum(col("cnt_t")).as("tt"),
+          sum(col("cnt_r")).as("tr"), count(lit(1)).as("v"))
+        val delta = vocab.crossJoin(broadcast(tot))
+          .withColumn("bits_t",
+            length(conv(expr("(tt + v) div (cnt_t + 1)"), 10, 2)).cast("long"))
+          .withColumn("bits_r",
+            length(conv(expr("(tr + v) div (cnt_r + 1)"), 10, 2)).cast("long"))
+          .select(col("tok"), (col("bits_r") - col("bits_t")).as("delta"))
+        toks.filter(col("source") =!= "src0")
+          .join(delta, Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_toks"), sum(col("delta")).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(100)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source,
+             |    unnest(list_filter(str_split(lower(text), ' '), x -> x <> ''))
+             |      AS tok
+             |  FROM documents),
+             |v AS (
+             |  SELECT tok,
+             |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS cnt_t,
+             |    CAST(sum(CASE WHEN source != 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS cnt_r
+             |  FROM toks GROUP BY tok),
+             |tot AS (
+             |  SELECT CAST(sum(cnt_t) AS BIGINT) AS tt,
+             |         CAST(sum(cnt_r) AS BIGINT) AS tr,
+             |         CAST(count(*) AS BIGINT) AS v
+             |  FROM v),
+             |delta AS (
+             |  SELECT tok,
+             |    CAST(length(bin((tr + v) // (cnt_r + 1))) AS BIGINT)
+             |      - CAST(length(bin((tt + v) // (cnt_t + 1))) AS BIGINT)
+             |      AS delta
+             |  FROM v CROSS JOIN tot)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+             |       CAST(sum(delta) AS BIGINT) AS score
+             |FROM toks JOIN delta USING (tok)
+             |WHERE source != 'src0'
+             |GROUP BY doc_id
+             |ORDER BY score DESC, doc_id ASC
+             |LIMIT 100""".stripMargin),
+      doc = "pipeline/dedup-select: DSIR importance selection — bit-length unigram LM ratio between a target domain (src0) and the raw corpus, Laplace-smoothed exact int64 scores, top-k via per-partition heaps")
   )
 }

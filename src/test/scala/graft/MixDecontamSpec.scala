@@ -240,6 +240,71 @@ class MixDecontamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == expected)
   }
 
+  test("t14: classifier logit matches an independent MessageDigest re-derivation") {
+    // Re-derive the hashed-feature weight with java.security.MessageDigest
+    // (independent of Spark's md5 expression) and the same int64 chain.
+    def wt(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 4096L *
+        2654435761L + 40503L) % 2003L - 1001L
+    }
+    val texts = Seq(
+      (1L, "alpha beta gamma", "en"),
+      (2L, "the quick brown fox jumps", "en"),
+      (3L, "", "en")) // empty text: n_toks 0, logit 0, score 0.0
+    val dir = writeDocs(texts, "t14")
+
+    val out = SparkEntry.queries("t14_quality_classifier")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    val exp = texts.map { case (id, text, _) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val logit = toks.map(wt).sum
+      (id, toks.length.toLong, logit,
+        if (toks.nonEmpty) logit.toDouble / toks.length else 0.0,
+        if (logit >= 0) 1 else 0)
+    }
+    assert(out.toSeq == exp)
+    // the planted corpus must exercise both sides of the threshold
+    assert(exp.map(_._5).toSet == Set(0, 1))
+  }
+
+  test("d14: DSIR scores rank the target-like candidate first, exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d14").toString
+    val rows = Seq(
+      // the target domain (src0): apple/banana/cherry language
+      (100L, "apple banana apple cherry", "src0"),
+      (101L, "banana cherry apple", "src0"),
+      // candidates: 1 speaks pure target vocab, 2 pure foreign, 3 mixed
+      (1L, "apple banana cherry", "src1"),
+      (2L, "dog cat mouse", "src1"),
+      (3L, "apple dog", "src2"))
+    rows.toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+
+    // independent re-derivation: Laplace-smoothed bit-length surprisals
+    def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    val all = rows.flatMap { case (id, t, s) =>
+      t.split(" ").filter(_.nonEmpty).map(tok => (id, s, tok)) }
+    val vocab = all.map(_._3).distinct
+    val cntT = vocab.map(t => t -> all.count(r => r._2 == "src0" && r._3 == t)).toMap
+    val cntR = vocab.map(t => t -> all.count(r => r._2 != "src0" && r._3 == t)).toMap
+    val (tt, tr, v) = (cntT.values.sum.toLong, cntR.values.sum.toLong, vocab.size.toLong)
+    def delta(tok: String): Long =
+      bits((tr + v) / (cntR(tok) + 1)) - bits((tt + v) / (cntT(tok) + 1))
+    val exp = all.filter(_._2 != "src0").groupBy(_._1)
+      .map { case (id, rs) => (id, rs.size.toLong, rs.map(r => delta(r._3)).sum) }
+      .toSeq.sortBy { case (id, _, sc) => (-sc, id) }
+
+    val out = SparkEntry.queries("d14_dsir_select")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == exp)
+    // the pure-target candidate outranks the pure-foreign one
+    val byId = out.map(r => r._1 -> r._3).toMap
+    assert(byId(1L) > byId(2L))
+  }
+
   test("ShardSink: written shards match the portable hash and round-trip") {
     import spark.implicits._
     import graft.operators.ShardSink

@@ -64,6 +64,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t6_stratified_sample",   // broadcast 1-row quota scalar
     "t10_temperature_mix",    // broadcast 1-row (N, W) weight-total scalar
     "t11_unigram_surprisal",  // broadcast 1-row corpus-token-total scalar
+    "d14_dsir_select",        // broadcast 1-row LM-total scalar (t11's shape)
     "x2_rgp_mine", "x3_anchor_phylo", "x4_core_genes", // broadcast scalars
     "x8_training_mix",        // broadcast quota/funnel 1-row scalars
     "x9_curriculum_mix")      // broadcast token-total/weight/funnel scalars
@@ -86,6 +87,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t6_stratified_sample",   // 1-row min-count quota scalar
     "t10_temperature_mix",    // 1-row (N, W) weight-total scalar
     "t11_unigram_surprisal",  // 1-row corpus-token-total scalar
+    "d14_dsir_select",        // 1-row LM-total scalar (t11's shape)
     "t13_vocab_coverage",     // vocab-domain ranking window (c1/c2 precedent)
     "x2_rgp_mine", "x3_anchor_phylo", "x4_core_genes",
     "x8_training_mix",        // 1-row quota + funnel-count scalars
@@ -154,6 +156,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t6_stratified_sample",                   // lang-domain counts + 1-row quota
     "t10_temperature_mix",                    // lang-domain targets + 1-row totals
     "t11_unigram_surprisal",                  // 1-row corpus-token total
+    "d14_dsir_select",                        // 1-row LM-total scalar
     "x9_curriculum_mix",                      // lang targets + 1-row totals
     "x1_genome_track",                        // per-event-type counts
     "x2_rgp_mine", "x3_anchor_phylo",         // type-pair anchors + 1-row scalars
