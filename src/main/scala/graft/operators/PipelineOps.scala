@@ -3464,6 +3464,173 @@ object PipelineOps {
              |GROUP BY doc_id
              |ORDER BY score DESC, doc_id ASC
              |LIMIT 100""".stripMargin),
-      doc = "pipeline/dedup-select: DSIR importance selection — bit-length unigram LM ratio between a target domain (src0) and the raw corpus, Laplace-smoothed exact int64 scores, top-k via per-partition heaps")
+      doc = "pipeline/dedup-select: DSIR importance selection — bit-length unigram LM ratio between a target domain (src0) and the raw corpus, Laplace-smoothed exact int64 scores, top-k via per-partition heaps"),
+
+    // X11: RAG indexing + retrieval as ONE declarative plan — the
+    // composite a retrieval corpus build runs end-to-end: t8's
+    // sliding-window chunking (64/48) → deterministic hashed
+    // bag-of-words chunk embeddings (16 exact-int64 dims; a real
+    // pipeline swaps in a model encoder at ingest and STORES the
+    // vectors — the embedding here is the portable stand-in, md5
+    // feature ids + closed-form projection weights, the corpus
+    // rehearsal's trick made oracle-expressible) → d7's IVF machinery
+    // (deterministic stride-sampled centroids, nearest-list
+    // assignment, nprobe=1 probe) → exact-cosine top-3 per query.
+    // Queries = the head chunk of each eval-slice doc (doc_id%10==7,
+    // d10's held-out convention). Scale shape: chunking + embedding
+    // are pure map-side fan-out (zero shuffles, whole-stage codegen
+    // higher-order functions — the md5 runs ONCE per token, the 16
+    // dims reuse the feature id); assignment is O(N·K) with K CAPPED
+    // via the d7 footer-stride rule and centroids broadcast;
+    // candidates flow through a list-keyed shuffle join bounded by
+    // N/K per list; the per-query top-3 window sees one list's
+    // candidates only. Exactness: every dot is BIGINT (coords ≤
+    // 64·1001, dots ≤ 6.6e10 ≪ 2^63), cosines are identical doubles
+    // (d6's rule), ranks break ties on (cos DESC, doc, chunk).
+    QueryDef(
+      "x11_rag_retrieval",
+      (s, d) => {
+        // chunk + embed: one scan, zero shuffles. Feature id = md5
+        // 32-bit prefix folded to < 1e6+3 so every weight product stays
+        // < 2^63 in BOTH engines (DuckDB errors on overflow, Spark
+        // wraps — keeping the domain small sidesteps the divergence).
+        val chunked = T.documents(s, d)
+          .select(col("doc_id"),
+            filter(split(lower(col("text")), " "), x => x =!= "").as("ts"))
+          .withColumn("n", size(col("ts")).cast("long"))
+          .filter(col("n") > 0)
+          .withColumn("chunk_idx",
+            explode(sequence(lit(0L),
+              expr("(greatest(n - 64, 0) + 47) div 48"))))
+          .withColumn("ctoks", expr("slice(ts, chunk_idx * 48 + 1, 64)"))
+          .withColumn("fids", expr(
+            "transform(ctoks, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) % 1000003L)"))
+          .withColumn("q", expr(
+            """transform(sequence(0, 15), j ->
+              |  aggregate(fids, 0L, (acc, f) ->
+              |    acc + (f * 2654435761L + j * 97003999L) % 2003L - 1001L))""".stripMargin))
+          .withColumn("nn",
+            expr("aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+          .filter(col("nn") > 0)
+          .select(col("doc_id"), col("chunk_idx"), col("q"), col("nn"))
+        val base = SharedFrame(chunked, "x11_chunks", d)
+        val corpus = base.filter(col("doc_id") % 10 =!= 7)
+        val queries = base.filter(col("doc_id") % 10 === 7 && col("chunk_idx") === 0)
+          .select(col("doc_id").as("qdoc"), col("q").as("qq"), col("nn").as("qn"))
+        // K capped exactly like d7: the stride widens beyond the test
+        // SFs (footer/2048 < 25 there, so the oracle's literal 25 holds)
+        val stride = math.max(25L, T.footerRowCount(s, d, "documents") / 2048L)
+        val cents = corpus
+          .filter((col("doc_id") * 31 + col("chunk_idx")) % stride === 0)
+          .select(col("doc_id").as("c_doc"), col("chunk_idx").as("c_chunk"),
+            col("q").as("cq"), col("nn").as("cn"))
+        val simToCent =
+          expr("aggregate(zip_with(q, cq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+            .cast("double") / sqrt(col("nn").cast("double") * col("cn").cast("double"))
+        val assigned = corpus.join(broadcast(cents))
+          .withColumn("sim", simToCent)
+          .groupBy(col("doc_id"), col("chunk_idx"))
+          .agg(max_by(struct(col("c_doc"), col("c_chunk")),
+            struct(col("sim"), -col("c_doc"), -col("c_chunk"))).as("lst"))
+          .select(col("doc_id"), col("chunk_idx"),
+            col("lst.c_doc").as("l_doc"), col("lst.c_chunk").as("l_chunk"))
+        val listed = base.join(assigned, Seq("doc_id", "chunk_idx"))
+        val qSimToCent =
+          expr("aggregate(zip_with(qq, cq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+            .cast("double") / sqrt(col("qn").cast("double") * col("cn").cast("double"))
+        val probes = queries.join(broadcast(cents))
+          .withColumn("sim", qSimToCent)
+          .groupBy(col("qdoc"))
+          .agg(max_by(struct(col("c_doc"), col("c_chunk")),
+            struct(col("sim"), -col("c_doc"), -col("c_chunk"))).as("lst"),
+            first(col("qq")).as("qq"), first(col("qn")).as("qn"))
+          .select(col("qdoc"), col("qq"), col("qn"),
+            col("lst.c_doc").as("l_doc"), col("lst.c_chunk").as("l_chunk"))
+        probes.join(listed, Seq("l_doc", "l_chunk"))
+          .withColumn("dot",
+            expr("aggregate(zip_with(q, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+          .withColumn("cos",
+            col("dot").cast("double") /
+              sqrt(col("qn").cast("double") * col("nn").cast("double")))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("qdoc"))
+              .orderBy(col("cos").desc, col("doc_id"), col("chunk_idx"))))
+          .filter(col("rk") <= 3)
+          .select(col("qdoc"), col("rk").cast("int").as("rk"),
+            col("doc_id").as("r_doc"), col("chunk_idx").as("r_chunk"),
+            col("cos"))
+          .orderBy(col("qdoc"), col("rk"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(str_split(lower(text), ' '), x -> x <> '') AS ts
+             |  FROM documents),
+             |ch AS (
+             |  SELECT doc_id, ci AS chunk_idx,
+             |         ts[ci * 48 + 1 : ci * 48 + 64] AS ctoks
+             |  FROM (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n,
+             |               unnest(range(0, ((greatest(n - 64, 0) + 47) // 48) + 1))
+             |                 AS ci
+             |        FROM t WHERE len(ts) > 0)),
+             |emb AS (
+             |  SELECT doc_id, chunk_idx,
+             |    [list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |       list_transform(ctoks, tk ->
+             |         ((CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) % 1000003)
+             |            * 2654435761 + j * 97003999) % 2003 - 1001)),
+             |       (a, b) -> a + b)
+             |     FOR j IN range(0, 16)] AS q
+             |  FROM ch),
+             |base AS (
+             |  SELECT * FROM (
+             |    SELECT doc_id, chunk_idx, q,
+             |      list_reduce([q[i] * q[i] FOR i IN range(1, len(q) + 1)],
+             |                  (a, b) -> a + b) AS nn
+             |    FROM emb) WHERE nn > 0),
+             |corpus AS (SELECT * FROM base WHERE doc_id % 10 != 7),
+             |queries AS (
+             |  SELECT doc_id AS qdoc, q AS qq, nn AS qn
+             |  FROM base WHERE doc_id % 10 = 7 AND chunk_idx = 0),
+             |cents AS (
+             |  SELECT doc_id AS c_doc, chunk_idx AS c_chunk, q AS cq, nn AS cn
+             |  FROM corpus WHERE (doc_id * 31 + chunk_idx) % 25 = 0),
+             |asim AS (
+             |  SELECT v.doc_id, v.chunk_idx, c.c_doc, c.c_chunk,
+             |    list_reduce([v.q[i] * c.cq[i] FOR i IN range(1, len(v.q) + 1)],
+             |                (a, b) -> a + b)::DOUBLE
+             |      / sqrt(v.nn::DOUBLE * c.cn::DOUBLE) AS sim
+             |  FROM corpus v CROSS JOIN cents c),
+             |assigned AS (
+             |  SELECT doc_id, chunk_idx, c_doc AS l_doc, c_chunk AS l_chunk FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY doc_id, chunk_idx
+             |      ORDER BY sim DESC, c_doc ASC, c_chunk ASC) AS rn
+             |    FROM asim) WHERE rn = 1),
+             |listed AS (
+             |  SELECT b.doc_id, b.chunk_idx, b.q, b.nn, a.l_doc, a.l_chunk
+             |  FROM base b JOIN assigned a USING (doc_id, chunk_idx)),
+             |qsim AS (
+             |  SELECT p.qdoc, p.qq, p.qn, c.c_doc, c.c_chunk,
+             |    list_reduce([p.qq[i] * c.cq[i] FOR i IN range(1, len(p.qq) + 1)],
+             |                (a, b) -> a + b)::DOUBLE
+             |      / sqrt(p.qn::DOUBLE * c.cn::DOUBLE) AS sim
+             |  FROM queries p CROSS JOIN cents c),
+             |probes AS (
+             |  SELECT qdoc, qq, qn, c_doc AS l_doc, c_chunk AS l_chunk FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY qdoc
+             |      ORDER BY sim DESC, c_doc ASC, c_chunk ASC) AS rn
+             |    FROM qsim) WHERE rn = 1),
+             |scored AS (
+             |  SELECT p.qdoc, l.doc_id AS r_doc, l.chunk_idx AS r_chunk,
+             |    list_reduce([l.q[i] * p.qq[i] FOR i IN range(1, len(l.q) + 1)],
+             |                (a, b) -> a + b)::DOUBLE
+             |      / sqrt(p.qn::DOUBLE * l.nn::DOUBLE) AS cos
+             |  FROM probes p
+             |  JOIN listed l ON l.l_doc = p.l_doc AND l.l_chunk = p.l_chunk)
+             |SELECT qdoc, rk::INT AS rk, r_doc, r_chunk, cos FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY qdoc
+             |    ORDER BY cos DESC, r_doc ASC, r_chunk ASC) AS rk
+             |  FROM scored) WHERE rk <= 3
+             |ORDER BY qdoc, rk""".stripMargin),
+      doc = "pipeline composite: RAG retrieval — sliding-window chunking, hashed bag-of-words chunk embeddings, IVF centroid assignment (d7's machinery), exact-cosine top-3 per eval-slice query")
   )
 }

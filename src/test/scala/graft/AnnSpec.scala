@@ -86,4 +86,42 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(out(i.toLong) == (i.toLong, 0), s"singleton $i must map to itself")
     }
   }
+
+  test("x11: an exact-copy chunk retrieves at rank 1 with cosine exactly 1.0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_x11").toString
+    // One centroid only (doc 50 chunk 0: 50*31 % 25 == 0; the other ids
+    // miss the stride), so every corpus chunk lands in ONE list and the
+    // nprobe=1 recall caveat can't hide the planted neighbours. Doc 1
+    // copies the query doc 7's head token-for-token -> identical hashed
+    // bag-of-words embedding -> cos == 1.0 EXACTLY (dot == nn and
+    // sqrt(nn^2) is exact for integer nn). Doc 9 is the query repeated
+    // 16 times plus one extra token (65 toks -> TWO chunks through the
+    // slice fan-out): its head chunk is exactly 16x the query vector, so
+    // its cosine is ALSO exactly 1.0 — rank 2 then proves the
+    // deterministic (cos DESC, doc ASC) tie-break, not float luck.
+    val repeated = Seq.fill(16)("alpha beta gamma delta").mkString(" ")
+    Seq(
+      (1L, "alpha beta gamma delta", "en", "src1"),
+      (2L, "totally different words here now", "en", "src1"),
+      (9L, s"$repeated alpha", "en", "src1"), // 65 toks, 2 chunks
+      (50L, "common filler tokens appear", "en", "src2"),
+      (7L, "alpha beta gamma delta", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val out = SparkEntry.queries("x11_rag_retrieval")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("qdoc"), r.getAs[Int]("rk"),
+        r.getAs[Long]("r_doc"), r.getAs[Long]("r_chunk"), r.getAs[Double]("cos")))
+    assert(out.nonEmpty)
+    // 5 corpus chunks total: docs 1, 2, 50 (one each) + doc 9 (two)
+    assert(out.count(_._1 == 7L) == 3)
+    val top = out.filter(r => r._1 == 7L && r._2 == 1).head
+    assert(top._3 == 1L && top._4 == 0L, s"expected doc 1 chunk 0 first, got $top")
+    assert(top._5 == 1.0, s"exact-copy cosine must be exactly 1.0, got ${top._5}")
+    val second = out.filter(r => r._1 == 7L && r._2 == 2).head
+    assert(second._3 == 9L && second._4 == 0L,
+      s"expected the scaled-copy chunk second by doc-id tie-break, got $second")
+    assert(second._5 == 1.0, s"scaled-copy cosine must be exactly 1.0, got ${second._5}")
+  }
 }

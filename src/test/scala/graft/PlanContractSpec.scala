@@ -59,6 +59,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d5_cosine_topk", "d5b_cosine_topk_agg",     // broadcast query vectors
     "d7_ann_ivf",             // broadcast sampled centroids
     "d13_semdedup",           // broadcast sampled centroids (d7's frame)
+    "x11_rag_retrieval",      // broadcast sampled chunk centroids (d7's shape)
     "x10_embedding_curation", // semDedup's broadcast centroids inside
     "j15_cross_pairs",        // the operator IS the cross product (bounded)
     "t6_stratified_sample",   // broadcast 1-row quota scalar
@@ -149,6 +150,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d5_cosine_topk", "d5b_cosine_topk_agg",  // 10 query vectors
     "d7_ann_ivf",                             // centroids capped ~4096
     "d13_semdedup",                           // centroids capped ~4096 (d7's cap)
+    "x11_rag_retrieval",                      // chunk centroids capped ~2048
     "x10_embedding_curation",                 // label-domain centroid/count frames
     "j16_point_lookup",                       // literal key list
     "j1_broadcast_inner", "j7_explode_join", "j8_star_join", // closed dims
