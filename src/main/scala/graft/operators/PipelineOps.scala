@@ -106,6 +106,62 @@ object PipelineOps {
     wavPayloads(s, d).count(): Unit
   }
 
+  /** d15/x12's shared BM25 scored frame: (qdoc, doc_id, score_q) with
+    * score_q the 1e-6 fixed-pointed BM25 sum (exact int64 — see the d15
+    * QueryDef comment for the rational rewrite). SharedFrame'd so the
+    * lexical leg of the hybrid composite reuses the postings work.
+    */
+  private def bm25Scores(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val toks = T.documents(s, d)
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), " "), x => x =!= ""))
+          .as("term"))
+    val train = toks.filter(col("doc_id") % 10 =!= 7)
+    val tf = train.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = train.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tot = dl.agg(sum(col("dl")).as("big_l"), count(lit(1)).as("nd"))
+    val qterms = toks.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id").as("qdoc"), col("term")).distinct()
+    val postings = tf.join(dl, "doc_id").join(df, "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("idf",
+        length(conv(expr("nd div df"), 10, 2)).cast("long"))
+      .withColumn("contrib", floor(
+        expr("CAST(idf * tf * 44 * big_l AS DOUBLE) / " +
+          "(20 * big_l * tf + 6 * big_l + 18 * dl * nd)") *
+          lit(1000000) + lit(0.5)).cast("long"))
+      .select(col("term"), col("doc_id"), col("contrib"))
+    SharedFrame(
+      qterms.join(postings, Seq("term"))
+        .groupBy(col("qdoc"), col("doc_id"))
+        .agg(sum(col("contrib")).as("score_q")),
+      "d15_scores", d)
+  }
+
+  /** x12's doc-level hashed bag-of-words embedding: (doc_id, q, nn) with
+    * x11's exact-int64 16-dim projection applied to the WHOLE document
+    * (no chunking — the fusion composite ranks documents). Map-side only.
+    */
+  private def docEmbed(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    SharedFrame(
+      T.documents(s, d)
+        .select(col("doc_id"),
+          filter(split(lower(col("text")), " "), x => x =!= "").as("ts"))
+        .filter(size(col("ts")) > 0)
+        .withColumn("fids", expr(
+          "transform(ts, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) % 1000003L)"))
+        .withColumn("q", expr(
+          """transform(sequence(0, 15), j ->
+            |  aggregate(fids, 0L, (acc, f) ->
+            |    acc + (f * 2654435761L + j * 97003999L) % 2003L - 1001L))""".stripMargin))
+        .withColumn("nn",
+          expr("aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        .filter(col("nn") > 0)
+        .select(col("doc_id"), col("q"), col("nn")),
+      "x12_docemb", d)
+
   /** The x6/x6b shared quality + language gate — t2's exact quality
     * arithmetic and t1's language argmax, verbatim (the oracles mirror
     * those queries' SQL). SharedFrame'd: within each composite it feeds
@@ -3631,6 +3687,217 @@ object PipelineOps {
              |    ORDER BY cos DESC, r_doc ASC, r_chunk ASC) AS rk
              |  FROM scored) WHERE rk <= 3
              |ORDER BY qdoc, rk""".stripMargin),
-      doc = "pipeline composite: RAG retrieval — sliding-window chunking, hashed bag-of-words chunk embeddings, IVF centroid assignment (d7's machinery), exact-cosine top-3 per eval-slice query")
+      doc = "pipeline composite: RAG retrieval — sliding-window chunking, hashed bag-of-words chunk embeddings, IVF centroid assignment (d7's machinery), exact-cosine top-3 per eval-slice query"),
+
+    // D15: BM25 top-k — the lexical-retrieval baseline every RAG/hybrid
+    // stack runs next to its dense index (Robertson & Zaragoza 2009,
+    // public literature; k1 = 1.2, b = 0.75). Exactness across the
+    // oracle boundary: IDF uses t11's integer BIT-LENGTH surprisal
+    // (bits(N div df) — floor-log2 resolution, monotone in rarity, zero
+    // transcendentals), and the per-term contribution is the exact
+    // rational idf·tf·(k1+1)/D rewritten over the common denominator
+    //   D = tf + k1(1-b) + k1·b·dl·Nd/L
+    //     = (20·L·tf + 6·L + 18·dl·Nd) / (20·L)
+    // so contribution = idf·tf·44·L / (20·L·tf + 6·L + 18·dl·Nd) — ONE
+    // int64/int64 double division per (term, doc), fixed-pointed at 1e-6
+    // BEFORE the per-doc sum (d12's rule: never aggregate raw doubles).
+    // Magnitudes: numerators stay < 2^63 up to L ≈ 1e14 corpus tokens;
+    // beyond that the same rational moves to grouped decimals. Scale
+    // shape: ONE term-keyed shuffle builds tf/df (the inverted index IS
+    // the postings aggregate), the 1-row (L, Nd) scalar broadcasts,
+    // query terms join the postings term-keyed (stop-word-grade hot
+    // terms are the documented skew spot — production prunes postings
+    // via WAND/block-max; AQE/salting absorb them here), and the
+    // per-query top-5 is a bounded window per qdoc.
+    QueryDef(
+      "d15_bm25_topk",
+      (s, d) =>
+        bm25Scores(s, d)
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("qdoc"))
+              .orderBy(col("score_q").desc, col("doc_id"))))
+          .filter(col("rk") <= 5)
+          .select(col("qdoc"), col("rk").cast("int").as("rk"),
+            col("doc_id").as("r_doc"),
+            (col("score_q").cast("double") / lit(1000000)).as("bm25"))
+          .orderBy(col("qdoc"), col("rk")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(str_split(lower(text), ' '), x -> x <> ''))
+             |      AS term
+             |  FROM documents),
+             |train AS (SELECT * FROM toks WHERE doc_id % 10 != 7),
+             |tf AS (
+             |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |  FROM train GROUP BY doc_id, term),
+             |dl AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+             |  FROM train GROUP BY doc_id),
+             |df AS (
+             |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+             |tot AS (
+             |  SELECT CAST(sum(dl) AS BIGINT) AS big_l,
+             |         CAST(count(*) AS BIGINT) AS nd
+             |  FROM dl),
+             |qterms AS (
+             |  SELECT DISTINCT doc_id AS qdoc, term FROM toks WHERE doc_id % 10 = 7),
+             |post AS (
+             |  SELECT tf.term, tf.doc_id,
+             |    CAST(floor(
+             |      CAST(CAST(length(bin(nd // df)) AS BIGINT)
+             |             * tf * 44 * big_l AS DOUBLE)
+             |        / (20 * big_l * tf + 6 * big_l + 18 * dl * nd)
+             |      * 1000000 + 0.5) AS BIGINT) AS contrib
+             |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term)
+             |  CROSS JOIN tot),
+             |sc AS (
+             |  SELECT q.qdoc, p.doc_id, CAST(sum(p.contrib) AS BIGINT) AS score_q
+             |  FROM qterms q JOIN post p USING (term)
+             |  GROUP BY q.qdoc, p.doc_id)
+             |SELECT qdoc, rk::INT AS rk, doc_id AS r_doc,
+             |       score_q::DOUBLE / 1000000 AS bm25
+             |FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY qdoc
+             |    ORDER BY score_q DESC, doc_id ASC) AS rk
+             |  FROM sc) WHERE rk <= 5
+             |ORDER BY qdoc, rk""".stripMargin),
+      doc = "pipeline/retrieval: BM25 top-5 per eval-slice query — bit-length IDF, exact-rational term contributions fixed-pointed before the sum, term-keyed postings join"),
+
+    // X12: hybrid retrieval — reciprocal-rank fusion of the lexical
+    // (d15 BM25) and dense (hashed doc embedding) rankings, the modern
+    // RAG default (Cormack et al. 2009's RRF; every production hybrid
+    // search ships this shape). RRF is EXACT here: contribution
+    // 1000000 div (60 + rank) is pure integer division (k = 60, the
+    // paper's constant), so the fused score is an int64 sum — no
+    // float-ordering hazard crosses the oracle boundary. Scale shape:
+    // the lexical leg rides d15's SharedFrame'd postings scores; the
+    // dense leg broadcasts the BOUNDED query side against the corpus
+    // embeddings (d5's brute-force posture — swap in x11's IVF when the
+    // query side grows); the full-outer fusion join keys on
+    // (qdoc, doc) — both sides are top-5-bounded, ≤ 10 rows per query.
+    QueryDef(
+      "x12_hybrid_retrieval",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val lex = bm25Scores(s, d)
+          .withColumn("rk", row_number().over(W.partitionBy(col("qdoc"))
+            .orderBy(col("score_q").desc, col("doc_id"))))
+          .filter(col("rk") <= 5)
+          .select(col("qdoc"), col("doc_id"), col("rk").as("lex_rk"))
+        val emb = docEmbed(s, d)
+        val queries = emb.filter(col("doc_id") % 10 === 7)
+          .select(col("doc_id").as("qdoc"), col("q").as("qq"), col("nn").as("qn"))
+        val dense = emb.filter(col("doc_id") % 10 =!= 7)
+          .join(broadcast(queries))
+          .withColumn("dot",
+            expr("aggregate(zip_with(q, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+          .withColumn("cos",
+            col("dot").cast("double") /
+              sqrt(col("qn").cast("double") * col("nn").cast("double")))
+          .withColumn("rk", row_number().over(W.partitionBy(col("qdoc"))
+            .orderBy(col("cos").desc, col("doc_id"))))
+          .filter(col("rk") <= 5)
+          .select(col("qdoc"), col("doc_id"), col("rk").as("dense_rk"))
+        lex.join(dense, Seq("qdoc", "doc_id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(expr("1000000 div (60 + lex_rk)"), lit(0L)) +
+              coalesce(expr("1000000 div (60 + dense_rk)"), lit(0L)))
+          .withColumn("rk", row_number().over(W.partitionBy(col("qdoc"))
+            .orderBy(col("rrf").desc, col("doc_id"))))
+          .filter(col("rk") <= 5)
+          .select(col("qdoc"), col("rk").cast("int").as("rk"),
+            col("doc_id").as("r_doc"), col("rrf"),
+            coalesce(col("lex_rk"), lit(0)).cast("int").as("lex_rk"),
+            coalesce(col("dense_rk"), lit(0)).cast("int").as("dense_rk"))
+          .orderBy(col("qdoc"), col("rk"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(str_split(lower(text), ' '), x -> x <> ''))
+             |      AS term
+             |  FROM documents),
+             |train AS (SELECT * FROM toks WHERE doc_id % 10 != 7),
+             |tf AS (
+             |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |  FROM train GROUP BY doc_id, term),
+             |dl AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+             |  FROM train GROUP BY doc_id),
+             |df AS (
+             |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+             |tot AS (
+             |  SELECT CAST(sum(dl) AS BIGINT) AS big_l,
+             |         CAST(count(*) AS BIGINT) AS nd
+             |  FROM dl),
+             |qterms AS (
+             |  SELECT DISTINCT doc_id AS qdoc, term FROM toks WHERE doc_id % 10 = 7),
+             |post AS (
+             |  SELECT tf.term, tf.doc_id,
+             |    CAST(floor(
+             |      CAST(CAST(length(bin(nd // df)) AS BIGINT)
+             |             * tf * 44 * big_l AS DOUBLE)
+             |        / (20 * big_l * tf + 6 * big_l + 18 * dl * nd)
+             |      * 1000000 + 0.5) AS BIGINT) AS contrib
+             |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term)
+             |  CROSS JOIN tot),
+             |sc AS (
+             |  SELECT q.qdoc, p.doc_id, CAST(sum(p.contrib) AS BIGINT) AS score_q
+             |  FROM qterms q JOIN post p USING (term)
+             |  GROUP BY q.qdoc, p.doc_id),
+             |lex AS (
+             |  SELECT qdoc, doc_id, rk AS lex_rk FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY qdoc
+             |      ORDER BY score_q DESC, doc_id ASC) AS rk
+             |    FROM sc) WHERE rk <= 5),
+             |dts AS (
+             |  SELECT doc_id,
+             |         list_filter(str_split(lower(text), ' '), x -> x <> '') AS ts
+             |  FROM documents),
+             |emb AS (
+             |  SELECT doc_id,
+             |    [list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |       list_transform(ts, tk ->
+             |         ((CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) % 1000003)
+             |            * 2654435761 + j * 97003999) % 2003 - 1001)),
+             |       (a, b) -> a + b)
+             |     FOR j IN range(0, 16)] AS q
+             |  FROM dts WHERE len(ts) > 0),
+             |base AS (
+             |  SELECT * FROM (
+             |    SELECT doc_id, q,
+             |      list_reduce([q[i] * q[i] FOR i IN range(1, len(q) + 1)],
+             |                  (a, b) -> a + b) AS nn
+             |    FROM emb) WHERE nn > 0),
+             |queries AS (
+             |  SELECT doc_id AS qdoc, q AS qq, nn AS qn
+             |  FROM base WHERE doc_id % 10 = 7),
+             |dense AS (
+             |  SELECT qdoc, doc_id, rk AS dense_rk FROM (
+             |    SELECT p.qdoc, v.doc_id,
+             |      row_number() OVER (PARTITION BY p.qdoc ORDER BY
+             |        (list_reduce([v.q[i] * p.qq[i] FOR i IN range(1, len(v.q) + 1)],
+             |                     (a, b) -> a + b)::DOUBLE
+             |           / sqrt(p.qn::DOUBLE * v.nn::DOUBLE)) DESC,
+             |        v.doc_id ASC) AS rk
+             |    FROM base v CROSS JOIN queries p
+             |    WHERE v.doc_id % 10 != 7) WHERE rk <= 5),
+             |fused AS (
+             |  SELECT coalesce(l.qdoc, de.qdoc) AS qdoc,
+             |         coalesce(l.doc_id, de.doc_id) AS doc_id,
+             |    CAST(coalesce(1000000 // (60 + l.lex_rk), 0)
+             |           + coalesce(1000000 // (60 + de.dense_rk), 0) AS BIGINT)
+             |      AS rrf,
+             |    coalesce(l.lex_rk, 0) AS lex_rk,
+             |    coalesce(de.dense_rk, 0) AS dense_rk
+             |  FROM lex l FULL OUTER JOIN dense de
+             |    ON l.qdoc = de.qdoc AND l.doc_id = de.doc_id)
+             |SELECT qdoc, rk::INT AS rk, doc_id AS r_doc, rrf,
+             |       lex_rk::INT AS lex_rk, dense_rk::INT AS dense_rk
+             |FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY qdoc
+             |    ORDER BY rrf DESC, doc_id ASC) AS rk
+             |  FROM fused) WHERE rk <= 5
+             |ORDER BY qdoc, rk""".stripMargin),
+      doc = "pipeline composite: hybrid retrieval — reciprocal-rank fusion (k=60, integer-exact) of BM25 top-5 (d15's shared postings scores) and dense-cosine top-5 (doc-level hashed embeddings, bounded broadcast query side)")
   )
 }

@@ -66,6 +66,8 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t10_temperature_mix",    // broadcast 1-row (N, W) weight-total scalar
     "t11_unigram_surprisal",  // broadcast 1-row corpus-token-total scalar
     "d14_dsir_select",        // broadcast 1-row LM-total scalar (t11's shape)
+    "d15_bm25_topk",          // broadcast 1-row (L, Nd) corpus-stats scalar
+    "x12_hybrid_retrieval",   // d15's scalar + bounded broadcast query side (d5's shape)
     "x2_rgp_mine", "x3_anchor_phylo", "x4_core_genes", // broadcast scalars
     "x8_training_mix",        // broadcast quota/funnel 1-row scalars
     "x9_curriculum_mix")      // broadcast token-total/weight/funnel scalars
@@ -89,6 +91,8 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t10_temperature_mix",    // 1-row (N, W) weight-total scalar
     "t11_unigram_surprisal",  // 1-row corpus-token-total scalar
     "d14_dsir_select",        // 1-row LM-total scalar (t11's shape)
+    "d15_bm25_topk",          // 1-row (L, Nd) corpus-stats scalar
+    "x12_hybrid_retrieval",   // 1-row corpus-stats scalar (d15's frame)
     "t13_vocab_coverage",     // vocab-domain ranking window (c1/c2 precedent)
     "x2_rgp_mine", "x3_anchor_phylo", "x4_core_genes",
     "x8_training_mix",        // 1-row quota + funnel-count scalars
@@ -159,6 +163,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t10_temperature_mix",                    // lang-domain targets + 1-row totals
     "t11_unigram_surprisal",                  // 1-row corpus-token total
     "d14_dsir_select",                        // 1-row LM-total scalar
+    "x12_hybrid_retrieval",                   // bounded query-side broadcast
     "x9_curriculum_mix",                      // lang targets + 1-row totals
     "x1_genome_track",                        // per-event-type counts
     "x2_rgp_mine", "x3_anchor_phylo",         // type-pair anchors + 1-row scalars

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** d15_bm25_topk / x12_hybrid_retrieval over a planted corpus, checked
+  * against a COMPLETE independent re-derivation in plain Scala (MessageDigest
+  * md5, integer bit-lengths, IEEE doubles) — the same double-entry pattern as
+  * MixDecontamSpec's d14 test. The planted corpus makes the retrieval laws
+  * visible: a rare shared term outranks common ones (IDF), and the hybrid
+  * fusion surfaces a dense-only neighbour the lexical leg can't see.
+  */
+class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // train docs 1-3, eval docs 7 and 17 (doc_id % 10 == 7)
+  private val corpus = Seq(
+    (1L, "zebra common common common"),
+    (2L, "apple common words here"),
+    (3L, "common words other things"),
+    (7L, "zebra apple apple"),
+    (17L, "common"))
+
+  private def writeCorpus(tag: String): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    corpus.map { case (id, t) => (id, t, "en", s"src$id") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def toks(t: String): Seq[String] =
+    t.split(" ").filter(_.nonEmpty).toSeq
+
+  private def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+
+  /** Independent BM25: (qdoc, doc, fixed-point score). */
+  private def bm25(): Map[(Long, Long), Long] = {
+    val train = corpus.filter(_._1 % 10 != 7)
+    val tf = train.flatMap { case (id, t) => toks(t).map(id -> _) }
+      .groupBy(identity).map { case ((id, tm), g) => (id, tm, g.size.toLong) }
+    val dl = train.map { case (id, t) => id -> toks(t).size.toLong }.toMap
+    val df = tf.groupBy(_._2).map { case (tm, g) => tm -> g.size.toLong }
+    val bigL = dl.values.sum
+    val nd = dl.size.toLong
+    val out = for {
+      (qid, qt) <- corpus.filter(_._1 % 10 == 7)
+      term <- toks(qt).distinct
+      (did, tm, f) <- tf if tm == term
+    } yield {
+      val idf = bits(nd / df(term))
+      val contrib = math.floor(
+        (idf * f * 44L * bigL).toDouble /
+          (20L * bigL * f + 6L * bigL + 18L * dl(did) * nd) * 1000000 + 0.5).toLong
+      ((qid, did), contrib)
+    }
+    out.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+  }
+
+  /** Independent doc embedding: x11/x12's md5 projection. */
+  private def embed(t: String): Array[Long] = {
+    def fid(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1000003L
+    }
+    val fids = toks(t).map(fid)
+    Array.tabulate(16) { j =>
+      fids.map(f => (f * 2654435761L + j * 97003999L) % 2003L - 1001L).sum
+    }
+  }
+
+  test("d15: BM25 output equals the independent re-derivation; rare term ranks first") {
+    val dir = writeCorpus("d15")
+    val out = SparkEntry.queries("d15_bm25_topk")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("qdoc"), r.getAs[Int]("rk"),
+        r.getAs[Long]("r_doc"), r.getAs[Double]("bm25")))
+
+    val exp = bm25().toSeq
+      .groupBy(_._1._1)
+      .flatMap { case (q, rows) =>
+        rows.sortBy { case ((_, did), sc) => (-sc, did) }.take(5).zipWithIndex
+          .map { case (((_, did), sc), i) => (q, i + 1, did, sc.toDouble / 1000000) }
+      }.toSeq.sortBy(r => (r._1, r._2))
+    assert(out.toSeq == exp)
+
+    // the IDF law: for query 7 the zebra doc (rare term) outranks the
+    // apple doc even though doc 2 is shorter
+    val q7 = out.filter(_._1 == 7L)
+    assert(q7.head._3 == 1L, s"zebra doc must rank first for q7: ${q7.toSeq}")
+    // query 17's only term is corpus-wide: idf = bits(3 div 3) = 1 for
+    // every candidate; all three train docs still score (recall floor)
+    assert(out.count(_._1 == 17L) == 3)
+  }
+
+  test("x12: RRF fusion equals the integer law and surfaces a dense-only doc") {
+    val dir = writeCorpus("x12")
+    val out = SparkEntry.queries("x12_hybrid_retrieval")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("qdoc"), r.getAs[Int]("rk"), r.getAs[Long]("r_doc"),
+        r.getAs[Long]("rrf"), r.getAs[Int]("lex_rk"), r.getAs[Int]("dense_rk")))
+
+    // independent legs
+    val lexRank: Map[(Long, Long), Int] = bm25().toSeq.groupBy(_._1._1)
+      .flatMap { case (q, rows) =>
+        rows.sortBy { case ((_, did), sc) => (-sc, did) }.take(5).zipWithIndex
+          .map { case (((_, did), _), i) => (q, did) -> (i + 1) }
+      }
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = a.map(x => x * x).sum
+      val nb = b.map(x => x * x).sum
+      dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+    }
+    val embs = corpus.map { case (id, t) => id -> embed(t) }.toMap
+    val denseRank: Map[(Long, Long), Int] = corpus.filter(_._1 % 10 == 7)
+      .flatMap { case (q, _) =>
+        corpus.filter(_._1 % 10 != 7)
+          .map { case (did, _) => (did, cos(embs(q), embs(did))) }
+          .sortBy { case (did, c) => (-c, did) }.take(5).zipWithIndex
+          .map { case ((did, _), i) => (q, did) -> (i + 1) }
+      }.toMap
+    val allPairs = (lexRank.keySet ++ denseRank.keySet).toSeq
+    val exp = allPairs.map { case (q, did) =>
+      val l = lexRank.getOrElse((q, did), 0)
+      val de = denseRank.getOrElse((q, did), 0)
+      val rrf = (if (l > 0) 1000000L / (60 + l) else 0L) +
+        (if (de > 0) 1000000L / (60 + de) else 0L)
+      (q, did, rrf, l, de)
+    }.groupBy(_._1).flatMap { case (q, rows) =>
+      rows.sortBy { case (_, did, rrf, _, _) => (-rrf, did) }.take(5).zipWithIndex
+        .map { case ((_, did, rrf, l, de), i) => (q, i + 1, did, rrf, l, de) }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    assert(out.toSeq == exp)
+
+    // the fusion law the composite exists for: doc 3 shares no term with
+    // query 7 (invisible to BM25) but is still dense-ranked — it must
+    // appear in q7's fused list with lex_rk = 0 and dense_rk > 0
+    val d3 = out.find(r => r._1 == 7L && r._3 == 3L)
+    assert(d3.isDefined, s"dense-only doc 3 missing from fusion: ${out.toSeq}")
+    assert(d3.get._5 == 0 && d3.get._6 > 0)
+  }
+}
