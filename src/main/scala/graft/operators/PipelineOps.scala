@@ -106,6 +106,37 @@ object PipelineOps {
     wavPayloads(s, d).count(): Unit
   }
 
+  /** t14's hashed-linear-classifier columns (n_toks, logit, score,
+    * keep_flag) appended to any frame carrying (doc_id, text). Stateless
+    * per-row projection — the same expressions gate a live stream
+    * ([[graft.streaming.StreamingJobs.streamingClassifierGate]]), the
+    * gopherFlags precedent. The weight table is a closed-form
+    * deterministic stand-in for shipped fastText parameters (see the
+    * t14 QueryDef comment); swapping real weights in means broadcasting
+    * a (feature id -> weight) lookup frame instead of inlining the map.
+    */
+  def classifierScore(docs: DataFrame): DataFrame = {
+    val D = 4096L // hashed feature space (fastText's bucket trick)
+    val W = 2003L // weight modulus (prime): weights in [-1001, 1001]
+    docs
+      .withColumn("__cts",
+        filter(split(lower(col("text")), " "), x => x =!= ""))
+      .withColumn("n_toks", size(col("__cts")).cast("long"))
+      .withColumn("logit", expr(
+        s"""aggregate(
+           |  transform(__cts, t ->
+           |    (CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) % ${D}L
+           |       * 2654435761L + 40503L) % ${W}L - ${(W - 1) / 2}L),
+           |  0L, (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("score",
+        when(col("n_toks") > 0,
+          col("logit").cast("double") / col("n_toks"))
+          .otherwise(lit(0.0)))
+      .withColumn("keep_flag",
+        when(col("logit") >= 0, 1).otherwise(0))
+      .drop("__cts")
+  }
+
   /** d15/x12's shared BM25 scored frame: (qdoc, doc_id, score_q) with
     * score_q the 1e-6 fixed-pointed BM25 sum (exact int64 — see the d15
     * QueryDef comment for the rational rewrite). SharedFrame'd so the
@@ -3406,29 +3437,11 @@ object PipelineOps {
     // long/long division.
     QueryDef(
       "t14_quality_classifier",
-      (s, d) => {
-        val D = 4096L // hashed feature space (fastText's bucket trick)
-        val W = 2003L // weight modulus (prime): weights in [-1001, 1001]
-        T.documents(s, d)
-          .select(col("doc_id"),
-            filter(split(lower(col("text")), " "), x => x =!= "").as("ts"))
-          .withColumn("n_toks", size(col("ts")).cast("long"))
-          .withColumn("logit", expr(
-            s"""aggregate(
-               |  transform(ts, t ->
-               |    (CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) % ${D}L
-               |       * 2654435761L + 40503L) % ${W}L - ${(W - 1) / 2}L),
-               |  0L, (acc, x) -> acc + x)""".stripMargin))
-          .withColumn("score",
-            when(col("n_toks") > 0,
-              col("logit").cast("double") / col("n_toks"))
-              .otherwise(lit(0.0)))
-          .withColumn("keep_flag",
-            when(col("logit") >= 0, 1).otherwise(0))
+      (s, d) =>
+        classifierScore(T.documents(s, d))
           .select(col("doc_id"), col("n_toks"), col("logit"), col("score"),
             col("keep_flag"))
-          .orderBy(col("doc_id"))
-      },
+          .orderBy(col("doc_id")),
       Some("""WITH t AS (
              |  SELECT doc_id,
              |         list_filter(str_split(lower(text), ' '), x -> x <> '') AS ts

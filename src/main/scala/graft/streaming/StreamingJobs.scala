@@ -124,6 +124,18 @@ object StreamingJobs {
     graft.operators.PipelineOps.gopherFlags(docs, minStop)
       .filter(col("pass") === 1)
 
+  /** t14's hashed linear classifier as a stateless ingest gate — like
+    * [[streamingQualityGate]], a pure select + filter inside whole-stage
+    * codegen (no foreachBatch, no state store): the logit is a per-row
+    * closed form, so the SAME expressions that batch-score the corpus
+    * gate a live stream. `minLogit` is the operating point a curator
+    * picks from the batch score distribution (t14's default keep rule
+    * is logit >= 0).
+    */
+  def streamingClassifierGate(docs: DataFrame, minLogit: Long = 0L): DataFrame =
+    graft.operators.PipelineOps.classifierScore(docs)
+      .filter(col("logit") >= minLogit)
+
   /** The static eval digest frame for [[streamingDecontaminate]]: the
     * distinct 6-gram digests of the benchmark documents. Persist (or
     * write once and re-read) before starting the stream so every batch

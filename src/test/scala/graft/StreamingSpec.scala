@@ -334,4 +334,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 4L), s"rule violators 2 and 3 must be dropped: $kept")
   }
+
+  test("classifier gate drops negative-logit docs across micro-batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // independent weight re-derivation (MessageDigest, MixDecontamSpec's
+    // t14 helper) picks one positive- and one negative-weight token, so
+    // the planted stream provably exercises both sides of the threshold
+    def wt(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 4096L *
+        2654435761L + 40503L) % 2003L - 1001L
+    }
+    val toks = (0 until 100).map(i => s"tok$i")
+    val pos = toks.find(wt(_) > 0).get
+    val neg = toks.find(wt(_) < 0).get
+
+    val input = MemoryStream[(Long, String)]
+    val gated = StreamingJobs.streamingClassifierGate(
+      input.toDF().toDF("doc_id", "text"))
+    val q = gated.select("doc_id").writeStream.format("memory")
+      .queryName("clf_out").outputMode("append").start()
+    input.addData((1L, s"$pos $pos"), (2L, s"$neg $neg"))
+    q.processAllAvailable()
+    input.addData((3L, s"$pos $neg $pos"), (4L, neg))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.sql("select doc_id from clf_out")
+      .collect().map(_.getLong(0)).toSet
+    val exp = Map(
+      1L -> (2 * wt(pos)), 2L -> (2 * wt(neg)),
+      3L -> (2 * wt(pos) + wt(neg)), 4L -> wt(neg))
+      .collect { case (id, logit) if logit >= 0 => id }.toSet
+    assert(kept == exp, s"expected $exp, got $kept")
+    assert(kept.contains(1L) && !kept.contains(2L) && !kept.contains(4L))
+  }
 }
