@@ -357,6 +357,124 @@ object CorpusRehearsal {
       put("max_mix_shard_docs", r.getLong(2)); put("mix_tokens", r.getLong(3))
     }
 
+    // T14: the hashed linear classifier over the canonical survivors —
+    // ZERO shuffles: one scan, md5 feature hashing + the codegen weight
+    // fold per row, a scalar rollup. The stage measures what the
+    // model-filter costs at corpus scale when the weights are in closed
+    // form (a real fastText table adds a broadcast lookup, same shape).
+    stage("classifier_gate") {
+      val r = graft.operators.PipelineOps.classifierScore(
+          docs.join(canonical.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+        .agg(count(lit(1)), sum(col("keep_flag").cast("long")),
+          min(col("logit")), max(col("logit")))
+        .collect()(0)
+      put("n_clf_docs", r.getLong(0)); put("n_clf_kept", r.getLong(1))
+      put("min_clf_logit", r.getLong(2)); put("max_clf_logit", r.getLong(3))
+    }
+
+    // D14: DSIR importance selection with the eval slice as the target
+    // domain (select the candidates that LOOK like the benchmark
+    // domain): one token-keyed shuffle derives BOTH Laplace-smoothed
+    // LMs, one join back, one doc-keyed fold, then a TakeOrdered top-k.
+    // The planted eval-gram law (id ≡ 9 mod 53 copies an eval doc's
+    // 10-token prefix) gives the gram sharers real target tokens, so
+    // their bit-score delta is structurally higher — pinned below.
+    stage("dsir_select") {
+      val cand = docs
+        .join(canonical.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .filter(!isEval)
+        .select(col("doc_id"), explode(toks).as("tok"), lit(0L).as("ev"))
+      val tgt = docs.filter(isEval)
+        .select(col("doc_id"), explode(toks).as("tok"), lit(1L).as("ev"))
+      val all = cand.unionByName(tgt)
+      val vocab = all.groupBy(col("tok")).agg(
+        sum(col("ev")).as("cnt_t"), sum(lit(1L) - col("ev")).as("cnt_r"))
+      val tot = vocab.agg(sum(col("cnt_t")).as("tt"),
+        sum(col("cnt_r")).as("tr"), count(lit(1)).as("v"))
+      val delta = vocab.crossJoin(broadcast(tot))
+        .withColumn("bits_t",
+          length(conv(expr("(tt + v) div (cnt_t + 1)"), 10, 2)).cast("long"))
+        .withColumn("bits_r",
+          length(conv(expr("(tr + v) div (cnt_r + 1)"), 10, 2)).cast("long"))
+        .select(col("tok"), (col("bits_r") - col("bits_t")).as("delta"))
+      val k = math.max(100L, nDocs / 50L)
+      // LENGTH-NORMALIZED score (fixed-point mean delta, (Σ·1e6) div n):
+      // the raw sum is dominated by document length on a near-uniform
+      // vocabulary, and the per-token mean is the ratio DSIR actually
+      // estimates. Two deterministic reads are pinned: (a) the top-k
+      // selection itself — on this generator it surfaces the rarest RAW
+      // language (the -log p_raw channel dominates when the target LM is
+      // thin: textbook DSIR with a weak target), and (b) the planted
+      // eval-gram sharers' cross-multiplied mean-score enrichment, which
+      // proves the log p_target channel moves the score even where it
+      // can't win the top-k.
+      val scored = all.filter(col("ev") === 0)
+        .join(delta, Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(expr("sum(delta) * 1000000L div count(1)").as("score"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val r = scored
+        .orderBy(col("score").desc, col("doc_id")).limit(k.toInt)
+        .agg(count(lit(1)), min(col("score")), max(col("score")),
+          sum(when(col("doc_id") % 53 === 9, 1L).otherwise(0L)))
+        .collect()(0)
+      val e = scored.agg(
+        sum(col("score")), count(lit(1)),
+        sum(when(col("doc_id") % 53 === 9, col("score")).otherwise(0L)),
+        sum(when(col("doc_id") % 53 === 9, 1L).otherwise(0L)))
+        .collect()(0)
+      scored.unpersist(blocking = true): Unit
+      put("n_dsir_selected", r.getLong(0))
+      put("min_dsir_score", r.getLong(1)); put("max_dsir_score", r.getLong(2))
+      put("n_dsir_gram_sharers", r.getLong(3))
+      put("sum_dsir_all_score", e.getLong(0)); put("n_dsir_cand", e.getLong(1))
+      put("sum_dsir_sharer_score", e.getLong(2))
+      put("n_dsir_sharers_pool", e.getLong(3))
+    }
+
+    // D15: BM25 retrieval at corpus scale — queries = the first eval
+    // docs (bounded workload), corpus = the canonical non-eval
+    // survivors. One term-keyed shuffle builds tf/df/dl; the qterms ×
+    // postings join is the candidate generator (its fan-out is the
+    // per-term posting length — the near-uniform synthetic vocabulary
+    // makes every posting ~N/|V|, the WAND-free worst case, which is
+    // exactly what the stage should time).
+    stage("bm25_retrieve") {
+      val train = docs
+        .join(canonical.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .filter(!isEval)
+        .select(col("doc_id"), explode(toks).as("term"))
+      val tf = train.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = train.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val tot = dl.agg(sum(col("dl")).as("big_l"), count(lit(1)).as("nd"))
+      val qterms = docs.filter(isEval && col("doc_id") < 20000)
+        .select(col("doc_id").as("qdoc"), explode(toks).as("term")).distinct()
+      val post = tf.join(dl, "doc_id").join(dfr, "term")
+        .crossJoin(broadcast(tot))
+        .withColumn("idf", length(conv(expr("nd div df"), 10, 2)).cast("long"))
+        .withColumn("contrib", floor(
+          expr("CAST(idf * tf * 44 * big_l AS DOUBLE) / " +
+            "(20 * big_l * tf + 6 * big_l + 18 * dl * nd)") *
+            lit(1000000) + lit(0.5)).cast("long"))
+        .select(col("term"), col("doc_id"), col("contrib"))
+      val top = qterms.join(post, Seq("term"))
+        .groupBy(col("qdoc"), col("doc_id"))
+        .agg(sum(col("contrib")).as("score"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qdoc"))
+            .orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rk") <= 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val r = top.agg(count(lit(1)), countDistinct(col("qdoc")),
+        sum(when(col("rk") === 1, col("score"))),
+        max(col("score"))).collect()(0)
+      top.unpersist(blocking = true): Unit
+      put("n_bm25_hits", r.getLong(0)); put("n_bm25_queries", r.getLong(1))
+      put("sum_bm25_top1", r.getLong(2)); put("max_bm25_score", r.getLong(3))
+    }
+
     (timings.toSeq, stats.toSeq)
   }
 

@@ -42,7 +42,8 @@ class CorpusRehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val m = stats.toMap.view.mapValues(_.toLong).toMap
     assert(timings.map(_._1) == Seq("materialize", "text_metrics",
       "exact_dedup", "minhash_neardup", "semantic_dedup", "dup_spans",
-      "decontaminate", "mix_shard", "surprisal_band", "temperature_mix"))
+      "decontaminate", "mix_shard", "surprisal_band", "temperature_mix",
+      "classifier_gate", "dsir_select", "bm25_retrieve"))
     assert(m("n_docs") == 2000 && m("n_tokens") > 0 && m("n_chunks") >= 2000)
     assert(m("n_exact_copies") > 0)
     assert(m("n_exact_groups") == m("n_docs") - m("n_exact_copies"))
@@ -77,6 +78,31 @@ class CorpusRehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m("n_mix_dropped") > 0, s"no downsample: ${m("n_mix_dropped")}")
     assert(m("max_mix_shard_docs") <= 2 * m("min_mix_shard_docs"),
       s"mix shards unbalanced: ${m("min_mix_shard_docs")}..${m("max_mix_shard_docs")}")
+    // classifier gate covers every canonical survivor; near-uniform
+    // hashed weights mean BOTH sides of the threshold are populated
+    assert(m("n_clf_docs") == m("n_exact_groups"))
+    assert(m("n_clf_kept") > 0 && m("n_clf_kept") < m("n_clf_docs"),
+      s"classifier degenerate: ${m("n_clf_kept")}/${m("n_clf_docs")}")
+    assert(m("min_clf_logit") < 0 && m("max_clf_logit") > 0)
+    // DSIR: the top-k is k = max(100, n/50) = 100; the planted eval-gram
+    // sharers (id ≡ 9 mod 53) carry 10 guaranteed target tokens, so
+    // their MEAN score must exceed the candidate-pool mean (exact
+    // cross-multiplied comparison — the top-k itself is dominated by
+    // the rarest raw language, the -log p_raw channel, so membership
+    // there is not the right pin)
+    assert(m("n_dsir_selected") == 100)
+    assert(m("min_dsir_score") <= m("max_dsir_score"))
+    assert(m("n_dsir_sharers_pool") > 0)
+    assert(m("sum_dsir_sharer_score") * m("n_dsir_cand") >
+      m("sum_dsir_all_score") * m("n_dsir_sharers_pool"),
+      s"sharers not enriched: ${m("sum_dsir_sharer_score")}/${m("n_dsir_sharers_pool")}" +
+        s" vs ${m("sum_dsir_all_score")}/${m("n_dsir_cand")}")
+    // BM25: every bounded query retrieves a full top-5 (the corpus is
+    // far larger than 5 docs and every query shares vocabulary)
+    assert(m("n_bm25_queries") > 0)
+    assert(m("n_bm25_hits") == 5 * m("n_bm25_queries"),
+      s"bm25 hits: ${m("n_bm25_hits")} for ${m("n_bm25_queries")} queries")
+    assert(m("sum_bm25_top1") > 0 && m("max_bm25_score") > 0)
     graft.operators.Scratch.deleteRecursively(new java.io.File(dir))
   }
 
