@@ -436,4 +436,41 @@ object StreamingJobs {
           edges.iterator
       }
   }
+
+  case class PackDoc(doc_id: Long, n_toks: Long)
+  case class PackedDoc(doc_id: Long, shard_id: Int, tok_offset: Long, pack_id: Long)
+  case class PackOffset(nextOffset: Long)
+
+  /** t9's sequence packing at ingest time: docs are hash-dealt to shards
+    * (ShardSink's portable hash) and each shard's running token offset
+    * lives in GROUP STATE, so offsets continue seamlessly across
+    * micro-batches — the stateful contrast to the stateless gates
+    * (classifier/quality), and the streaming twin of
+    * [[graft.operators.ShardSink.writePackedSequences]]. Within a batch
+    * a shard's arrivals are packed in doc_id order (sorted below — the
+    * batch path's law); ACROSS batches the order is arrival order, which
+    * is the inherent semantics of incremental packing (a re-run of the
+    * same batch sequence lands identically; a different batch split
+    * packs differently, exactly like any append-only tokenizer feed).
+    */
+  def streamingSequencePack(docs: Dataset[PackDoc], nShards: Int = 16,
+      packTokens: Long = 256L): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    val P = 1000000007L
+    docs
+      .groupByKey(d => (((d.doc_id % P) * 2654435761L + 2246822519L) % P
+        % nShards).toInt)
+      .flatMapGroupsWithState[PackOffset, PackedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard: Int, rows: Iterator[PackDoc], state: GroupState[PackOffset]) =>
+          var off = state.getOption.map(_.nextOffset).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            val r = PackedDoc(d.doc_id, shard, off, off / packTokens)
+            off += d.n_toks
+            r
+          }
+          state.update(PackOffset(off))
+          out.iterator
+      }
+  }
 }

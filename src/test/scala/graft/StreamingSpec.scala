@@ -370,4 +370,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == exp, s"expected $exp, got $kept")
     assert(kept.contains(1L) && !kept.contains(2L) && !kept.contains(4L))
   }
+
+  test("streaming sequence pack: offsets continue across micro-batches per shard") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.ShardSink
+    val input = MemoryStream[(Long, Long)]
+    val packed = StreamingJobs.streamingSequencePack(
+      input.toDS().map { case (id, n) => StreamingJobs.PackDoc(id, n) },
+      nShards = 2, packTokens = 100L)
+    val q = packed.writeStream.format("memory")
+      .queryName("pack_out").outputMode("append").start()
+    val batches = Seq(
+      Seq((1L, 60L), (2L, 50L), (3L, 70L), (4L, 40L)),
+      Seq((5L, 80L), (6L, 30L), (7L, 90L)))
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val rows = spark.sql("select * from pack_out")
+      .as[StreamingJobs.PackedDoc].collect().toSet
+
+    // independent replay: per-shard running offsets survive the batch
+    // boundary; within a batch a shard packs in doc_id order
+    def shardOf(id: Long): Int = (ShardSink.sampleHash(id) % 2).toInt
+    val off = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+    val exp = batches.flatMap { b =>
+      b.groupBy { case (id, _) => shardOf(id) }.toSeq.flatMap { case (s, ds) =>
+        ds.sortBy(_._1).map { case (id, n) =>
+          val o = off(s); off(s) = o + n
+          StreamingJobs.PackedDoc(id, s, o, o / 100L)
+        }
+      }
+    }.toSet
+    assert(rows == exp, s"expected $exp, got $rows")
+    // the law the test exists for: both shards received docs in both
+    // batches, and at least one batch-2 offset is strictly positive and
+    // continues a batch-1 prefix (state survived the boundary)
+    val b2 = exp.filter(p => p.doc_id >= 5L)
+    assert(b2.exists(_.tok_offset > 0L), s"no continued offset in $b2")
+  }
 }
