@@ -3911,6 +3911,107 @@ object PipelineOps {
              |    ORDER BY rrf DESC, doc_id ASC) AS rk
              |  FROM fused) WHERE rk <= 5
              |ORDER BY qdoc, rk""".stripMargin),
-      doc = "pipeline composite: hybrid retrieval — reciprocal-rank fusion (k=60, integer-exact) of BM25 top-5 (d15's shared postings scores) and dense-cosine top-5 (doc-level hashed embeddings, bounded broadcast query side)")
+      doc = "pipeline composite: hybrid retrieval — reciprocal-rank fusion (k=60, integer-exact) of BM25 top-5 (d15's shared postings scores) and dense-cosine top-5 (doc-level hashed embeddings, bounded broadcast query side)"),
+
+    // D16: product-quantization ANN with asymmetric-distance scoring
+    // (Jégou et al. 2011, public literature) — the MEMORY side of the
+    // ANN family: d6 buckets (hyperplane LSH), d7 prunes candidates
+    // (IVF), PQ COMPRESSES the vectors themselves. The 32-dim vector
+    // splits into m = 4 subspaces of 8 dims; each subvector is encoded
+    // as the id of its nearest subspace centroid (codebooks =
+    // deterministic stride-sampled subvectors, d7's sampling applied
+    // per subspace; production trains k-means offline), so the stored
+    // corpus is 4 small ints per vector — 32x smaller than the floats,
+    // THE enabler for RAM-resident billion-vector search. Queries score
+    // candidates by ADC: distance(query, vector) ≈ Σ_b
+    // dist(query_sub_b, codebook_b[code_b]) — the per-query lookup
+    // table is m×K integers, broadcast. Exactness: EVERYTHING is int64
+    // (quantized coords, squared L2 distances, ADC sums) — no doubles
+    // cross the oracle boundary at all, the family's strongest
+    // exactness case. Scale shape: encoding is O(N·K) with broadcast
+    // codebooks; the ADC join fans codes × bounded queries and the
+    // per-query top-5 window sees candidates only (d5's bounded-query
+    // posture; compose with d7's lists for the IVF+PQ production
+    // pairing).
+    QueryDef(
+      "d16_pq_adc",
+      (s, d) => {
+        val base = SharedFrame(
+          T.embeddings(s, d).select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))")
+              .as("q"))
+            .withColumn("nn",
+              expr("aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")),
+          "d7_base", d)
+        val stride = math.max(50L,
+          T.footerRowCount(s, d, "embeddings") / 4096L)
+        // subspace explode: (vec_id, b, s) with s = dims [b*8+1, b*8+8]
+        val subs = base.select(col("vec_id"),
+          posexplode(expr(
+            "transform(sequence(0, 3), b -> slice(q, b * 8 + 1, 8))"))
+            .as(Seq("b", "s")))
+        val cents = subs.filter(col("vec_id") % stride === 0)
+          .select(col("b"), col("vec_id").as("cid"), col("s").as("cs"))
+        val sqDist =
+          expr("aggregate(zip_with(s, cs, (a, c) -> (a - c) * (a - c)), 0L, (acc, x) -> acc + x)")
+        // encode: nearest subspace centroid per (vector, subspace)
+        val codes = subs.filter(col("vec_id") >= 10)
+          .join(broadcast(cents), Seq("b"))
+          .withColumn("dist", sqDist)
+          .groupBy(col("vec_id"), col("b"))
+          .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
+        // per-query ADC lookup table: distance to every codebook entry
+        val adc = subs.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("b"), col("s"))
+          .join(broadcast(cents), Seq("b"))
+          .withColumn("qdist", sqDist)
+          .select(col("qid"), col("b"), col("cid"), col("qdist"))
+        codes.join(broadcast(adc), Seq("b", "cid"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(sum(col("qdist")).as("adist"))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+              .orderBy(col("adist"), col("vec_id"))))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("rk").cast("int").as("rk"),
+            col("vec_id").as("eid"), col("adist"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some("""WITH base AS (
+             |  SELECT vec_id,
+             |         [floor((embedding[i] * 1000)::DOUBLE + 0.5)::BIGINT
+             |          FOR i IN range(1, len(embedding) + 1)] AS q
+             |  FROM embeddings),
+             |subs AS (
+             |  SELECT vec_id, b, q[b * 8 + 1 : b * 8 + 8] AS s
+             |  FROM base, (SELECT unnest(range(0, 4)) AS b)),
+             |cents AS (
+             |  SELECT b, vec_id AS cid, s AS cs FROM subs WHERE vec_id % 50 = 0),
+             |enc AS (
+             |  SELECT vec_id, b, cid FROM (
+             |    SELECT v.vec_id, v.b, c.cid,
+             |      row_number() OVER (PARTITION BY v.vec_id, v.b ORDER BY
+             |        list_reduce([(v.s[i] - c.cs[i]) * (v.s[i] - c.cs[i])
+             |                     FOR i IN range(1, len(v.s) + 1)],
+             |                    (a, x) -> a + x) ASC, c.cid ASC) AS rn
+             |    FROM subs v JOIN cents c USING (b)
+             |    WHERE v.vec_id >= 10) WHERE rn = 1),
+             |adc AS (
+             |  SELECT v.vec_id AS qid, v.b, c.cid,
+             |    list_reduce([(v.s[i] - c.cs[i]) * (v.s[i] - c.cs[i])
+             |                 FOR i IN range(1, len(v.s) + 1)],
+             |                (a, x) -> a + x) AS qdist
+             |  FROM subs v JOIN cents c USING (b)
+             |  WHERE v.vec_id < 10),
+             |scored AS (
+             |  SELECT a.qid, e.vec_id, CAST(sum(a.qdist) AS BIGINT) AS adist
+             |  FROM enc e JOIN adc a ON a.b = e.b AND a.cid = e.cid
+             |  GROUP BY a.qid, e.vec_id)
+             |SELECT qid, rk::INT AS rk, vec_id AS eid, adist FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY qid
+             |    ORDER BY adist ASC, vec_id ASC) AS rk
+             |  FROM scored) WHERE rk <= 5
+             |ORDER BY qid, rk""".stripMargin),
+      doc = "similarity/ann: product quantization + asymmetric-distance top-5 — 4x8-dim subspace codebooks (stride-sampled), int64-only encoding and ADC sums, broadcast per-query lookup tables")
   )
 }

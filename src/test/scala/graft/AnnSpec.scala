@@ -87,6 +87,60 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d16: PQ codes and ADC distances equal the independent re-derivation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d16").toString
+    // Quarter-integer coordinates: v * 1000 is exact in float AND double
+    // arithmetic, so the Scala re-derivation can't drift from either
+    // engine's quantization path. id 0 = the query; ids 50/100 = the
+    // stride-sampled codebook entries; id 60 copies id 50's vector
+    // (must encode identically and tie on ADC, broken by vec_id);
+    // id 11 copies the QUERY (its ADC = the quantization floor);
+    // id 12 is far away.
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(32)(i => (((seed * 31 + i * 7) % 8) - 4) * 0.25f)
+    val a = vec(1); val b = vec(2); val c = vec(5); val far = vec(3)
+    val rows = Seq(
+      (0L, a, 0), (50L, b, 0), (100L, c, 0),
+      (11L, a.clone(), 1), (60L, b.clone(), 1), (12L, far, 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+
+    // independent PQ: quantize, split 4x8, encode vs the stride-sampled
+    // codebook {0, 50, 100} — the QUERY's own vector is id 0, so it is
+    // a codebook entry too (vec_id % 50 == 0), which is what makes the
+    // query-copy candidate 11's ADC exactly zero
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x * 1000.0 + 0.5).toLong)
+    def sub(q: Array[Long], bi: Int): Array[Long] = q.slice(bi * 8, bi * 8 + 8)
+    def d2(x: Array[Long], y: Array[Long]): Long =
+      x.zip(y).map { case (p, r) => (p - r) * (p - r) }.sum
+    val cents = Seq(0L -> quant(a), 50L -> quant(b), 100L -> quant(c))
+    val cand = rows.filter(_._1 >= 10).map { case (id, v, _) => id -> quant(v) }
+    val qv = quant(a)
+    val expScored = cand.map { case (id, q) =>
+      val adist = (0 until 4).map { bi =>
+        val code = cents.map { case (cid, cq) => (d2(sub(q, bi), sub(cq, bi)), cid) }
+          .min._2
+        d2(sub(qv, bi), sub(cents.toMap.apply(code), bi))
+      }.sum
+      (id, adist)
+    }.sortBy { case (id, ad) => (ad, id) }.take(5).zipWithIndex
+      .map { case ((id, ad), i) => (0L, i + 1, id, ad) }
+
+    val out = SparkEntry.queries("d16_pq_adc")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rk"),
+        r.getAs[Long]("eid"), r.getAs[Long]("adist")))
+    assert(out.toSeq == expScored)
+    // the copy laws: the query-copy candidate 11 encodes to the query's
+    // own codebook entry -> ADC exactly 0, rank 1; 50 and 60 carry
+    // identical vectors -> equal ADC with the vec_id tie-break
+    val byId = out.map(r => r._3 -> (r._2, r._4)).toMap
+    assert(byId(11L) == ((1, 0L)), s"query copy not at zero: ${byId(11L)}")
+    assert(byId(50L)._2 == byId(60L)._2)
+    assert(byId(50L)._1 == byId(60L)._1 - 1)
+  }
+
   test("x11: an exact-copy chunk retrieves at rank 1 with cosine exactly 1.0") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_x11").toString
