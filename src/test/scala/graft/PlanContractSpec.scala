@@ -155,6 +155,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d7_ann_ivf",                             // centroids capped ~4096
     "d13_semdedup",                           // centroids capped ~4096 (d7's cap)
     "x11_rag_retrieval",                      // chunk centroids capped ~2048
+    "d16_pq_adc",                             // subspace codebooks + per-query ADC tables (both centroid-capped)
     "x10_embedding_curation",                 // label-domain centroid/count frames
     "j16_point_lookup",                       // literal key list
     "j1_broadcast_inner", "j7_explode_join", "j8_star_join", // closed dims
