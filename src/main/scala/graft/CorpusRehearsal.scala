@@ -449,7 +449,9 @@ object CorpusRehearsal {
       val dl = train.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val tot = dl.agg(sum(col("dl")).as("big_l"), count(lit(1)).as("nd"))
-      val qterms = docs.filter(isEval && col("doc_id") < 20000)
+      // first ~100 eval docs as the bounded query workload — offset past
+      // the clone block (eval ids start at hotCopies under a hot corpus)
+      val qterms = docs.filter(isEval && col("doc_id") < lit(hotCopies + 20000L))
         .select(col("doc_id").as("qdoc"), explode(toks).as("term")).distinct()
       val post = tf.join(dl, "doc_id").join(dfr, "term")
         .crossJoin(broadcast(tot))
@@ -468,8 +470,8 @@ object CorpusRehearsal {
         .filter(col("rk") <= 5)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val r = top.agg(count(lit(1)), countDistinct(col("qdoc")),
-        sum(when(col("rk") === 1, col("score"))),
-        max(col("score"))).collect()(0)
+        coalesce(sum(when(col("rk") === 1, col("score"))), lit(0L)),
+        coalesce(max(col("score")), lit(0L))).collect()(0)
       top.unpersist(blocking = true): Unit
       put("n_bm25_hits", r.getLong(0)); put("n_bm25_queries", r.getLong(1))
       put("sum_bm25_top1", r.getLong(2)); put("max_bm25_score", r.getLong(3))
