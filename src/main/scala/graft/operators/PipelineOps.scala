@@ -187,8 +187,7 @@ object PipelineOps {
           """transform(sequence(0, 15), j ->
             |  aggregate(fids, 0L, (acc, f) ->
             |    acc + (f * 2654435761L + j * 97003999L) % 2003L - 1001L))""".stripMargin))
-        .withColumn("nn",
-          expr("aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        .withColumn("nn", expr("long_dot(q, q)"))
         .filter(col("nn") > 0)
         .select(col("doc_id"), col("q"), col("nn")),
       "x12_docemb", d)
@@ -3559,6 +3558,7 @@ object PipelineOps {
     QueryDef(
       "x11_rag_retrieval",
       (s, d) => {
+        graft.functions.GraftExtensions.registerInto(s)
         // chunk + embed: one scan, zero shuffles. Feature id = md5
         // 32-bit prefix folded to < 1e6+3 so every weight product stays
         // < 2^63 in BOTH engines (DuckDB errors on overflow, Spark
@@ -3578,8 +3578,7 @@ object PipelineOps {
             """transform(sequence(0, 15), j ->
               |  aggregate(fids, 0L, (acc, f) ->
               |    acc + (f * 2654435761L + j * 97003999L) % 2003L - 1001L))""".stripMargin))
-          .withColumn("nn",
-            expr("aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+          .withColumn("nn", expr("long_dot(q, q)"))
           .filter(col("nn") > 0)
           .select(col("doc_id"), col("chunk_idx"), col("q"), col("nn"))
         val base = SharedFrame(chunked, "x11_chunks", d)
@@ -3593,8 +3592,11 @@ object PipelineOps {
           .filter((col("doc_id") * 31 + col("chunk_idx")) % stride === 0)
           .select(col("doc_id").as("c_doc"), col("chunk_idx").as("c_chunk"),
             col("q").as("cq"), col("nn").as("cn"))
+        // the N x K assignment is the query's hot loop: long_dot (the
+        // codegen kernel, identical BIGINT arithmetic to the builtin
+        // fold -- d13's proof) instead of the interpreted HOF chain
         val simToCent =
-          expr("aggregate(zip_with(q, cq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+          expr("long_dot(q, cq)")
             .cast("double") / sqrt(col("nn").cast("double") * col("cn").cast("double"))
         val assigned = corpus.join(broadcast(cents))
           .withColumn("sim", simToCent)
@@ -3605,7 +3607,7 @@ object PipelineOps {
             col("lst.c_doc").as("l_doc"), col("lst.c_chunk").as("l_chunk"))
         val listed = base.join(assigned, Seq("doc_id", "chunk_idx"))
         val qSimToCent =
-          expr("aggregate(zip_with(qq, cq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+          expr("long_dot(qq, cq)")
             .cast("double") / sqrt(col("qn").cast("double") * col("cn").cast("double"))
         val probes = queries.join(broadcast(cents))
           .withColumn("sim", qSimToCent)
@@ -3616,8 +3618,7 @@ object PipelineOps {
           .select(col("qdoc"), col("qq"), col("qn"),
             col("lst.c_doc").as("l_doc"), col("lst.c_chunk").as("l_chunk"))
         probes.join(listed, Seq("l_doc", "l_chunk"))
-          .withColumn("dot",
-            expr("aggregate(zip_with(q, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+          .withColumn("dot", expr("long_dot(q, qq)"))
           .withColumn("cos",
             col("dot").cast("double") /
               sqrt(col("qn").cast("double") * col("nn").cast("double")))
@@ -3791,26 +3792,37 @@ object PipelineOps {
     QueryDef(
       "x12_hybrid_retrieval",
       (s, d) => {
+        graft.functions.GraftExtensions.registerInto(s)
         val W = org.apache.spark.sql.expressions.Window
+        // both legs' top-5 run through the bounded-heap TopK Aggregator
+        // (d5b/d7's shape): at most 5 rows per (query, input partition)
+        // cross the shuffle instead of sorting the full candidate set
+        // per query. Tie-break (score DESC, id ASC) is TopK's contract,
+        // identical to the window formulation; score_q < 2^53 so the
+        // double cast is exact.
         val lex = bm25Scores(s, d)
-          .withColumn("rk", row_number().over(W.partitionBy(col("qdoc"))
-            .orderBy(col("score_q").desc, col("doc_id"))))
-          .filter(col("rk") <= 5)
-          .select(col("qdoc"), col("doc_id"), col("rk").as("lex_rk"))
+          .groupBy(col("qdoc"))
+          .agg(graft.functions.TopK.udaf(5)(
+            col("score_q").cast("double"), col("doc_id")).as("top"))
+          .select(col("qdoc"), posexplode(col("top")).as(Seq("rk0", "sc")))
+          .select(col("qdoc"), col("sc._2").as("doc_id"),
+            (col("rk0") + 1).cast("int").as("lex_rk"))
         val emb = docEmbed(s, d)
         val queries = emb.filter(col("doc_id") % 10 === 7)
           .select(col("doc_id").as("qdoc"), col("q").as("qq"), col("nn").as("qn"))
+        // corpus x queries is the dense leg's hot loop: the codegen
+        // long_dot kernel (identical BIGINT arithmetic, d13's proof)
         val dense = emb.filter(col("doc_id") % 10 =!= 7)
           .join(broadcast(queries))
-          .withColumn("dot",
-            expr("aggregate(zip_with(q, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+          .withColumn("dot", expr("long_dot(q, qq)"))
           .withColumn("cos",
             col("dot").cast("double") /
               sqrt(col("qn").cast("double") * col("nn").cast("double")))
-          .withColumn("rk", row_number().over(W.partitionBy(col("qdoc"))
-            .orderBy(col("cos").desc, col("doc_id"))))
-          .filter(col("rk") <= 5)
-          .select(col("qdoc"), col("doc_id"), col("rk").as("dense_rk"))
+          .groupBy(col("qdoc"))
+          .agg(graft.functions.TopK.udaf(5)(col("cos"), col("doc_id")).as("top"))
+          .select(col("qdoc"), posexplode(col("top")).as(Seq("rk0", "sc")))
+          .select(col("qdoc"), col("sc._2").as("doc_id"),
+            (col("rk0") + 1).cast("int").as("dense_rk"))
         lex.join(dense, Seq("qdoc", "doc_id"), "full_outer")
           .withColumn("rrf",
             coalesce(expr("1000000 div (60 + lex_rk)"), lit(0L)) +
