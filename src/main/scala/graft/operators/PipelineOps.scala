@@ -4024,6 +4024,74 @@ object PipelineOps {
              |    ORDER BY adist ASC, vec_id ASC) AS rk
              |  FROM scored) WHERE rk <= 5
              |ORDER BY qid, rk""".stripMargin),
-      doc = "similarity/ann: product quantization + asymmetric-distance top-5 — 4x8-dim subspace codebooks (stride-sampled), int64-only encoding and ADC sums, broadcast per-query lookup tables")
+      doc = "similarity/ann: product quantization + asymmetric-distance top-5 — 4x8-dim subspace codebooks (stride-sampled), int64-only encoding and ADC sums, broadcast per-query lookup tables"),
+
+    // T15: corpus-wide line-level deduplication WITH document
+    // reconstruction — C4's "deduplicate by line across the corpus"
+    // step (Raffel et al. 2020 §2.2, public literature): every line
+    // keeps exactly its FIRST occurrence ((doc_id, line_idx) order);
+    // later occurrences are cut out of their documents, and each doc's
+    // text is rebuilt from its surviving lines in original order (docs
+    // that lose every line drop out). This is the family's only
+    // RECONSTRUCTION-shaped op — d9 detects duplicated spans, t15
+    // removes them and re-materializes the corpus. Scale shape: one
+    // digest-keyed shuffle (8-byte md5-prefix digests ride the shuffle,
+    // never line text — d9's discipline, the digest joins the text back
+    // only inside the per-doc rebuild which is doc-keyed), one
+    // doc-keyed collect for the rebuild. The boilerplate line every
+    // crawl shares is a HOT digest — d9b's documented skew spot
+    // (saltable; the keep-first window is a count-like aggregate).
+    // The sf corpus is single-line, so exact-duplicate documents
+    // collide on their one line and the LATER doc drops entirely —
+    // the oracle exercises the drop path on real data; multi-line
+    // reconstruction order is the planted spec's job (t7's precedent).
+    QueryDef(
+      "t15_line_dedup",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val lines = T.documents(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), "\n"))
+            .as(Seq("idx", "line")))
+          .filter(col("line") =!= "")
+        val kept = lines
+          .withColumn("h", substring(md5(col("line")), 1, 16))
+          .withColumn("rn", row_number().over(
+            W.partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))))
+          .filter(col("rn") === 1)
+        val rebuilt = kept
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            expr("array_join(transform(array_sort(collect_list(struct(idx, line))), x -> x.line), '\n')")
+              .as("text_clean"))
+        lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+          .join(rebuilt, Seq("doc_id"), "inner")
+          .select(col("doc_id"), col("n_lines"), col("n_kept"),
+            col("text_clean"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH ls AS (
+             |  SELECT doc_id, i - 1 AS idx, l[i] AS line
+             |  FROM (SELECT doc_id, str_split(text, chr(10)) AS l,
+             |               unnest(range(1, len(str_split(text, chr(10))) + 1))
+             |                 AS i
+             |        FROM documents)
+             |  WHERE l[i] <> ''),
+             |kept AS (
+             |  SELECT doc_id, idx, line FROM (
+             |    SELECT doc_id, idx, line,
+             |      row_number() OVER (PARTITION BY substr(md5(line), 1, 16)
+             |        ORDER BY doc_id, idx) AS rn
+             |    FROM ls) WHERE rn = 1),
+             |rb AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             |         string_agg(line, chr(10) ORDER BY idx) AS text_clean
+             |  FROM kept GROUP BY doc_id),
+             |nl AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+             |  FROM ls GROUP BY doc_id)
+             |SELECT doc_id, n_lines, n_kept, text_clean
+             |FROM nl JOIN rb USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      doc = "pipeline/text: C4-style corpus-wide line dedup with document reconstruction — keep-first by (doc, idx), digest-keyed shuffle, order-preserving rebuild, all-lines-lost docs dropped")
   )
 }

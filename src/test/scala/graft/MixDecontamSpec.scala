@@ -305,6 +305,26 @@ class MixDecontamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byId(1L) > byId(2L))
   }
 
+  test("t15: keep-first line dedup reconstructs docs in order; empty docs drop") {
+    val dir = writeDocs(Seq(
+      // doc 1 owns the shared line's first occurrence and keeps both lines
+      (1L, "shared line\nunique a", "en"),
+      // doc 2 loses the shared line, keeps its unique one
+      (2L, "shared line\nunique b", "en"),
+      // doc 3 is ONLY the shared line -> loses everything -> dropped
+      (3L, "shared line", "en"),
+      // doc 4 pins reconstruction order: idx order, not lexicographic
+      (4L, "z line\na line", "en")), "t15")
+
+    val out = SparkEntry.queries("t15_line_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, "shared line\nunique a"),
+      (2L, 2L, 1L, "unique b"),
+      (4L, 2L, 2L, "z line\na line")))
+  }
+
   test("ShardSink: written shards match the portable hash and round-trip") {
     import spark.implicits._
     import graft.operators.ShardSink
