@@ -4092,6 +4092,106 @@ object PipelineOps {
              |SELECT doc_id, n_lines, n_kept, text_clean
              |FROM nl JOIN rb USING (doc_id)
              |ORDER BY doc_id""".stripMargin),
-      doc = "pipeline/text: C4-style corpus-wide line dedup with document reconstruction — keep-first by (doc, idx), digest-keyed shuffle, order-preserving rebuild, all-lines-lost docs dropped")
+      doc = "pipeline/text: C4-style corpus-wide line dedup with document reconstruction — keep-first by (doc, idx), digest-keyed shuffle, order-preserving rebuild, all-lines-lost docs dropped"),
+
+    // X13: gate-agreement matrix — the read a curator does before
+    // STACKING filters: the three quality-gate families (t2's weighted
+    // heuristic at the x6 threshold, t12's Gopher rule table, t14's
+    // hashed linear classifier) evaluated per document in ONE pass,
+    // rolled up into the 2^3 agreement cells with doc and token counts.
+    // The off-diagonal cells are the decision data: docs the heuristic
+    // keeps but the model drops (and vice versa) are exactly what a
+    // threshold-tuning session inspects, and the cell sizes say whether
+    // adding a gate to the stack removes anything the others don't.
+    // Scale shape: all three gates are stateless per-row projections
+    // (classifierScore/gopherFlags chain as withColumns), so the whole
+    // matrix is ONE scan + an 8-group aggregate — zero joins, zero
+    // wide shuffles, whole-stage codegen end to end.
+    QueryDef(
+      "x13_gate_agreement",
+      (s, d) => {
+        val toks = filter(split(col("text"), " "), x => x =!= "")
+        val nToks = size(toks)
+        val nChars = length(col("text"))
+        val stop = size(array_intersect(array_distinct(toks),
+          array(Seq("the", "a", "of", "and", "is", "table", "row").map(lit): _*)))
+        val meanLen = when(nToks > 0,
+          (nChars - (nToks - 1)).cast("double") / nToks).otherwise(0.0)
+        val stopR = when(nToks > 0, stop.cast("double") / nToks).otherwise(0.0)
+        val quality = when(nToks >= 5, 1.0).otherwise(0.0) * 0.4 +
+          when(meanLen.between(3.0, 10.0), 1.0).otherwise(0.0) * 0.3 +
+          when(stopR > 0, 1.0).otherwise(0.0) * 0.3
+        gopherFlags(classifierScore(T.documents(s, d)))
+          .withColumn("f_heur", when(quality >= 0.7, 1).otherwise(0))
+          .select(col("doc_id"), col("n_toks"), col("f_heur"),
+            col("pass").as("f_rules"), col("keep_flag").as("f_model"))
+          .groupBy(col("f_heur"), col("f_rules"), col("f_model"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+          .orderBy(col("f_heur"), col("f_rules"), col("f_model"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |    list_filter(str_split(text, ' '), x -> x <> '') AS toks,
+             |    str_split(text, chr(10)) AS lines
+             |  FROM documents),
+             |heur AS (
+             |  SELECT doc_id,
+             |    CASE WHEN
+             |      CASE WHEN len(toks) >= 5 THEN 1.0 ELSE 0.0 END * 0.4 +
+             |      CASE WHEN (CASE WHEN len(toks) > 0
+             |                 THEN CAST(length(text) - (len(toks) - 1) AS DOUBLE)
+             |                        / len(toks)
+             |                 ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+             |           THEN 1.0 ELSE 0.0 END * 0.3 +
+             |      CASE WHEN len(list_intersect(list_distinct(toks),
+             |             ['the','a','of','and','is','table','row'])) > 0
+             |           THEN 1.0 ELSE 0.0 END * 0.3 >= 0.7
+             |    THEN 1 ELSE 0 END AS f_heur
+             |  FROM t),
+             |gm AS (
+             |  SELECT doc_id,
+             |    len(toks) AS n_words,
+             |    len(lines) AS n_lines,
+             |    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+             |         AS BIGINT) AS wchars,
+             |    len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+             |      AS alpha_words,
+             |    (length(text) - length(replace(text, '#', ''))) +
+             |      (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym,
+             |    len(list_filter(lines, l -> l[1:2] = '- ' OR l[1:2] = '* '))
+             |      AS bullet_lines,
+             |    len(list_filter(lines, l -> l[-3:] = '...')) AS ellipsis_lines,
+             |    len(list_intersect(list_distinct(toks),
+             |        ['the','be','to','of','and','that','have','with'])) AS n_stop
+             |  FROM t),
+             |rules AS (
+             |  SELECT doc_id,
+             |    (CASE WHEN n_words BETWEEN 20 AND 100000 THEN 1 ELSE 0 END) *
+             |    (CASE WHEN n_words > 0 AND wchars >= n_words * 3
+             |               AND wchars <= n_words * 10 THEN 1 ELSE 0 END) *
+             |    (CASE WHEN n_sym * 10 <= n_words THEN 1 ELSE 0 END) *
+             |    (CASE WHEN bullet_lines * 10 <= n_lines * 9 THEN 1 ELSE 0 END) *
+             |    (CASE WHEN ellipsis_lines * 10 <= n_lines * 3 THEN 1 ELSE 0 END) *
+             |    (CASE WHEN alpha_words * 5 >= n_words * 4 THEN 1 ELSE 0 END) *
+             |    (CASE WHEN n_stop >= 1 THEN 1 ELSE 0 END) AS f_rules
+             |  FROM gm),
+             |model AS (
+             |  SELECT doc_id, CAST(len(lts) AS BIGINT) AS n_toks,
+             |    CASE WHEN list_reduce(
+             |      list_prepend(CAST(0 AS BIGINT), list_transform(lts, tk ->
+             |        ((CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) % 4096)
+             |           * 2654435761 + 40503) % 2003 - 1001)),
+             |      (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END AS f_model
+             |  FROM (SELECT doc_id,
+             |          list_filter(str_split(lower(text), ' '), x -> x <> '')
+             |            AS lts
+             |        FROM documents))
+             |SELECT f_heur, f_rules, f_model,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_toks) AS BIGINT) AS n_tokens
+             |FROM heur JOIN rules USING (doc_id) JOIN model USING (doc_id)
+             |GROUP BY f_heur, f_rules, f_model
+             |ORDER BY f_heur, f_rules, f_model""".stripMargin),
+      doc = "pipeline composite: quality-gate agreement matrix — heuristic (t2), rule-table (t12), and model (t14) gates in ONE scan, rolled into the 2^3 cells with doc/token counts; the filter-stacking decision read")
   )
 }

@@ -325,6 +325,53 @@ class MixDecontamSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, 2L, 2L, "z line\na line")))
   }
 
+  test("x13 equals the cell-grouped composition of the three gate queries") {
+    def wt(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 4096L *
+        2654435761L + 40503L) % 2003L - 1001L
+    }
+    val pos = (0 until 100).map(i => s"tok$i").find(wt(_) > 0).get
+    val neg = (0 until 100).map(i => s"tok$i").find(wt(_) < 0).get
+    val dir = writeDocs(Seq(
+      // long prose with stopwords: heuristic + rules pass
+      (1L, "the quick brown foxes jumped over lazy dogs while many other " +
+        "small animals watched from of green field near town", "en"),
+      // bullet lines: the rule table drops it, the heuristic doesn't care
+      (2L, (1 to 20).map(i => s"- item$i").mkString("\n"), "en"),
+      // 3 tokens: both structural gates fail
+      (3L, "a b c", "en"),
+      // no stopwords (rules fail) but sign-controlled classifier outcomes
+      (4L, Seq.fill(25)(pos).mkString(" "), "en"),
+      (5L, Seq.fill(25)(neg).mkString(" "), "en")), "x13")
+
+    // derive each doc's three flags from the ALREADY-PROVEN per-gate
+    // queries, then group — x13's claim is exactly this composition
+    val heur = SparkEntry.queries("t2_quality_score")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (if (r.getDouble(4) >= 0.7) 1 else 0)).toMap
+    val rules = SparkEntry.queries("t12_gopher_rules")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("pass")).toMap
+    val model = SparkEntry.queries("t14_quality_classifier")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("keep_flag"), r.getAs[Long]("n_toks")))).toMap
+    val exp = heur.keys.toSeq
+      .map(id => ((heur(id), rules(id), model(id)._1), model(id)._2))
+      .groupBy(_._1).toSeq
+      .map { case ((h, ru, mo), g) =>
+        (h, ru, mo, g.size.toLong, g.map(_._2).sum) }
+      .sortBy { case (h, ru, mo, _, _) => (h, ru, mo) }
+
+    val out = SparkEntry.queries("x13_gate_agreement")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == exp)
+    // the planted corpus must spread over several cells (gates disagree)
+    assert(out.length >= 3, s"degenerate agreement matrix: ${out.toSeq}")
+    assert(rules(2L) == 0 && heur(2L) == 1) // bullets split the gates
+  }
+
   test("ShardSink: written shards match the portable hash and round-trip") {
     import spark.implicits._
     import graft.operators.ShardSink
