@@ -70,6 +70,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.trigramsFn)
     ext.injectFunction(GraftExtensions.ngramsFn)
     ext.injectFunction(GraftExtensions.rollingFn)
+    ext.injectFunction(GraftExtensions.windowHashesFn)
     ext.injectFunction(GraftExtensions.caiFn)
     ext.injectFunction(GraftExtensions.caiNativeFn)
     ext.injectFunction(GraftExtensions.minhashBandsFn)
@@ -179,6 +180,14 @@ object GraftExtensions {
     new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),
     (exprs: Seq[Expression]) => RollingHashExpr(exprs.head))
 
+  val windowHashesFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("window_hashes"),
+    new ExpressionInfo(classOf[WindowHashesExpr].getName, "window_hashes"),
+    (exprs: Seq[Expression]) => {
+      requireArity("window_hashes(text, w)", 2, exprs)
+      WindowHashesExpr(exprs.head, foldableInt("window_hashes", "w", exprs(1)))
+    })
+
   val longDotFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("long_dot"),
     new ExpressionInfo(classOf[LongDotExpr].getName, "long_dot"),
@@ -212,6 +221,8 @@ object GraftExtensions {
       .createOrReplaceTempFunction("hashed_ngrams", ngramsFn._3, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("rolling_hash", rollingFn._3, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("window_hashes", windowHashesFn._3, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("long_dot", longDotFn._3, "built-in")
     spark.sessionState.functionRegistry

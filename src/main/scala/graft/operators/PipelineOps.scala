@@ -4192,6 +4192,392 @@ object PipelineOps {
              |FROM heur JOIN rules USING (doc_id) JOIN model USING (doc_id)
              |GROUP BY f_heur, f_rules, f_model
              |ORDER BY f_heur, f_rules, f_model""".stripMargin),
-      doc = "pipeline composite: quality-gate agreement matrix — heuristic (t2), rule-table (t12), and model (t14) gates in ONE scan, rolled into the 2^3 cells with doc/token counts; the filter-stacking decision read")
+      doc = "pipeline composite: quality-gate agreement matrix — heuristic (t2), rule-table (t12), and model (t14) gates in ONE scan, rolled into the 2^3 cells with doc/token counts; the filter-stacking decision read"),
+
+    // D17: HyperLogLog cardinality sketch — per-language distinct-token
+    // estimation (Flajolet et al. 2007), the OLAP engine's canonical
+    // approximate-distinct operator (Spark's own approx_count_distinct is
+    // the same sketch; re-derived here so the oracle can pin every
+    // register). m = 64 registers; token → 60-bit md5 hash → bucket
+    // j = h mod 64, rank ρ = leading-zero count of the remaining 54 bits
+    // + 1; register = max ρ per bucket. The harmonic mean is kept EXACT:
+    // Σ 2^(54−M_j) as an int64 (2^54 scale: 64 empty buckets sum to
+    // 1.15e18 < 2^63; ranks above 54 — probability 2^-55 — floor to 0),
+    // so the only double is the final α·m²·2^54/S both engines evaluate
+    // from identical integers. The exact countDistinct rides along as
+    // the oracle-visible accuracy proof — it is precisely the
+    // (lang, tok)-shuffling aggregate the sketch REPLACES at scale: the
+    // register aggregate is map-side combinable (≤ 64 rows per language
+    // per partition cross the wire, independent of corpus size), the
+    // classic sketch-mergeability argument. Raw estimator only — HLL's
+    // linear-counting small-range correction needs ln(), the
+    // transcendental the oracle can't pin (t11's reasoning; the m=64
+    // raw estimate is the interesting branch at corpus scale anyway).
+    QueryDef(
+      "d17_hll_cardinality",
+      (s, d) => {
+        val toks = T.documents(s, d)
+          .select(col("lang"),
+            explode(filter(split(lower(col("text")), " "), x => x =!= ""))
+              .as("tok"))
+        val hashed = toks
+          .withColumn("h",
+            expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)"))
+          .withColumn("j", col("h") % 64)
+          .withColumn("v", expr("h div 64"))
+          .withColumn("rho",
+            when(col("v") === 0, lit(55L))
+              .otherwise(lit(55L) - length(conv(col("v"), 10, 2)).cast("long")))
+        val regs = hashed.groupBy(col("lang"), col("j"))
+          .agg(max(col("rho")).as("reg"))
+        val exact = toks.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("tok")).as("n_distinct_exact"))
+        val grid = exact.select(col("lang"))
+          .crossJoin(broadcast(s.range(0, 64).toDF("j")))
+        val agg = grid
+          .join(regs, Seq("lang", "j"), "left")
+          .withColumn("reg", coalesce(col("reg"), lit(0L)))
+          .groupBy(col("lang"))
+          .agg(sum(when(col("reg") === 0, 1L).otherwise(0L)).as("v_zero"),
+            sum(expr(
+              "CASE WHEN reg <= 54 THEN shiftleft(CAST(1 AS BIGINT), CAST(54 - reg AS INT)) ELSE CAST(0 AS BIGINT) END"))
+              .as("s_scaled"))
+        exact.join(agg, Seq("lang"))
+          .withColumn("hll_est",
+            expr("0.709 * 4096 * CAST(18014398509481984 AS DOUBLE) / s_scaled"))
+          .select(col("lang"), col("n_tokens"), col("n_distinct_exact"),
+            col("v_zero"), col("s_scaled"), col("hll_est"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT lang,
+             |    unnest(list_filter(str_split(lower(text), ' '), x -> x <> '')) AS tok
+             |  FROM documents),
+             |h AS (
+             |  SELECT lang, tok,
+             |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv
+             |  FROM toks),
+             |r AS (
+             |  SELECT lang, hv % 64 AS j,
+             |    CASE WHEN hv // 64 = 0 THEN 55
+             |         ELSE 55 - length(bin(hv // 64)) END AS rho
+             |  FROM h),
+             |regs AS (SELECT lang, j, max(rho) AS reg FROM r GROUP BY lang, j),
+             |ex AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+             |    CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_exact
+             |  FROM toks GROUP BY lang),
+             |grid AS (
+             |  SELECT lang, j FROM ex
+             |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j)),
+             |fullr AS (
+             |  SELECT g.lang, coalesce(regs.reg, 0) AS reg
+             |  FROM grid g LEFT JOIN regs ON g.lang = regs.lang AND g.j = regs.j),
+             |agg AS (
+             |  SELECT lang,
+             |    CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+             |    CAST(sum(CASE WHEN reg <= 54
+             |              THEN CAST(1 AS BIGINT) << CAST(54 - reg AS INT)
+             |              ELSE 0 END) AS BIGINT) AS s_scaled
+             |  FROM fullr GROUP BY lang)
+             |SELECT lang, n_tokens, n_distinct_exact, v_zero, s_scaled,
+             |  0.709 * 4096 * CAST(18014398509481984 AS DOUBLE) / s_scaled AS hll_est
+             |FROM ex JOIN agg USING (lang) ORDER BY lang""".stripMargin),
+      doc = "sketch/HyperLogLog distinct-cardinality registers per language — exact-int64 harmonic sum, map-side-mergeable ≤64-row aggregate vs the (lang,tok) shuffle it replaces"),
+
+    // T16: interpolated bigram-LM surprisal — the KenLM-shaped upgrade of
+    // t11's unigram scorer (CCNet buckets corpora by LM perplexity; a
+    // bigram model with unigram backoff is the smallest model that sees
+    // word ORDER). p(w2|w1) = 0.7·c(w1w2)/c(w1) + 0.3·c(w2)/T as ONE
+    // exact rational — num = 7·c12·T + 3·c2·c1, den = 10·c1·T (int64:
+    // T ≤ ~10^6 tokens at bench scale keeps den ≤ 10^13; a 100 TB corpus
+    // shards the LM and moves to log-space) — and the surprisal is
+    // t11's engine-portable integer bit length of den/num. Histories
+    // c(w1) are bigram-start sums (so Σ p over the vocab is honest),
+    // backoff c(w2)/T is the unigram LM over ALL tokens. Scale shape:
+    // two token-keyed shuffles build the two LMs (c12 keyed (w1,w2),
+    // vocab keyed tok), the occurrence join carries 8-byte-ish word keys
+    // with the stop-word skew spot documented at d9b, and the final
+    // aggregate is doc-keyed. No FP crosses the oracle.
+    QueryDef(
+      "t16_bigram_surprisal",
+      (s, d) => {
+        val ts = filter(split(lower(col("text")), " "), x => x =!= "")
+        val base = T.documents(s, d).select(col("doc_id"), ts.as("ts"))
+        val toks = base.select(explode(col("ts")).as("tok"))
+        val bgs = base.filter(size(col("ts")) >= 2)
+          .select(col("doc_id"),
+            explode(expr(
+              "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))"))
+              .as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        val c12 = bgs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c2"))
+        val tot = toks.agg(count(lit(1)).as("t_total"))
+        bgs
+          .join(c12, Seq("w1", "w2"))
+          .join(c1, Seq("w1"))
+          .join(vocab, col("w2") === col("tok"))
+          .crossJoin(broadcast(tot))
+          .withColumn("bits",
+            length(conv(
+              expr("(10 * c1 * t_total) div (7 * c12 * t_total + 3 * c2 * c1)"),
+              10, 2)).cast("long"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("bits_sum"))
+          .withColumn("mean_bits",
+            col("bits_sum").cast("double") / col("n_bigrams"))
+          .withColumn("band",
+            when(col("mean_bits") < 9, "head")
+              .when(col("mean_bits") < 13, "middle").otherwise("tail"))
+          .select(col("doc_id"), col("n_bigrams"), col("bits_sum"),
+            col("mean_bits"), col("band"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id,
+             |    list_filter(str_split(lower(text), ' '), x -> x <> '') AS ts
+             |  FROM documents),
+             |toks AS (SELECT unnest(ts) AS tok FROM base),
+             |bg AS (
+             |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+             |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+             |        FROM base WHERE len(ts) >= 2)),
+             |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+             |        FROM bg GROUP BY w1, w2),
+             |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+             |       FROM c12 GROUP BY w1),
+             |v AS (SELECT tok, CAST(count(*) AS BIGINT) AS c2
+             |      FROM toks GROUP BY tok),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS t_total FROM toks),
+             |b AS (
+             |  SELECT doc_id,
+             |    length(bin((10 * c1 * t_total)
+             |               // (7 * c12 * t_total + 3 * c2 * c1))) AS bits
+             |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+             |       JOIN v ON v.tok = bg.w2 CROSS JOIN tot)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  CAST(sum(bits) AS BIGINT) AS bits_sum,
+             |  CAST(sum(bits) AS DOUBLE) / count(*) AS mean_bits,
+             |  CASE WHEN CAST(sum(bits) AS DOUBLE) / count(*) < 9 THEN 'head'
+             |       WHEN CAST(sum(bits) AS DOUBLE) / count(*) < 13 THEN 'middle'
+             |       ELSE 'tail' END AS band
+             |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "pipeline/text: interpolated bigram-LM surprisal (KenLM-shaped CCNet scorer) — exact single-rational interpolation, integer bit-length surprisal, word-order-aware upgrade of t11"),
+
+    // D18: content-defined chunking dedup — the storage-layer dedup
+    // family (Rabin/LBFS, FastCDC): chunk boundaries come from the DATA
+    // (positions where the w=8 sliding-window rolling hash ≡ 0 mod 64),
+    // so an insertion early in a document shifts only the chunk it lands
+    // in — fixed-size blocks would shift every later block, which is
+    // exactly why dedup storage and training-corpus delta-compression
+    // use CDC. window_hashes is the O(n) codegen kernel (one pass,
+    // circular buffer — the builtin chain would re-hash w chars per
+    // position); everything downstream is builtins: cut positions →
+    // span arithmetic → substring chunks → 60-bit digests. Keep-first
+    // canonicalization over the digest-keyed shuffle (chunks themselves
+    // never ride it — only doc_id/start/len/digest move); hot digests
+    // (boilerplate chunks) are d9b's documented skew spot. Basic CDC
+    // rule only: FastCDC's min/max chunk bounds make boundary i depend
+    // on boundary i-1 — a sequential refinement that would break the
+    // declarative single-pass shape (and the oracle).
+    QueryDef(
+      "d18_cdc_chunks",
+      (s, d) => {
+        graft.functions.GraftExtensions.registerInto(s)
+        val W = org.apache.spark.sql.expressions.Window
+        val chunks = T.documents(s, d)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+          .withColumn("cuts", expr(
+            """filter(
+              |  transform(window_hashes(text, 8),
+              |    (h, i) -> IF(h % 64 = 0, CAST(i + 8 AS BIGINT), CAST(NULL AS BIGINT))),
+              |  p -> p IS NOT NULL AND p < n)""".stripMargin))
+          .withColumn("starts",
+            expr("concat(array(CAST(1 AS BIGINT)), transform(cuts, p -> p + 1))"))
+          .withColumn("ends", expr("concat(cuts, array(CAST(n AS BIGINT)))"))
+          .select(col("doc_id"), col("text"),
+            posexplode(expr("arrays_zip(starts, ends)")).as(Seq("ci", "se")))
+          .select(col("doc_id"), (col("ci") + 1).as("chunk_idx"),
+            col("se.starts").as("start"),
+            (col("se.ends") - col("se.starts") + 1).as("clen"))
+          .withColumn("dg", expr(
+            """CAST(conv(substr(md5(substring(text, CAST(start AS INT), CAST(clen AS INT))),
+              |               1, 15), 16, 10) AS BIGINT)""".stripMargin))
+        chunks
+          .withColumn("rn", row_number().over(
+            W.partitionBy(col("dg")).orderBy(col("doc_id"), col("start"))))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("rn") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+            sum(when(col("rn") > 1, col("clen")).otherwise(0L)).as("dup_chars"))
+          .select(col("doc_id"), col("n_chunks"), col("dup_chunks"),
+            col("dup_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id, text, length(text) AS n,
+             |    [CAST(unicode(ch) AS BIGINT) FOR ch IN split(text, '')] AS cps
+             |  FROM documents WHERE length(text) > 0),
+             |wh AS (
+             |  SELECT doc_id, text, n,
+             |    [CAST(i AS BIGINT) FOR i IN range(8, n + 1)
+             |       IF list_reduce(list_prepend(CAST(0 AS BIGINT), cps[i-7:i]),
+             |            (a, cc) -> (a * 31 + cc) % 1000000007) % 64 = 0
+             |          AND i < n] AS cuts
+             |  FROM c),
+             |sp AS (
+             |  SELECT doc_id, text,
+             |    list_prepend(CAST(1 AS BIGINT),
+             |                 list_transform(cuts, p -> p + 1)) AS starts,
+             |    list_append(cuts, CAST(n AS BIGINT)) AS ends
+             |  FROM wh),
+             |ch AS (
+             |  SELECT doc_id, i AS chunk_idx, starts[i] AS start,
+             |    ends[i] - starts[i] + 1 AS clen,
+             |    CAST('0x' || substr(md5(substring(text, CAST(starts[i] AS INT),
+             |           CAST(ends[i] - starts[i] + 1 AS INT))), 1, 15) AS BIGINT) AS dg
+             |  FROM (SELECT doc_id, text, starts, ends,
+             |          unnest(range(1, len(starts) + 1)) AS i
+             |        FROM sp)),
+             |r AS (
+             |  SELECT doc_id, clen,
+             |    row_number() OVER (PARTITION BY dg ORDER BY doc_id, start) AS rn
+             |  FROM ch)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+             |  CAST(sum(CASE WHEN rn > 1 THEN clen ELSE 0 END) AS BIGINT) AS dup_chars
+             |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "dedup/content-defined chunking (Rabin/LBFS family) — data-derived chunk boundaries via the O(n) window_hashes kernel, digest-keyed keep-first dedup, per-doc bytes-saved accounting"),
+
+    // X14: ANN recall@k self-evaluation — the measurement every ANN
+    // deployment runs before trusting an index: d5's brute-force top-5
+    // is the ground truth, d7's IVF (2-probe) is the candidate, and the
+    // output is per-query |hit| / 5. Composing BOTH family members in
+    // one plan is the point: the quantized base frame is the SAME
+    // SharedFrame d7 materializes (name-keyed, so a session running
+    // d7 + x14 pays for it once), the exact leg is the bounded
+    // broadcast-query shape of d5, and the IVF leg re-derives the index
+    // end to end. At corpus scale the exact leg is the expensive one —
+    // which is exactly how real recall evals run: brute-force ground
+    // truth over a SAMPLED query set (here the bounded vec_id < 10
+    // probe set), IVF over everything.
+    QueryDef(
+      "x14_ann_recall",
+      (s, d) => {
+        val q = expr("transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))")
+        val base = SharedFrame(
+          T.embeddings(s, d).select(col("vec_id"), q.as("q"))
+            .withColumn("nn",
+              expr("aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")),
+          "d7_base", d)
+        val queries = base.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("q").as("qq"), col("nn").as("qn"))
+        val dot =
+          expr("aggregate(zip_with(q, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+            .cast("double")
+        // exact leg: d5's brute-force top-5
+        val gt = base.join(broadcast(queries), col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            dot / sqrt(col("qn").cast("double") * col("nn").cast("double")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("vec_id").as("eid"))
+        // IVF leg: d7's index, end to end
+        val stride = math.max(50L,
+          T.footerRowCount(s, d, "embeddings") / 4096L)
+        val cents = base.filter(col("vec_id") % stride === 0)
+          .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
+        val simToCent =
+          expr("aggregate(zip_with(q, cq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+            .cast("double") / sqrt(col("nn").cast("double") * col("cn").cast("double"))
+        val assigned = base.join(broadcast(cents))
+          .withColumn("sim", simToCent)
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("list_id"))
+        val listed = base.join(assigned, "vec_id")
+        val probes = base.filter(col("vec_id") < 10).join(broadcast(cents))
+          .withColumn("sim", simToCent)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))))
+          .filter(col("rk") <= 2)
+          .select(col("vec_id").as("qid"), col("q").as("qq"), col("nn").as("qn"),
+            col("cid").as("probe_list"))
+        val approx = probes.join(listed,
+            col("list_id") === col("probe_list") && col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            dot / sqrt(col("qn").cast("double") * col("nn").cast("double")))
+          .dropDuplicates("qid", "vec_id")
+          .groupBy(col("qid"))
+          .agg(graft.functions.TopK.udaf(5)(col("cos"), col("vec_id")).as("top"))
+          .select(col("qid"), explode(expr("transform(top, t -> t._2)")).as("eid"))
+        gt.join(approx, Seq("qid", "eid"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+          .join(gt.select(col("qid")).distinct(), Seq("qid"), "right")
+          .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+          .withColumn("recall", col("n_hit").cast("double") / 5.0)
+          .select(col("qid"), col("n_hit"), col("recall"))
+          .orderBy(col("qid"))
+      },
+      Some("""WITH base AS (
+             |  SELECT vec_id,
+             |         [floor((embedding[i] * 1000)::DOUBLE + 0.5)::BIGINT
+             |          FOR i IN range(1, len(embedding) + 1)] AS q
+             |  FROM embeddings),
+             |withnn AS (
+             |  SELECT vec_id, q,
+             |         list_reduce([q[i] * q[i] FOR i IN range(1, len(q) + 1)],
+             |                     (a, b) -> a + b) AS nn
+             |  FROM base),
+             |qs AS (SELECT vec_id AS qid, q AS qq, nn AS qn FROM withnn WHERE vec_id < 10),
+             |gt AS (
+             |  SELECT qid, eid FROM (
+             |    SELECT qs.qid, n.vec_id AS eid,
+             |      row_number() OVER (PARTITION BY qs.qid
+             |        ORDER BY list_dot_product(n.q, qs.qq) / sqrt(qs.qn * n.nn) DESC,
+             |                 n.vec_id) AS rk
+             |    FROM qs JOIN withnn n ON n.vec_id <> qs.qid) WHERE rk <= 5),
+             |cents AS (
+             |  SELECT vec_id AS cid, q AS cq, nn AS cn FROM withnn WHERE vec_id % 50 = 0),
+             |simsc AS (
+             |  SELECT v.vec_id, v.q, v.nn, c.cid,
+             |         list_reduce([v.q[i] * c.cq[i] FOR i IN range(1, len(v.q) + 1)],
+             |                     (a, b) -> a + b)::DOUBLE
+             |           / sqrt(v.nn::DOUBLE * c.cn::DOUBLE) AS sim
+             |  FROM withnn v CROSS JOIN cents c),
+             |assigned AS (
+             |  SELECT vec_id, cid AS list_id FROM (
+             |    SELECT vec_id, cid,
+             |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+             |    FROM simsc) WHERE rn = 1),
+             |probes AS (
+             |  SELECT vec_id AS qid, q AS qq, nn AS qn, cid AS probe_list FROM (
+             |    SELECT s.vec_id, s.q, s.nn, s.cid,
+             |           row_number() OVER (PARTITION BY s.vec_id ORDER BY s.sim DESC, s.cid ASC) AS rn
+             |    FROM simsc s WHERE s.vec_id < 10) WHERE rn <= 2),
+             |cand AS (
+             |  SELECT DISTINCT p.qid, p.qq, p.qn, v.vec_id, v.q, v.nn
+             |  FROM probes p
+             |  JOIN assigned a ON a.list_id = p.probe_list AND a.vec_id != p.qid
+             |  JOIN withnn v ON v.vec_id = a.vec_id),
+             |ap AS (
+             |  SELECT qid, eid FROM (
+             |    SELECT qid, vec_id AS eid,
+             |      row_number() OVER (PARTITION BY qid
+             |        ORDER BY list_reduce([q[i] * qq[i] FOR i IN range(1, len(q) + 1)],
+             |                             (a, b) -> a + b)::DOUBLE
+             |                   / sqrt(qn::DOUBLE * nn::DOUBLE) DESC,
+             |                 vec_id) AS rk
+             |    FROM cand) WHERE rk <= 5)
+             |SELECT g.qid,
+             |  CAST(count(ap.eid) AS BIGINT) AS n_hit,
+             |  CAST(count(ap.eid) AS DOUBLE) / 5.0 AS recall
+             |FROM gt g LEFT JOIN ap ON ap.qid = g.qid AND ap.eid = g.eid
+             |GROUP BY g.qid ORDER BY g.qid""".stripMargin),
+      doc = "similarity composite: ANN recall@5 self-evaluation — d5's brute-force ground truth vs d7's IVF answer over the shared quantized frame; the index-quality measurement every ANN deployment runs")
   )
 }

@@ -178,4 +178,40 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the scaled-copy chunk second by doc-id tie-break, got $second")
     assert(second._5 == 1.0, s"scaled-copy cosine must be exactly 1.0, got ${second._5}")
   }
+
+  test("x14: per-query hit counts equal the d5 ∩ d7 cross-derivation") {
+    val exact = SparkEntry.queries("d5_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("eid")))
+    val ivf = SparkEntry.queries("d7_ann_ivf")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("eid"))).toSet
+    val expected = exact.groupBy(_._1)
+      .map { case (q, rows) => q -> rows.count(ivf.contains).toLong }
+    val out = SparkEntry.queries("x14_ann_recall")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("n_hit"), r.getAs[Double]("recall")))
+    assert(out.map(r => r._1 -> r._2).toMap == expected)
+    out.foreach { case (q, nHit, recall) =>
+      assert(nHit >= 0 && nHit <= 5)
+      assert(recall == nHit.toDouble / 5.0, s"query $q recall mismatch")
+    }
+    assert(out.map(_._1).toSet == exact.map(_._1).toSet,
+      "every ground-truth query must appear, even at zero hits")
+  }
+
+  test("x14: a single-centroid index is exhaustive, so recall is exactly 1") {
+    import spark.implicits._
+    // N = 31 < stride 50 => only vec_id 0 seeds a centroid => one
+    // inverted list holding everything => the IVF leg degenerates to
+    // brute force and every query's recall@5 must be exactly 1.0
+    val rnd = new scala.util.Random(11)
+    val dir = java.nio.file.Files.createTempDirectory("graft_x14").toString
+    (0 until 31).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("x14_ann_recall")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("n_hit"), r.getAs[Double]("recall")))
+    assert(out.length == 10)
+    out.foreach { case (q, nHit, recall) =>
+      assert(nHit == 5L && recall == 1.0, s"query $q: expected full recall, got $nHit")
+    }
+  }
 }

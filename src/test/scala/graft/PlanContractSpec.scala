@@ -58,7 +58,10 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "c1_dice_similarity", "c2_jaccard_distance", // id1<id2 theta, sets broadcast
     "d5_cosine_topk", "d5b_cosine_topk_agg",     // broadcast query vectors
     "d7_ann_ivf",             // broadcast sampled centroids
+    "x14_ann_recall",         // d5's broadcast queries + d7's broadcast centroids
     "d13_semdedup",           // broadcast sampled centroids (d7's frame)
+    "d17_hll_cardinality",    // broadcast 64-row register-grid densifier
+    "t16_bigram_surprisal",   // broadcast 1-row corpus-token-total scalar (t11's shape)
     "x11_rag_retrieval",      // broadcast sampled chunk centroids (d7's shape)
     "x10_embedding_curation", // semDedup's broadcast centroids inside
     "j15_cross_pairs",        // the operator IS the cross product (bounded)
@@ -90,6 +93,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t6_stratified_sample",   // 1-row min-count quota scalar
     "t10_temperature_mix",    // 1-row (N, W) weight-total scalar
     "t11_unigram_surprisal",  // 1-row corpus-token-total scalar
+    "t16_bigram_surprisal",   // 1-row corpus-token-total scalar (t11's shape)
     "d14_dsir_select",        // 1-row LM-total scalar (t11's shape)
     "d15_bm25_topk",          // 1-row (L, Nd) corpus-stats scalar
     "x12_hybrid_retrieval",   // 1-row corpus-stats scalar (d15's frame)

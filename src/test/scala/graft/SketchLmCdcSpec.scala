@@ -1,0 +1,214 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** d17_hll_cardinality / t16_bigram_surprisal / d18_cdc_chunks: each
+  * checked by a FULL independent Scala re-derivation (MessageDigest md5,
+  * BigInt-free integer arithmetic, brute-force window hashing) on planted
+  * corpora, plus the law each operator exists for — HLL's estimate
+  * tracking the exact cardinality, the bigram LM ranking deterministic
+  * continuations as unsurprising, and CDC boundaries resynchronizing
+  * after an insertion (the property fixed-size blocks lack).
+  */
+class SketchLmCdcSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def writeDocs(rows: Seq[(Long, String, String)], tag: String): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    rows.toDF("doc_id", "text", "lang").write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def h60(tok: String): Long =
+    java.lang.Long.parseLong(md5hex(tok).take(15), 16)
+
+  private def toks(text: String): Seq[String] =
+    text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+
+  // ---------------------------------------------------------------- d17
+
+  /** The operator's register/harmonic-sum arithmetic, re-derived. */
+  private def hllDerive(tokens: Seq[String]): (Long, Long, Double) = {
+    val regs = new Array[Long](64)
+    tokens.foreach { t =>
+      val hv = h60(t)
+      val j = (hv % 64).toInt
+      val v = hv / 64
+      val rho = if (v == 0) 55L else 55L - (64 - java.lang.Long.numberOfLeadingZeros(v))
+      if (rho > regs(j)) regs(j) = rho
+    }
+    val vZero = regs.count(_ == 0L).toLong
+    val s = regs.map(m => if (m <= 54) 1L << (54 - m).toInt else 0L).sum
+    val est = 0.709 * 4096 * 18014398509481984L.toDouble / s
+    (vZero, s, est)
+  }
+
+  test("d17: registers, harmonic sum and estimate equal the re-derivation") {
+    val dir = writeDocs(Seq(
+      (1L, "alpha beta gamma delta alpha", "en"),
+      (2L, "beta epsilon zeta", "en"),
+      (3L, "un deux trois deux", "fr")), "d17")
+    val out = SparkEntry.queries("d17_hll_cardinality")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    val en = hllDerive(toks("alpha beta gamma delta alpha") ++ toks("beta epsilon zeta"))
+    val fr = hllDerive(toks("un deux trois deux"))
+    assert(out("en") == ((8L, 6L, en._1, en._2, en._3)))
+    assert(out("fr") == ((4L, 3L, fr._1, fr._2, fr._3)))
+  }
+
+  test("d17: the estimate tracks the exact cardinality (m=64 error band)") {
+    // 300 distinct tokens spread over 40 docs; HLL(m=64) relative error
+    // ~1.04/sqrt(64) = 13%, so 40% is a generous but meaningful band
+    val docs = (0 until 40).map { i =>
+      ((i + 1).toLong,
+        (0 until 300).filter(_ % 40 == i).map(k => s"tok$k").mkString(" "), "en")
+    }
+    val dir = writeDocs(docs, "d17b")
+    val r = SparkEntry.queries("d17_hll_cardinality")(spark, dir).collect().head
+    assert(r.getLong(2) == 300L) // n_distinct_exact
+    val est = r.getDouble(5)
+    assert(est > 180 && est < 420, s"HLL estimate $est out of band for 300")
+  }
+
+  // ---------------------------------------------------------------- t16
+
+  /** Full independent re-derivation of the interpolated bigram scorer. */
+  private def bigramDerive(docs: Seq[(Long, String)]): Map[Long, (Long, Long)] = {
+    val ts = docs.map { case (id, t) => id -> toks(t) }
+    val allToks = ts.flatMap(_._2)
+    val tTotal = allToks.size.toLong
+    val c2 = allToks.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val bgs = ts.flatMap { case (id, tk) => tk.sliding(2).filter(_.size == 2)
+      .map(p => (id, p(0), p(1))).toSeq }
+    val c12 = bgs.groupBy(b => (b._2, b._3)).map { case (k, v) => k -> v.size.toLong }
+    val c1 = bgs.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    bgs.groupBy(_._1).map { case (id, bs) =>
+      val bits = bs.map { case (_, w1, w2) =>
+        val num = 7L * c12((w1, w2)) * tTotal + 3L * c2(w2) * c1(w1)
+        val den = 10L * c1(w1) * tTotal
+        (64 - java.lang.Long.numberOfLeadingZeros(den / num)).toLong
+      }
+      id -> (bits.size.toLong, bits.sum)
+    }
+  }
+
+  test("t16: per-doc bigram surprisal equals the re-derivation") {
+    val docs = Seq(
+      (1L, "x a x b x c x d x e"),    // history x fans out: surprising continuations
+      (2L, "p q p q p q p q"),        // deterministic continuation: unsurprising
+      (3L, "filler one two three four five six seven eight nine"),
+      (4L, "lone"))                   // single token: no bigrams, absent from output
+    val dir = writeDocs(docs.map(d => (d._1, d._2, "en")), "t16")
+    val out = SparkEntry.queries("t16_bigram_surprisal")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exp = bigramDerive(docs)
+    assert(out == exp)
+    assert(!out.contains(4L))
+  }
+
+  test("t16: deterministic continuations score below fanned-out histories") {
+    val dir = writeDocs(Seq(
+      (1L, "x a x b x c x d x e", "en"),
+      (2L, "p q p q p q p q", "en"),
+      (3L, "filler one two three four five six seven eight nine", "en")), "t16b")
+    val rows = SparkEntry.queries("t16_bigram_surprisal")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rows(2L) < rows(1L),
+      s"repeated bigram doc must be less surprising: ${rows(2L)} vs ${rows(1L)}")
+  }
+
+  // ---------------------------------------------------------------- d18
+
+  private def bruteWindowHashes(s: String, w: Int): Seq[Long] = {
+    val cps = s.codePoints.toArray
+    (w to cps.length).map { i =>
+      cps.slice(i - w, i).foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    }
+  }
+
+  test("window_hashes kernel equals the brute-force per-window hash") {
+    val rnd = new scala.util.Random(42)
+    val samples = Seq(
+      "", "a", "abcdefg", "abcdefgh",
+      (1 to 500).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString,
+      "héllo wörld ünïcode — ™ 𝄞 mixed ascii and multibyte text here") ++
+      (1 to 10).map(_ => (1 to 50 + rnd.nextInt(200))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    for (s <- samples; w <- Seq(1, 4, 8, 16)) {
+      val got = graft.functions.WindowHashes
+        .compute(UTF8String.fromString(s), w)
+      val gotSeq = (0 until got.numElements()).map(got.getLong)
+      assert(gotSeq == bruteWindowHashes(s, w), s"w=$w len=${s.length}")
+    }
+  }
+
+  /** The operator's chunking + keep-first dedup, re-derived. */
+  private def cdcDerive(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
+    val chunks = docs.flatMap { case (id, text) =>
+      val n = text.codePointCount(0, text.length)
+      val wh = bruteWindowHashes(text, 8)
+      val cuts = wh.zipWithIndex.collect {
+        case (h, i) if h % 64 == 0 && (i + 8).toLong < n => (i + 8).toLong
+      }
+      val starts = 1L +: cuts.map(_ + 1)
+      val ends = cuts :+ n.toLong
+      starts.zip(ends).map { case (st, en) =>
+        // planted texts are ASCII (or BMP): String.substring by char index
+        val chunk = text.substring(st.toInt - 1, en.toInt)
+        (id, st, en - st + 1, java.lang.Long.parseLong(md5hex(chunk).take(15), 16))
+      }
+    }
+    val firstOwner = chunks.groupBy(_._4)
+      .map { case (dg, occ) => dg -> occ.map(o => (o._1, o._2)).min }
+    chunks.groupBy(_._1).map { case (id, cs) =>
+      val dups = cs.filter(c => firstOwner(c._4) != ((c._1, c._2)))
+      id -> (cs.size.toLong, dups.size.toLong, dups.map(_._3).sum)
+    }
+  }
+
+  private def mkText(seed: Int, words: Int): String =
+    (1 to words).map(i => s"w${(i.toLong * 2654435761L + seed) % 97}").mkString(" ")
+
+  test("d18: chunk counts and dedup accounting equal the re-derivation") {
+    val docs = Seq(
+      (1L, mkText(1, 300)),
+      (2L, "INSERTED PREFIX " + mkText(1, 300)), // shifted copy of doc 1
+      (3L, mkText(2, 150)))
+    val dir = writeDocs(docs.map(d => (d._1, d._2, "en")), "d18")
+    val out = SparkEntry.queries("d18_cdc_chunks")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == cdcDerive(docs))
+  }
+
+  test("d18: boundaries resynchronize after an insertion (the CDC property)") {
+    val base = mkText(7, 400)
+    val docs = Seq((1L, base), (2L, "X " + base))
+    val dir = writeDocs(docs.map(d => (d._1, d._2, "en")), "d18b")
+    val out = SparkEntry.queries("d18_cdc_chunks")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (n2, dup2, dupChars2) = out(2L)
+    // the 2-char insertion shifts every byte of doc 2, yet all chunks
+    // beyond the first boundary hash identically to doc 1's — only the
+    // head chunk (and possibly its successor) fails to dedupe
+    assert(n2 >= 4, s"need several chunks for the law to bite, got $n2")
+    assert(dup2 >= n2 - 2, s"CDC must resync: $dup2 of $n2 chunks deduped")
+    assert(dupChars2 > base.length * 0.5,
+      s"most of the shifted copy must dedupe, got $dupChars2 of ${base.length}")
+  }
+}
