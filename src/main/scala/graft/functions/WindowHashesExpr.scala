@@ -27,9 +27,32 @@ import org.apache.spark.unsafe.types.UTF8String
 object WindowHashes {
   private val Mod = 1000000007L
 
+  /** Codepoint count under THIS kernel's byte-consumption rule (identical
+    * to the decode loop below, incl. the dangling-lead-byte clause).
+    * `UTF8String.numChars()` disagrees on malformed UTF-8 — a truncated
+    * multibyte lead mid-string decodes to MORE codepoints here (each
+    * orphaned byte is one codepoint), a stray continuation byte to FEWER
+    * (it is absorbed as a 2-byte sequence) — and sizing the output from
+    * numChars() made the kernel non-total (write past the array / silent
+    * trailing zeros). Counting with the decoder's own rule keeps the
+    * total-function contract AND byte-for-byte parity with
+    * [[RollingHash.compute]] on every input, well-formed or not.
+    */
+  private def decodedCount(b: Array[Byte]): Int = {
+    var cnt = 0
+    var i = 0
+    while (i < b.length) {
+      val x = b(i) & 0xFF
+      val need = if (x < 0x80) 1 else if (x < 0xE0) 2 else if (x < 0xF0) 3 else 4
+      i += (if (need > b.length - i) 1 else need)
+      cnt += 1
+    }
+    cnt
+  }
+
   def compute(s: UTF8String, w: Int): ArrayData = {
     val b = s.getBytes
-    val nChars = s.numChars()
+    val nChars = decodedCount(b)
     if (w < 1 || nChars < w) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
     // 31^w mod P
     var bw = 1L

@@ -4401,12 +4401,13 @@ object PipelineOps {
           .withColumn("ends", expr("concat(cuts, array(CAST(n AS BIGINT)))"))
           .select(col("doc_id"), col("text"),
             posexplode(expr("arrays_zip(starts, ends)")).as(Seq("ci", "se")))
-          .select(col("doc_id"), (col("ci") + 1).as("chunk_idx"),
+          .select(col("doc_id"), col("text"), (col("ci") + 1).as("chunk_idx"),
             col("se.starts").as("start"),
             (col("se.ends") - col("se.starts") + 1).as("clen"))
           .withColumn("dg", expr(
             """CAST(conv(substr(md5(substring(text, CAST(start AS INT), CAST(clen AS INT))),
               |               1, 15), 16, 10) AS BIGINT)""".stripMargin))
+          .drop("text") // digest computed — only doc_id/start/clen/dg ride the dg shuffle
         chunks
           .withColumn("rn", row_number().over(
             W.partitionBy(col("dg")).orderBy(col("doc_id"), col("start"))))

@@ -456,9 +456,8 @@ object StreamingJobs {
   def streamingSequencePack(docs: Dataset[PackDoc], nShards: Int = 16,
       packTokens: Long = 256L): Dataset[PackedDoc] = {
     import docs.sparkSession.implicits._
-    val P = 1000000007L
     docs
-      .groupByKey(d => (((d.doc_id % P) * 2654435761L + 2246822519L) % P
+      .groupByKey(d => (graft.operators.ShardSink.sampleHash(d.doc_id)
         % nShards).toInt)
       .flatMapGroupsWithState[PackOffset, PackedDoc](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {

@@ -34,13 +34,30 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = spark.stop()
 
   // one planning pass for the whole suite; builders that run bounded
-  // actions (c3 driver linkage, d8 CC, d4 footer read) do so here once
+  // actions (c3 driver linkage, d8 CC, d4 footer read) do so here once.
+  // Each build is Try-wrapped so ONE broken query reports as one named
+  // failure in the dedicated test below instead of aborting every
+  // contract check for the other ~140 (the r7 d18 lesson).
+  private lazy val buildAttempts: Map[String, scala.util.Try[org.apache.spark.sql.DataFrame]] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> scala.util.Try(fn(spark, sf))
+    }
   private lazy val built: Map[String, org.apache.spark.sql.DataFrame] =
-    SparkEntry.queries.map { case (name, fn) => name -> fn(spark, sf) }
+    buildAttempts.collect { case (name, scala.util.Success(df)) => name -> df }
   private lazy val plans: Map[String, String] =
     built.map { case (name, df) =>
-      name -> df.queryExecution.executedPlan.toString
+      name -> scala.util.Try(df.queryExecution.executedPlan.toString)
+        .getOrElse("")
+    }.filter(_._2.nonEmpty)
+
+  test("every query in SparkEntry.queries builds and plans") {
+    val broken = buildAttempts.collect {
+      case (n, scala.util.Failure(e)) => s"$n: ${e.getClass.getSimpleName} ${e.getMessage.take(120)}"
     }
+    assert(broken.isEmpty, s"queries failing at analysis/planning time:\n  ${broken.toSeq.sorted.mkString("\n  ")}")
+    val unplanned = built.keySet -- plans.keySet
+    assert(unplanned.isEmpty, s"queries failing at physical planning: ${unplanned.toSeq.sorted}")
+  }
 
   test("no CartesianProduct in any query plan") {
     val offenders = plans.collect {
@@ -168,6 +185,9 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t10_temperature_mix",                    // lang-domain targets + 1-row totals
     "t11_unigram_surprisal",                  // 1-row corpus-token total
     "d14_dsir_select",                        // 1-row LM-total scalar
+    "d17_hll_cardinality",                    // 64-row register-grid densifier
+    "t16_bigram_surprisal",                   // 1-row corpus-token-total scalar
+    "x14_ann_recall",                         // 10 query vectors + capped centroids
     "x12_hybrid_retrieval",                   // bounded query-side broadcast
     "x9_curriculum_mix",                      // lang targets + 1-row totals
     "x1_genome_track",                        // per-event-type counts

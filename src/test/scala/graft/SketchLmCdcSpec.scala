@@ -158,6 +158,75 @@ class SketchLmCdcSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("window_hashes is total on malformed UTF-8 (ADVICE r7)") {
+    // parquet strings are not validated UTF-8; d18 runs the kernel over
+    // every document, so the kernel must be a total function on dirty
+    // bytes. Cases: truncated multibyte lead MID-string followed by more
+    // bytes (decodes MORE codepoints than UTF8String.numChars — used to
+    // write past the output array), stray continuation bytes (decode
+    // FEWER — used to leave silent trailing zeros), and a dangling lead
+    // at the very end (the documented total-function clause).
+    def rawHashes(bytes: Array[Byte], w: Int): Seq[Long] = {
+      val got = graft.functions.WindowHashes
+        .compute(UTF8String.fromBytes(bytes), w)
+      (0 until got.numElements()).map(got.getLong)
+    }
+    // decode with the kernel's own rule to derive the expected hashes
+    def decode(b: Array[Byte]): Seq[Int] = {
+      val out = scala.collection.mutable.ArrayBuffer[Int]()
+      var i = 0
+      while (i < b.length) {
+        val x = b(i) & 0xFF
+        val need = if (x < 0x80) 1 else if (x < 0xE0) 2 else if (x < 0xF0) 3 else 4
+        if (need > b.length - i) { out += x; i += 1 }
+        else {
+          out += (need match {
+            case 1 => x
+            case 2 => ((x & 0x1F) << 6) | (b(i + 1) & 0x3F)
+            case 3 => ((x & 0x0F) << 12) | ((b(i + 1) & 0x3F) << 6) | (b(i + 2) & 0x3F)
+            case _ => ((x & 0x07) << 18) | ((b(i + 1) & 0x3F) << 12) |
+              ((b(i + 2) & 0x3F) << 6) | (b(i + 3) & 0x3F)
+          })
+          i += need
+        }
+      }
+      out.toSeq
+    }
+    val cases = Seq(
+      Array(0x61, 0x62, 0x63, 0xE0, 0x64).map(_.toByte),       // truncated 3-byte lead mid-string
+      Array(0x61, 0xF0, 0x62, 0x63, 0x64, 0x65).map(_.toByte), // truncated 4-byte lead mid-string
+      Array(0x80, 0x81, 0x61, 0x62, 0x63).map(_.toByte),       // stray continuation bytes
+      Array(0x61, 0x62, 0x80, 0x63, 0x80, 0x80, 0x64).map(_.toByte),
+      Array(0x61, 0x62, 0x63, 0x64, 0xE0).map(_.toByte),       // dangling lead at end
+      Array(0xC0, 0xC1, 0xF5, 0xFF, 0x61).map(_.toByte))       // overlong/invalid leads
+    for (bytes <- cases; w <- Seq(1, 2, 4, 8)) {
+      val cps = decode(bytes)
+      val expected = (w to cps.length).map { i =>
+        cps.slice(i - w, i).foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+      }
+      assert(rawHashes(bytes, w) == expected,
+        s"w=$w bytes=${bytes.map(b => f"${b & 0xFF}%02x").mkString(" ")}")
+    }
+  }
+
+  test("window_hashes(w=n over whole text) agrees with rolling_hash on dirty bytes") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val bytes = Array.fill(1 + rnd.nextInt(40))(rnd.nextInt(256).toByte)
+      val s = UTF8String.fromBytes(bytes)
+      val rh = graft.functions.RollingHash.compute(s)
+      // find the kernel's codepoint count via w=1 output length
+      val w1 = graft.functions.WindowHashes.compute(s, 1)
+      val n = w1.numElements()
+      if (n > 0) {
+        val whole = graft.functions.WindowHashes.compute(s, n)
+        assert(whole.numElements() == 1)
+        assert(whole.getLong(0) == rh,
+          s"kernels disagree on bytes=${bytes.map(b => f"${b & 0xFF}%02x").mkString(" ")}")
+      }
+    }
+  }
+
   /** The operator's chunking + keep-first dedup, re-derived. */
   private def cdcDerive(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
     val chunks = docs.flatMap { case (id, text) =>
