@@ -74,19 +74,19 @@ object PipelineOps {
       "m_container", d)
   }
 
-  /** The m5 WAV payload column — same SharedFrame policy, but NOT
-    * repartitioned like the PNG/container frames: javax.sound's
-    * `AudioSystem.getAudioInputStream` goes through the synchronized
-    * provider registry on every call, so a 32-way decode fan-out
-    * CONTENDS instead of parallelizing (measured: warm m5 0.5 s on one
-    * partition vs 1.9-2.3 s on 32 — the lock serializes the threads and
-    * adds arbitration on top). On a real corpus the fix is a decoder
-    * without a global registry, not more partitions.
+  /** The m5 WAV payload column — same SharedFrame + repartition layout
+    * as the PNG/container frames, so the decode stage fans out across
+    * partitions. (Through r8 this frame deliberately stayed single-split
+    * because the decoder went through `AudioSystem`'s synchronized
+    * provider registry, which serializes concurrent decodes; the
+    * registry-free RIFF parse in [[graft.functions.WavCodec.decode]]
+    * removed that shared state, so the PNG partitioning rule applies
+    * again.)
     */
   private def wavPayloads(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     import s.implicits._
     SharedFrame(
-      T.documents(s, d).select(col("doc_id")).as[Long]
+      T.documents(s, d).select(col("doc_id")).repartition(col("doc_id")).as[Long]
         .mapPartitions(synthWavs).toDF("doc_id", "wav"),
       "m_wav", d)
   }
@@ -1697,19 +1697,17 @@ object PipelineOps {
 
     // M5: audio decode → feature extraction over REAL WAV payloads — the
     // PNG story (m3/m4) replayed on the second modality: deterministic
-    // 8-bit unsigned mono PCM synthesized per doc, decoded through
-    // javax.sound.sampled's RIFF/WAVE reader, reduced to integer-only
-    // signal features (amplitude sum, energy about the 128 midpoint,
-    // strict midpoint crossings). The closed-form samples keep the whole
+    // 8-bit unsigned mono PCM synthesized per doc, decoded by a
+    // registry-free RIFF chunk walk (WavCodec.decode — plain byte parse,
+    // no shared provider state, so the decode stage parallelizes across
+    // partitions like PNG), reduced to integer-only signal features
+    // (amplitude sum, energy about the 128 midpoint, strict midpoint
+    // crossings). The closed-form samples keep the whole
     // container→decoder→feature pipeline DuckDB-oracle-checked — a header
     // mix-up, signed/unsigned confusion, or sample-order bug all surface
     // as hash mismatches. WAV PCM is uncompressed (~1.06 bytes/sample),
-    // so unlike the PNG family there is no Deflate cost to amortize and
-    // no reusable reader object in the javax.sound API — and the decode
-    // fan-out does NOT parallelize either: getAudioInputStream's
-    // synchronized provider registry serializes concurrent decoders
-    // (measured on wavPayloads — see its scaladoc), so the payload
-    // frame deliberately keeps the single-split layout.
+    // so unlike the PNG family there is no Deflate cost to amortize; the
+    // whole per-row cost is the O(n) chunk walk + the feature fold.
     QueryDef(
       "m5_audio_features",
       (s, d) => {
@@ -4380,9 +4378,9 @@ object PipelineOps {
     // canonicalization over the digest-keyed shuffle (chunks themselves
     // never ride it — only doc_id/start/len/digest move); hot digests
     // (boilerplate chunks) are d9b's documented skew spot. Basic CDC
-    // rule only: FastCDC's min/max chunk bounds make boundary i depend
-    // on boundary i-1 — a sequential refinement that would break the
-    // declarative single-pass shape (and the oracle).
+    // rule only here; FastCDC's min/max chunk bounds (boundary i
+    // depends on boundary i-1 — per-document sequential) are d18b's
+    // aggregate-fold refinement below.
     QueryDef(
       "d18_cdc_chunks",
       (s, d) => {
@@ -4453,6 +4451,135 @@ object PipelineOps {
              |  CAST(sum(CASE WHEN rn > 1 THEN clen ELSE 0 END) AS BIGINT) AS dup_chars
              |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       doc = "dedup/content-defined chunking (Rabin/LBFS family) — data-derived chunk boundaries via the O(n) window_hashes kernel, digest-keyed keep-first dedup, per-doc bytes-saved accounting"),
+
+    // D18b: FastCDC min/max chunk bounds over d18's candidate rule — the
+    // production refinement every deployed CDC family ships (FastCDC,
+    // Xia et al., USENIX ATC'16): candidates closer than MIN to the
+    // previous boundary are skipped, and a gap longer than MAX forces a
+    // cut at prev+MAX, so chunk sizes land in [MIN, MAX] (the final
+    // chunk may undershoot MIN). Boundary i depends on boundary i-1 —
+    // a per-DOCUMENT sequential recurrence, which is exactly the right
+    // amount of sequential for Spark: documents are the unit of
+    // parallelism, so the whole recurrence runs inside one map-side
+    // `aggregate` fold over the candidate array (struct accumulator =
+    // emitted cuts + last boundary; forced cuts between candidates are
+    // counted arithmetically, k = (gap-1) div MAX, so the fold stays
+    // O(#candidates + #forced)). Everything downstream — explode, chunk
+    // digests, keep-first dedup over the dg shuffle — is d18's shape;
+    // text never rides the shuffle. min/max chunk lengths ride the
+    // output so the oracle checks the bounds law itself, not just the
+    // dedup accounting. Oracle = DuckDB recursive CTE stepping the same
+    // recurrence one boundary per iteration.
+    QueryDef(
+      "d18b_cdc_bounded",
+      (s, d) => {
+        graft.functions.GraftExtensions.registerInto(s)
+        val W = org.apache.spark.sql.expressions.Window
+        val MIN = 16L
+        val MAX = 192L
+        // prev' after the forced cuts owed before candidate c
+        val prev2 = s"(acc.prev + (((c - acc.prev - 1) DIV $MAX) * $MAX))"
+        val chunks = T.documents(s, d)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+          .withColumn("cands", expr(
+            """filter(
+              |  transform(window_hashes(text, 8),
+              |    (h, i) -> IF(h % 64 = 0, CAST(i + 8 AS BIGINT), CAST(NULL AS BIGINT))),
+              |  p -> p IS NOT NULL AND p < n)""".stripMargin))
+          .withColumn("cuts", expr(
+            s"""aggregate(
+               |  cands,
+               |  named_struct('cs', CAST(array() AS ARRAY<BIGINT>),
+               |               'prev', CAST(0 AS BIGINT)),
+               |  (acc, c) -> named_struct(
+               |    'cs', concat(
+               |      acc.cs,
+               |      IF((c - acc.prev - 1) DIV $MAX = 0,
+               |         CAST(array() AS ARRAY<BIGINT>),
+               |         transform(sequence(1L, (c - acc.prev - 1) DIV $MAX),
+               |                   j -> acc.prev + j * $MAX)),
+               |      IF(c - $prev2 >= $MIN, array(c), CAST(array() AS ARRAY<BIGINT>))),
+               |    'prev', IF(c - $prev2 >= $MIN, c, $prev2)),
+               |  acc -> concat(
+               |    acc.cs,
+               |    IF((n - acc.prev - 1) DIV $MAX = 0,
+               |       CAST(array() AS ARRAY<BIGINT>),
+               |       transform(sequence(1L, (n - acc.prev - 1) DIV $MAX),
+               |                 j -> acc.prev + j * $MAX))))""".stripMargin))
+          .withColumn("starts",
+            expr("concat(array(CAST(1 AS BIGINT)), transform(cuts, p -> p + 1))"))
+          .withColumn("ends", expr("concat(cuts, array(CAST(n AS BIGINT)))"))
+          .select(col("doc_id"), col("text"),
+            posexplode(expr("arrays_zip(starts, ends)")).as(Seq("ci", "se")))
+          .select(col("doc_id"), col("text"), (col("ci") + 1).as("chunk_idx"),
+            col("se.starts").as("start"),
+            (col("se.ends") - col("se.starts") + 1).as("clen"))
+          .withColumn("dg", expr(
+            """CAST(conv(substr(md5(substring(text, CAST(start AS INT), CAST(clen AS INT))),
+              |               1, 15), 16, 10) AS BIGINT)""".stripMargin))
+          .drop("text") // digest computed — only doc_id/start/clen/dg ride the dg shuffle
+        chunks
+          .withColumn("rn", row_number().over(
+            W.partitionBy(col("dg")).orderBy(col("doc_id"), col("start"))))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            min(col("clen")).as("min_clen"),
+            max(col("clen")).as("max_clen"),
+            sum(when(col("rn") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+            sum(when(col("rn") > 1, col("clen")).otherwise(0L)).as("dup_chars"))
+          .select(col("doc_id"), col("n_chunks"), col("min_clen"),
+            col("max_clen"), col("dup_chunks"), col("dup_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE c AS (
+             |  SELECT doc_id, text, length(text) AS n,
+             |    [CAST(unicode(ch) AS BIGINT) FOR ch IN split(text, '')] AS cps
+             |  FROM documents WHERE length(text) > 0),
+             |wh AS (
+             |  SELECT doc_id, text, n,
+             |    [CAST(i AS BIGINT) FOR i IN range(8, n + 1)
+             |       IF list_reduce(list_prepend(CAST(0 AS BIGINT), cps[i-7:i]),
+             |            (a, cc) -> (a * 31 + cc) % 1000000007) % 64 = 0
+             |          AND i < n] AS cands
+             |  FROM c),
+             |s AS (
+             |  SELECT doc_id, n, cands, CAST(0 AS BIGINT) AS cut
+             |  FROM wh
+             |  UNION ALL
+             |  SELECT doc_id, n, cands,
+             |    COALESCE(
+             |      list_min(list_filter(cands, x -> x >= cut + 16 AND x <= cut + 192)),
+             |      CASE WHEN n - cut > 192 THEN cut + 192 END)
+             |  FROM s
+             |  WHERE COALESCE(
+             |      list_min(list_filter(cands, x -> x >= cut + 16 AND x <= cut + 192)),
+             |      CASE WHEN n - cut > 192 THEN cut + 192 END) IS NOT NULL),
+             |cl AS (
+             |  SELECT doc_id, list_sort(list(cut)) AS bs FROM s GROUP BY doc_id),
+             |sp AS (
+             |  SELECT w.doc_id, w.text, w.n,
+             |    list_transform(cl.bs, p -> p + 1) AS starts,
+             |    list_append([b FOR b IN cl.bs IF b > 0], CAST(w.n AS BIGINT)) AS ends
+             |  FROM wh w JOIN cl ON w.doc_id = cl.doc_id),
+             |ch AS (
+             |  SELECT doc_id, starts[i] AS start, ends[i] - starts[i] + 1 AS clen,
+             |    CAST('0x' || substr(md5(substring(text, CAST(starts[i] AS INT),
+             |           CAST(ends[i] - starts[i] + 1 AS INT))), 1, 15) AS BIGINT) AS dg
+             |  FROM (SELECT doc_id, text, starts, ends,
+             |          unnest(range(1, len(starts) + 1)) AS i
+             |        FROM sp)),
+             |r AS (
+             |  SELECT doc_id, clen,
+             |    row_number() OVER (PARTITION BY dg ORDER BY doc_id, start) AS rn
+             |  FROM ch)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             |  CAST(min(clen) AS BIGINT) AS min_clen,
+             |  CAST(max(clen) AS BIGINT) AS max_clen,
+             |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+             |  CAST(sum(CASE WHEN rn > 1 THEN clen ELSE 0 END) AS BIGINT) AS dup_chars
+             |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "dedup/FastCDC bounded chunking — min/max chunk-size bounds (skip-below-MIN, force-cut-at-MAX) run as a per-document aggregate fold over the candidate array; bounds surfaced in the output, recursive-CTE oracle"),
 
     // X14: ANN recall@k self-evaluation — the measurement every ANN
     // deployment runs before trusting an index: d5's brute-force top-5

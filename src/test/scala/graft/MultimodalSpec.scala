@@ -90,6 +90,35 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sameElements("RIFF".getBytes("US-ASCII")))
   }
 
+  test("registry-free WAV parse matches the javax.sound reference decoder") {
+    import graft.functions.WavCodec
+    for (seed <- Seq(0L, 1L, 63L, 12345L, -77L); n <- Seq(1, 2, 255, 256, 319)) {
+      val bytes = WavCodec.synthesize(n, seed)
+      val (rate, samples) = WavCodec.decode(bytes)
+      val (refRate, refSamples) = WavCodec.decodeRegistry(bytes)
+      assert(rate == refRate, s"rate parity for ($n,$seed)")
+      assert(samples.sameElements(refSamples), s"sample parity for ($n,$seed)")
+    }
+  }
+
+  test("registry-free WAV parse rejects malformed payloads cleanly") {
+    import graft.functions.WavCodec
+    val good = WavCodec.synthesize(64, 5L)
+    // not RIFF at all
+    intercept[IllegalArgumentException](WavCodec.decode("hello".getBytes))
+    // truncated mid-data: declared chunk size exceeds the buffer
+    intercept[IllegalArgumentException](WavCodec.decode(good.take(good.length - 10)))
+    // stereo/16-bit formats are refused, not misread
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val data = new Array[Byte](32)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, 16L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    intercept[IllegalArgumentException](WavCodec.decode(bos.toByteArray))
+  }
+
   test("wav features match an independent fold over the samples") {
     import graft.functions.WavCodec
     val samples = Array(128, 130, 125, 128, 120, 200, 0, 255, 128, 1)

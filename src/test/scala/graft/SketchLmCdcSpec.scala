@@ -280,4 +280,111 @@ class SketchLmCdcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dupChars2 > base.length * 0.5,
       s"most of the shifted copy must dedupe, got $dupChars2 of ${base.length}")
   }
+
+  // --------------------------------------------------------------- d18b
+
+  /** Independent sequential FastCDC reference: walk the candidate list
+    * one boundary at a time — skip candidates closer than MIN to the
+    * previous boundary, force a cut at prev+MAX when no candidate lands
+    * in (prev+MIN-1, prev+MAX]. Deliberately a plain imperative loop (the
+    * textbook formulation) so it shares no structure with the query's
+    * arithmetic fold or the oracle's recursive CTE.
+    */
+  private def boundedCuts(n: Long, cands: Seq[Long], min: Long, max: Long): Seq[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var prev = 0L
+    var rest = cands
+    var done = false
+    while (!done) {
+      rest = rest.dropWhile(_ < prev + min)
+      rest.headOption.filter(_ <= prev + max) match {
+        case Some(c) => out += c; prev = c
+        case None =>
+          if (n - prev > max) { out += prev + max; prev = prev + max }
+          else done = true
+      }
+    }
+    out.toSeq
+  }
+
+  private def cdcBoundedDerive(docs: Seq[(Long, String)])
+      : Map[Long, (Long, Long, Long, Long, Long)] = {
+    val chunks = docs.flatMap { case (id, text) =>
+      val n = text.codePointCount(0, text.length).toLong
+      val wh = bruteWindowHashes(text, 8)
+      val cands = wh.zipWithIndex.collect {
+        case (h, i) if h % 64 == 0 && (i + 8).toLong < n => (i + 8).toLong
+      }
+      val cuts = boundedCuts(n, cands, 16L, 192L)
+      val starts = 1L +: cuts.map(_ + 1)
+      val ends = cuts :+ n
+      starts.zip(ends).map { case (st, en) =>
+        val chunk = text.substring(st.toInt - 1, en.toInt)
+        (id, st, en - st + 1, java.lang.Long.parseLong(md5hex(chunk).take(15), 16))
+      }
+    }
+    val firstOwner = chunks.groupBy(_._4)
+      .map { case (dg, occ) => dg -> occ.map(o => (o._1, o._2)).min }
+    chunks.groupBy(_._1).map { case (id, cs) =>
+      val dups = cs.filter(c => firstOwner(c._4) != ((c._1, c._2)))
+      id -> (cs.size.toLong, cs.map(_._3).min, cs.map(_._3).max,
+        dups.size.toLong, dups.map(_._3).sum)
+    }
+  }
+
+  test("d18b: bounded chunks equal the sequential FastCDC reference") {
+    val docs = Seq(
+      (1L, mkText(1, 300)),
+      (2L, "INSERTED PREFIX " + mkText(1, 300)),
+      (3L, mkText(2, 150)),
+      (4L, mkText(3, 4)),            // shorter than MIN: one tail chunk
+      (5L, "z" * 700))               // no candidates at all: forced cuts only
+    val dir = writeDocs(docs.map(d => (d._1, d._2, "en")), "d18b_ref")
+    val out = SparkEntry.queries("d18b_cdc_bounded")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(out == cdcBoundedDerive(docs))
+    // the all-same-char doc must be pure forced cuts: ceil(700/192) chunks
+    assert(out(5L)._1 == 4L && out(5L)._3 == 192L,
+      s"forced-cut-only doc must chunk at MAX, got ${out(5L)}")
+  }
+
+  test("d18b: chunk lengths obey the FastCDC bounds law") {
+    val docs = (1L to 12L).map(i => (i, mkText(i.toInt * 31, 200 + 40 * i.toInt)))
+    // the law, checked on the per-chunk reference the query is verified
+    // against below: every chunk <= MAX, and every chunk EXCEPT the final
+    // tail >= MIN (the tail alone may undershoot)
+    docs.foreach { case (id, text) =>
+      val n = text.codePointCount(0, text.length).toLong
+      val cands = bruteWindowHashes(text, 8).zipWithIndex.collect {
+        case (h, i) if h % 64 == 0 && (i + 8).toLong < n => (i + 8).toLong
+      }
+      val cuts = boundedCuts(n, cands, 16L, 192L)
+      val lens = ((1L +: cuts.map(_ + 1)).zip(cuts :+ n))
+        .map { case (st, en) => en - st + 1 }
+      assert(lens.forall(_ <= 192L), s"doc $id: chunk exceeds MAX in $lens")
+      assert(lens.dropRight(1).forall(_ >= 16L),
+        s"doc $id: non-tail chunk under MIN in $lens")
+      assert(lens.forall(_ >= 1L), s"doc $id: empty chunk in $lens")
+    }
+    // and the query agrees with that reference (bounds + dedup accounting)
+    val dir = writeDocs(docs.map(d => (d._1, d._2, "en")), "d18b_law")
+    val got = SparkEntry.queries("d18b_cdc_bounded")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got == cdcBoundedDerive(docs))
+  }
+
+  test("d18b: bounded boundaries still resynchronize after an insertion") {
+    val base = mkText(7, 400)
+    val docs = Seq((1L, base), (2L, "X " + base))
+    val dir = writeDocs(docs.map(d => (d._1, d._2, "en")), "d18b_resync")
+    val out = SparkEntry.queries("d18b_cdc_bounded")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4), r.getLong(5))).toMap
+    val (n2, dup2, dupChars2) = out(2L)
+    assert(n2 >= 4, s"need several chunks for the law to bite, got $n2")
+    assert(dup2 >= n2 - 2, s"bounded CDC must resync: $dup2 of $n2 chunks deduped")
+    assert(dupChars2 > base.length * 0.5,
+      s"most of the shifted copy must dedupe, got $dupChars2 of ${base.length}")
+  }
 }
