@@ -439,7 +439,7 @@ object CorpusRehearsal {
     // per-term posting length — the near-uniform synthetic vocabulary
     // makes every posting ~N/|V|, the WAND-free worst case, which is
     // exactly what the stage should time).
-    stage("bm25_retrieve") {
+    def bm25Retrieve(tag: String, maxDfPpm: Option[Long]): Unit = stage(tag) {
       val train = docs
         .join(canonical.select(col("doc_id")), Seq("doc_id"), "left_semi")
         .filter(!isEval)
@@ -453,8 +453,15 @@ object CorpusRehearsal {
       // the clone block (eval ids start at hotCopies under a hot corpus)
       val qterms = docs.filter(isEval && col("doc_id") < lit(hotCopies + 20000L))
         .select(col("doc_id").as("qdoc"), explode(toks).as("term")).distinct()
-      val post = tf.join(dl, "doc_id").join(dfr, "term")
+      val joined = tf.join(dl, "doc_id").join(dfr, "term")
         .crossJoin(broadcast(tot))
+      // hot-term pruning (graft.bm25.maxDfFrac's rule): drop postings for
+      // terms with df above frac·Nd BEFORE the candidate-generating join —
+      // the per-term fan-out is the posting length, so the hottest (least
+      // discriminative, idf→1) terms are the expensive ones
+      val kept = maxDfPpm.fold(joined)(ppm =>
+        joined.filter(col("df") * lit(1000000L) <= lit(ppm) * col("nd")))
+      val post = kept
         .withColumn("idf", length(conv(expr("nd div df"), 10, 2)).cast("long"))
         .withColumn("contrib", floor(
           expr("CAST(idf * tf * 44 * big_l AS DOUBLE) / " +
@@ -473,9 +480,35 @@ object CorpusRehearsal {
         coalesce(sum(when(col("rk") === 1, col("score"))), lit(0L)),
         coalesce(max(col("score")), lit(0L))).collect()(0)
       top.unpersist(blocking = true): Unit
-      put("n_bm25_hits", r.getLong(0)); put("n_bm25_queries", r.getLong(1))
-      put("sum_bm25_top1", r.getLong(2)); put("max_bm25_score", r.getLong(3))
+      val sfx = if (maxDfPpm.isEmpty) "" else "_pruned"
+      put(s"n_bm25_hits$sfx", r.getLong(0)); put(s"n_bm25_queries$sfx", r.getLong(1))
+      put(s"sum_bm25_top1$sfx", r.getLong(2)); put(s"max_bm25_score$sfx", r.getLong(3))
+      // the DETERMINISTIC work metric this host's noise can't blur: the
+      // candidate generator emits exactly Σ_term qf·df pairs, computable
+      // from the per-term frames without running the join — pruning's
+      // effect at 100 TB is this number, not a local wall-clock delta
+      val dfKept = maxDfPpm.fold(dfr)(ppm =>
+        dfr.crossJoin(broadcast(tot))
+          .filter(col("df") * lit(1000000L) <= lit(ppm) * col("nd"))
+          .select(col("term"), col("df")))
+      val pairs = qterms.join(dfKept, Seq("term"))
+        .agg(coalesce(sum(col("df")), lit(0L))).collect()(0).getLong(0)
+      put(s"n_bm25_cand_pairs$sfx", pairs)
+      maxDfPpm.foreach { ppm =>
+        val pruned = dfr.crossJoin(broadcast(tot))
+          .filter(col("df") * lit(1000000L) > lit(ppm) * col("nd"))
+          .agg(coalesce(count(lit(1)), lit(0L)),
+            coalesce(sum(col("df")), lit(0L))).collect()(0)
+        put("n_bm25_pruned_terms", pruned.getLong(0))
+        put("n_bm25_pruned_postings", pruned.getLong(1))
+      }
     }
+    bm25Retrieve("bm25_retrieve", None)
+    // pruned variant at 1% — on this corpus that drops the majority
+    // language's terms (en df ≈ 1.5% of Nd; es/de/fr ≈ 0.5%, zh ≈ 0.33%),
+    // i.e. the hottest ~45% of postings volume, which is the stage's
+    // whole candidate-generation cost for en queries
+    bm25Retrieve("bm25_retrieve_pruned", Some(10000L))
 
     (timings.toSeq, stats.toSeq)
   }

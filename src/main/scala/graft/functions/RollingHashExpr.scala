@@ -27,27 +27,12 @@ object RollingHash {
     val b = s.getBytes
     var acc = 0L
     var i = 0
+    // decode rule (incl. dangling-lead-byte totality) is Utf8Decode's —
+    // the ONE shared definition, so this kernel, WindowHashes, and the
+    // count stay byte-for-byte in sync on dirty corpora
     while (i < b.length) {
-      val x = b(i) & 0xFF
-      val need = if (x < 0x80) 1 else if (x < 0xE0) 2 else if (x < 0xF0) 3 else 4
-      var cp = 0
-      if (need > b.length - i) {
-        // truncated/invalid multibyte tail (parquet strings are not
-        // validated UTF-8): hash the dangling lead byte as itself instead
-        // of reading past the array — deterministic and total on dirty
-        // corpora, which is the data a fingerprint pipeline ingests
-        cp = x; i += 1
-      } else if (need == 1) { cp = x; i += 1 }
-      else if (need == 2) { cp = ((x & 0x1F) << 6) | (b(i + 1) & 0x3F); i += 2 }
-      else if (need == 3) {
-        cp = ((x & 0x0F) << 12) | ((b(i + 1) & 0x3F) << 6) | (b(i + 2) & 0x3F)
-        i += 3
-      } else {
-        cp = ((x & 0x07) << 18) | ((b(i + 1) & 0x3F) << 12) |
-          ((b(i + 2) & 0x3F) << 6) | (b(i + 3) & 0x3F)
-        i += 4
-      }
-      acc = (acc * 31 + cp) % Mod
+      acc = (acc * 31 + Utf8Decode.codepoint(b, i)) % Mod
+      i += Utf8Decode.width(b, i)
     }
     acc
   }

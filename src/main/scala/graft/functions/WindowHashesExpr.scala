@@ -27,32 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
 object WindowHashes {
   private val Mod = 1000000007L
 
-  /** Codepoint count under THIS kernel's byte-consumption rule (identical
-    * to the decode loop below, incl. the dangling-lead-byte clause).
-    * `UTF8String.numChars()` disagrees on malformed UTF-8 — a truncated
-    * multibyte lead mid-string decodes to MORE codepoints here (each
-    * orphaned byte is one codepoint), a stray continuation byte to FEWER
-    * (it is absorbed as a 2-byte sequence) — and sizing the output from
-    * numChars() made the kernel non-total (write past the array / silent
-    * trailing zeros). Counting with the decoder's own rule keeps the
-    * total-function contract AND byte-for-byte parity with
-    * [[RollingHash.compute]] on every input, well-formed or not.
-    */
-  private def decodedCount(b: Array[Byte]): Int = {
-    var cnt = 0
-    var i = 0
-    while (i < b.length) {
-      val x = b(i) & 0xFF
-      val need = if (x < 0x80) 1 else if (x < 0xE0) 2 else if (x < 0xF0) 3 else 4
-      i += (if (need > b.length - i) 1 else need)
-      cnt += 1
-    }
-    cnt
-  }
-
   def compute(s: UTF8String, w: Int): ArrayData = {
     val b = s.getBytes
-    val nChars = decodedCount(b)
+    // output sized by the decoder's OWN codepoint count (Utf8Decode.count
+    // — the one shared rule): UTF8String.numChars() disagrees on
+    // malformed UTF-8, and any other count breaks the total-function
+    // contract (write past the array / silent trailing zeros)
+    val nChars = Utf8Decode.count(b)
     if (w < 1 || nChars < w) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
     // 31^w mod P
     var bw = 1L
@@ -64,20 +45,8 @@ object WindowHashes {
     var i = 0 // byte index
     var pos = 0 // codepoint index (0-based)
     while (i < b.length) {
-      val x = b(i) & 0xFF
-      val need = if (x < 0x80) 1 else if (x < 0xE0) 2 else if (x < 0xF0) 3 else 4
-      var cp = 0
-      if (need > b.length - i) { cp = x; i += 1 }
-      else if (need == 1) { cp = x; i += 1 }
-      else if (need == 2) { cp = ((x & 0x1F) << 6) | (b(i + 1) & 0x3F); i += 2 }
-      else if (need == 3) {
-        cp = ((x & 0x0F) << 12) | ((b(i + 1) & 0x3F) << 6) | (b(i + 2) & 0x3F)
-        i += 3
-      } else {
-        cp = ((x & 0x07) << 18) | ((b(i + 1) & 0x3F) << 12) |
-          ((b(i + 2) & 0x3F) << 6) | (b(i + 3) & 0x3F)
-        i += 4
-      }
+      val cp = Utf8Decode.codepoint(b, i)
+      i += Utf8Decode.width(b, i)
       acc = (acc * 31 + cp) % Mod
       if (pos >= w) {
         // drop the codepoint that slid out of the window

@@ -141,8 +141,22 @@ object PipelineOps {
     * score_q the 1e-6 fixed-pointed BM25 sum (exact int64 — see the d15
     * QueryDef comment for the rational rewrite). SharedFrame'd so the
     * lexical leg of the hybrid composite reuses the postings work.
+    *
+    * `graft.bm25.maxDfFrac` (double in (0,1], default off) is the
+    * standard stop-word/hot-term pruning every production BM25 engine
+    * ships (Lucene's common-terms handling, WAND's upper-bound skips):
+    * postings for terms whose document frequency exceeds frac·Nd are
+    * dropped BEFORE the qterms×postings join — the candidate generator's
+    * fan-out is the posting-list length, so the hottest terms (df≈Nd,
+    * idf≈bit_length(1)=1, near-zero score contribution) are exactly the
+    * ones that cost the most and discriminate the least. The cutoff is
+    * integer-exact (df·1e6 ≤ round(frac·1e6)·Nd) so a given conf value
+    * prunes the same term set on every run. Off by default: the oracled
+    * d15 row scores the full postings list.
     */
   private def bm25Scores(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val maxDfPpm = s.conf.getOption("graft.bm25.maxDfFrac")
+      .map(f => math.round(f.trim.toDouble * 1e6))
     val toks = T.documents(s, d)
       .select(col("doc_id"),
         explode(filter(split(lower(col("text")), " "), x => x =!= ""))
@@ -155,8 +169,13 @@ object PipelineOps {
     val tot = dl.agg(sum(col("dl")).as("big_l"), count(lit(1)).as("nd"))
     val qterms = toks.filter(col("doc_id") % 10 === 7)
       .select(col("doc_id").as("qdoc"), col("term")).distinct()
-    val postings = tf.join(dl, "doc_id").join(df, "term")
-      .crossJoin(broadcast(tot))
+    val kept = maxDfPpm.fold(tf.join(dl, "doc_id").join(df, "term")
+      .crossJoin(broadcast(tot))) { ppm =>
+      tf.join(dl, "doc_id").join(df, "term")
+        .crossJoin(broadcast(tot))
+        .filter(col("df") * lit(1000000L) <= lit(ppm) * col("nd"))
+    }
+    val postings = kept
       .withColumn("idf",
         length(conv(expr("nd div df"), 10, 2)).cast("long"))
       .withColumn("contrib", floor(
@@ -168,7 +187,9 @@ object PipelineOps {
       qterms.join(postings, Seq("term"))
         .groupBy(col("qdoc"), col("doc_id"))
         .agg(sum(col("contrib")).as("score_q")),
-      "d15_scores", d)
+      // the df cap changes the frame's contents: key it so a session
+      // toggling the conf never reads a stale cached variant
+      maxDfPpm.fold("d15_scores")(ppm => s"d15_scores_df$ppm"), d)
   }
 
   /** x12's doc-level hashed bag-of-words embedding: (doc_id, q, nn) with
@@ -4381,6 +4402,17 @@ object PipelineOps {
     // rule only here; FastCDC's min/max chunk bounds (boundary i
     // depends on boundary i-1 — per-document sequential) are d18b's
     // aggregate-fold refinement below.
+    //
+    // Position spaces (ADVICE r8): cut positions use the kernel's own
+    // codepoint rule (total on malformed UTF-8 — orphaned bytes count
+    // one codepoint each), while n = length(text) and the substring()
+    // slicing use Spark's char semantics. The two AGREE on well-formed
+    // UTF-8 — the only regime where "chunk at codepoint p" is a
+    // meaningful claim at all — and both stay total and deterministic
+    // on dirty bytes, where spans may land on different byte offsets
+    // than the kernel's coordinates (same rows every run, so dedup
+    // accounting and the oracle are unaffected; only the spans'
+    // byte-level interpretation degrades). Holds for d18b too.
     QueryDef(
       "d18_cdc_chunks",
       (s, d) => {
@@ -4706,6 +4738,181 @@ object PipelineOps {
              |  CAST(count(ap.eid) AS DOUBLE) / 5.0 AS recall
              |FROM gt g LEFT JOIN ap ON ap.qid = g.qid AND ap.eid = g.eid
              |GROUP BY g.qid ORDER BY g.qid""".stripMargin),
-      doc = "similarity composite: ANN recall@5 self-evaluation — d5's brute-force ground truth vs d7's IVF answer over the shared quantized frame; the index-quality measurement every ANN deployment runs")
+      doc = "similarity composite: ANN recall@5 self-evaluation — d5's brute-force ground truth vs d7's IVF answer over the shared quantized frame; the index-quality measurement every ANN deployment runs"),
+
+    // X15: IVF-PQ — the production ANN pairing (Jégou et al. 2011 §V;
+    // FAISS's IVFPQ index): d7's coarse quantizer PRUNES (queries probe
+    // their 2 nearest inverted lists, so search cost scales with list
+    // size), and inside the probed lists candidates are scored by d16's
+    // asymmetric distance over PQ CODES (4 bytes per vector instead of
+    // 32 floats — the RAM-residency enabler), not by exact dots.
+    // Composing the two existing indexes is the whole point: the coarse
+    // centroids, the inverted lists, the subspace codebooks, the codes
+    // and the per-query ADC tables are each re-used verbatim from
+    // d7/d16 (same SharedFrame base, same stride rule), and x14's
+    // recall@5 machinery measures what the compression costs — the
+    // recall gap between x14 (IVF + exact rescoring) and x15 (IVF + ADC)
+    // is exactly the PQ approximation error. Scale shape: the candidate
+    // generator is the list-bounded probe join (never N×Q); ADC scoring
+    // adds one broadcast (m×K int64 tables per bounded query set) and a
+    // (qid, vec_id)-keyed sum over 4 rows per candidate; everything
+    // downstream of the probe is int64-exact.
+    QueryDef(
+      "x15_ivf_pq",
+      (s, d) => {
+        val q = expr("transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))")
+        val base = SharedFrame(
+          T.embeddings(s, d).select(col("vec_id"), q.as("q"))
+            .withColumn("nn",
+              expr("aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")),
+          "d7_base", d)
+        val queries = base.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("q").as("qq"), col("nn").as("qn"))
+        val dot =
+          expr("aggregate(zip_with(q, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+            .cast("double")
+        // exact ground truth (x14's leg): brute-force cosine top-5
+        val gt = base.join(broadcast(queries), col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            dot / sqrt(col("qn").cast("double") * col("nn").cast("double")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("vec_id").as("eid"))
+        // IVF stage (d7's index): lists + 2-probe candidate generation
+        val stride = math.max(50L,
+          T.footerRowCount(s, d, "embeddings") / 4096L)
+        val cents = base.filter(col("vec_id") % stride === 0)
+          .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
+        val simToCent =
+          expr("aggregate(zip_with(q, cq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+            .cast("double") / sqrt(col("nn").cast("double") * col("cn").cast("double"))
+        val assigned = base.join(broadcast(cents))
+          .withColumn("sim", simToCent)
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("list_id"))
+        val probes = base.filter(col("vec_id") < 10).join(broadcast(cents))
+          .withColumn("sim", simToCent)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))))
+          .filter(col("rk") <= 2)
+          .select(col("vec_id").as("qid"), col("cid").as("probe_list"))
+        val cand = probes.join(assigned,
+            col("list_id") === col("probe_list") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"))
+        // PQ stage (d16's index): subspace codebooks, codes for the whole
+        // corpus, per-query ADC tables
+        val subs = base.select(col("vec_id"),
+          posexplode(expr(
+            "transform(sequence(0, 3), b -> slice(q, b * 8 + 1, 8))"))
+            .as(Seq("b", "s")))
+        val pqCents = subs.filter(col("vec_id") % stride === 0)
+          .select(col("b"), col("vec_id").as("pcid"), col("s").as("cs"))
+        val sqDist =
+          expr("aggregate(zip_with(s, cs, (a, c) -> (a - c) * (a - c)), 0L, (acc, x) -> acc + x)")
+        val codes = subs
+          .join(broadcast(pqCents), Seq("b"))
+          .withColumn("dist", sqDist)
+          .groupBy(col("vec_id"), col("b"))
+          .agg(min_by(col("pcid"), struct(col("dist"), col("pcid"))).as("pcid"))
+        val adc = subs.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("b"), col("s"))
+          .join(broadcast(pqCents), Seq("b"))
+          .withColumn("qdist", sqDist)
+          .select(col("qid"), col("b"), col("pcid"), col("qdist"))
+        // ADC scoring of the IVF candidates + top-5 by asymmetric distance
+        val approx = cand.join(codes, "vec_id")
+          .join(broadcast(adc), Seq("qid", "b", "pcid"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(sum(col("qdist")).as("adist"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("vec_id").as("eid"))
+        gt.join(approx, Seq("qid", "eid"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+          .join(gt.select(col("qid")).distinct(), Seq("qid"), "right")
+          .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+          .withColumn("recall", col("n_hit").cast("double") / 5.0)
+          .select(col("qid"), col("n_hit"), col("recall"))
+          .orderBy(col("qid"))
+      },
+      Some("""WITH base AS (
+             |  SELECT vec_id,
+             |         [floor((embedding[i] * 1000)::DOUBLE + 0.5)::BIGINT
+             |          FOR i IN range(1, len(embedding) + 1)] AS q
+             |  FROM embeddings),
+             |withnn AS (
+             |  SELECT vec_id, q,
+             |         list_reduce([q[i] * q[i] FOR i IN range(1, len(q) + 1)],
+             |                     (a, b) -> a + b) AS nn
+             |  FROM base),
+             |qs AS (SELECT vec_id AS qid, q AS qq, nn AS qn FROM withnn WHERE vec_id < 10),
+             |gt AS (
+             |  SELECT qid, eid FROM (
+             |    SELECT qs.qid, n.vec_id AS eid,
+             |      row_number() OVER (PARTITION BY qs.qid
+             |        ORDER BY list_dot_product(n.q, qs.qq) / sqrt(qs.qn * n.nn) DESC,
+             |                 n.vec_id) AS rk
+             |    FROM qs JOIN withnn n ON n.vec_id <> qs.qid) WHERE rk <= 5),
+             |cents AS (
+             |  SELECT vec_id AS cid, q AS cq, nn AS cn FROM withnn WHERE vec_id % 50 = 0),
+             |simsc AS (
+             |  SELECT v.vec_id, v.nn, c.cid,
+             |         list_reduce([v.q[i] * c.cq[i] FOR i IN range(1, len(v.q) + 1)],
+             |                     (a, b) -> a + b)::DOUBLE
+             |           / sqrt(v.nn::DOUBLE * c.cn::DOUBLE) AS sim
+             |  FROM withnn v CROSS JOIN cents c),
+             |assigned AS (
+             |  SELECT vec_id, cid AS list_id FROM (
+             |    SELECT vec_id, cid,
+             |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+             |    FROM simsc) WHERE rn = 1),
+             |probes AS (
+             |  SELECT vec_id AS qid, cid AS probe_list FROM (
+             |    SELECT s.vec_id, s.cid,
+             |           row_number() OVER (PARTITION BY s.vec_id ORDER BY s.sim DESC, s.cid ASC) AS rn
+             |    FROM simsc s WHERE s.vec_id < 10) WHERE rn <= 2),
+             |cand AS (
+             |  SELECT p.qid, a.vec_id
+             |  FROM probes p
+             |  JOIN assigned a ON a.list_id = p.probe_list AND a.vec_id != p.qid),
+             |subs AS (
+             |  SELECT vec_id, b, q[b * 8 + 1 : b * 8 + 8] AS s
+             |  FROM base, (SELECT unnest(range(0, 4)) AS b)),
+             |pqcents AS (
+             |  SELECT b, vec_id AS pcid, s AS cs FROM subs WHERE vec_id % 50 = 0),
+             |codes AS (
+             |  SELECT vec_id, b, pcid FROM (
+             |    SELECT v.vec_id, v.b, c.pcid,
+             |      row_number() OVER (PARTITION BY v.vec_id, v.b ORDER BY
+             |        list_reduce([(v.s[i] - c.cs[i]) * (v.s[i] - c.cs[i])
+             |                     FOR i IN range(1, len(v.s) + 1)],
+             |                    (a, x) -> a + x) ASC, c.pcid ASC) AS rn
+             |    FROM subs v JOIN pqcents c USING (b)) WHERE rn = 1),
+             |adc AS (
+             |  SELECT v.vec_id AS qid, v.b, c.pcid,
+             |    list_reduce([(v.s[i] - c.cs[i]) * (v.s[i] - c.cs[i])
+             |                 FOR i IN range(1, len(v.s) + 1)],
+             |                (a, x) -> a + x) AS qdist
+             |  FROM subs v JOIN pqcents c USING (b)
+             |  WHERE v.vec_id < 10),
+             |ap AS (
+             |  SELECT qid, eid FROM (
+             |    SELECT sc.qid, sc.vec_id AS eid,
+             |      row_number() OVER (PARTITION BY sc.qid
+             |        ORDER BY sc.adist ASC, sc.vec_id ASC) AS rk
+             |    FROM (
+             |      SELECT cd.qid, cd.vec_id, CAST(sum(a.qdist) AS BIGINT) AS adist
+             |      FROM cand cd
+             |      JOIN codes e ON e.vec_id = cd.vec_id
+             |      JOIN adc a ON a.qid = cd.qid AND a.b = e.b AND a.pcid = e.pcid
+             |      GROUP BY cd.qid, cd.vec_id) sc) WHERE rk <= 5)
+             |SELECT g.qid,
+             |  CAST(count(ap.eid) AS BIGINT) AS n_hit,
+             |  CAST(count(ap.eid) AS DOUBLE) / 5.0 AS recall
+             |FROM gt g LEFT JOIN ap ON ap.qid = g.qid AND ap.eid = g.eid
+             |GROUP BY g.qid ORDER BY g.qid""".stripMargin),
+      doc = "similarity composite: IVF-PQ — d7's 2-probe inverted-list pruning with d16's int64 asymmetric-distance scoring over PQ codes, recall@5 measured against d5's exact ground truth (x14's machinery); the FAISS-style production ANN pairing")
   )
 }

@@ -214,4 +214,54 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(nHit == 5L && recall == 1.0, s"query $q: expected full recall, got $nHit")
     }
   }
+
+  test("x15: IVF-PQ achieves full recall on a cluster-per-codebook-entry corpus") {
+    import spark.implicits._
+    // 520 vectors in 10 orthogonal clusters (blocks of 52 ids), query i
+    // (id < 10) pointing at cluster i's direction. Block width 52 > 50
+    // puts at least one stride-50 centroid in every block, so each
+    // cluster owns an inverted list AND a PQ codebook entry. Members
+    // carry a tiny id-monotonic perturbation on a dedicated dim, so the
+    // exact ground truth is the 5 smallest member ids per cluster —
+    // and because all small-perturbation members share the same PQ code,
+    // ADC ties resolve by vec_id to exactly that set. Full recall is
+    // then a LAW of the construction, for the composed index end to end.
+    val dim = 32
+    def vec(at: Int, v: Float, at2: Int = -1, v2: Float = 0f): Seq[Float] = {
+      val a = Array.fill(dim)(0f)
+      a(at) = v
+      if (at2 >= 0) a(at2) = v2
+      a.toSeq
+    }
+    val rows = (0 until 520).map { id =>
+      if (id < 10) (id.toLong, vec(id, 1f)) // query i = cluster i's direction
+      else {
+        val cluster = id / 52
+        val eps = (id - cluster * 52 + 1) * 0.001f
+        (id.toLong, vec(cluster, 1f, 10 + cluster, eps))
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_x15").toString
+    rows.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("x15_ivf_pq")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("n_hit"), r.getAs[Double]("recall")))
+    assert(out.length == 10)
+    out.foreach { case (q, nHit, recall) =>
+      assert(nHit == 5L && recall == 1.0,
+        s"query $q: expected full IVF-PQ recall, got $nHit")
+    }
+  }
+
+  test("x15: per-query hits are bounded and consistent on the sf corpus") {
+    val out = SparkEntry.queries("x15_ivf_pq")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("n_hit"), r.getAs[Double]("recall")))
+    val x14 = SparkEntry.queries("x14_ann_recall")(spark, sf).collect()
+      .map(r => r.getAs[Long]("qid")).toSet
+    // same query set as x14 (both derive from the same ground truth)
+    assert(out.map(_._1).toSet == x14)
+    out.foreach { case (q, nHit, recall) =>
+      assert(nHit >= 0 && nHit <= 5, s"query $q: n_hit $nHit out of range")
+      assert(recall == nHit.toDouble / 5.0, s"query $q recall mismatch")
+    }
+  }
 }

@@ -52,7 +52,10 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("every query in SparkEntry.queries builds and plans") {
     val broken = buildAttempts.collect {
-      case (n, scala.util.Failure(e)) => s"$n: ${e.getClass.getSimpleName} ${e.getMessage.take(120)}"
+      // String.valueOf: a bare NPE has a null message, and the report
+      // must name the broken query, not NPE inside the reporting itself
+      case (n, scala.util.Failure(e)) =>
+        s"$n: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}"
     }
     assert(broken.isEmpty, s"queries failing at analysis/planning time:\n  ${broken.toSeq.sorted.mkString("\n  ")}")
     val unplanned = built.keySet -- plans.keySet

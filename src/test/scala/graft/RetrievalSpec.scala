@@ -102,6 +102,54 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count(_._1 == 17L) == 3)
   }
 
+  test("d15: hot-term pruning (graft.bm25.maxDfFrac) keeps the top-k head stable") {
+    import spark.implicits._
+    // planted so the stop word is rank-NEUTRAL: "the" appears once in
+    // every train doc and every train doc has the same dl, so its
+    // contribution is one constant c for all candidates — pruning it
+    // shifts every matching doc's score by exactly c and cannot reorder
+    val docs = Seq(
+      (1L, "the zebra zebra pear"),
+      (2L, "the apple pear kiwi"),
+      (3L, "the kiwi kiwi kiwi"),
+      (7L, "the zebra apple"),   // query: stop word + two discriminative
+      (17L, "the"))              // query made ENTIRELY of the stop word
+    val dir = java.nio.file.Files.createTempDirectory("graft_d15prune").toString
+    docs.map { case (id, t) => (id, t, "en", s"src$id") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+
+    def run(): Map[Long, Seq[(Long, Double)]] =
+      SparkEntry.queries("d15_bm25_topk")(spark, dir).collect()
+        .map(r => (r.getAs[Long]("qdoc"), r.getAs[Long]("r_doc"),
+          r.getAs[Double]("bm25")))
+        .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSeq).toMap
+
+    val full = run()
+    spark.conf.set("graft.bm25.maxDfFrac", "0.9")
+    val pruned = try run() finally spark.conf.unset("graft.bm25.maxDfFrac")
+
+    // df("the") = 3 = Nd > 0.9·Nd → pruned; every other term df ≤ 2/3·Nd
+    // q7 unpruned candidates: docs 1,2 (real terms) + doc 3 (stop word
+    // only). Pruned: doc 3 — a stop-word-only match — drops; the
+    // surviving head keeps its exact order
+    val fullQ7 = full(7L)
+    val prunedQ7 = pruned(7L)
+    assert(fullQ7.map(_._1) == Seq(1L, 2L, 3L), s"unpruned q7: $fullQ7")
+    assert(prunedQ7.map(_._1) == Seq(1L, 2L), s"pruned q7: $prunedQ7")
+    // the shift is exactly the stop word's constant contribution — which
+    // IS doc 3's whole unpruned score
+    val c = fullQ7.find(_._1 == 3L).get._2
+    prunedQ7.foreach { case (did, sc) =>
+      val before = fullQ7.find(_._1 == did).get._2
+      assert(math.abs((before - sc) - c) < 1e-9,
+        s"doc $did: pruning must subtract exactly c=$c (was $before, now $sc)")
+    }
+    // a query made entirely of pruned terms returns no candidates —
+    // the documented stop-word-only behavior
+    assert(full.contains(17L) && !pruned.contains(17L))
+  }
+
   test("x12: RRF fusion equals the integer law and surfaces a dense-only doc") {
     val dir = writeCorpus("x12")
     val out = SparkEntry.queries("x12_hybrid_retrieval")(spark, dir).collect()
