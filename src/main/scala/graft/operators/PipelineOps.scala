@@ -4613,6 +4613,63 @@ object PipelineOps {
              |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       doc = "dedup/FastCDC bounded chunking — min/max chunk-size bounds (skip-below-MIN, force-cut-at-MAX) run as a per-document aggregate fold over the candidate array; bounds surfaced in the output, recursive-CTE oracle"),
 
+    // D19: Misra-Gries heavy hitters — the frequency sibling of d17's
+    // HLL and the sketch a data-mixing read actually wants (t13's vocab
+    // coverage approximates this from the exact side): per language, a
+    // CONSTANT-SIZE k-counter summary of the token stream with map-side
+    // combine, so at 100 TB each partition ships ≤ k (token, count)
+    // pairs per lang instead of its tokens. MG's law: any token with
+    // true count > N/(k+1) is guaranteed present in the summary
+    // (counters undercount by ≤ N/(k+1), so such a token's counter
+    // stays positive). Counter VALUES are stream/merge-order dependent
+    // — NOT reproducible cross-engine — so the oracled output exposes
+    // only the order-insensitive law: survivors are semi-joined against
+    // the exact counts and filtered to cnt·k > N, a set MG provably
+    // always contains (a buggy sketch that evicts a guaranteed-heavy
+    // token hash-fails here). k = 30 vs the corpus's ~31-token
+    // near-uniform vocabulary keeps the sketch under constant eviction
+    // pressure — the regime where the law has teeth. The exact-count
+    // leg exists for the oracle/self-evaluation; a production mixing
+    // read ships ONLY the merged summaries. Value error band + merge
+    // associativity are pinned in SketchLmCdcSpec where the stream
+    // order is controlled.
+    QueryDef(
+      "d19_heavy_hitters",
+      (s, d) => {
+        val K = 30
+        val toks = T.documents(s, d)
+          .select(col("lang"),
+            explode(filter(split(lower(col("text")), " "), x => x =!= ""))
+              .as("tok"))
+        val summary = toks.groupBy(col("lang"))
+          .agg(graft.functions.MisraGries.udaf(K)(col("tok")).as("mg"))
+          .select(col("lang"), explode(col("mg")).as("e"))
+          .select(col("lang"), col("e._1").as("tok"))
+        val exact = toks.groupBy(col("lang"), col("tok"))
+          .agg(count(lit(1)).as("cnt"))
+        val totals = toks.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+        exact.join(summary, Seq("lang", "tok"), "left_semi")
+          .join(broadcast(totals), Seq("lang"))
+          .filter(col("cnt") * K > col("n_lang"))
+          .select(col("lang"), col("tok"), col("cnt"), col("n_lang"))
+          .orderBy(col("lang"), col("cnt").desc, col("tok"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT lang,
+             |    unnest(list_filter(str_split(lower(text), ' '), x -> x <> '')) AS tok
+             |  FROM documents),
+             |ex AS (
+             |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM toks GROUP BY lang, tok),
+             |tot AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+             |  FROM toks GROUP BY lang)
+             |SELECT ex.lang, ex.tok, ex.cnt, tot.n_lang
+             |FROM ex JOIN tot ON ex.lang = tot.lang
+             |WHERE ex.cnt * 30 > tot.n_lang
+             |ORDER BY ex.lang, ex.cnt DESC, ex.tok""".stripMargin),
+      doc = "sketch/heavy hitters: per-lang Misra-Gries k-counter summary (mergeable, constant-size, map-side combine) — oracled via the no-false-negative law (survivors ⊇ every token with cnt·k > N); value error band pinned in spec"),
+
     // X14: ANN recall@k self-evaluation — the measurement every ANN
     // deployment runs before trusting an index: d5's brute-force top-5
     // is the ground truth, d7's IVF (2-probe) is the candidate, and the

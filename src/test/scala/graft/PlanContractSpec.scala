@@ -79,6 +79,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d5_cosine_topk", "d5b_cosine_topk_agg",     // broadcast query vectors
     "d7_ann_ivf",             // broadcast sampled centroids
     "x14_ann_recall",         // d5's broadcast queries + d7's broadcast centroids
+    "x15_ivf_pq",             // same gt leg as x14: broadcast query vectors, id<>qid theta
     "d13_semdedup",           // broadcast sampled centroids (d7's frame)
     "d17_hll_cardinality",    // broadcast 64-row register-grid densifier
     "t16_bigram_surprisal",   // broadcast 1-row corpus-token-total scalar (t11's shape)
@@ -191,6 +192,8 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d17_hll_cardinality",                    // 64-row register-grid densifier
     "t16_bigram_surprisal",                   // 1-row corpus-token-total scalar
     "x14_ann_recall",                         // 10 query vectors + capped centroids
+    "x15_ivf_pq",                             // x14's queries/centroids + d16's ADC tables
+    "d19_heavy_hitters",                      // lang-domain per-lang token totals
     "x12_hybrid_retrieval",                   // bounded query-side broadcast
     "x9_curriculum_mix",                      // lang targets + 1-row totals
     "x1_genome_track",                        // per-event-type counts

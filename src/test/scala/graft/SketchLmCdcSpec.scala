@@ -387,4 +387,82 @@ class SketchLmCdcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dupChars2 > base.length * 0.5,
       s"most of the shifted copy must dedupe, got $dupChars2 of ${base.length}")
   }
+
+  // --------------------------------------------------------------- d19
+
+  /** An adversarial stream for a k-counter summary: a few genuinely
+    * heavy tokens drowned in a rotating parade of k distinct light
+    * tokens, which keeps all slots contended and forces constant
+    * decrements — the regime where a buggy eviction loses a heavy token.
+    */
+  private def mgStream(k: Int): (Seq[String], Map[String, Long]) = {
+    val heavy = Seq("alpha", "beta", "gamma")
+    val s = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < 2000) {
+      heavy.foreach(s += _)
+      s += s"light${i % (k + 5)}" // rotating light tokens, > k distinct
+      i += 1
+    }
+    val exact = s.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    (s.toSeq, exact)
+  }
+
+  test("d19: MG counters obey the N/(k+1) error band on a sequential stream") {
+    val k = 8
+    val (stream, exact) = mgStream(k)
+    val agg = graft.functions.MisraGries.aggregator(k)
+    val summary = stream.foldLeft(agg.zero)(agg.reduce)
+    val n = stream.size.toLong
+    assert(summary.size <= k, s"summary must hold <= $k counters")
+    summary.foreach { case (tok, cnt) =>
+      val truth = exact(tok)
+      assert(cnt <= truth, s"$tok: MG must undercount ($cnt > $truth)")
+      assert(cnt >= truth - n / (k + 1),
+        s"$tok: undercount beyond N/(k+1) ($cnt < $truth - ${n / (k + 1)})")
+    }
+    // the law with teeth: every token above N/(k+1) MUST be present
+    exact.filter(_._2 > n / (k + 1)).keys.foreach { tok =>
+      assert(summary.contains(tok), s"guaranteed-heavy token $tok evicted")
+    }
+  }
+
+  test("d19: merged partial summaries keep the guarantee (mergeable-summaries law)") {
+    val k = 8
+    val (stream, exact) = mgStream(k)
+    val n = stream.size.toLong
+    val agg = graft.functions.MisraGries.aggregator(k)
+    // split into uneven chunks, fold each, then merge in two different
+    // association orders — both must keep the bound and the heavy set
+    val chunks = stream.grouped(317).toSeq
+      .map(_.foldLeft(agg.zero)(agg.reduce))
+    val leftFold = chunks.reduceLeft(agg.merge)
+    val rightFold = chunks.reduceRight(agg.merge)
+    for ((summary, tag) <- Seq((leftFold, "left"), (rightFold, "right"))) {
+      assert(summary.size <= k)
+      summary.foreach { case (tok, cnt) =>
+        assert(cnt <= exact(tok), s"$tag/$tok overcounts")
+        assert(cnt >= exact(tok) - n / (k + 1), s"$tag/$tok undercount beyond bound")
+      }
+      exact.filter(_._2 > n / (k + 1)).keys.foreach { tok =>
+        assert(summary.contains(tok), s"$tag: guaranteed-heavy token $tok evicted")
+      }
+    }
+  }
+
+  test("d19: the query equals exact heavy hitters on a planted corpus") {
+    // per-lang corpora where the heavy set is known: "hot" appears in
+    // every doc 3x, "warm" 2x, the rest are unique fillers
+    val mk = (id: Long, lang: String) =>
+      (id, s"hot hot hot warm warm u${id}a u${id}b u${id}c u${id}d", lang)
+    val rows = (1L to 40L).map(i => mk(i, if (i % 2 == 0) "en" else "de"))
+    val dir = writeDocs(rows, "d19")
+    val out = SparkEntry.queries("d19_heavy_hitters")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // per lang: N = 20 docs x 9 toks = 180; threshold N/30 = 6; exact
+    // counts: hot = 60 > 6, warm = 40 > 6, fillers = 1 each
+    val want = Seq(("de", "hot", 60L, 180L), ("de", "warm", 40L, 180L),
+      ("en", "hot", 60L, 180L), ("en", "warm", 40L, 180L))
+    assert(out.toSeq == want)
+  }
 }
