@@ -137,6 +137,39 @@ object PipelineOps {
       .drop("__cts")
   }
 
+  /** d18's content-defined chunk derivation as a STATELESS per-document
+    * projection: (doc_id, chunk_idx, start, clen, dg) — cut positions
+    * from the O(n) `window_hashes` kernel (w=8, hash ≡ 0 mod 64), span
+    * arithmetic, substring chunks, 60-bit digests, text dropped the
+    * moment the digest exists. No cross-row state, so the SAME frame
+    * composes into a batch plan (d18's dedup accounting) or a streaming
+    * plan ([[graft.streaming.StreamingJobs.streamingCdcChunks]] — the
+    * gopherFlags/classifierGate precedent) unchanged.
+    */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.registerInto(docs.sparkSession)
+    docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .withColumn("cuts", expr(
+        """filter(
+          |  transform(window_hashes(text, 8),
+          |    (h, i) -> IF(h % 64 = 0, CAST(i + 8 AS BIGINT), CAST(NULL AS BIGINT))),
+          |  p -> p IS NOT NULL AND p < n)""".stripMargin))
+      .withColumn("starts",
+        expr("concat(array(CAST(1 AS BIGINT)), transform(cuts, p -> p + 1))"))
+      .withColumn("ends", expr("concat(cuts, array(CAST(n AS BIGINT)))"))
+      .select(col("doc_id"), col("text"),
+        posexplode(expr("arrays_zip(starts, ends)")).as(Seq("ci", "se")))
+      .select(col("doc_id"), col("text"), (col("ci") + 1).as("chunk_idx"),
+        col("se.starts").as("start"),
+        (col("se.ends") - col("se.starts") + 1).as("clen"))
+      .withColumn("dg", expr(
+        """CAST(conv(substr(md5(substring(text, CAST(start AS INT), CAST(clen AS INT))),
+          |               1, 15), 16, 10) AS BIGINT)""".stripMargin))
+      .drop("text") // digest computed — only doc_id/start/clen/dg ride the dg shuffle
+  }
+
   /** d15/x12's shared BM25 scored frame: (qdoc, doc_id, score_q) with
     * score_q the 1e-6 fixed-pointed BM25 sum (exact int64 — see the d15
     * QueryDef comment for the rational rewrite). SharedFrame'd so the
@@ -4416,28 +4449,8 @@ object PipelineOps {
     QueryDef(
       "d18_cdc_chunks",
       (s, d) => {
-        graft.functions.GraftExtensions.registerInto(s)
         val W = org.apache.spark.sql.expressions.Window
-        val chunks = T.documents(s, d)
-          .filter(length(col("text")) > 0)
-          .select(col("doc_id"), col("text"), length(col("text")).as("n"))
-          .withColumn("cuts", expr(
-            """filter(
-              |  transform(window_hashes(text, 8),
-              |    (h, i) -> IF(h % 64 = 0, CAST(i + 8 AS BIGINT), CAST(NULL AS BIGINT))),
-              |  p -> p IS NOT NULL AND p < n)""".stripMargin))
-          .withColumn("starts",
-            expr("concat(array(CAST(1 AS BIGINT)), transform(cuts, p -> p + 1))"))
-          .withColumn("ends", expr("concat(cuts, array(CAST(n AS BIGINT)))"))
-          .select(col("doc_id"), col("text"),
-            posexplode(expr("arrays_zip(starts, ends)")).as(Seq("ci", "se")))
-          .select(col("doc_id"), col("text"), (col("ci") + 1).as("chunk_idx"),
-            col("se.starts").as("start"),
-            (col("se.ends") - col("se.starts") + 1).as("clen"))
-          .withColumn("dg", expr(
-            """CAST(conv(substr(md5(substring(text, CAST(start AS INT), CAST(clen AS INT))),
-              |               1, 15), 16, 10) AS BIGINT)""".stripMargin))
-          .drop("text") // digest computed — only doc_id/start/clen/dg ride the dg shuffle
+        val chunks = cdcChunks(T.documents(s, d))
         chunks
           .withColumn("rn", row_number().over(
             W.partitionBy(col("dg")).orderBy(col("doc_id"), col("start"))))

@@ -136,6 +136,19 @@ object StreamingJobs {
     graft.operators.PipelineOps.classifierScore(docs)
       .filter(col("logit") >= minLogit)
 
+  /** d18's content-defined chunker at ingest time — the third stateless
+    * gate: chunk boundaries are a per-DOCUMENT closed form (the
+    * `window_hashes` kernel + span arithmetic + digests, no cross-row
+    * state), so the SAME projection that chunks the batch corpus chunks
+    * a live stream inside the streaming plan — no foreachBatch, no
+    * state store; watermarks and sink semantics pass through unchanged.
+    * Emits (doc_id, chunk_idx, start, clen, dg) rows; pair with
+    * [[incrementalCdcDedup]] when the digests must be deduplicated
+    * against everything previously ingested.
+    */
+  def streamingCdcChunks(docs: DataFrame): DataFrame =
+    graft.operators.PipelineOps.cdcChunks(docs)
+
   /** The static eval digest frame for [[streamingDecontaminate]]: the
     * distinct 6-gram digests of the benchmark documents. Persist (or
     * write once and re-read) before starting the stream so every batch
@@ -262,6 +275,81 @@ object StreamingJobs {
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite").parquet(storePath)
         } finally { dupOf.unpersist(); sig.unpersist() }
+        ()
+      }
+  }
+
+  /** Incremental chunk-level CDC dedup — [[streamingCdcChunks]] feeding
+    * a digest store with [[incrementalNearDedup]]'s replay discipline:
+    * per micro-batch, chunk the arriving documents (stateless), flag
+    * every chunk whose digest was already seen (in the store from prior
+    * batches, or earlier in THIS batch by (doc_id, start) keep-first —
+    * d18's canonicalization), write per-doc dedup accounting to
+    * `outPath` and ONLY the novel digests to `storePath`. Both writes
+    * are batch_id-partitioned dynamic overwrites, so an at-least-once
+    * replay rewrites its own partition instead of appending; the store
+    * carries the same `_graft_lineage` marker (foreign/pre-marker
+    * stores refuse unless `graft.stream.adoptStore=true` rebases them
+    * to batch_id = -1). The store holds 8-byte digests only — at
+    * 100 TB the state is the chunk-digest set, never chunk text.
+    */
+  def incrementalCdcDedup(docs: DataFrame, storePath: String, outPath: String,
+      checkpoint: String) = {
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val W = org.apache.spark.sql.expressions.Window
+        val chunks = graft.operators.PipelineOps
+          .cdcChunks(batch.select(col("doc_id"), col("text")))
+          .persist()
+        val raw =
+          try s.read.parquet(storePath)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("dg",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("batch_id",
+                  org.apache.spark.sql.types.LongType))))
+          }
+        val probe = raw.agg(max(col("batch_id"))).collect()(0)
+        if (!probe.isNullAt(0)) {
+          val maxSeen = probe.getAs[Number](0).longValue
+          require(maxSeen <= batchId,
+            s"digest store $storePath was written by a checkpoint lineage " +
+              s"that reached batch $maxSeen but this stream is at batch " +
+              s"$batchId — store and checkpoint must pair; restore the " +
+              "matching checkpoint or use a fresh storePath")
+        }
+        val adopted = lineageGuard(s, storePath, checkpoint,
+          storeHasRows = !probe.isNullAt(0))
+        val rawNow = if (adopted) s.read.parquet(storePath) else raw
+        // exclude this batch's own half-finished partition on replay
+        val store = rawNow.filter(col("batch_id") < batchId)
+          .select(col("dg")).distinct()
+        val marked = chunks
+          .withColumn("rn", row_number().over(
+            W.partitionBy(col("dg")).orderBy(col("doc_id"), col("start"))))
+          .join(store.withColumn("seen", lit(1)), Seq("dg"), "left")
+          .withColumn("is_dup", col("seen").isNotNull || col("rn") > 1)
+          .persist() // consumed by BOTH writes — don't rerun the joins
+        try {
+          marked.groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_chunks"),
+              sum(when(col("is_dup"), 1L).otherwise(0L)).as("dup_chunks"),
+              sum(when(col("is_dup"), col("clen")).otherwise(0L)).as("dup_chars"))
+            .withColumn("batch_id", lit(batchId))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(outPath)
+          marked.filter(!col("is_dup"))
+            .select(col("dg")).distinct()
+            .withColumn("batch_id", lit(batchId))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(storePath)
+        } finally { marked.unpersist(); chunks.unpersist() }
         ()
       }
   }

@@ -43,7 +43,10 @@ class CorpusRehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(timings.map(_._1) == Seq("materialize", "text_metrics",
       "exact_dedup", "minhash_neardup", "semantic_dedup", "dup_spans",
       "decontaminate", "mix_shard", "surprisal_band", "temperature_mix",
-      "classifier_gate", "dsir_select", "bm25_retrieve"))
+      "classifier_gate", "dsir_select", "bm25_retrieve",
+      "bm25_retrieve_pruned"))
+    // pruning can only shrink the candidate-pair workload
+    assert(m("n_bm25_cand_pairs_pruned") <= m("n_bm25_cand_pairs"))
     assert(m("n_docs") == 2000 && m("n_tokens") > 0 && m("n_chunks") >= 2000)
     assert(m("n_exact_copies") > 0)
     assert(m("n_exact_groups") == m("n_docs") - m("n_exact_copies"))

@@ -91,6 +91,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stored == Set(1L, 2L, 4L))
   }
 
+  test("incremental CDC dedup: cross-batch resync, in-batch keep-first, digest-only store") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("inccdc")
+    val (store, out, ckpt) = (s"$dir/store", s"$dir/out", s"$dir/ckpt")
+    // every token unique (seed-prefixed index): no in-doc chunk repeats,
+    // so per-doc novelty expectations are exact — cross-doc dedup is the
+    // thing under test here, not in-doc periodicity (d18's spec owns that)
+    def mkText(seed: Int, words: Int): String =
+      (1 to words).map(i => s"${seed}w$i").mkString(" ")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamingJobs.incrementalCdcDedup(docs, store, out, ckpt).start()
+    val base = mkText(7, 400)
+    val other = mkText(13, 300)
+    input.addData((1L, base), (2L, other))
+    q.processAllAvailable()
+    val fresh = mkText(23, 250)
+    input.addData(
+      (3L, "X " + base), // shifted copy: CDC boundaries resync vs STORED doc 1
+      (4L, fresh),
+      (5L, fresh))       // exact in-batch copy of 4: keep-first linkage
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("dup_chunks"), r.getAs[Long]("dup_chars")))
+      .toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // batch-1 docs and the fresh batch-2 doc are all-novel
+    for (id <- Seq(1L, 2L, 4L)) assert(rows(id)._2 == 0L, s"doc $id: ${rows(id)}")
+    // the shifted copy dedupes against the STORE (cross-batch CDC resync)
+    val (n3, dup3, dupChars3) = rows(3L)
+    assert(n3 >= 4 && dup3 >= n3 - 2, s"doc 3 must resync vs stored doc 1: ${rows(3L)}")
+    assert(dupChars3 > base.length * 0.5, s"doc 3 dup chars too low: $dupChars3")
+    // the exact copy dedupes ENTIRELY against its in-batch twin
+    val (n5, dup5, _) = rows(5L)
+    assert(n5 == rows(4L)._1 && dup5 == n5, s"doc 5 must dedupe against doc 4: ${rows(5L)}")
+    // store = digests of novel chunks only (sum of per-doc novel counts,
+    // minus cross-doc digest collisions the accounting attributes as dup)
+    val stored = spark.read.parquet(store).select("dg").collect().length
+    val novel = rows.values.map { case (n, d, _) => n - d }.sum
+    assert(stored == novel, s"store must hold exactly the novel digests: $stored vs $novel")
+    // and nothing but digests rides the store
+    assert(spark.read.parquet(store).columns.toSet == Set("dg", "batch_id"))
+  }
+
   test("streaming decontamination drops eval-tainted docs across batches") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
