@@ -38,6 +38,21 @@ object Bench {
     // is contention-bound (r3's driver run read 2-14x the same-code quiet
     // run), and min-of-N is the standard load-robust point estimator for a
     // deterministic workload. Raw runs are persisted to bench_out.json.
+    //
+    // Reps stay BACK-TO-BACK per query (deliberate, re-examined r9): the
+    // host's noise arrives in minutes-long episodes (measured — one run
+    // read the m-family at 3-6x while the immediate rerun and three
+    // same-box bisect builds read baseline), which back-to-back reps
+    // cannot defend against (all N samples land inside one episode). An
+    // interleaved whole-suite-pass design was built and measured as the
+    // alternative: it decorrelates episodes but costs a UNIFORM ~25%
+    // (88.1/88.3 s vs 69.6 s totals on the same code+box — spreading a
+    // query's reps ~20 min apart loses back-to-back warmth: JIT/code
+    // cache, OS page cache of fresh shuffle files), which would break
+    // comparability with every prior round's numbers. Episodes are rare,
+    // visible (uniform multi-query inflation), and attributable by a
+    // rerun; a systematic 25% shift is neither. NOTES_r9 carries the
+    // measurements.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     // noop sink, NOT count(): under count() Catalyst legitimately deletes
     // work the contract output requires — left joins against unique-key
