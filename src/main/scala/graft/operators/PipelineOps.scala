@@ -187,9 +187,12 @@ object PipelineOps {
     * prunes the same term set on every run. Off by default: the oracled
     * d15 row scores the full postings list.
     */
-  private def bm25Scores(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val maxDfPpm = s.conf.getOption("graft.bm25.maxDfFrac")
-      .map(f => math.round(f.trim.toDouble * 1e6))
+  private def bm25Scores(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    bm25Scores(s, d, s.conf.getOption("graft.bm25.maxDfFrac")
+      .map(f => math.round(f.trim.toDouble * 1e6)))
+
+  private def bm25Scores(s: org.apache.spark.sql.SparkSession, d: String,
+      maxDfPpm: Option[Long]): DataFrame = {
     val toks = T.documents(s, d)
       .select(col("doc_id"),
         explode(filter(split(lower(col("text")), " "), x => x =!= ""))
@@ -3829,6 +3832,74 @@ object PipelineOps {
              |ORDER BY qdoc, rk""".stripMargin),
       doc = "pipeline/retrieval: BM25 top-5 per eval-slice query — bit-length IDF, exact-rational term contributions fixed-pointed before the sum, term-keyed postings join"),
 
+    // D15b: d15 under the hot-term pruning rule, AS AN ORACLE ROW — the
+    // RetrievalSpec stability law pins the planted behavior, but this
+    // row makes the pruning arithmetic itself hash-checked on real
+    // data: postings for terms with df > 0.5·Nd ("appears in over half
+    // the corpus" — a sane stop-word rule) are dropped with the same
+    // integer-exact cutoff the conf uses (df·1e6 ≤ 500000·Nd), and
+    // DuckDB applies the identical inequality, so a boundary-term
+    // off-by-one in either engine mismatches. Documents matching ONLY
+    // pruned terms drop out of the candidate set — the documented
+    // stop-word-only behavior, now oracle-pinned too. At 100 TB this
+    // row IS the production shape of d15: the candidate generator's
+    // fan-out is Σ qf·df, and the hottest terms carry most of it while
+    // discriminating least (idf → bit_length(1)).
+    QueryDef(
+      "d15b_bm25_pruned",
+      (s, d) =>
+        bm25Scores(s, d, Some(500000L))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("qdoc"))
+              .orderBy(col("score_q").desc, col("doc_id"))))
+          .filter(col("rk") <= 5)
+          .select(col("qdoc"), col("rk").cast("int").as("rk"),
+            col("doc_id").as("r_doc"),
+            (col("score_q").cast("double") / lit(1000000)).as("bm25"))
+          .orderBy(col("qdoc"), col("rk")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(str_split(lower(text), ' '), x -> x <> ''))
+             |      AS term
+             |  FROM documents),
+             |train AS (SELECT * FROM toks WHERE doc_id % 10 != 7),
+             |tf AS (
+             |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |  FROM train GROUP BY doc_id, term),
+             |dl AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+             |  FROM train GROUP BY doc_id),
+             |df AS (
+             |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+             |tot AS (
+             |  SELECT CAST(sum(dl) AS BIGINT) AS big_l,
+             |         CAST(count(*) AS BIGINT) AS nd
+             |  FROM dl),
+             |qterms AS (
+             |  SELECT DISTINCT doc_id AS qdoc, term FROM toks WHERE doc_id % 10 = 7),
+             |post AS (
+             |  SELECT tf.term, tf.doc_id,
+             |    CAST(floor(
+             |      CAST(CAST(length(bin(nd // df)) AS BIGINT)
+             |             * tf * 44 * big_l AS DOUBLE)
+             |        / (20 * big_l * tf + 6 * big_l + 18 * dl * nd)
+             |      * 1000000 + 0.5) AS BIGINT) AS contrib
+             |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term)
+             |  CROSS JOIN tot
+             |  WHERE df * 1000000 <= 500000 * nd),
+             |sc AS (
+             |  SELECT q.qdoc, p.doc_id, CAST(sum(p.contrib) AS BIGINT) AS score_q
+             |  FROM qterms q JOIN post p USING (term)
+             |  GROUP BY q.qdoc, p.doc_id)
+             |SELECT qdoc, rk::INT AS rk, doc_id AS r_doc,
+             |       score_q::DOUBLE / 1000000 AS bm25
+             |FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY qdoc
+             |    ORDER BY score_q DESC, doc_id ASC) AS rk
+             |  FROM sc) WHERE rk <= 5
+             |ORDER BY qdoc, rk""".stripMargin),
+      doc = "pipeline/retrieval: d15 under integer-exact hot-term pruning (df > Nd/2 dropped) — the production stop-word posture, oracle-pinned incl. the stop-word-only drop-out behavior"),
+
     // X12: hybrid retrieval — reciprocal-rank fusion of the lexical
     // (d15 BM25) and dense (hashed doc embedding) rankings, the modern
     // RAG default (Cormack et al. 2009's RRF; every production hybrid
@@ -4682,6 +4753,161 @@ object PipelineOps {
              |WHERE ex.cnt * 30 > tot.n_lang
              |ORDER BY ex.lang, ex.cnt DESC, ex.tok""".stripMargin),
       doc = "sketch/heavy hitters: per-lang Misra-Gries k-counter summary (mergeable, constant-size, map-side combine) — oracled via the no-false-negative law (survivors ⊇ every token with cnt·k > N); value error band pinned in spec"),
+
+    // D20: Count-Min sketch (Cormode & Muthukrishnan 2005) — the third
+    // sketch-family member, and unlike MG it is ADDITIVE: cell (r, c)
+    // holds Σ of increments, so the sketch is completely order- and
+    // merge-order-independent — every value in this query is exactly
+    // reproducible cross-engine and the oracle hashes the sketch
+    // ITSELF, not just a law. depth 4 × width 32 against a ~31-token
+    // vocabulary forces real collisions, so estimates genuinely
+    // overcount and the self-evaluation (est vs exact per token) is
+    // non-degenerate. Scale shape: cells are a (r, c)-keyed groupBy —
+    // 128 counters, map-side combinable, the whole sketch broadcasts;
+    // a production reader ships ONLY the cells and answers point
+    // queries without the token shuffle (the exact leg here exists for
+    // the oracle/self-evaluation, d17/x14's pattern). The CMS law
+    // est ≥ true is structural (counters only ever add); the oracle
+    // equality covers it since both engines compute the same est.
+    QueryDef(
+      "d20_count_min",
+      (s, d) => {
+        val D = 4
+        val Wd = 32
+        val toks = T.documents(s, d)
+          .select(explode(filter(split(lower(col("text")), " "), x => x =!= ""))
+            .as("tok"))
+        val cHash =
+          s"CAST(conv(substr(md5(concat(CAST(r AS STRING), ':', tok)), 1, 15), 16, 10) AS BIGINT) % $Wd"
+        val cells = toks
+          .withColumn("r", explode(expr(s"sequence(0, ${D - 1})")))
+          .withColumn("c", expr(cHash))
+          .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cell"))
+        val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        exact.select(col("tok"), col("cnt"))
+          .withColumn("r", explode(expr(s"sequence(0, ${D - 1})")))
+          .withColumn("c", expr(cHash))
+          .join(broadcast(cells), Seq("r", "c"))
+          .groupBy(col("tok"), col("cnt"))
+          .agg(min(col("cell")).as("est"))
+          .select(col("tok"), col("est"), col("cnt"),
+            (col("est") - col("cnt")).as("overcount"))
+          .orderBy(col("tok"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(list_filter(str_split(lower(text), ' '), x -> x <> ''))
+             |    AS tok
+             |  FROM documents),
+             |hashed AS (
+             |  SELECT tok, r,
+             |    CAST('0x' || substr(md5(r::VARCHAR || ':' || tok), 1, 15) AS BIGINT)
+             |      % 32 AS c
+             |  FROM toks, (SELECT unnest(range(0, 4)) AS r)),
+             |cells AS (
+             |  SELECT r, c, CAST(count(*) AS BIGINT) AS cell
+             |  FROM hashed GROUP BY r, c),
+             |ex AS (
+             |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+             |probe AS (
+             |  SELECT e.tok, e.cnt, r,
+             |    CAST('0x' || substr(md5(r::VARCHAR || ':' || e.tok), 1, 15) AS BIGINT)
+             |      % 32 AS c
+             |  FROM ex e, (SELECT unnest(range(0, 4)) AS r))
+             |SELECT p.tok, CAST(min(cl.cell) AS BIGINT) AS est, p.cnt,
+             |  CAST(min(cl.cell) - p.cnt AS BIGINT) AS overcount
+             |FROM probe p JOIN cells cl ON p.r = cl.r AND p.c = cl.c
+             |GROUP BY p.tok, p.cnt ORDER BY p.tok""".stripMargin),
+      doc = "sketch/count-min (4x32, md5 row hashes) — additive order-independent cells, fully oracle-exact incl. the collision overcounts; production ships 128 counters and answers point queries with no token shuffle"),
+
+    // D21: Bloom-filter decontamination — d10's PRODUCTION shape: at
+    // 100 TB you do not semi-join the corpus gram stream against an
+    // eval digest table; you broadcast an m-bit Bloom filter of the
+    // eval grams (bit ORs are additive → order-independent → every
+    // bit, probe and count here is exactly oracle-reproducible) and
+    // drop any document with a gram whose k bits are all set. k = 3
+    // positions per gram via Kirsch-Mitzenmacher double hashing
+    // (h1 + j·h2 mod m) from one md5-derived 60-bit digest; m = 65536
+    // sized so the planted eval grams fill ~10% of the filter and
+    // false positives exist but are rare — the self-evaluation
+    // (bloom_hits vs exact_hits per doc, no-false-negative law
+    // bloom ≥ exact structurally) stays non-degenerate. Gram digests
+    // are md5-portable (not the xxhash kernel) so both engines hash
+    // identical values. Scale shape: the filter is ≤ m bits broadcast
+    // once; the probe is a map-side forall over each gram's 3
+    // positions — the corpus is read once and nothing gram-shaped
+    // shuffles at all (vs d10's digest-keyed window).
+    QueryDef(
+      "d21_bloom_decontaminate",
+      (s, d) => {
+        val M = 65536L
+        val toks = filter(split(lower(col("text")), " "), x => x =!= "")
+        val grams = T.documents(s, d)
+          .select(col("doc_id"), toks.as("ts"))
+          .select(col("doc_id"), size(col("ts")).as("nt"),
+            explode(expr(
+              "transform(sequence(1, greatest(size(ts) - 5, 0)), i -> array_join(slice(ts, i, 6), ' '))"))
+              .as("g"))
+          .withColumn("dg", expr(
+            "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)"))
+          .select(col("doc_id"), col("dg")).dropDuplicates("doc_id", "dg")
+          .withColumn("ps", expr(
+            s"transform(sequence(0, 2), j -> pmod(pmod(dg, $M) + j * (1 + pmod(dg div $M, ${M - 1})), $M))"))
+        val bits = grams.filter(col("doc_id") % 10 === 7)
+          .select(explode(col("ps")).as("p"))
+          .agg(collect_set(col("p")).as("bits"))
+        val evalDg = grams.filter(col("doc_id") % 10 === 7)
+          .select(col("dg")).distinct()
+        val probe = grams.filter(col("doc_id") % 10 =!= 7)
+          .crossJoin(broadcast(bits))
+          .withColumn("bloom_hit",
+            expr("forall(ps, p -> array_contains(bits, p))").cast("long"))
+          .join(broadcast(evalDg.withColumn("ex", lit(1L))), Seq("dg"), "left")
+          .withColumn("exact_hit", coalesce(col("ex"), lit(0L)))
+        probe.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(col("bloom_hit")).as("bloom_hits"),
+            sum(col("exact_hit")).as("exact_hits"))
+          .select(col("doc_id"), col("n_grams"), col("bloom_hits"),
+            col("exact_hits"),
+            (col("bloom_hits") > 0).cast("int").as("flagged_bloom"),
+            (col("exact_hits") > 0).cast("int").as("is_contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(str_split(lower(text), ' '), x -> x <> '') AS ts
+             |  FROM documents),
+             |grams AS (
+             |  SELECT DISTINCT doc_id,
+             |    CAST('0x' || substr(md5(array_to_string(ts[i:i+5], ' ')), 1, 15)
+             |         AS BIGINT) AS dg
+             |  FROM (SELECT doc_id, ts,
+             |          unnest(range(1, greatest(len(ts) - 5, 0) + 1)) AS i
+             |        FROM toks)),
+             |wp AS (
+             |  SELECT doc_id, dg,
+             |    [( (dg % 65536) + j * (1 + (dg // 65536) % 65535) ) % 65536
+             |     FOR j IN range(0, 3)] AS ps
+             |  FROM grams),
+             |bits AS (
+             |  SELECT list(DISTINCT p) AS bits
+             |  FROM (SELECT unnest(ps) AS p FROM wp WHERE doc_id % 10 = 7)),
+             |ev AS (SELECT DISTINCT dg FROM grams WHERE doc_id % 10 = 7),
+             |probe AS (
+             |  SELECT w.doc_id,
+             |    CASE WHEN list_has_all(b.bits, w.ps) THEN 1 ELSE 0 END AS bloom_hit,
+             |    CASE WHEN ev.dg IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+             |  FROM wp w CROSS JOIN bits b
+             |  LEFT JOIN ev ON ev.dg = w.dg
+             |  WHERE w.doc_id % 10 != 7)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             |  CAST(sum(bloom_hit) AS BIGINT) AS bloom_hits,
+             |  CAST(sum(exact_hit) AS BIGINT) AS exact_hits,
+             |  CAST(CASE WHEN sum(bloom_hit) > 0 THEN 1 ELSE 0 END AS INT)
+             |    AS flagged_bloom,
+             |  CAST(CASE WHEN sum(exact_hit) > 0 THEN 1 ELSE 0 END AS INT)
+             |    AS is_contaminated
+             |FROM probe GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "sketch/bloom decontamination — d10's 100 TB shape: m-bit eval-gram Bloom filter broadcast once, Kirsch-Mitzenmacher k=3 probe map-side, zero gram-shaped shuffles; fully oracle-exact incl. false positives, bloom ⊇ exact structurally"),
 
     // X14: ANN recall@k self-evaluation — the measurement every ANN
     // deployment runs before trusting an index: d5's brute-force top-5

@@ -91,6 +91,8 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t11_unigram_surprisal",  // broadcast 1-row corpus-token-total scalar
     "d14_dsir_select",        // broadcast 1-row LM-total scalar (t11's shape)
     "d15_bm25_topk",          // broadcast 1-row (L, Nd) corpus-stats scalar
+    "d15b_bm25_pruned",       // d15's 1-row scalar, pruned postings
+    "d21_bloom_decontaminate",// broadcast 1-row bloom-bit-set scalar cross join
     "x12_hybrid_retrieval",   // d15's scalar + bounded broadcast query side (d5's shape)
     "x2_rgp_mine", "x3_anchor_phylo", "x4_core_genes", // broadcast scalars
     "x8_training_mix",        // broadcast quota/funnel 1-row scalars
@@ -117,6 +119,8 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t16_bigram_surprisal",   // 1-row corpus-token-total scalar (t11's shape)
     "d14_dsir_select",        // 1-row LM-total scalar (t11's shape)
     "d15_bm25_topk",          // 1-row (L, Nd) corpus-stats scalar
+    "d15b_bm25_pruned",       // d15's scalar under the df-cap filter
+    "d21_bloom_decontaminate",// 1-row collect_set bloom-bit scalar (<= m entries)
     "x12_hybrid_retrieval",   // 1-row corpus-stats scalar (d15's frame)
     "t13_vocab_coverage",     // vocab-domain ranking window (c1/c2 precedent)
     "x2_rgp_mine", "x3_anchor_phylo", "x4_core_genes",
@@ -194,6 +198,8 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "x14_ann_recall",                         // 10 query vectors + capped centroids
     "x15_ivf_pq",                             // x14's queries/centroids + d16's ADC tables
     "d19_heavy_hitters",                      // lang-domain per-lang token totals
+    "d20_count_min",                          // 128-cell sketch frame (4x32 grid)
+    "d21_bloom_decontaminate",                // 1-row bloom bits + eval digest set
     "x12_hybrid_retrieval",                   // bounded query-side broadcast
     "x9_curriculum_mix",                      // lang targets + 1-row totals
     "x1_genome_track",                        // per-event-type counts

@@ -450,6 +450,59 @@ class SketchLmCdcSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ----------------------------------------------------------- d20/d21
+
+  test("d20: count-min cells and estimates equal the brute-force sketch; est >= true") {
+    val docs = Seq(
+      (1L, "apple banana apple cherry date"),
+      (2L, "banana banana elder fig grape"),
+      (3L, "apple cherry cherry honey iris"))
+    val dir = writeDocs(docs.map(d => (d._1, d._2, "en")), "d20")
+    val out = SparkEntry.queries("d20_count_min")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent sketch: same md5 row hashes, plain Scala fold
+    val toks = docs.flatMap(_._2.split(" "))
+    def cellOf(r: Int, tok: String): Long =
+      java.lang.Long.parseLong(md5hex(s"$r:$tok").take(15), 16) % 32
+    val cells = toks.flatMap(t => (0 until 4).map(r => (r, cellOf(r, t))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = exact.keys.toSeq.sorted.map { t =>
+      val est = (0 until 4).map(r => cells((r, cellOf(r, t)))).min
+      (t, est, exact(t), est - exact(t))
+    }
+    assert(out.toSeq == want)
+    out.foreach { case (t, est, cnt, over) =>
+      assert(est >= cnt && over == est - cnt, s"CMS law broken for $t")
+    }
+  }
+
+  test("d21: bloom decontamination never misses a contaminated doc; exact side is exact") {
+    // doc 17 is the eval doc; doc 3 copies a 6-gram window from it
+    val evalText = (1 to 20).map(i => s"ev$i").mkString(" ")
+    val docs = Seq(
+      (17L, evalText),
+      (1L, (1 to 15).map(i => s"a$i").mkString(" ")),
+      (3L, "x1 x2 " + (5 to 10).map(i => s"ev$i").mkString(" ") + " x3 x4"),
+      (4L, (1 to 12).map(i => s"b$i").mkString(" ")))
+    val dir = writeDocs(docs.map(d => (d._1, d._2, "en")), "d21")
+    val out = SparkEntry.queries("d21_bloom_decontaminate")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5))).toMap
+    assert(out.keySet == Set(1L, 3L, 4L))
+    // doc 3 holds exactly one eval 6-gram (ev5..ev10); flag must fire
+    val (n3, bloom3, exact3, fb3, ic3) = out(3L)
+    assert(exact3 == 1L && ic3 == 1, s"doc 3 exact contamination: ${out(3L)}")
+    assert(bloom3 >= exact3 && fb3 == 1, s"bloom must not miss doc 3: ${out(3L)}")
+    // the no-false-negative law holds row-wise everywhere
+    out.foreach { case (id, (_, bloom, exact, fb, ic)) =>
+      assert(bloom >= exact, s"doc $id: bloom_hits < exact_hits")
+      assert(fb >= ic, s"doc $id: flagged_bloom < is_contaminated")
+    }
+    // gram counts: len(ts) - 5 windows
+    assert(out(1L)._1 == 10L && out(3L)._1 == 5L && out(4L)._1 == 7L)
+  }
+
   test("d19: the query equals exact heavy hitters on a planted corpus") {
     // per-lang corpora where the heavy set is known: "hot" appears in
     // every doc 3x, "warm" 2x, the rest are unique fillers
