@@ -4841,15 +4841,22 @@ object PipelineOps {
       (s, d) => {
         val M = 65536L
         val toks = filter(split(lower(col("text")), " "), x => x =!= "")
+        // per-doc gram dedup happens INSIDE the array world
+        // (array_distinct before the explode): every gram of a doc lives
+        // in its source row, so deduping there is map-side — the
+        // dropDuplicates formulation shuffled the whole (doc_id, dg)
+        // gram stream twice, which is exactly the shuffle this operator
+        // exists to avoid
         val grams = T.documents(s, d)
           .select(col("doc_id"), toks.as("ts"))
-          .select(col("doc_id"), size(col("ts")).as("nt"),
+          .select(col("doc_id"),
             explode(expr(
-              "transform(sequence(1, greatest(size(ts) - 5, 0)), i -> array_join(slice(ts, i, 6), ' '))"))
+              """array_distinct(transform(sequence(1, greatest(size(ts) - 5, 0)),
+                |  i -> array_join(slice(ts, i, 6), ' ')))""".stripMargin))
               .as("g"))
           .withColumn("dg", expr(
             "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)"))
-          .select(col("doc_id"), col("dg")).dropDuplicates("doc_id", "dg")
+          .select(col("doc_id"), col("dg"))
           .withColumn("ps", expr(
             s"transform(sequence(0, 2), j -> pmod(pmod(dg, $M) + j * (1 + pmod(dg div $M, ${M - 1})), $M))"))
         val bits = grams.filter(col("doc_id") % 10 === 7)
