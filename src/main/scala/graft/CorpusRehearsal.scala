@@ -252,6 +252,59 @@ object CorpusRehearsal {
       put("n_contaminated", spark.read.parquet(s"$dir/contaminated").count())
     }
 
+    // D21 at corpus scale — the broadcast-bloom decontamination the
+    // digest-window stage above replaces at 100 TB: the eval grams
+    // become an m-bit Bloom filter stored as a (word_idx -> 64-bit
+    // word) frame (m/64 rows, ~4 MB) built with ONE small shuffle over
+    // eval positions; the corpus probe is three broadcast word lookups
+    // per gram (Kirsch-Mitzenmacher k=3) — map-side, O(1) each, zero
+    // gram-shaped shuffles; only the per-doc flag aggregate shuffles,
+    // keyed by doc. m = 2^25 sizes the filter to ~2% fill for the
+    // ~240k eval grams, so doc-level false positives exist but stay
+    // rare — both counts are reported against the exact stage's
+    // output (bloom ⊇ exact is structural; the delta IS the price of
+    // never shuffling the corpus gram stream).
+    stage("decontaminate_bloom") {
+      val M = 1L << 25
+      val g = docs
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(hashed_ngrams(filter(split(text, ' '), x -> x != ''), 6))"))
+          .as("dg"))
+        .withColumn("ps", expr(
+          s"transform(sequence(0, 2), j -> pmod(pmod(dg, $M) + j * (1 + pmod(dg div $M, ${M - 1})), $M))"))
+      val words = g.filter(isEval)
+        .select(explode(col("ps")).as("p")).distinct()
+        .select(expr("p div 64").as("w"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))").as("m1"))
+        .groupBy(col("w")).agg(expr("bit_or(m1)").as("word"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nWords = words.count() // materialize once; also a stat below
+      def look(j: Int) = {
+        val wj = words.select(col("w").as(s"w$j"), col("word").as(s"word$j"))
+        (probe: DataFrame) => probe
+          .withColumn(s"w$j", expr(s"ps[$j] div 64"))
+          .join(broadcast(wj), Seq(s"w$j"), "left")
+          .withColumn(s"hit$j", coalesce(
+            expr(s"shiftright(word$j, CAST(pmod(ps[$j], 64) AS INT)) & 1"), lit(0L)))
+      }
+      val probed = look(2)(look(1)(look(0)(g.filter(!isEval))))
+        .withColumn("ghit", col("hit0") * col("hit1") * col("hit2"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("ghit")).as("bloom_flag"))
+        .filter(col("bloom_flag") === 1)
+        .select(col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nBloom = probed.count()
+      val exact = spark.read.parquet(s"$dir/contaminated")
+      val bloomOnly = probed.join(exact, Seq("doc_id"), "left_anti").count()
+      val missed = exact.join(probed, Seq("doc_id"), "left_anti").count()
+      probed.unpersist(); words.unpersist(): Unit
+      put("n_bloom_flagged", nBloom)
+      put("n_bloom_false_pos_docs", bloomOnly)
+      put("n_bloom_missed_docs", missed) // MUST be 0: blooms have no false negatives
+      put("n_bloom_words", nWords)
+    }
+
     // X8 tail: survivors -> uniform-lang quota sample -> 16-way shard
     stage("mix_shard") {
       val P = 1000000007L
@@ -439,7 +492,7 @@ object CorpusRehearsal {
     // per-term posting length — the near-uniform synthetic vocabulary
     // makes every posting ~N/|V|, the WAND-free worst case, which is
     // exactly what the stage should time).
-    def bm25Retrieve(tag: String, maxDfPpm: Option[Long]): Unit = stage(tag) {
+    def bm25Retrieve(tag: String, maxDfPpm: Option[Long]): Unit = {
       val train = docs
         .join(canonical.select(col("doc_id")), Seq("doc_id"), "left_semi")
         .filter(!isEval)
@@ -468,25 +521,31 @@ object CorpusRehearsal {
             "(20 * big_l * tf + 6 * big_l + 18 * dl * nd)") *
             lit(1000000) + lit(0.5)).cast("long"))
         .select(col("term"), col("doc_id"), col("contrib"))
-      val top = qterms.join(post, Seq("term"))
-        .groupBy(col("qdoc"), col("doc_id"))
-        .agg(sum(col("contrib")).as("score"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("qdoc"))
-            .orderBy(col("score").desc, col("doc_id"))))
-        .filter(col("rk") <= 5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val r = top.agg(count(lit(1)), countDistinct(col("qdoc")),
-        coalesce(sum(when(col("rk") === 1, col("score"))), lit(0L)),
-        coalesce(max(col("score")), lit(0L))).collect()(0)
-      top.unpersist(blocking = true): Unit
+      // ONLY the retrieval itself is timed — the diagnostic metric jobs
+      // below run outside the stage block, so this stage's wall-clock
+      // stays comparable with every pre-r9 rehearsal artifact
       val sfx = if (maxDfPpm.isEmpty) "" else "_pruned"
-      put(s"n_bm25_hits$sfx", r.getLong(0)); put(s"n_bm25_queries$sfx", r.getLong(1))
-      put(s"sum_bm25_top1$sfx", r.getLong(2)); put(s"max_bm25_score$sfx", r.getLong(3))
+      stage(tag) {
+        val top = qterms.join(post, Seq("term"))
+          .groupBy(col("qdoc"), col("doc_id"))
+          .agg(sum(col("contrib")).as("score"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("qdoc"))
+              .orderBy(col("score").desc, col("doc_id"))))
+          .filter(col("rk") <= 5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val r = top.agg(count(lit(1)), countDistinct(col("qdoc")),
+          coalesce(sum(when(col("rk") === 1, col("score"))), lit(0L)),
+          coalesce(max(col("score")), lit(0L))).collect()(0)
+        top.unpersist(blocking = true): Unit
+        put(s"n_bm25_hits$sfx", r.getLong(0)); put(s"n_bm25_queries$sfx", r.getLong(1))
+        put(s"sum_bm25_top1$sfx", r.getLong(2)); put(s"max_bm25_score$sfx", r.getLong(3))
+      }
       // the DETERMINISTIC work metric this host's noise can't blur: the
       // candidate generator emits exactly Σ_term qf·df pairs, computable
       // from the per-term frames without running the join — pruning's
-      // effect at 100 TB is this number, not a local wall-clock delta
+      // effect at 100 TB is this number, not a local wall-clock delta.
+      // Untimed by design (a second tokenize/tf/df pass).
       val dfKept = maxDfPpm.fold(dfr)(ppm =>
         dfr.crossJoin(broadcast(tot))
           .filter(col("df") * lit(1000000L) <= lit(ppm) * col("nd"))

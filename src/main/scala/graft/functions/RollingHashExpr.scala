@@ -29,10 +29,12 @@ object RollingHash {
     var i = 0
     // decode rule (incl. dangling-lead-byte totality) is Utf8Decode's —
     // the ONE shared definition, so this kernel, WindowHashes, and the
-    // count stay byte-for-byte in sync on dirty corpora
+    // count stay byte-for-byte in sync on dirty corpora; cpWidth packs
+    // (codepoint, width) so each char pays ONE lead-byte dispatch
     while (i < b.length) {
-      acc = (acc * 31 + Utf8Decode.codepoint(b, i)) % Mod
-      i += Utf8Decode.width(b, i)
+      val cw = Utf8Decode.cpWidth(b, i)
+      acc = (acc * 31 + (cw & 0xFFFFFFFFL)) % Mod
+      i += (cw >>> 32).toInt
     }
     acc
   }

@@ -18,6 +18,26 @@ package graft.functions
   */
 object Utf8Decode {
 
+  /** One-dispatch decode of the (possibly malformed) sequence starting
+    * at `i`: the low 32 bits are the codepoint, the high 32 the bytes
+    * consumed — hot kernels call this once per character instead of
+    * paying the lead-byte dispatch twice via width+codepoint.
+    */
+  def cpWidth(b: Array[Byte], i: Int): Long = {
+    val x = b(i) & 0xFF
+    val need = if (x < 0x80) 1 else if (x < 0xE0) 2 else if (x < 0xF0) 3 else 4
+    if (need > b.length - i) (1L << 32) | x // dangling lead byte: one codepoint
+    else need match {
+      case 1 => (1L << 32) | x
+      case 2 => (2L << 32) | (((x & 0x1F) << 6) | (b(i + 1) & 0x3F))
+      case 3 => (3L << 32) |
+        (((x & 0x0F) << 12) | ((b(i + 1) & 0x3F) << 6) | (b(i + 2) & 0x3F))
+      case _ => (4L << 32) |
+        (((x & 0x07) << 18) | ((b(i + 1) & 0x3F) << 12) |
+          ((b(i + 2) & 0x3F) << 6) | (b(i + 3) & 0x3F))
+    }
+  }
+
   /** Bytes consumed by the (possibly malformed) sequence starting at `i`. */
   def width(b: Array[Byte], i: Int): Int = {
     val x = b(i) & 0xFF
@@ -26,13 +46,7 @@ object Utf8Decode {
   }
 
   /** Codepoint of the sequence starting at `i`, under [[width]]'s rule. */
-  def codepoint(b: Array[Byte], i: Int): Int = width(b, i) match {
-    case 1 => b(i) & 0xFF
-    case 2 => ((b(i) & 0x1F) << 6) | (b(i + 1) & 0x3F)
-    case 3 => ((b(i) & 0x0F) << 12) | ((b(i + 1) & 0x3F) << 6) | (b(i + 2) & 0x3F)
-    case _ => ((b(i) & 0x07) << 18) | ((b(i + 1) & 0x3F) << 12) |
-      ((b(i + 2) & 0x3F) << 6) | (b(i + 3) & 0x3F)
-  }
+  def codepoint(b: Array[Byte], i: Int): Int = (cpWidth(b, i) & 0xFFFFFFFFL).toInt
 
   /** Codepoint count under this rule. `UTF8String.numChars()` disagrees
     * on malformed input (a truncated multibyte lead decodes to MORE

@@ -45,8 +45,9 @@ object WindowHashes {
     var i = 0 // byte index
     var pos = 0 // codepoint index (0-based)
     while (i < b.length) {
-      val cp = Utf8Decode.codepoint(b, i)
-      i += Utf8Decode.width(b, i)
+      val cw = Utf8Decode.cpWidth(b, i)
+      val cp = (cw & 0xFFFFFFFFL).toInt
+      i += (cw >>> 32).toInt
       acc = (acc * 31 + cp) % Mod
       if (pos >= w) {
         // drop the codepoint that slid out of the window

@@ -188,8 +188,14 @@ object PipelineOps {
     * d15 row scores the full postings list.
     */
   private def bm25Scores(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    bm25Scores(s, d, s.conf.getOption("graft.bm25.maxDfFrac")
-      .map(f => math.round(f.trim.toDouble * 1e6)))
+    bm25Scores(s, d, s.conf.getOption("graft.bm25.maxDfFrac").map { raw =>
+      val f = raw.trim.toDouble
+      // fail fast at plan build: frac <= 0 would silently prune EVERY
+      // posting and make empty retrieval results look like "no matches"
+      require(f > 0 && f <= 1,
+        s"graft.bm25.maxDfFrac must be in (0, 1], got $raw")
+      math.round(f * 1e6)
+    })
 
   private def bm25Scores(s: org.apache.spark.sql.SparkSession, d: String,
       maxDfPpm: Option[Long]): DataFrame = {
@@ -4847,12 +4853,17 @@ object PipelineOps {
         // dropDuplicates formulation shuffled the whole (doc_id, dg)
         // gram stream twice, which is exactly the shuffle this operator
         // exists to avoid
+        // the short-doc guard is an IF, not greatest(...): Spark's
+        // sequence(1, 0) DESCENDS to [1, 0] and slice(ts, 0, 6) then
+        // throws — a ≤5-token document must yield zero grams, exactly
+        // as the oracle's range(1, 1) does
         val grams = T.documents(s, d)
           .select(col("doc_id"), toks.as("ts"))
           .select(col("doc_id"),
             explode(expr(
-              """array_distinct(transform(sequence(1, greatest(size(ts) - 5, 0)),
-                |  i -> array_join(slice(ts, i, 6), ' ')))""".stripMargin))
+              """IF(size(ts) < 6, CAST(array() AS ARRAY<STRING>),
+                |   array_distinct(transform(sequence(1, size(ts) - 5),
+                |     i -> array_join(slice(ts, i, 6), ' '))))""".stripMargin))
               .as("g"))
           .withColumn("dg", expr(
             "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)"))
@@ -4870,14 +4881,21 @@ object PipelineOps {
             expr("forall(ps, p -> array_contains(bits, p))").cast("long"))
           .join(broadcast(evalDg.withColumn("ex", lit(1L))), Seq("dg"), "left")
           .withColumn("exact_hit", coalesce(col("ex"), lit(0L)))
-        probe.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_grams"),
-            sum(col("bloom_hit")).as("bloom_hits"),
-            sum(col("exact_hit")).as("exact_hits"))
-          .select(col("doc_id"), col("n_grams"), col("bloom_hits"),
-            col("exact_hits"),
-            (col("bloom_hits") > 0).cast("int").as("flagged_bloom"),
-            (col("exact_hits") > 0).cast("int").as("is_contaminated"))
+        // account EVERY non-eval doc: a gram-less (≤5-token) doc is
+        // trivially clean but must still carry a zero row, or "docs in
+        // == docs accounted" reconciliation undercounts
+        T.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") % 10 =!= 7)
+          .join(probe.groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("ng"),
+              sum(col("bloom_hit")).as("bh"),
+              sum(col("exact_hit")).as("eh")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("ng"), lit(0L)).as("n_grams"),
+            coalesce(col("bh"), lit(0L)).as("bloom_hits"),
+            coalesce(col("eh"), lit(0L)).as("exact_hits"),
+            (coalesce(col("bh"), lit(0L)) > 0).cast("int").as("flagged_bloom"),
+            (coalesce(col("eh"), lit(0L)) > 0).cast("int").as("is_contaminated"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH toks AS (
@@ -4905,15 +4923,23 @@ object PipelineOps {
              |    CASE WHEN ev.dg IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
              |  FROM wp w CROSS JOIN bits b
              |  LEFT JOIN ev ON ev.dg = w.dg
-             |  WHERE w.doc_id % 10 != 7)
-             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-             |  CAST(sum(bloom_hit) AS BIGINT) AS bloom_hits,
-             |  CAST(sum(exact_hit) AS BIGINT) AS exact_hits,
-             |  CAST(CASE WHEN sum(bloom_hit) > 0 THEN 1 ELSE 0 END AS INT)
+             |  WHERE w.doc_id % 10 != 7),
+             |agg AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             |    CAST(sum(bloom_hit) AS BIGINT) AS bloom_hits,
+             |    CAST(sum(exact_hit) AS BIGINT) AS exact_hits
+             |  FROM probe GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  coalesce(a.n_grams, 0) AS n_grams,
+             |  coalesce(a.bloom_hits, 0) AS bloom_hits,
+             |  coalesce(a.exact_hits, 0) AS exact_hits,
+             |  CAST(CASE WHEN coalesce(a.bloom_hits, 0) > 0 THEN 1 ELSE 0 END AS INT)
              |    AS flagged_bloom,
-             |  CAST(CASE WHEN sum(exact_hit) > 0 THEN 1 ELSE 0 END AS INT)
+             |  CAST(CASE WHEN coalesce(a.exact_hits, 0) > 0 THEN 1 ELSE 0 END AS INT)
              |    AS is_contaminated
-             |FROM probe GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 != 7) d
+             |LEFT JOIN agg a ON a.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
       doc = "sketch/bloom decontamination — d10's 100 TB shape: m-bit eval-gram Bloom filter broadcast once, Kirsch-Mitzenmacher k=3 probe map-side, zero gram-shaped shuffles; fully oracle-exact incl. false positives, bloom ⊇ exact structurally"),
 
     // X14: ANN recall@k self-evaluation — the measurement every ANN

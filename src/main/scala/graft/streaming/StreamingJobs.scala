@@ -335,10 +335,21 @@ object StreamingJobs {
           .withColumn("is_dup", col("seen").isNotNull || col("rn") > 1)
           .persist() // consumed by BOTH writes — don't rerun the joins
         try {
-          marked.groupBy(col("doc_id"))
-            .agg(count(lit(1)).as("n_chunks"),
-              sum(when(col("is_dup"), 1L).otherwise(0L)).as("dup_chunks"),
-              sum(when(col("is_dup"), col("clen")).otherwise(0L)).as("dup_chars"))
+          // account EVERY batch doc — an empty-text doc has zero chunks
+          // (cdcChunks drops it), but its accounting row must still
+          // exist or "docs ingested == docs accounted" reconciliation
+          // silently undercounts (incrementalNearDedup's discipline)
+          batch.select(col("doc_id")).distinct()
+            .join(
+              marked.groupBy(col("doc_id"))
+                .agg(count(lit(1)).as("n_chunks"),
+                  sum(when(col("is_dup"), 1L).otherwise(0L)).as("dup_chunks"),
+                  sum(when(col("is_dup"), col("clen")).otherwise(0L)).as("dup_chars")),
+              Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+              coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"),
+              coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
             .withColumn("batch_id", lit(batchId))
             .write.partitionBy("batch_id")
             .option("partitionOverwriteMode", "dynamic")

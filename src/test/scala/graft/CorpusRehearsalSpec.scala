@@ -42,11 +42,17 @@ class CorpusRehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val m = stats.toMap.view.mapValues(_.toLong).toMap
     assert(timings.map(_._1) == Seq("materialize", "text_metrics",
       "exact_dedup", "minhash_neardup", "semantic_dedup", "dup_spans",
-      "decontaminate", "mix_shard", "surprisal_band", "temperature_mix",
-      "classifier_gate", "dsir_select", "bm25_retrieve",
-      "bm25_retrieve_pruned"))
+      "decontaminate", "decontaminate_bloom", "mix_shard",
+      "surprisal_band", "temperature_mix", "classifier_gate",
+      "dsir_select", "bm25_retrieve", "bm25_retrieve_pruned"))
     // pruning can only shrink the candidate-pair workload
     assert(m("n_bm25_cand_pairs_pruned") <= m("n_bm25_cand_pairs"))
+    // the bloom gate NEVER misses an exactly-contaminated doc, and its
+    // flag count decomposes into exact hits + counted false positives
+    assert(m("n_bloom_missed_docs") == 0, "bloom false negative!")
+    assert(m("n_bloom_flagged") ==
+      m("n_contaminated") + m("n_bloom_false_pos_docs"))
+    assert(m("n_bloom_words") > 0)
     assert(m("n_docs") == 2000 && m("n_tokens") > 0 && m("n_chunks") >= 2000)
     assert(m("n_exact_copies") > 0)
     assert(m("n_exact_groups") == m("n_docs") - m("n_exact_copies"))

@@ -484,12 +484,18 @@ class SketchLmCdcSpec extends AnyFunSuite with BeforeAndAfterAll {
       (17L, evalText),
       (1L, (1 to 15).map(i => s"a$i").mkString(" ")),
       (3L, "x1 x2 " + (5 to 10).map(i => s"ev$i").mkString(" ") + " x3 x4"),
-      (4L, (1 to 12).map(i => s"b$i").mkString(" ")))
+      (4L, (1 to 12).map(i => s"b$i").mkString(" ")),
+      // short docs (< 6 tokens / empty) yield ZERO grams, not a crash:
+      // sequence(1, 0) in Spark DESCENDS, so the guard must be an IF
+      (6L, "hello world"),
+      (8L, ""))
     val dir = writeDocs(docs.map(d => (d._1, d._2, "en")), "d21")
     val out = SparkEntry.queries("d21_bloom_decontaminate")(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
         r.getInt(4), r.getInt(5))).toMap
-    assert(out.keySet == Set(1L, 3L, 4L))
+    assert(out.keySet == Set(1L, 3L, 4L, 6L, 8L))
+    // gram-less docs appear with zero counts and no flags
+    for (id <- Seq(6L, 8L)) assert(out(id) == ((0L, 0L, 0L, 0, 0)), s"doc $id")
     // doc 3 holds exactly one eval 6-gram (ev5..ev10); flag must fire
     val (n3, bloom3, exact3, fb3, ic3) = out(3L)
     assert(exact3 == 1L && ic3 == 1, s"doc 3 exact contamination: ${out(3L)}")
