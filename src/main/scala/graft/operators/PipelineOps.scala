@@ -5242,6 +5242,283 @@ object PipelineOps {
              |  CAST(count(ap.eid) AS DOUBLE) / 5.0 AS recall
              |FROM gt g LEFT JOIN ap ON ap.qid = g.qid AND ap.eid = g.eid
              |GROUP BY g.qid ORDER BY g.qid""".stripMargin),
-      doc = "similarity composite: IVF-PQ — d7's 2-probe inverted-list pruning with d16's int64 asymmetric-distance scoring over PQ codes, recall@5 measured against d5's exact ground truth (x14's machinery); the FAISS-style production ANN pairing")
+      doc = "similarity composite: IVF-PQ — d7's 2-probe inverted-list pruning with d16's int64 asymmetric-distance scoring over PQ codes, recall@5 measured against d5's exact ground truth (x14's machinery); the FAISS-style production ANN pairing"),
+
+    // D22: HDR-histogram quantile sketch — the QUANTILE member of the
+    // sketch family (d17 HLL = distinct, d19 MG = heavy hitters, d20
+    // CMS = frequency, d21 Bloom = membership): per-document token
+    // counts summarized into log2-octave × 16-linear-sub-bucket
+    // counters (HdrHistogram's bucket geometry; same relative-error
+    // contract as DDSketch, Masson et al. VLDB 2019 — but with INTEGER
+    // bucket arithmetic: octave e = bit-length(v) − 1 via bin(),
+    // sub-bucket m = ((v − 2^e)·16) div 2^e — so, unlike log_γ
+    // bucketing, both engines compute identical bucket ids with zero
+    // floating point and the sketch is fully oracle-exact). Buckets are
+    // ADDITIVE counters: order- and merge-order-independent, map-side
+    // combinable, ≤ 16 cells per octave (≤ ~1k for the whole int64
+    // domain) — the quantile read that replaces a global sort at
+    // 100 TB (doc-length p50/p99 for packing/curriculum decisions).
+    // Quantile answers come from bucket GEOMETRY alone: lo/hi bounds
+    // derived arithmetically from (e, m), giving the guarantee
+    // (hi − lo)/lo ≤ 1/16 (+integer rounding) per answer. The exact
+    // quantile rides along as the oracle-visible accuracy proof (d17's
+    // pattern) — derived from the per-VALUE histogram (bounded by the
+    // doc-length value domain, never a global sort over docs), and
+    // bound_ok pins the sandwich law est_lo ≤ exact_q ≤ est_hi inside
+    // the hash itself. Rank rule: quantile q = smallest value whose
+    // cumulative count ≥ ceil(q·n), all integer.
+    QueryDef(
+      "d22_hdr_quantiles",
+      (s, d) => {
+        import s.implicits._
+        val lens = T.documents(s, d)
+          .select(size(filter(split(lower(col("text")), " "), x => x =!= ""))
+            .cast("long").as("v"))
+          .filter(col("v") >= 1)
+        val hist = lens
+          .withColumn("e", (length(expr("bin(v)")) - 1).cast("long"))
+          .withColumn("pw", expr("shiftleft(CAST(1 AS BIGINT), CAST(e AS INT))"))
+          .withColumn("m", expr("((v - pw) * 16) div pw"))
+          .groupBy(col("e"), col("m"), col("pw"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("lo", expr("pw + (m * pw + 15) div 16"))
+          .withColumn("hi",
+            expr("least(pw + ((m + 1) * pw + 15) div 16 - 1, 2 * pw - 1)"))
+        // two 1-row scalar frames: the bucket summary (sketch) and the
+        // per-value histogram (exact leg; bounded by the doc-length
+        // value domain) — both collect_list scalars, both broadcast
+        val packed = hist.agg(
+          sort_array(collect_list(struct(col("e"), col("m"), col("lo"),
+            col("hi"), col("cnt")))).as("hist"),
+          sum(col("cnt")).as("n"))
+        val vpacked = lens.groupBy(col("v")).agg(count(lit(1)).as("vcnt"))
+          .agg(sort_array(collect_list(struct(col("v"), col("vcnt")))).as("vh"))
+        Seq(100L, 250L, 500L, 750L, 900L, 950L, 990L).toDF("q_milli")
+          .crossJoin(broadcast(packed))
+          .crossJoin(broadcast(vpacked))
+          .withColumn("rnk", expr("(q_milli * n + 999) div 1000"))
+          .withColumn("sel", expr(
+            """aggregate(hist,
+              |  named_struct('cum', CAST(0 AS BIGINT),
+              |               'lo', CAST(-1 AS BIGINT), 'hi', CAST(-1 AS BIGINT)),
+              |  (a, b) -> IF(a.lo >= 0, a, named_struct(
+              |    'cum', a.cum + b.cnt,
+              |    'lo', IF(a.cum + b.cnt >= rnk, b.lo, CAST(-1 AS BIGINT)),
+              |    'hi', IF(a.cum + b.cnt >= rnk, b.hi, CAST(-1 AS BIGINT)))))""".stripMargin))
+          .withColumn("exact_q", expr(
+            """aggregate(vh,
+              |  named_struct('cum', CAST(0 AS BIGINT), 'v', CAST(-1 AS BIGINT)),
+              |  (a, b) -> IF(a.v >= 0, a, named_struct(
+              |    'cum', a.cum + b.vcnt,
+              |    'v', IF(a.cum + b.vcnt >= rnk, b.v, CAST(-1 AS BIGINT))))).v""".stripMargin))
+          .select(col("q_milli"),
+            col("sel.lo").as("est_lo"), col("sel.hi").as("est_hi"),
+            col("exact_q"), col("n"),
+            (col("sel.lo") <= col("exact_q") && col("exact_q") <= col("sel.hi"))
+              .cast("int").as("bound_ok"),
+            expr("((sel.hi - sel.lo) * 1000) div sel.lo").as("width_milli"))
+          .orderBy(col("q_milli"))
+      },
+      Some("""WITH lens AS (
+             |  SELECT CAST(len(list_filter(str_split(lower(text), ' '),
+             |           x -> x <> '')) AS BIGINT) AS v
+             |  FROM documents),
+             |lp AS (SELECT v FROM lens WHERE v >= 1),
+             |bk AS (
+             |  SELECT v, CAST(length(bin(v)) - 1 AS BIGINT) AS e,
+             |    CAST(1 AS BIGINT) << CAST(length(bin(v)) - 1 AS INT) AS pw
+             |  FROM lp),
+             |hist AS (
+             |  SELECT e, m, pw, CAST(count(*) AS BIGINT) AS cnt,
+             |    pw + (m * pw + 15) // 16 AS lo,
+             |    least(pw + ((m + 1) * pw + 15) // 16 - 1, 2 * pw - 1) AS hi
+             |  FROM (SELECT e, pw, ((v - pw) * 16) // pw AS m FROM bk)
+             |  GROUP BY e, m, pw),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+             |cum AS (
+             |  SELECT e, m, lo, hi, cnt,
+             |    sum(cnt) OVER (ORDER BY e, m) AS cum
+             |  FROM hist),
+             |qs AS (SELECT CAST(unnest([100, 250, 500, 750, 900, 950, 990])
+             |         AS BIGINT) AS q_milli),
+             |ranks AS (
+             |  SELECT q_milli, (q_milli * n + 999) // 1000 AS rnk, n
+             |  FROM qs, tot),
+             |sel AS (
+             |  SELECT q_milli, rnk, n, lo, hi,
+             |    row_number() OVER (PARTITION BY q_milli ORDER BY e, m) AS rn
+             |  FROM ranks r JOIN cum c ON c.cum >= r.rnk),
+             |vcum AS (
+             |  SELECT v, sum(cnt) OVER (ORDER BY v) AS cum
+             |  FROM (SELECT v, CAST(count(*) AS BIGINT) AS cnt
+             |        FROM lp GROUP BY v)),
+             |ex AS (
+             |  SELECT q_milli, CAST(min(vc.v) AS BIGINT) AS exact_q
+             |  FROM ranks r JOIN vcum vc ON vc.cum >= r.rnk
+             |  GROUP BY q_milli)
+             |SELECT s.q_milli,
+             |  CAST(s.lo AS BIGINT) AS est_lo, CAST(s.hi AS BIGINT) AS est_hi,
+             |  e.exact_q, s.n,
+             |  CAST(CASE WHEN s.lo <= e.exact_q AND e.exact_q <= s.hi
+             |       THEN 1 ELSE 0 END AS INT) AS bound_ok,
+             |  CAST(((s.hi - s.lo) * 1000) // s.lo AS BIGINT) AS width_milli
+             |FROM sel s JOIN ex e USING (q_milli)
+             |WHERE s.rn = 1 ORDER BY s.q_milli""".stripMargin),
+      doc = "sketch/quantiles: HDR-histogram doc-length quantile sketch — integer log2-octave×16 sub-bucket additive counters (mergeable, map-side combinable, ≤16 cells/octave), quantile answers from bucket geometry with (hi−lo)/lo ≤ 1/16 guarantee; fully oracle-exact incl. the sandwich law est_lo ≤ exact_q ≤ est_hi"),
+
+    // X16: per-shard dataset card — the summary a 100 TB pipeline
+    // PUBLISHES with every training shard (the "data card"/datasheet
+    // read: Gebru et al. 2021): doc/token counts, token-count spread,
+    // doc-length quantiles, and distinct-token cardinality, one row per
+    // shard, all from ONE corpus scan plus constant-size keyed
+    // aggregates. Composes the sketch family per shard: d22's HDR
+    // buckets (additive, (shard,e,m)-keyed, folded per shard) answer
+    // p50/p95 doc length; d17's HLL registers ((shard,j)-keyed, ≤ 64
+    // rows per shard) answer distinct tokens — with the register grid
+    // DENSIFIED ARITHMETICALLY instead of via d17's broadcast grid
+    // join: a register j absent from the (shard,j) aggregate has
+    // M_j = 0, so it contributes exactly 2^54 to the harmonic sum and
+    // 1 to v_zero, i.e. s_scaled = (64 − n_present)·2^54 + Σ 2^(54−reg)
+    // — no cross join anywhere in this plan. Shard assignment is the
+    // md5-portable doc_id hash (ShardSink's discipline: never Spark's
+    // non-portable hash()), so both engines bucket identically. Every
+    // column is integer except hll_est, evaluated by both engines from
+    // identical integers (d17's rule).
+    QueryDef(
+      "x16_shard_data_card",
+      (s, d) => {
+        val NS = 8L
+        val docs = T.documents(s, d)
+          .select(col("doc_id"),
+            filter(split(lower(col("text")), " "), x => x =!= "").as("ts"))
+          .withColumn("shard", expr(
+            s"pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), $NS)"))
+          .withColumn("v", size(col("ts")).cast("long"))
+        // doc-level card: counts + spread (additive / min-max mergeable)
+        val counts = docs.groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("v")).as("n_tokens"),
+            min(col("v")).as("min_toks"), max(col("v")).as("max_toks"))
+        // d22's HDR histogram, keyed by shard (v >= 1 docs only)
+        val hist = docs.filter(col("v") >= 1)
+          .withColumn("e", (length(expr("bin(v)")) - 1).cast("long"))
+          .withColumn("pw", expr("shiftleft(CAST(1 AS BIGINT), CAST(e AS INT))"))
+          .withColumn("m", expr("((v - pw) * 16) div pw"))
+          .groupBy(col("shard"), col("e"), col("m"), col("pw"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("lo", expr("pw + (m * pw + 15) div 16"))
+          .groupBy(col("shard"))
+          .agg(sort_array(collect_list(struct(col("e"), col("m"), col("lo"),
+            col("cnt")))).as("hist"),
+            sum(col("cnt")).as("nq"))
+        val qSel = (q: Long, as: String) => {
+          val rnk = s"(($q * nq) + 999) div 1000"
+          expr(
+            s"""aggregate(hist,
+               |  named_struct('cum', CAST(0 AS BIGINT), 'lo', CAST(-1 AS BIGINT)),
+               |  (a, b) -> IF(a.lo >= 0, a, named_struct(
+               |    'cum', a.cum + b.cnt,
+               |    'lo', IF(a.cum + b.cnt >= $rnk, b.lo, CAST(-1 AS BIGINT))))).lo""".stripMargin)
+            .as(as)
+        }
+        val quants = hist.select(col("shard"),
+          qSel(500L, "p50_lo"), qSel(950L, "p95_lo"))
+        // d17's HLL registers keyed by shard; absent registers folded in
+        // arithmetically (M_j = 0 -> 2^54 each), so no densifying join
+        val regs = docs.select(col("shard"), explode(col("ts")).as("tok"))
+          .withColumn("h",
+            expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)"))
+          .withColumn("j", col("h") % 64)
+          .withColumn("rho", expr(
+            "CASE WHEN h div 64 = 0 THEN CAST(55 AS BIGINT) ELSE 55 - CAST(length(bin(h div 64)) AS BIGINT) END"))
+          .groupBy(col("shard"), col("j"))
+          .agg(max(col("rho")).as("reg"))
+        val hll = regs.groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_present"),
+            sum(expr(
+              "CASE WHEN reg <= 54 THEN shiftleft(CAST(1 AS BIGINT), CAST(54 - reg AS INT)) ELSE CAST(0 AS BIGINT) END"))
+              .as("s_present"))
+          .select(col("shard"), (lit(64L) - col("n_present")).as("v_zero"),
+            (expr("(64 - n_present) * CAST(18014398509481984 AS BIGINT)")
+              + col("s_present")).as("s_scaled"))
+        counts.join(quants, Seq("shard"), "left")
+          .join(hll, Seq("shard"), "left")
+          .select(col("shard"), col("n_docs"), col("n_tokens"),
+            col("min_toks"), col("max_toks"),
+            coalesce(col("p50_lo"), lit(-1L)).as("p50_lo"),
+            coalesce(col("p95_lo"), lit(-1L)).as("p95_lo"),
+            coalesce(col("v_zero"), lit(64L)).as("v_zero"),
+            coalesce(col("s_scaled"),
+              expr("64 * CAST(18014398509481984 AS BIGINT)")).as("s_scaled"))
+          .withColumn("hll_est",
+            expr("0.709 * 4096 * CAST(18014398509481984 AS DOUBLE) / s_scaled"))
+          .orderBy(col("shard"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id,
+             |    list_filter(str_split(lower(text), ' '), x -> x <> '') AS ts,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             |      % 8 AS shard
+             |  FROM documents),
+             |dv AS (SELECT doc_id, shard, ts, CAST(len(ts) AS BIGINT) AS v FROM docs),
+             |counts AS (
+             |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(v) AS BIGINT) AS n_tokens,
+             |    CAST(min(v) AS BIGINT) AS min_toks,
+             |    CAST(max(v) AS BIGINT) AS max_toks
+             |  FROM dv GROUP BY shard),
+             |bk AS (
+             |  SELECT shard, v, CAST(length(bin(v)) - 1 AS BIGINT) AS e,
+             |    CAST(1 AS BIGINT) << CAST(length(bin(v)) - 1 AS INT) AS pw
+             |  FROM dv WHERE v >= 1),
+             |hist AS (
+             |  SELECT shard, e, m, pw, CAST(count(*) AS BIGINT) AS cnt,
+             |    pw + (m * pw + 15) // 16 AS lo
+             |  FROM (SELECT shard, e, pw, ((v - pw) * 16) // pw AS m FROM bk)
+             |  GROUP BY shard, e, m, pw),
+             |nq AS (SELECT shard, CAST(sum(cnt) AS BIGINT) AS nq FROM hist GROUP BY shard),
+             |cum AS (
+             |  SELECT shard, e, m, lo,
+             |    sum(cnt) OVER (PARTITION BY shard ORDER BY e, m) AS cum
+             |  FROM hist),
+             |quant AS (
+             |  SELECT q.shard, q.q_milli, c.lo,
+             |    row_number() OVER (PARTITION BY q.shard, q.q_milli ORDER BY c.e, c.m) AS rn
+             |  FROM (SELECT shard, nq, unnest([500, 950]) AS q_milli FROM nq) q
+             |  JOIN cum c ON c.shard = q.shard
+             |    AND c.cum >= (q.q_milli * q.nq + 999) // 1000),
+             |qs AS (
+             |  SELECT shard,
+             |    CAST(max(CASE WHEN q_milli = 500 THEN lo END) AS BIGINT) AS p50_lo,
+             |    CAST(max(CASE WHEN q_milli = 950 THEN lo END) AS BIGINT) AS p95_lo
+             |  FROM quant WHERE rn = 1 GROUP BY shard),
+             |toks AS (
+             |  SELECT shard, unnest(ts) AS tok FROM dv),
+             |hr AS (
+             |  SELECT shard,
+             |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 64 AS j,
+             |    CASE WHEN CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) // 64 = 0
+             |         THEN 55
+             |         ELSE 55 - length(bin(CAST('0x' || substr(md5(tok), 1, 15)
+             |                AS BIGINT) // 64)) END AS rho
+             |  FROM toks),
+             |regs AS (SELECT shard, j, max(rho) AS reg FROM hr GROUP BY shard, j),
+             |hll AS (
+             |  SELECT shard, CAST(64 - count(*) AS BIGINT) AS v_zero,
+             |    CAST((64 - count(*)) * 18014398509481984 +
+             |      sum(CASE WHEN reg <= 54
+             |          THEN CAST(1 AS BIGINT) << CAST(54 - reg AS INT)
+             |          ELSE 0 END) AS BIGINT) AS s_scaled
+             |  FROM regs GROUP BY shard)
+             |SELECT c.shard, c.n_docs, c.n_tokens, c.min_toks, c.max_toks,
+             |  coalesce(q.p50_lo, -1) AS p50_lo,
+             |  coalesce(q.p95_lo, -1) AS p95_lo,
+             |  coalesce(h.v_zero, 64) AS v_zero,
+             |  coalesce(h.s_scaled, 64 * 18014398509481984) AS s_scaled,
+             |  0.709 * 4096 * CAST(18014398509481984 AS DOUBLE)
+             |    / coalesce(h.s_scaled, 64 * 18014398509481984) AS hll_est
+             |FROM counts c LEFT JOIN qs q USING (shard)
+             |LEFT JOIN hll h USING (shard)
+             |ORDER BY c.shard""".stripMargin),
+      doc = "pipeline composite: per-shard dataset card — doc/token counts, HDR p50/p95 doc length (d22's buckets per shard) and HLL distinct tokens (d17's registers per shard, grid densified arithmetically — no cross join) in one scan + constant-size keyed aggregates; md5-portable shard hash")
   )
 }

@@ -93,6 +93,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d15_bm25_topk",          // broadcast 1-row (L, Nd) corpus-stats scalar
     "d15b_bm25_pruned",       // d15's 1-row scalar, pruned postings
     "d21_bloom_decontaminate",// broadcast 1-row bloom-bit-set scalar cross join
+    "d22_hdr_quantiles",      // broadcast 1-row bucket-summary + value-histogram scalars
     "x12_hybrid_retrieval",   // d15's scalar + bounded broadcast query side (d5's shape)
     "x2_rgp_mine", "x3_anchor_phylo", "x4_core_genes", // broadcast scalars
     "x8_training_mix",        // broadcast quota/funnel 1-row scalars
@@ -121,6 +122,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d15_bm25_topk",          // 1-row (L, Nd) corpus-stats scalar
     "d15b_bm25_pruned",       // d15's scalar under the df-cap filter
     "d21_bloom_decontaminate",// 1-row collect_set bloom-bit scalar (<= m entries)
+    "d22_hdr_quantiles",      // 1-row bucket-summary + value-histogram scalars
     "x12_hybrid_retrieval",   // 1-row corpus-stats scalar (d15's frame)
     "t13_vocab_coverage",     // vocab-domain ranking window (c1/c2 precedent)
     "x2_rgp_mine", "x3_anchor_phylo", "x4_core_genes",
@@ -200,6 +202,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d19_heavy_hitters",                      // lang-domain per-lang token totals
     "d20_count_min",                          // 128-cell sketch frame (4x32 grid)
     "d21_bloom_decontaminate",                // 1-row bloom bits + eval digest set
+    "d22_hdr_quantiles",                      // 1-row bucket-summary + value-histogram scalars
     "x12_hybrid_retrieval",                   // bounded query-side broadcast
     "x9_curriculum_mix",                      // lang targets + 1-row totals
     "x1_genome_track",                        // per-event-type counts
