@@ -5519,6 +5519,147 @@ object PipelineOps {
              |FROM counts c LEFT JOIN qs q USING (shard)
              |LEFT JOIN hll h USING (shard)
              |ORDER BY c.shard""".stripMargin),
-      doc = "pipeline composite: per-shard dataset card — doc/token counts, HDR p50/p95 doc length (d22's buckets per shard) and HLL distinct tokens (d17's registers per shard, grid densified arithmetically — no cross join) in one scan + constant-size keyed aggregates; md5-portable shard hash")
+      doc = "pipeline composite: per-shard dataset card — doc/token counts, HDR p50/p95 doc length (d22's buckets per shard) and HLL distinct tokens (d17's registers per shard, grid densified arithmetically — no cross join) in one scan + constant-size keyed aggregates; md5-portable shard hash"),
+
+    // D23: KMV / theta-sketch source overlap — the INTERSECTION sketch
+    // (K-minimum-values, Bar-Yossef et al. 2002; theta framework,
+    // Dasgupta et al. 2016) completing what d17's HLL cannot do: HLL
+    // registers union but never intersect, so "how much distinct
+    // content do two crawl sources share" (d11's question, asked of
+    // grams instead of whole docs) needs the bottom-k carrier. Per
+    // source, the 64 smallest distinct 6-gram hashes — computed by the
+    // BottomK typed Aggregator, NOT a per-source ranking window: map-side
+    // combine ships ≤ 64 longs per source per partition, vs the window
+    // formulation's full (source, h)-distinct shuffle + sort. Bottom-k
+    // of a SET is order-/merge-order-independent → every sketch entry,
+    // theta cut and estimate is exactly oracle-reproducible (unlike
+    // d19's MG values). Pairwise: theta = min of the two 64th-smallest
+    // hashes (2^60 when a sketch isn't full — that side is known
+    // exactly); entries below theta from BOTH sketches are a uniform
+    // sample of the pair's union, so jaccard_est = |intersect| /
+    // |union| of the filtered entries, in integer milli. The exact
+    // (source, gram)-distinct legs ride along as the oracle-visible
+    // accuracy proof (d17/d20's pattern) — they are precisely the
+    // shuffles the sketch replaces at 100 TB, where per-source sketches
+    // are 64 longs and the 190-pair comparison is driver-trivial.
+    // Per-doc gram dedup stays inside the array world (d21's rule), and
+    // the ≤5-token guard is an IF, never greatest() (Spark's
+    // sequence(1, 0) descends).
+    QueryDef(
+      "d23_kmv_source_overlap",
+      (s, d) => {
+        val K = 64
+        val TH = 1152921504606846976L // 2^60: hash-space top, theta when not full
+        val grams = T.documents(s, d)
+          .select(col("source"),
+            filter(split(lower(col("text")), " "), x => x =!= "").as("ts"))
+          .select(col("source"),
+            explode(expr(
+              """IF(size(ts) < 6, CAST(array() AS ARRAY<STRING>),
+                |   array_distinct(transform(sequence(1, size(ts) - 5),
+                |     i -> array_join(slice(ts, i, 6), ' '))))""".stripMargin))
+              .as("g"))
+          .withColumn("h", expr(
+            "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)"))
+          .select(col("source"), col("h"))
+        val sk = grams.groupBy(col("source"))
+          .agg(graft.functions.BottomK.udaf(K)(col("h")).as("ks"))
+          .withColumn("theta_x",
+            expr(s"IF(size(ks) < $K, CAST($TH AS BIGINT), element_at(ks, -1))"))
+        val pairs = sk.select(col("source").as("src_a"), col("ks").as("ka"),
+            col("theta_x").as("ta"))
+          .join(broadcast(sk.select(col("source").as("src_b"), col("ks").as("kb"),
+            col("theta_x").as("tb"))), col("src_a") < col("src_b"))
+          .withColumn("theta", least(col("ta"), col("tb")))
+          .withColumn("af", expr("filter(ka, x -> x < theta)"))
+          .withColumn("bf", expr("filter(kb, x -> x < theta)"))
+          .withColumn("n_common", size(expr("array_intersect(af, bf)")).cast("long"))
+          .withColumn("n_theta_union", size(expr("array_union(af, bf)")).cast("long"))
+          .withColumn("jaccard_est_milli", expr(
+            "IF(n_theta_union = 0, CAST(0 AS BIGINT), (1000 * n_common) div n_theta_union)"))
+          .select(col("src_a"), col("src_b"),
+            size(col("ka")).cast("long").as("k_a"),
+            size(col("kb")).cast("long").as("k_b"),
+            col("n_common"), col("n_theta_union"), col("jaccard_est_milli"))
+        // exact legs — the (source, gram)-distinct shuffles the sketch
+        // replaces, kept for the oracle-visible accuracy proof
+        val dg = grams.distinct()
+        val perSrc = dg.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+        val commonExact = dg.as("a")
+          .join(dg.as("b"),
+            col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+          .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("exact_common"))
+        pairs
+          .join(commonExact, Seq("src_a", "src_b"), "left")
+          .join(perSrc.select(col("source").as("src_a"), col("nd").as("nd_a")),
+            Seq("src_a"))
+          .join(perSrc.select(col("source").as("src_b"), col("nd").as("nd_b")),
+            Seq("src_b"))
+          .withColumn("exact_common", coalesce(col("exact_common"), lit(0L)))
+          .withColumn("exact_jaccard_milli",
+            expr("(1000 * exact_common) div (nd_a + nd_b - exact_common)"))
+          .select(col("src_a"), col("src_b"), col("k_a"), col("k_b"),
+            col("n_common"), col("n_theta_union"), col("jaccard_est_milli"),
+            col("exact_common"), col("exact_jaccard_milli"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT source,
+             |    list_filter(str_split(lower(text), ' '), x -> x <> '') AS ts
+             |  FROM documents),
+             |grams AS (
+             |  SELECT DISTINCT source,
+             |    CAST('0x' || substr(md5(array_to_string(ts[i:i+5], ' ')), 1, 15)
+             |         AS BIGINT) AS h
+             |  FROM (SELECT source, ts,
+             |          unnest(range(1, greatest(len(ts) - 5, 0) + 1)) AS i
+             |        FROM toks)),
+             |rk AS (
+             |  SELECT source, h,
+             |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+             |  FROM grams),
+             |sk AS (
+             |  SELECT source, list(h ORDER BY h) AS ks
+             |  FROM rk WHERE rn <= 64 GROUP BY source),
+             |th AS (
+             |  SELECT source, ks,
+             |    CASE WHEN len(ks) < 64 THEN 1152921504606846976
+             |         ELSE ks[-1] END AS theta_x
+             |  FROM sk),
+             |pr AS (
+             |  SELECT a.source AS src_a, b.source AS src_b,
+             |    CAST(len(a.ks) AS BIGINT) AS k_a, CAST(len(b.ks) AS BIGINT) AS k_b,
+             |    list_filter(a.ks, x -> x < least(a.theta_x, b.theta_x)) AS af,
+             |    list_filter(b.ks, x -> x < least(a.theta_x, b.theta_x)) AS bf
+             |  FROM th a JOIN th b ON a.source < b.source),
+             |est AS (
+             |  SELECT src_a, src_b, k_a, k_b,
+             |    CAST(len(list_intersect(af, bf)) AS BIGINT) AS n_common,
+             |    CAST(len(list_distinct(list_concat(af, bf))) AS BIGINT)
+             |      AS n_theta_union
+             |  FROM pr),
+             |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS nd
+             |       FROM grams GROUP BY source),
+             |ce AS (
+             |  SELECT a.source AS src_a, b.source AS src_b,
+             |    CAST(count(*) AS BIGINT) AS exact_common
+             |  FROM grams a JOIN grams b ON a.h = b.h AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT e.src_a, e.src_b, e.k_a, e.k_b, e.n_common, e.n_theta_union,
+             |  CAST(CASE WHEN e.n_theta_union = 0 THEN 0
+             |       ELSE (1000 * e.n_common) // e.n_theta_union END AS BIGINT)
+             |    AS jaccard_est_milli,
+             |  CAST(coalesce(ce.exact_common, 0) AS BIGINT) AS exact_common,
+             |  CAST((1000 * coalesce(ce.exact_common, 0))
+             |    // (na.nd + nb.nd - coalesce(ce.exact_common, 0)) AS BIGINT)
+             |    AS exact_jaccard_milli
+             |FROM est e
+             |LEFT JOIN ce ON ce.src_a = e.src_a AND ce.src_b = e.src_b
+             |JOIN nd na ON na.source = e.src_a
+             |JOIN nd nb ON nb.source = e.src_b
+             |ORDER BY e.src_a, e.src_b""".stripMargin),
+      doc = "sketch/KMV theta source overlap — per-source bottom-64 distinct 6-gram hashes via a map-side-combining typed Aggregator (≤64 longs/source/partition vs the ranking window's full sort), theta-cut pairwise jaccard estimates in integer milli; sketch entries and estimates fully oracle-exact, exact (source,gram) legs ride along as the accuracy proof")
   )
 }

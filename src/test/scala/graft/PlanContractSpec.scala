@@ -94,6 +94,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d15b_bm25_pruned",       // d15's 1-row scalar, pruned postings
     "d21_bloom_decontaminate",// broadcast 1-row bloom-bit-set scalar cross join
     "d22_hdr_quantiles",      // broadcast 1-row bucket-summary + value-histogram scalars
+    "d23_kmv_source_overlap", // source-domain sketch pairs, src_a<src_b theta, sketches broadcast
     "x12_hybrid_retrieval",   // d15's scalar + bounded broadcast query side (d5's shape)
     "x2_rgp_mine", "x3_anchor_phylo", "x4_core_genes", // broadcast scalars
     "x8_training_mix",        // broadcast quota/funnel 1-row scalars
@@ -203,6 +204,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d20_count_min",                          // 128-cell sketch frame (4x32 grid)
     "d21_bloom_decontaminate",                // 1-row bloom bits + eval digest set
     "d22_hdr_quantiles",                      // 1-row bucket-summary + value-histogram scalars
+    "d23_kmv_source_overlap",                 // source-domain (≤64-long) sketch frame
     "x12_hybrid_retrieval",                   // bounded query-side broadcast
     "x9_curriculum_mix",                      // lang targets + 1-row totals
     "x1_genome_track",                        // per-event-type counts
