@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HDR-histogram bucket arithmetic — ONE definition shared by d22
+  * (corpus quantile sketch), x16 (per-shard card) and st5 (streaming
+  * windowed card), per the Utf8Decode lesson: a numeric rule duplicated
+  * across operators drifts silently.
+  *
+  * Geometry (HdrHistogram; same relative-error contract as DDSketch,
+  * Masson et al. VLDB 2019): octave e = bit-length(v) − 1, 16 linear
+  * sub-buckets per octave, all INTEGER arithmetic (bin()/shiftleft/div)
+  * so Spark and DuckDB compute identical bucket ids — no log_γ floating
+  * point anywhere. Buckets are additive counters: order- and
+  * merge-order-independent, map-side combinable, streaming-native.
+  */
+object Hdr {
+
+  /** Appends integer bucket columns (e, pw, m) for a positive long
+    * column `v`. Callers must filter v >= 1 first.
+    */
+  def withBuckets(df: DataFrame): DataFrame = df
+    .withColumn("e", (length(expr("bin(v)")) - 1).cast("long"))
+    .withColumn("pw", expr("shiftleft(CAST(1 AS BIGINT), CAST(e AS INT))"))
+    .withColumn("m", expr("((v - pw) * 16) div pw"))
+
+  /** Bucket lower bound from (pw, m) — pure arithmetic, usable after the
+    * (e, m, pw) groupBy.
+    */
+  def loExpr: Column = expr("pw + (m * pw + 15) div 16")
+
+  /** Bucket upper bound, capped at the octave top. */
+  def hiExpr: Column =
+    expr("least(pw + ((m + 1) * pw + 15) div 16 - 1, 2 * pw - 1)")
+
+  /** est_lo quantile fold over a packed `hist` array column (structs
+    * sorted by (e, m) carrying at least (lo, cnt)) with total count
+    * `nq`: the lower bound of the first bucket whose cumulative count
+    * reaches ceil(qMilli·nq / 1000).
+    */
+  def quantileLo(qMilli: Long, as: String): Column = {
+    val rnk = s"(($qMilli * nq) + 999) div 1000"
+    expr(
+      s"""aggregate(hist,
+         |  named_struct('cum', CAST(0 AS BIGINT), 'lo', CAST(-1 AS BIGINT)),
+         |  (a, b) -> IF(a.lo >= 0, a, named_struct(
+         |    'cum', a.cum + b.cnt,
+         |    'lo', IF(a.cum + b.cnt >= $rnk, b.lo, CAST(-1 AS BIGINT))))).lo""".stripMargin)
+      .as(as)
+  }
+}

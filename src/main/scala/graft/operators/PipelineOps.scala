@@ -5275,15 +5275,11 @@ object PipelineOps {
           .select(size(filter(split(lower(col("text")), " "), x => x =!= ""))
             .cast("long").as("v"))
           .filter(col("v") >= 1)
-        val hist = lens
-          .withColumn("e", (length(expr("bin(v)")) - 1).cast("long"))
-          .withColumn("pw", expr("shiftleft(CAST(1 AS BIGINT), CAST(e AS INT))"))
-          .withColumn("m", expr("((v - pw) * 16) div pw"))
+        val hist = Hdr.withBuckets(lens)
           .groupBy(col("e"), col("m"), col("pw"))
           .agg(count(lit(1)).as("cnt"))
-          .withColumn("lo", expr("pw + (m * pw + 15) div 16"))
-          .withColumn("hi",
-            expr("least(pw + ((m + 1) * pw + 15) div 16 - 1, 2 * pw - 1)"))
+          .withColumn("lo", Hdr.loExpr)
+          .withColumn("hi", Hdr.hiExpr)
         // two 1-row scalar frames: the bucket summary (sketch) and the
         // per-value histogram (exact leg; bounded by the doc-length
         // value domain) — both collect_list scalars, both broadcast
@@ -5399,29 +5395,16 @@ object PipelineOps {
           .agg(count(lit(1)).as("n_docs"), sum(col("v")).as("n_tokens"),
             min(col("v")).as("min_toks"), max(col("v")).as("max_toks"))
         // d22's HDR histogram, keyed by shard (v >= 1 docs only)
-        val hist = docs.filter(col("v") >= 1)
-          .withColumn("e", (length(expr("bin(v)")) - 1).cast("long"))
-          .withColumn("pw", expr("shiftleft(CAST(1 AS BIGINT), CAST(e AS INT))"))
-          .withColumn("m", expr("((v - pw) * 16) div pw"))
+        val hist = Hdr.withBuckets(docs.filter(col("v") >= 1))
           .groupBy(col("shard"), col("e"), col("m"), col("pw"))
           .agg(count(lit(1)).as("cnt"))
-          .withColumn("lo", expr("pw + (m * pw + 15) div 16"))
+          .withColumn("lo", Hdr.loExpr)
           .groupBy(col("shard"))
           .agg(sort_array(collect_list(struct(col("e"), col("m"), col("lo"),
             col("cnt")))).as("hist"),
             sum(col("cnt")).as("nq"))
-        val qSel = (q: Long, as: String) => {
-          val rnk = s"(($q * nq) + 999) div 1000"
-          expr(
-            s"""aggregate(hist,
-               |  named_struct('cum', CAST(0 AS BIGINT), 'lo', CAST(-1 AS BIGINT)),
-               |  (a, b) -> IF(a.lo >= 0, a, named_struct(
-               |    'cum', a.cum + b.cnt,
-               |    'lo', IF(a.cum + b.cnt >= $rnk, b.lo, CAST(-1 AS BIGINT))))).lo""".stripMargin)
-            .as(as)
-        }
         val quants = hist.select(col("shard"),
-          qSel(500L, "p50_lo"), qSel(950L, "p95_lo"))
+          Hdr.quantileLo(500L, "p50_lo"), Hdr.quantileLo(950L, "p95_lo"))
         // d17's HLL registers keyed by shard; absent registers folded in
         // arithmetically (M_j = 0 -> 2^54 each), so no densifying join
         val regs = docs.select(col("shard"), explode(col("ts")).as("tok"))

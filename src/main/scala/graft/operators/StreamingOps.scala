@@ -113,6 +113,64 @@ object StreamingOps {
              |      ORDER BY ts, event_id) AS rn
              |  FROM events)
              |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin),
-      doc = "SURVEY §2.10 + dedup list; streaming dropDuplicates batch view")
+      doc = "SURVEY §2.10 + dedup list; streaming dropDuplicates batch view"),
+
+    // ST5: windowed HDR quantile card — the sketch family running
+    // INSIDE the streaming surface: HDR buckets are additive counters
+    // (d22/x16's carrier, one shared derivation in
+    // StreamingJobs.hdrCellsOf), so a watermarked window aggregate IS
+    // the sketch — per hour, ≤ 16 cells per octave cross the wire no
+    // matter how many events the window saw, and a monitoring read
+    // answers p50/p95 event value from cell geometry alone. This batch
+    // view pins the cell fold + quantile answers against the oracle;
+    // StreamingSpec proves the watermarked stream emits the identical
+    // cells (additive ⇒ batch/stream convergence is structural, not
+    // eventual). Values quantize to integer milli (the d5 rule), so
+    // every column is integer and oracle-exact.
+    QueryDef(
+      "st5_window_hdr_card",
+      (s, d) => {
+        val cells = graft.streaming.StreamingJobs.hdrCellsOf(T.events(s, d))
+        cells.groupBy(col("win_start"))
+          .agg(sort_array(collect_list(struct(col("e"), col("m"), col("lo"),
+            col("cnt")))).as("hist"),
+            sum(col("cnt")).as("nq"))
+          .select(col("win_start"), col("nq").as("n"),
+            Hdr.quantileLo(500L, "p50_lo"), Hdr.quantileLo(950L, "p95_lo"))
+          .orderBy(col("win_start"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+             |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+             |  FROM events
+             |  WHERE CAST(floor(value * 1000 + 0.5) AS BIGINT) >= 1),
+             |bk AS (
+             |  SELECT win_start, v, CAST(length(bin(v)) - 1 AS BIGINT) AS e,
+             |    CAST(1 AS BIGINT) << CAST(length(bin(v)) - 1 AS INT) AS pw
+             |  FROM ev),
+             |hist AS (
+             |  SELECT win_start, e, m, pw, CAST(count(*) AS BIGINT) AS cnt,
+             |    pw + (m * pw + 15) // 16 AS lo
+             |  FROM (SELECT win_start, e, pw, ((v - pw) * 16) // pw AS m FROM bk)
+             |  GROUP BY win_start, e, m, pw),
+             |nq AS (SELECT win_start, CAST(sum(cnt) AS BIGINT) AS n
+             |       FROM hist GROUP BY win_start),
+             |cum AS (
+             |  SELECT win_start, e, m, lo,
+             |    sum(cnt) OVER (PARTITION BY win_start ORDER BY e, m) AS cum
+             |  FROM hist),
+             |quant AS (
+             |  SELECT q.win_start, q.q_milli, c.lo,
+             |    row_number() OVER (PARTITION BY q.win_start, q.q_milli
+             |      ORDER BY c.e, c.m) AS rn
+             |  FROM (SELECT win_start, n, unnest([500, 950]) AS q_milli FROM nq) q
+             |  JOIN cum c ON c.win_start = q.win_start
+             |    AND c.cum >= (q.q_milli * q.n + 999) // 1000)
+             |SELECT n.win_start, n.n,
+             |  CAST(max(CASE WHEN q_milli = 500 THEN lo END) AS BIGINT) AS p50_lo,
+             |  CAST(max(CASE WHEN q_milli = 950 THEN lo END) AS BIGINT) AS p95_lo
+             |FROM nq n JOIN quant q ON q.win_start = n.win_start AND q.rn = 1
+             |GROUP BY n.win_start, n.n ORDER BY n.win_start""".stripMargin),
+      doc = "SURVEY §2.10 + sketch family; windowed HDR quantile card — additive bucket cells under a watermark (StreamingJobs.streamingHdrCells), p50/p95 event value from cell geometry, integer-exact")
   )
 }

@@ -149,6 +149,32 @@ object StreamingJobs {
   def streamingCdcChunks(docs: DataFrame): DataFrame =
     graft.operators.PipelineOps.cdcChunks(docs)
 
+  /** Windowed HDR-histogram cells over (ts, value) events — ONE
+    * derivation serving batch and stream (the cdcChunks precedent): the
+    * sketch family is streaming-NATIVE because its carriers are additive
+    * counters, so a watermarked window aggregate IS the sketch — no
+    * foreachBatch, no custom state. Values quantize to integer milli
+    * (the d5 embedding rule) and bucket via [[graft.operators.Hdr]];
+    * each (window, e, m) cell is a count, ≤ 16 cells per octave per
+    * window cross the wire regardless of event volume. Downstream
+    * readers fold cells to quantiles (st5's batch view pins the
+    * answers against the oracle).
+    */
+  def hdrCellsOf(events: DataFrame): DataFrame =
+    graft.operators.Hdr.withBuckets(
+      events
+        .withColumn("v", expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)"))
+        .filter(col("v") >= 1))
+      .groupBy(window(col("ts"), "1 hour"), col("e"), col("m"), col("pw"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("lo", graft.operators.Hdr.loExpr)
+      .select(col("window.start").as("win_start"), col("e"), col("m"),
+        col("lo"), col("cnt"))
+
+  /** [[hdrCellsOf]] under a 10-minute watermark — the live form. */
+  def streamingHdrCells(events: DataFrame): DataFrame =
+    hdrCellsOf(events.withWatermark("ts", "10 minutes"))
+
   /** The static eval digest frame for [[streamingDecontaminate]]: the
     * distinct 6-gram digests of the benchmark documents. Persist (or
     * write once and re-read) before starting the stream so every batch

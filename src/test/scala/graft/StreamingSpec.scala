@@ -138,6 +138,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(store).columns.toSet == Set("dg", "batch_id"))
   }
 
+  test("streaming HDR cells equal the batch derivation across two batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val events = input.toDF().toDF("ts", "value")
+    val q = StreamingJobs.streamingHdrCells(events)
+      .writeStream.format("memory").queryName("hdrcells")
+      .outputMode("complete").start()
+    val batch1 = Seq((ts(5), 0.012), (ts(20), 0.5), (ts(30), 17.3))
+    val batch2 = Seq((ts(70), 1.0), (ts(80), 1.001), (ts(90), 250.0),
+      (ts(95), -3.0)) // non-positive value: filtered, never bucketed
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql(
+      "SELECT * FROM hdrcells ORDER BY win_start, e, m").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    q.stop()
+    val batch = StreamingJobs.hdrCellsOf(
+        (batch1 ++ batch2).toDF("ts", "value"))
+      .orderBy(col("win_start"), col("e"), col("m")).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(streamed.toSeq == batch.toSeq,
+      "additive cells must make stream and batch structurally identical")
+    // spot-pin one cell's geometry: v=12 (0.012) -> e=3, pw=8, m=8, lo=12
+    assert(batch.exists(c => c._2 == 3L && c._3 == 8L && c._4 == 12L))
+  }
+
   test("streaming decontamination drops eval-tainted docs across batches") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
