@@ -485,6 +485,101 @@ object CorpusRehearsal {
       put("n_dsir_sharers_pool", e.getLong(3))
     }
 
+    // X16: per-shard dataset card at corpus scale — SKETCH-ONLY (the
+    // production read; the exact legs live in the oracled query, not
+    // here): one scan over the canonical survivors + constant-size
+    // keyed aggregates (≤16 HDR cells/octave/shard, ≤64 HLL registers/
+    // shard). Hashes are xxhash64 (the rehearsal is self-contained;
+    // oracle portability is the query surface's concern), so the stage
+    // times the aggregate shapes, not md5.
+    stage("data_card") {
+      val base = docs
+        .join(canonical.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), toks.as("ts"))
+        .withColumn("shard", pmod(xxhash64(lit(6), col("doc_id")), lit(16)))
+        .withColumn("v", size(col("ts")).cast("long"))
+      val hist = graft.operators.Hdr.withBuckets(base.filter(col("v") >= 1))
+        .groupBy(col("shard"), col("e"), col("m"), col("pw"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("lo", graft.operators.Hdr.loExpr)
+        .groupBy(col("shard"))
+        .agg(sort_array(collect_list(struct(col("e"), col("m"), col("lo"),
+          col("cnt")))).as("hist"),
+          sum(col("cnt")).as("nq"))
+      val quants = hist.select(col("shard"),
+        graft.operators.Hdr.quantileLo(500L, "p50"),
+        graft.operators.Hdr.quantileLo(950L, "p95"))
+      val hll = base.select(col("shard"), explode(col("ts")).as("tok"))
+        .withColumn("h",
+          pmod(xxhash64(lit(7), col("tok")), lit(1152921504606846976L)))
+        .groupBy(col("shard"), pmod(col("h"), lit(64)).as("j"))
+        .agg(max(expr(
+          "CASE WHEN h div 64 = 0 THEN CAST(55 AS BIGINT) ELSE 55 - CAST(length(bin(h div 64)) AS BIGINT) END"))
+          .as("reg"))
+        .groupBy(col("shard"))
+        .agg((lit(64L) - count(lit(1))).as("v_zero"),
+          (expr("(64 - count(1)) * CAST(18014398509481984 AS BIGINT)") +
+            sum(expr(
+              "CASE WHEN reg <= 54 THEN shiftleft(CAST(1 AS BIGINT), CAST(54 - reg AS INT)) ELSE CAST(0 AS BIGINT) END")))
+            .as("s_scaled"))
+      val r = quants.join(hll, Seq("shard"))
+        .agg(count(lit(1)), min(col("p50")), max(col("p50")),
+          min(col("p95")), max(col("p95")),
+          min(col("s_scaled")), max(col("s_scaled")), sum(col("v_zero")))
+        .collect()(0)
+      put("n_card_shards", r.getLong(0))
+      put("min_card_p50", r.getLong(1)); put("max_card_p50", r.getLong(2))
+      put("min_card_p95", r.getLong(3)); put("max_card_p95", r.getLong(4))
+      put("min_card_s_scaled", r.getLong(5)); put("max_card_s_scaled", r.getLong(6))
+      put("sum_card_v_zero", r.getLong(7))
+    }
+
+    // D23: KMV/theta cross-source overlap at corpus scale — sketch-only
+    // for the same reason: per source, the 64 smallest distinct gram
+    // hashes via BottomK (map-side combine ships ≤ 64 longs per source
+    // per partition), then the 190-pair theta-cut comparison on a
+    // 20-row frame. The exact (source, gram) legs the oracled query
+    // carries would be a real shuffle here — which is the point: this
+    // stage demonstrates the sketch path a 100 TB overlap read takes.
+    // Cross-source shared grams exist by construction (exact/near-dup
+    // clones keep their seed's text but draw a fresh source; eval
+    // windows are injected across sources).
+    stage("kmv_overlap") {
+      val TH = 1152921504606846976L
+      val grams = docs
+        .join(canonical.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("source"), toks.as("ts"))
+        .select(col("source"), explode(expr(
+          """IF(size(ts) < 6, CAST(array() AS ARRAY<STRING>),
+            |   array_distinct(transform(sequence(1, size(ts) - 5),
+            |     i -> array_join(slice(ts, i, 6), ' '))))""".stripMargin)).as("g"))
+        .select(col("source"),
+          pmod(xxhash64(lit(8), col("g")), lit(TH)).as("h"))
+      val sk = grams.groupBy(col("source"))
+        .agg(graft.functions.BottomK.udaf(64)(col("h")).as("ks"))
+        .withColumn("theta_x",
+          expr(s"IF(size(ks) < 64, CAST($TH AS BIGINT), element_at(ks, -1))"))
+      val r = sk.select(col("source").as("sa"), col("ks").as("ka"),
+          col("theta_x").as("ta"))
+        .join(broadcast(sk.select(col("source").as("sb"), col("ks").as("kb"),
+          col("theta_x").as("tb"))), col("sa") < col("sb"))
+        .withColumn("theta", least(col("ta"), col("tb")))
+        .withColumn("nc", size(expr(
+          "array_intersect(filter(ka, x -> x < theta), filter(kb, x -> x < theta))"))
+          .cast("long"))
+        .withColumn("nu", size(expr(
+          "array_union(filter(ka, x -> x < theta), filter(kb, x -> x < theta))"))
+          .cast("long"))
+        .withColumn("est",
+          expr("IF(nu = 0, CAST(0 AS BIGINT), (1000 * nc) div nu)"))
+        .agg(count(lit(1)), min(col("est")), max(col("est")),
+          sum(when(col("nc") > 0, 1L).otherwise(0L)))
+        .collect()(0)
+      put("n_kmv_pairs", r.getLong(0))
+      put("min_kmv_est", r.getLong(1)); put("max_kmv_est", r.getLong(2))
+      put("n_kmv_overlapping", r.getLong(3))
+    }
+
     // D15: BM25 retrieval at corpus scale — queries = the first eval
     // docs (bounded workload), corpus = the canonical non-eval
     // survivors. One term-keyed shuffle builds tf/df/dl; the qterms ×

@@ -4870,15 +4870,32 @@ object PipelineOps {
           .select(col("doc_id"), col("dg"))
           .withColumn("ps", expr(
             s"transform(sequence(0, 2), j -> pmod(pmod(dg, $M) + j * (1 + pmod(dg div $M, ${M - 1})), $M))"))
+        // the filter is carried as M/64 = 1024 DENSE int64 words, not a
+        // position set: array_contains over a ~6.5k-entry set is O(m)
+        // per probe (measured 324 s at sf0.1 — 3 probes × 500k grams ×
+        // 65536 comparisons), while element_at on a dense array + bit
+        // mask is O(1). Same bit set, same output, oracle unchanged
+        // (the rehearsal's decontaminate_bloom word-frame lesson,
+        // applied to the broadcast-scalar carrier).
         val bits = grams.filter(col("doc_id") % 10 === 7)
           .select(explode(col("ps")).as("p"))
-          .agg(collect_set(col("p")).as("bits"))
+          .groupBy(expr("p div 64").as("w"))
+          .agg(expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT)))")
+            .as("word"))
+          .agg(expr("map_from_entries(collect_list(struct(w, word)))").as("wm"))
+          .select(expr(
+            s"transform(sequence(0, ${M / 64 - 1}), i -> coalesce(element_at(wm, CAST(i AS BIGINT)), CAST(0 AS BIGINT)))")
+            .as("words"))
         val evalDg = grams.filter(col("doc_id") % 10 === 7)
           .select(col("dg")).distinct()
         val probe = grams.filter(col("doc_id") % 10 =!= 7)
           .crossJoin(broadcast(bits))
-          .withColumn("bloom_hit",
-            expr("forall(ps, p -> array_contains(bits, p))").cast("long"))
+          .withColumn("bloom_hit", expr(
+            """forall(ps, p ->
+              |  (element_at(words, CAST(p div 64 AS INT) + 1)
+              |     & shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))) != 0)""".stripMargin)
+            .cast("long"))
           .join(broadcast(evalDg.withColumn("ex", lit(1L))), Seq("dg"), "left")
           .withColumn("exact_hit", coalesce(col("ex"), lit(0L)))
         // account EVERY non-eval doc: a gram-less (≤5-token) doc is

@@ -44,7 +44,8 @@ class CorpusRehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
       "exact_dedup", "minhash_neardup", "semantic_dedup", "dup_spans",
       "decontaminate", "decontaminate_bloom", "mix_shard",
       "surprisal_band", "temperature_mix", "classifier_gate",
-      "dsir_select", "bm25_retrieve", "bm25_retrieve_pruned"))
+      "dsir_select", "data_card", "kmv_overlap",
+      "bm25_retrieve", "bm25_retrieve_pruned"))
     // pruning can only shrink the candidate-pair workload
     assert(m("n_bm25_cand_pairs_pruned") <= m("n_bm25_cand_pairs"))
     // the bloom gate NEVER misses an exactly-contaminated doc, and its
@@ -106,6 +107,20 @@ class CorpusRehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
       m("sum_dsir_all_score") * m("n_dsir_sharers_pool"),
       s"sharers not enriched: ${m("sum_dsir_sharer_score")}/${m("n_dsir_sharers_pool")}" +
         s" vs ${m("sum_dsir_all_score")}/${m("n_dsir_cand")}")
+    // data card: every shard carries a card; quantile/HLL reads are
+    // populated and ordered (p50 <= p95; the register sum is positive
+    // and below the all-empty ceiling 64·2^54 since every shard saw
+    // tokens)
+    assert(m("n_card_shards") == 16)
+    assert(m("min_card_p50") >= 1 && m("min_card_p50") <= m("max_card_p50"))
+    assert(m("min_card_p95") >= m("min_card_p50"))
+    assert(m("min_card_s_scaled") > 0 &&
+      m("max_card_s_scaled") < 64L * 18014398509481984L)
+    // KMV overlap: all 190 source pairs compared; planted cross-source
+    // clones/eval windows make at least one pair genuinely overlap
+    assert(m("n_kmv_pairs") == 190)
+    assert(m("n_kmv_overlapping") > 0, "no cross-source overlap seen")
+    assert(m("min_kmv_est") >= 0 && m("max_kmv_est") <= 1000)
     // BM25: every bounded query retrieves a full top-5 (the corpus is
     // far larger than 5 docs and every query shares vocabulary)
     assert(m("n_bm25_queries") > 0)
