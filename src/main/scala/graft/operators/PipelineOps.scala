@@ -5407,20 +5407,30 @@ object PipelineOps {
           .withColumn("shard", expr(
             s"pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), $NS)"))
           .withColumn("v", size(col("ts")).cast("long"))
-        // doc-level card: counts + spread (additive / min-max mergeable)
-        val counts = docs.groupBy(col("shard"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("v")).as("n_tokens"),
-            min(col("v")).as("min_toks"), max(col("v")).as("max_toks"))
-        // d22's HDR histogram, keyed by shard (v >= 1 docs only)
-        val hist = Hdr.withBuckets(docs.filter(col("v") >= 1))
+        // ONE doc-grain aggregate carries counts AND the HDR histogram:
+        // zero-token docs land in a sentinel cell (e = -1) so they count
+        // toward n_docs/min_toks but never enter the quantile fold —
+        // merging the two doc-grain passes means the text column is
+        // scanned once per GRAIN (docs here, tokens in the HLL leg), not
+        // once per statistic
+        val cells = Hdr.withBuckets(docs.filter(col("v") >= 1))
+          .unionByName(docs.filter(col("v") === 0)
+            .withColumn("e", lit(-1L)).withColumn("pw", lit(1L))
+            .withColumn("m", lit(0L)))
           .groupBy(col("shard"), col("e"), col("m"), col("pw"))
-          .agg(count(lit(1)).as("cnt"))
+          .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sv"),
+            min(col("v")).as("mnv"), max(col("v")).as("mxv"))
           .withColumn("lo", Hdr.loExpr)
-          .groupBy(col("shard"))
-          .agg(sort_array(collect_list(struct(col("e"), col("m"), col("lo"),
-            col("cnt")))).as("hist"),
-            sum(col("cnt")).as("nq"))
-        val quants = hist.select(col("shard"),
+        val perShard = cells.groupBy(col("shard"))
+          .agg(sum(col("cnt")).as("n_docs"), sum(col("sv")).as("n_tokens"),
+            min(col("mnv")).as("min_toks"), max(col("mxv")).as("max_toks"),
+            sort_array(collect_list(when(col("e") >= 0,
+              struct(col("e"), col("m"), col("lo"), col("cnt"))))).as("hist"),
+            sum(when(col("e") >= 0, col("cnt")).otherwise(0L)).as("nq"))
+        // empty-shard quantiles read -1 straight from the fold's init
+        // (empty hist array), no coalesce needed
+        val card = perShard.select(col("shard"), col("n_docs"),
+          col("n_tokens"), col("min_toks"), col("max_toks"),
           Hdr.quantileLo(500L, "p50_lo"), Hdr.quantileLo(950L, "p95_lo"))
         // d17's HLL registers keyed by shard; absent registers folded in
         // arithmetically (M_j = 0 -> 2^54 each), so no densifying join
@@ -5440,12 +5450,9 @@ object PipelineOps {
           .select(col("shard"), (lit(64L) - col("n_present")).as("v_zero"),
             (expr("(64 - n_present) * CAST(18014398509481984 AS BIGINT)")
               + col("s_present")).as("s_scaled"))
-        counts.join(quants, Seq("shard"), "left")
-          .join(hll, Seq("shard"), "left")
+        card.join(hll, Seq("shard"), "left")
           .select(col("shard"), col("n_docs"), col("n_tokens"),
-            col("min_toks"), col("max_toks"),
-            coalesce(col("p50_lo"), lit(-1L)).as("p50_lo"),
-            coalesce(col("p95_lo"), lit(-1L)).as("p95_lo"),
+            col("min_toks"), col("max_toks"), col("p50_lo"), col("p95_lo"),
             coalesce(col("v_zero"), lit(64L)).as("v_zero"),
             coalesce(col("s_scaled"),
               expr("64 * CAST(18014398509481984 AS BIGINT)")).as("s_scaled"))
