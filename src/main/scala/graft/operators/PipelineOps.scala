@@ -5330,6 +5330,11 @@ object PipelineOps {
             (col("sel.lo") <= col("exact_q") && col("exact_q") <= col("sel.hi"))
               .cast("int").as("bound_ok"),
             expr("((sel.hi - sel.lo) * 1000) div sel.lo").as("width_milli"))
+          // a corpus with ZERO non-empty docs has no quantiles: n is the
+          // empty-input scalar agg's null — drop the rows so the answer
+          // matches the oracle's empty join result instead of emitting
+          // seven null-n rows
+          .filter(col("n").isNotNull)
           .orderBy(col("q_milli"))
       },
       Some("""WITH lens AS (
