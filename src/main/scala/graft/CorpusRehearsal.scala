@@ -512,16 +512,13 @@ object CorpusRehearsal {
       val hll = base.select(col("shard"), explode(col("ts")).as("tok"))
         .withColumn("h",
           pmod(xxhash64(lit(7), col("tok")), lit(1152921504606846976L)))
-        .groupBy(col("shard"), pmod(col("h"), lit(64)).as("j"))
-        .agg(max(expr(
-          "CASE WHEN h div 64 = 0 THEN CAST(55 AS BIGINT) ELSE 55 - CAST(length(bin(h div 64)) AS BIGINT) END"))
-          .as("reg"))
+        .groupBy(col("shard"), graft.operators.Hll.jExpr().as("j"))
+        .agg(max(graft.operators.Hll.rhoExpr()).as("reg"))
         .groupBy(col("shard"))
-        .agg((lit(64L) - count(lit(1))).as("v_zero"),
-          (expr("(64 - count(1)) * CAST(18014398509481984 AS BIGINT)") +
-            sum(expr(
-              "CASE WHEN reg <= 54 THEN shiftleft(CAST(1 AS BIGINT), CAST(54 - reg AS INT)) ELSE CAST(0 AS BIGINT) END")))
-            .as("s_scaled"))
+        .agg(count(lit(1)).as("n_present"),
+          sum(graft.operators.Hll.termExpr()).as("s_present"))
+        .select(col("shard"), (lit(64L) - col("n_present")).as("v_zero"),
+          graft.operators.Hll.sScaledFromPresent().as("s_scaled"))
       val r = quants.join(hll, Seq("shard"))
         .agg(count(lit(1)), min(col("p50")), max(col("p50")),
           min(col("p95")), max(col("p95")),

@@ -34,13 +34,19 @@ object Hdr {
   def hiExpr: Column =
     expr("least(pw + ((m + 1) * pw + 15) div 16 - 1, 2 * pw - 1)")
 
+  /** The rank rule shared by every quantile read: quantile q = smallest
+    * value whose cumulative count reaches ceil(q·n / 1000), all integer.
+    */
+  def rankSql(qMilliExpr: String, nExpr: String): String =
+    s"(($qMilliExpr * $nExpr) + 999) div 1000"
+
   /** est_lo quantile fold over a packed `hist` array column (structs
     * sorted by (e, m) carrying at least (lo, cnt)) with total count
     * `nq`: the lower bound of the first bucket whose cumulative count
-    * reaches ceil(qMilli·nq / 1000).
+    * reaches the rank. -1 when the histogram is empty.
     */
   def quantileLo(qMilli: Long, as: String): Column = {
-    val rnk = s"(($qMilli * nq) + 999) div 1000"
+    val rnk = rankSql(qMilli.toString, "nq")
     expr(
       s"""aggregate(hist,
          |  named_struct('cum', CAST(0 AS BIGINT), 'lo', CAST(-1 AS BIGINT)),
@@ -49,4 +55,18 @@ object Hdr {
          |    'lo', IF(a.cum + b.cnt >= $rnk, b.lo, CAST(-1 AS BIGINT))))).lo""".stripMargin)
       .as(as)
   }
+
+  /** The (lo, hi) variant of the same fold — hist structs must also
+    * carry hi, and the rank comes from a pre-computed column (d22 takes
+    * q_milli from a row, not a literal). Same first-bucket rule, same
+    * -1 sentinels on an empty histogram.
+    */
+  def quantileSel(rankCol: String): Column = expr(
+    s"""aggregate(hist,
+       |  named_struct('cum', CAST(0 AS BIGINT),
+       |               'lo', CAST(-1 AS BIGINT), 'hi', CAST(-1 AS BIGINT)),
+       |  (a, b) -> IF(a.lo >= 0, a, named_struct(
+       |    'cum', a.cum + b.cnt,
+       |    'lo', IF(a.cum + b.cnt >= $rankCol, b.lo, CAST(-1 AS BIGINT)),
+       |    'hi', IF(a.cum + b.cnt >= $rankCol, b.hi, CAST(-1 AS BIGINT)))))""".stripMargin)
 }

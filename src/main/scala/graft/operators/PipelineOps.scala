@@ -4352,11 +4352,8 @@ object PipelineOps {
         val hashed = toks
           .withColumn("h",
             expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)"))
-          .withColumn("j", col("h") % 64)
-          .withColumn("v", expr("h div 64"))
-          .withColumn("rho",
-            when(col("v") === 0, lit(55L))
-              .otherwise(lit(55L) - length(conv(col("v"), 10, 2)).cast("long")))
+          .withColumn("j", Hll.jExpr())
+          .withColumn("rho", Hll.rhoExpr())
         val regs = hashed.groupBy(col("lang"), col("j"))
           .agg(max(col("rho")).as("reg"))
         val exact = toks.groupBy(col("lang"))
@@ -4369,12 +4366,9 @@ object PipelineOps {
           .withColumn("reg", coalesce(col("reg"), lit(0L)))
           .groupBy(col("lang"))
           .agg(sum(when(col("reg") === 0, 1L).otherwise(0L)).as("v_zero"),
-            sum(expr(
-              "CASE WHEN reg <= 54 THEN shiftleft(CAST(1 AS BIGINT), CAST(54 - reg AS INT)) ELSE CAST(0 AS BIGINT) END"))
-              .as("s_scaled"))
+            sum(Hll.termExpr()).as("s_scaled"))
         exact.join(agg, Seq("lang"))
-          .withColumn("hll_est",
-            expr("0.709 * 4096 * CAST(18014398509481984 AS DOUBLE) / s_scaled"))
+          .withColumn("hll_est", Hll.estExpr())
           .select(col("lang"), col("n_tokens"), col("n_distinct_exact"),
             col("v_zero"), col("s_scaled"), col("hll_est"))
           .orderBy(col("lang"))
@@ -5309,15 +5303,8 @@ object PipelineOps {
         Seq(100L, 250L, 500L, 750L, 900L, 950L, 990L).toDF("q_milli")
           .crossJoin(broadcast(packed))
           .crossJoin(broadcast(vpacked))
-          .withColumn("rnk", expr("(q_milli * n + 999) div 1000"))
-          .withColumn("sel", expr(
-            """aggregate(hist,
-              |  named_struct('cum', CAST(0 AS BIGINT),
-              |               'lo', CAST(-1 AS BIGINT), 'hi', CAST(-1 AS BIGINT)),
-              |  (a, b) -> IF(a.lo >= 0, a, named_struct(
-              |    'cum', a.cum + b.cnt,
-              |    'lo', IF(a.cum + b.cnt >= rnk, b.lo, CAST(-1 AS BIGINT)),
-              |    'hi', IF(a.cum + b.cnt >= rnk, b.hi, CAST(-1 AS BIGINT)))))""".stripMargin))
+          .withColumn("rnk", expr(Hdr.rankSql("q_milli", "n")))
+          .withColumn("sel", Hdr.quantileSel("rnk"))
           .withColumn("exact_q", expr(
             """aggregate(vh,
               |  named_struct('cum', CAST(0 AS BIGINT), 'v', CAST(-1 AS BIGINT)),
@@ -5442,27 +5429,22 @@ object PipelineOps {
         val regs = docs.select(col("shard"), explode(col("ts")).as("tok"))
           .withColumn("h",
             expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)"))
-          .withColumn("j", col("h") % 64)
-          .withColumn("rho", expr(
-            "CASE WHEN h div 64 = 0 THEN CAST(55 AS BIGINT) ELSE 55 - CAST(length(bin(h div 64)) AS BIGINT) END"))
+          .withColumn("j", Hll.jExpr())
+          .withColumn("rho", Hll.rhoExpr())
           .groupBy(col("shard"), col("j"))
           .agg(max(col("rho")).as("reg"))
         val hll = regs.groupBy(col("shard"))
           .agg(count(lit(1)).as("n_present"),
-            sum(expr(
-              "CASE WHEN reg <= 54 THEN shiftleft(CAST(1 AS BIGINT), CAST(54 - reg AS INT)) ELSE CAST(0 AS BIGINT) END"))
-              .as("s_present"))
+            sum(Hll.termExpr()).as("s_present"))
           .select(col("shard"), (lit(64L) - col("n_present")).as("v_zero"),
-            (expr("(64 - n_present) * CAST(18014398509481984 AS BIGINT)")
-              + col("s_present")).as("s_scaled"))
+            Hll.sScaledFromPresent().as("s_scaled"))
         card.join(hll, Seq("shard"), "left")
           .select(col("shard"), col("n_docs"), col("n_tokens"),
             col("min_toks"), col("max_toks"), col("p50_lo"), col("p95_lo"),
             coalesce(col("v_zero"), lit(64L)).as("v_zero"),
             coalesce(col("s_scaled"),
               expr("64 * CAST(18014398509481984 AS BIGINT)")).as("s_scaled"))
-          .withColumn("hll_est",
-            expr("0.709 * 4096 * CAST(18014398509481984 AS DOUBLE) / s_scaled"))
+          .withColumn("hll_est", Hll.estExpr())
           .orderBy(col("shard"))
       },
       Some("""WITH docs AS (

@@ -122,7 +122,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d14_dsir_select",        // 1-row LM-total scalar (t11's shape)
     "d15_bm25_topk",          // 1-row (L, Nd) corpus-stats scalar
     "d15b_bm25_pruned",       // d15's scalar under the df-cap filter
-    "d21_bloom_decontaminate",// 1-row collect_set bloom-bit scalar (<= m entries)
+    "d21_bloom_decontaminate",// 1-row dense bit-word scalar (m/64 = 1024 longs)
     "d22_hdr_quantiles",      // 1-row bucket-summary + value-histogram scalars
     "x12_hybrid_retrieval",   // 1-row corpus-stats scalar (d15's frame)
     "t13_vocab_coverage",     // vocab-domain ranking window (c1/c2 precedent)
