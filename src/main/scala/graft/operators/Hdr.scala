@@ -17,13 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object Hdr {
 
-  /** Appends integer bucket columns (e, pw, m) for a positive long
-    * column `v`. Callers must filter v >= 1 first.
+  /** Appends integer bucket columns (e, pw, m) for a non-negative long
+    * column `v`. TOTAL: v = 0 rows land in the sentinel cell
+    * (e = -1, pw = 1, m = 0) instead of forcing callers to union a
+    * filtered branch (a second scan of the same grain — the x16
+    * lesson); quantile packers exclude sentinels with `e >= 0`.
     */
   def withBuckets(df: DataFrame): DataFrame = df
-    .withColumn("e", (length(expr("bin(v)")) - 1).cast("long"))
-    .withColumn("pw", expr("shiftleft(CAST(1 AS BIGINT), CAST(e AS INT))"))
-    .withColumn("m", expr("((v - pw) * 16) div pw"))
+    .withColumn("e", expr(
+      "IF(v >= 1, CAST(length(bin(v)) - 1 AS BIGINT), CAST(-1 AS BIGINT))"))
+    .withColumn("pw", expr(
+      "IF(v >= 1, shiftleft(CAST(1 AS BIGINT), CAST(e AS INT)), CAST(1 AS BIGINT))"))
+    .withColumn("m", expr(
+      "IF(v >= 1, ((v - pw) * 16) div pw, CAST(0 AS BIGINT))"))
 
   /** Bucket lower bound from (pw, m) — pure arithmetic, usable after the
     * (e, m, pw) groupBy.

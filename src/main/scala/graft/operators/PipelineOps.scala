@@ -5400,15 +5400,12 @@ object PipelineOps {
             s"pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), $NS)"))
           .withColumn("v", size(col("ts")).cast("long"))
         // ONE doc-grain aggregate carries counts AND the HDR histogram:
-        // zero-token docs land in a sentinel cell (e = -1) so they count
-        // toward n_docs/min_toks but never enter the quantile fold —
-        // merging the two doc-grain passes means the text column is
-        // scanned once per GRAIN (docs here, tokens in the HLL leg), not
-        // once per statistic
-        val cells = Hdr.withBuckets(docs.filter(col("v") >= 1))
-          .unionByName(docs.filter(col("v") === 0)
-            .withColumn("e", lit(-1L)).withColumn("pw", lit(1L))
-            .withColumn("m", lit(0L)))
+        // zero-token docs land in withBuckets' sentinel cell (e = -1) so
+        // they count toward n_docs/min_toks but never enter the quantile
+        // fold — one pass per GRAIN (docs here, tokens in the HLL leg),
+        // not one per statistic, and no union branch re-scanning the
+        // same grain
+        val cells = Hdr.withBuckets(docs)
           .groupBy(col("shard"), col("e"), col("m"), col("pw"))
           .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sv"),
             min(col("v")).as("mnv"), max(col("v")).as("mxv"))
@@ -5556,10 +5553,15 @@ object PipelineOps {
           .withColumn("h", expr(
             "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)"))
           .select(col("source"), col("h"))
-        val sk = grams.groupBy(col("source"))
+        // the 20-row sketch frame feeds BOTH sides of the pair join and
+        // the distinct-gram frame feeds three exact legs — without the
+        // shared cache each consumer re-runs the corpus scan + gram
+        // explode (12 parquet scans in the uncached plan)
+        val sk = SharedFrame(grams.groupBy(col("source"))
           .agg(graft.functions.BottomK.udaf(K)(col("h")).as("ks"))
           .withColumn("theta_x",
-            expr(s"IF(size(ks) < $K, CAST($TH AS BIGINT), element_at(ks, -1))"))
+            expr(s"IF(size(ks) < $K, CAST($TH AS BIGINT), element_at(ks, -1))")),
+          "d23_sk", d)
         val pairs = sk.select(col("source").as("src_a"), col("ks").as("ka"),
             col("theta_x").as("ta"))
           .join(broadcast(sk.select(col("source").as("src_b"), col("ks").as("kb"),
@@ -5577,7 +5579,7 @@ object PipelineOps {
             col("n_common"), col("n_theta_union"), col("jaccard_est_milli"))
         // exact legs — the (source, gram)-distinct shuffles the sketch
         // replaces, kept for the oracle-visible accuracy proof
-        val dg = grams.distinct()
+        val dg = SharedFrame(grams.distinct(), "d23_dg", d)
         val perSrc = dg.groupBy(col("source")).agg(count(lit(1)).as("nd"))
         val commonExact = dg.as("a")
           .join(dg.as("b"),
