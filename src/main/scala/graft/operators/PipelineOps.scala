@@ -515,6 +515,74 @@ object PipelineOps {
       .select(col("vec_id"), col("list_id"), col("cqc"))
   }
 
+  /** The per-shard data-card pipeline, factored so ONE definition serves
+    * x16 (batch, oracled) and the streaming incremental store
+    * ([[graft.streaming.StreamingJobs.incrementalDataCard]] writes the
+    * delta frames per batch; `readDataCard` merges and assembles):
+    * every carrier is additive (cell counts/sums SUM-merge, min/max
+    * MIN/MAX-merge, HLL registers MAX-merge), which is exactly why the
+    * card maintains incrementally without read-modify-write state.
+    */
+  def shardCardBase(docs: DataFrame, nShards: Long = 8L): DataFrame = docs
+    .select(col("doc_id"),
+      filter(split(lower(col("text")), " "), x => x =!= "").as("ts"))
+    .withColumn("shard", expr(
+      s"pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), $nShards)"))
+    .withColumn("v", size(col("ts")).cast("long"))
+
+  /** Doc-grain delta cells: one row per (shard, HDR bucket) carrying the
+    * additive statistics. Zero-token docs land in withBuckets' sentinel
+    * cell (e = -1) so counts stay total.
+    */
+  def shardCardCells(base: DataFrame): DataFrame =
+    Hdr.withBuckets(base)
+      .groupBy(col("shard"), col("e"), col("m"), col("pw"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sv"),
+        min(col("v")).as("mnv"), max(col("v")).as("mxv"))
+
+  /** Token-grain delta registers: one row per (shard, HLL register). */
+  def shardCardRegs(base: DataFrame): DataFrame =
+    base.select(col("shard"), explode(col("ts")).as("tok"))
+      .withColumn("h",
+        expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("j", Hll.jExpr())
+      .withColumn("rho", Hll.rhoExpr())
+      .groupBy(col("shard"), col("j"))
+      .agg(max(col("rho")).as("reg"))
+
+  /** Merged cells + registers → one card row per shard. Callers merge
+    * deltas first (SUM cnt/sv, MIN mnv, MAX mxv, MAX reg) — a single
+    * batch's frames are already merged by construction.
+    */
+  def assembleShardCard(cells: DataFrame, regs: DataFrame): DataFrame = {
+    val perShard = cells.withColumn("lo", Hdr.loExpr)
+      .groupBy(col("shard"))
+      .agg(sum(col("cnt")).as("n_docs"), sum(col("sv")).as("n_tokens"),
+        min(col("mnv")).as("min_toks"), max(col("mxv")).as("max_toks"),
+        sort_array(collect_list(when(col("e") >= 0,
+          struct(col("e"), col("m"), col("lo"), col("cnt"))))).as("hist"),
+        sum(when(col("e") >= 0, col("cnt")).otherwise(0L)).as("nq"))
+    // empty-shard quantiles read -1 straight from the fold's init
+    val card = perShard.select(col("shard"), col("n_docs"),
+      col("n_tokens"), col("min_toks"), col("max_toks"),
+      Hdr.quantileLo(500L, "p50_lo"), Hdr.quantileLo(950L, "p95_lo"))
+    // absent registers folded in arithmetically (M_j = 0 -> 2^54 each),
+    // so no densifying join
+    val hll = regs.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_present"),
+        sum(Hll.termExpr()).as("s_present"))
+      .select(col("shard"), (lit(64L) - col("n_present")).as("v_zero"),
+        Hll.sScaledFromPresent().as("s_scaled"))
+    card.join(hll, Seq("shard"), "left")
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        col("min_toks"), col("max_toks"), col("p50_lo"), col("p95_lo"),
+        coalesce(col("v_zero"), lit(64L)).as("v_zero"),
+        coalesce(col("s_scaled"),
+          expr("64 * CAST(18014398509481984 AS BIGINT)")).as("s_scaled"))
+      .withColumn("hll_est", Hll.estExpr())
+      .orderBy(col("shard"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // D1: exact dedup — hash-groupBy on normalized text; canonical row =
@@ -5392,57 +5460,13 @@ object PipelineOps {
     QueryDef(
       "x16_shard_data_card",
       (s, d) => {
-        val NS = 8L
-        val docs = T.documents(s, d)
-          .select(col("doc_id"),
-            filter(split(lower(col("text")), " "), x => x =!= "").as("ts"))
-          .withColumn("shard", expr(
-            s"pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), $NS)"))
-          .withColumn("v", size(col("ts")).cast("long"))
-        // ONE doc-grain aggregate carries counts AND the HDR histogram:
-        // zero-token docs land in withBuckets' sentinel cell (e = -1) so
-        // they count toward n_docs/min_toks but never enter the quantile
-        // fold — one pass per GRAIN (docs here, tokens in the HLL leg),
-        // not one per statistic, and no union branch re-scanning the
-        // same grain
-        val cells = Hdr.withBuckets(docs)
-          .groupBy(col("shard"), col("e"), col("m"), col("pw"))
-          .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sv"),
-            min(col("v")).as("mnv"), max(col("v")).as("mxv"))
-          .withColumn("lo", Hdr.loExpr)
-        val perShard = cells.groupBy(col("shard"))
-          .agg(sum(col("cnt")).as("n_docs"), sum(col("sv")).as("n_tokens"),
-            min(col("mnv")).as("min_toks"), max(col("mxv")).as("max_toks"),
-            sort_array(collect_list(when(col("e") >= 0,
-              struct(col("e"), col("m"), col("lo"), col("cnt"))))).as("hist"),
-            sum(when(col("e") >= 0, col("cnt")).otherwise(0L)).as("nq"))
-        // empty-shard quantiles read -1 straight from the fold's init
-        // (empty hist array), no coalesce needed
-        val card = perShard.select(col("shard"), col("n_docs"),
-          col("n_tokens"), col("min_toks"), col("max_toks"),
-          Hdr.quantileLo(500L, "p50_lo"), Hdr.quantileLo(950L, "p95_lo"))
-        // d17's HLL registers keyed by shard; absent registers folded in
-        // arithmetically (M_j = 0 -> 2^54 each), so no densifying join
-        val regs = docs.select(col("shard"), explode(col("ts")).as("tok"))
-          .withColumn("h",
-            expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)"))
-          .withColumn("j", Hll.jExpr())
-          .withColumn("rho", Hll.rhoExpr())
-          .groupBy(col("shard"), col("j"))
-          .agg(max(col("rho")).as("reg"))
-        val hll = regs.groupBy(col("shard"))
-          .agg(count(lit(1)).as("n_present"),
-            sum(Hll.termExpr()).as("s_present"))
-          .select(col("shard"), (lit(64L) - col("n_present")).as("v_zero"),
-            Hll.sScaledFromPresent().as("s_scaled"))
-        card.join(hll, Seq("shard"), "left")
-          .select(col("shard"), col("n_docs"), col("n_tokens"),
-            col("min_toks"), col("max_toks"), col("p50_lo"), col("p95_lo"),
-            coalesce(col("v_zero"), lit(64L)).as("v_zero"),
-            coalesce(col("s_scaled"),
-              expr("64 * CAST(18014398509481984 AS BIGINT)")).as("s_scaled"))
-          .withColumn("hll_est", Hll.estExpr())
-          .orderBy(col("shard"))
+        // ONE doc-grain aggregate carries counts AND the HDR histogram
+        // (zero-token docs in withBuckets' sentinel cell): one pass per
+        // GRAIN (docs, then tokens for HLL), not one per statistic. The
+        // same three stages serve the streaming incremental card store —
+        // see shardCardBase/shardCardCells/shardCardRegs/assembleShardCard.
+        val base = shardCardBase(T.documents(s, d))
+        assembleShardCard(shardCardCells(base), shardCardRegs(base))
       },
       Some("""WITH docs AS (
              |  SELECT doc_id,

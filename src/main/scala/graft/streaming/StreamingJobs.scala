@@ -149,6 +149,58 @@ object StreamingJobs {
   def streamingCdcChunks(docs: DataFrame): DataFrame =
     graft.operators.PipelineOps.cdcChunks(docs)
 
+  /** Incremental per-shard data-card maintenance — x16's card kept
+    * current over an unbounded document stream. The design point:
+    * every card carrier is ADDITIVE (HDR cell counts/sums SUM-merge,
+    * min/max MIN/MAX-merge, HLL registers MAX-merge), so incremental
+    * maintenance needs NO read-modify-write state at all — each batch
+    * writes its own delta frames into a batch_id partition (replay of a
+    * half-finished batch dynamically OVERWRITES its own partition, so
+    * idempotency is structural, the incrementalCdcDedup discipline
+    * without the store probe), and [[readDataCard]] merges deltas at
+    * read time. Store size: ≤ (shards × buckets) + (shards × 64) rows
+    * per batch — independent of document volume.
+    */
+  def incrementalDataCard(docs: DataFrame, storePath: String,
+      checkpoint: String) = {
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val base = graft.operators.PipelineOps
+          .shardCardBase(batch.select(col("doc_id"), col("text")))
+          .persist() // two grains read it — don't tokenize twice
+        try {
+          graft.operators.PipelineOps.shardCardCells(base)
+            .withColumn("batch_id", lit(batchId))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(s"$storePath/cells")
+          graft.operators.PipelineOps.shardCardRegs(base)
+            .withColumn("batch_id", lit(batchId))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(s"$storePath/regs")
+        } finally base.unpersist()
+        ()
+      }
+  }
+
+  /** The read side of [[incrementalDataCard]]: merge the per-batch
+    * delta frames (SUM/MIN/MAX over cells, MAX over registers) and
+    * assemble the current card — identical rows to running x16 over
+    * everything ingested so far (StreamingSpec pins the equality).
+    */
+  def readDataCard(s: SparkSession, storePath: String): DataFrame = {
+    val cells = s.read.parquet(s"$storePath/cells")
+      .groupBy(col("shard"), col("e"), col("m"), col("pw"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sv")).as("sv"),
+        min(col("mnv")).as("mnv"), max(col("mxv")).as("mxv"))
+    val regs = s.read.parquet(s"$storePath/regs")
+      .groupBy(col("shard"), col("j"))
+      .agg(max(col("reg")).as("reg"))
+    graft.operators.PipelineOps.assembleShardCard(cells, regs)
+  }
+
   /** Windowed HDR-histogram cells over (ts, value) events — ONE
     * derivation serving batch and stream (the cdcChunks precedent): the
     * sketch family is streaming-NATIVE because its carriers are additive

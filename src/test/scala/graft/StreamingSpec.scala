@@ -169,6 +169,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.exists(c => c._2 == 3L && c._3 == 8L && c._4 == 12L))
   }
 
+  test("incremental data card: merged deltas equal the batch card over everything ingested") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_cardstore").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cardckpt").toString
+    val rnd = new scala.util.Random(5150)
+    def doc(i: Int): (Long, String) =
+      (i.toLong, (0 until (1 + rnd.nextInt(60))).map(_ => s"w${rnd.nextInt(200)}").mkString(" "))
+    val batch1 = (1 to 40).map(doc) :+ (41L, "") // empty doc must stay counted
+    val batch2 = (42 to 90).map(doc)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingJobs.incrementalDataCard(
+      input.toDF().toDF("doc_id", "text"), store, ckpt).start()
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // both batches' delta partitions exist; replay overwrites in place
+    // partition-directory columns read back with inferred (int) type
+    val batchIds = spark.read.parquet(s"$store/cells")
+      .select("batch_id").distinct().collect()
+      .map(_.getAs[Number](0).longValue).sorted
+    assert(batchIds.toSeq == Seq(0L, 1L))
+    val streamed = StreamingJobs.readDataCard(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    // the batch truth: x16 over everything ingested, via the same table
+    // surface the oracled query reads
+    val dir = java.nio.file.Files.createTempDirectory("graft_cardall").toString
+    (batch1 ++ batch2).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .write.parquet(s"$dir/documents.parquet")
+    val batchCard = SparkEntry.queries("x16_shard_data_card")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    assert(streamed.toSeq == batchCard.toSeq,
+      "additive carriers must make the incremental card equal the batch card")
+  }
+
   test("streaming decontamination drops eval-tainted docs across batches") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
