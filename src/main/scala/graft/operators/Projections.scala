@@ -246,6 +246,37 @@ object Projections {
              |  l_quantity * 0.95 AS scaled,
              |  l_extendedprice / l_quantity AS unit_price
              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
-      doc = "SURVEY P16; RGPs.ipynb:452,462,920-921,1006")
+      doc = "SURVEY P16; RGPs.ipynb:452,462,920-921,1006"),
+
+    // P17: semi-structured extraction — the events table carries a JSON
+    // props column that every real event pipeline has; extraction is a
+    // per-row codegen'd builtin (get_json_object — a simple-path JSON
+    // tunnel, no UDF, no parse tree materialized), composing directly
+    // with the aggregate so the plan is scan → project → hash agg.
+    // Null-path accounting rides along (missing/malformed props must
+    // count, not vanish). All-integer output, oracle-exact.
+    QueryDef(
+      "p17_json_extract",
+      (s, d) =>
+        T.events(s, d)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_k"),
+            sum(coalesce(col("k"), lit(0L))).as("sum_k"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL
+             |       THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
+             |  CAST(sum(coalesce(CAST(json_extract(props, '$.k') AS BIGINT), 0))
+             |    AS BIGINT) AS sum_k,
+             |  CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             |    AS min_k,
+             |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             |    AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "projection/semi-structured: JSON field extraction from the events props column via the codegen'd get_json_object builtin (no UDF), rolled into a per-type aggregate with null-path accounting; all-integer oracle-exact")
   )
 }
