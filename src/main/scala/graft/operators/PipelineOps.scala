@@ -5680,6 +5680,87 @@ object PipelineOps {
              |JOIN nd na ON na.source = e.src_a
              |JOIN nd nb ON nb.source = e.src_b
              |ORDER BY e.src_a, e.src_b""".stripMargin),
-      doc = "sketch/KMV theta source overlap — per-source bottom-64 distinct 6-gram hashes via a map-side-combining typed Aggregator (≤64 longs/source/partition vs the ranking window's full sort), theta-cut pairwise jaccard estimates in integer milli; sketch entries and estimates fully oracle-exact, exact (source,gram) legs ride along as the accuracy proof")
+      doc = "sketch/KMV theta source overlap — per-source bottom-64 distinct 6-gram hashes via a map-side-combining typed Aggregator (≤64 longs/source/partition vs the ranking window's full sort), theta-cut pairwise jaccard estimates in integer milli; sketch entries and estimates fully oracle-exact, exact (source,gram) legs ride along as the accuracy proof"),
+
+    // D24: AMS F2 sketch (Alon, Matias & Szegedy 1996) — the SKEW /
+    // join-size member of the sketch family: F2 = Σ f_tok² is exactly
+    // the self-join size of the token stream, the signal that tells a
+    // planner whether a key distribution needs salting (the w6-w8
+    // mitigations) or a plain hash join. The sketch is 32 sign
+    // counters per lang, counter_s = Σ σ_s(tok) with σ_s = ±1 read
+    // from BIT s of ONE md5 60-bit digest (one hash per token, not 32
+    // — d20's row-hash lesson applied before it was paid); E[c_s²] =
+    // F2. Counters are LINEAR in the stream: additive, order- and
+    // merge-order-independent, map-side combinable (32 longs per lang
+    // per partition), and therefore fully oracle-exact — the oracle
+    // hashes every counter's square sum, not a law. The exact F2 leg
+    // (the (lang, tok) shuffle the sketch replaces) rides along as the
+    // accuracy proof; abs_err_milli stays division-safe (abs before
+    // div — Spark div truncates, DuckDB // floors; they agree only on
+    // non-negatives). int64 bound: c ≤ n_tokens and f² ≤ F2, so the
+    // arithmetic is exact up to ~3e9 tokens per lang; beyond that a
+    // production variant widens to double/128-bit.
+    QueryDef(
+      "d24_ams_f2_skew",
+      (s, d) => {
+        val toks = T.documents(s, d)
+          .select(col("lang"),
+            explode(filter(split(lower(col("text")), " "), x => x =!= ""))
+              .as("tok"))
+        val counters = toks
+          .withColumn("hv",
+            expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)"))
+          .withColumn("sx", explode(expr("sequence(0, 31)")))
+          .withColumn("sig", expr(
+            "1 - 2 * pmod(hv div shiftleft(CAST(1 AS BIGINT), CAST(sx AS INT)), 2)"))
+          .groupBy(col("lang"), col("sx"))
+          .agg(sum(col("sig")).as("c"))
+        val sk = counters.groupBy(col("lang"))
+          .agg(sum(col("c") * col("c")).as("sum_sq"))
+          .withColumn("est_f2", expr("sum_sq div 32"))
+        val ex = toks.groupBy(col("lang"), col("tok"))
+          .agg(count(lit(1)).as("f"))
+          .groupBy(col("lang"))
+          .agg(sum(col("f") * col("f")).as("exact_f2"),
+            sum(col("f")).as("n_tokens"))
+        sk.join(ex, Seq("lang"))
+          .select(col("lang"), col("n_tokens"), col("est_f2"),
+            col("exact_f2"),
+            expr("(abs(est_f2 - exact_f2) * 1000) div exact_f2")
+              .as("abs_err_milli"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT lang,
+             |    unnest(list_filter(str_split(lower(text), ' '), x -> x <> ''))
+             |      AS tok
+             |  FROM documents),
+             |h AS (
+             |  SELECT lang, tok,
+             |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv
+             |  FROM toks),
+             |sgn AS (
+             |  SELECT lang, sx,
+             |    1 - 2 * CAST((hv // (CAST(1 AS BIGINT) << CAST(sx AS INT))) % 2
+             |      AS BIGINT) AS sig
+             |  FROM h, (SELECT unnest(range(0, 32)) AS sx)),
+             |counters AS (
+             |  SELECT lang, sx, CAST(sum(sig) AS BIGINT) AS c
+             |  FROM sgn GROUP BY lang, sx),
+             |sk AS (
+             |  SELECT lang, CAST(sum(c * c) AS BIGINT) AS sum_sq
+             |  FROM counters GROUP BY lang),
+             |ex AS (
+             |  SELECT lang, CAST(sum(f * f) AS BIGINT) AS exact_f2,
+             |    CAST(sum(f) AS BIGINT) AS n_tokens
+             |  FROM (SELECT lang, tok, CAST(count(*) AS BIGINT) AS f
+             |        FROM toks GROUP BY lang, tok)
+             |  GROUP BY lang)
+             |SELECT sk.lang, ex.n_tokens,
+             |  CAST(sk.sum_sq // 32 AS BIGINT) AS est_f2, ex.exact_f2,
+             |  CAST((abs(sk.sum_sq // 32 - ex.exact_f2) * 1000) // ex.exact_f2
+             |    AS BIGINT) AS abs_err_milli
+             |FROM sk JOIN ex USING (lang) ORDER BY sk.lang""".stripMargin),
+      doc = "sketch/AMS F2 skew — 32 linear sign counters per lang (signs from bits of one md5 digest), est F2 = mean counter²; F2 IS the token self-join size, the salting/skew planner signal; counters additive and fully oracle-exact, exact F2 leg rides as the accuracy proof")
   )
 }
