@@ -201,6 +201,28 @@ object StreamingJobs {
     graft.operators.PipelineOps.assembleShardCard(cells, regs)
   }
 
+  /** Per-source KMV sketches maintained as a LIVE streaming aggregate —
+    * the set-function face of sketch streaming (st5's additive cells
+    * are the counter face): BottomK is a pure function of the input
+    * SET, so Structured Streaming's stateful aggregation (update/
+    * complete mode) maintains exactly the batch sketch, ≤ 64 longs of
+    * state per source. Shares d23's gram derivation rule (per-doc
+    * array_distinct, IF short-doc guard, md5-portable 60-bit digests).
+    */
+  def streamingKmvSketches(docs: DataFrame, k: Int = 64): DataFrame =
+    docs
+      .select(col("source"),
+        filter(split(lower(col("text")), " "), x => x =!= "").as("ts"))
+      .select(col("source"),
+        explode(expr(
+          """IF(size(ts) < 6, CAST(array() AS ARRAY<STRING>),
+            |   array_distinct(transform(sequence(1, size(ts) - 5),
+            |     i -> array_join(slice(ts, i, 6), ' '))))""".stripMargin)).as("g"))
+      .withColumn("h",
+        expr("CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy(col("source"))
+      .agg(graft.functions.BottomK.udaf(k)(col("h")).as("ks"))
+
   /** Windowed HDR-histogram cells over (ts, value) events — ONE
     * derivation serving batch and stream (the cdcChunks precedent): the
     * sketch family is streaming-NATIVE because its carriers are additive

@@ -208,6 +208,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "additive carriers must make the incremental card equal the batch card")
   }
 
+  test("streaming KMV sketches converge to the batch bottom-k across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(424)
+    def doc(i: Int, src: String): (Long, String, String) =
+      (i.toLong, (0 until 30).map(_ => s"${src}tk${rnd.nextInt(40)}").mkString(" "), src)
+    val batch1 = (1 to 6).map(i => doc(i, "sA")) ++ (7 to 12).map(i => doc(i, "sB"))
+    val batch2 = (13 to 18).map(i => doc(i, "sA")) :+ (19L, "short doc", "sB")
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamingJobs.streamingKmvSketches(
+        input.toDF().toDF("doc_id", "text", "source"), k = 16)
+      .writeStream.format("memory").queryName("kmvsk")
+      .outputMode("complete").start()
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT * FROM kmvsk ORDER BY source").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    q.stop()
+    // batch truth from first principles: 16 smallest distinct gram hashes
+    def md5h(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    val bySrc = (batch1 ++ batch2).groupBy(_._3)
+    bySrc.foreach { case (src, ds) =>
+      val grams = ds.flatMap { d =>
+        val ts = d._2.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+        if (ts.size < 6) Seq.empty[Long]
+        else (0 to ts.size - 6).map(i => md5h(ts.slice(i, i + 6).mkString(" ")))
+      }.toSet
+      assert(streamed(src) == grams.toSeq.sorted.take(16),
+        s"source $src sketch differs from the batch bottom-k")
+    }
+  }
+
   test("streaming decontamination drops eval-tainted docs across batches") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
