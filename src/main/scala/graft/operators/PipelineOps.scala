@@ -515,6 +515,20 @@ object PipelineOps {
       .select(col("vec_id"), col("list_id"), col("cqc"))
   }
 
+  /** Per-row DISTINCT 6-gram md5 60-bit digests from a token-array
+    * column — ONE definition of the gram rule shared by d23 and the
+    * streaming KMV sketch (the Hll/Hdr one-definition discipline):
+    * per-doc dedup stays inside the array world (d21's shuffle lesson)
+    * and the short-doc guard is an IF, never greatest() (Spark's
+    * sequence(1, 0) descends).
+    */
+  def gramDigests(tsName: String): Column = expr(
+    s"""transform(
+       |  IF(size($tsName) < 6, CAST(array() AS ARRAY<STRING>),
+       |     array_distinct(transform(sequence(1, size($tsName) - 5),
+       |       i -> array_join(slice($tsName, i, 6), ' ')))),
+       |  g -> CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT))""".stripMargin)
+
   /** The per-shard data-card pipeline, factored so ONE definition serves
     * x16 (batch, oracled) and the streaming incremental store
     * ([[graft.streaming.StreamingJobs.incrementalDataCard]] writes the
@@ -5568,15 +5582,7 @@ object PipelineOps {
         val grams = T.documents(s, d)
           .select(col("source"),
             filter(split(lower(col("text")), " "), x => x =!= "").as("ts"))
-          .select(col("source"),
-            explode(expr(
-              """IF(size(ts) < 6, CAST(array() AS ARRAY<STRING>),
-                |   array_distinct(transform(sequence(1, size(ts) - 5),
-                |     i -> array_join(slice(ts, i, 6), ' '))))""".stripMargin))
-              .as("g"))
-          .withColumn("h", expr(
-            "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)"))
-          .select(col("source"), col("h"))
+          .select(col("source"), explode(gramDigests("ts")).as("h"))
         // the 20-row sketch frame feeds BOTH sides of the pair join and
         // the distinct-gram frame feeds three exact legs — without the
         // shared cache each consumer re-runs the corpus scan + gram

@@ -253,30 +253,43 @@ object Projections {
     // per-row codegen'd builtin (get_json_object — a simple-path JSON
     // tunnel, no UDF, no parse tree materialized), composing directly
     // with the aggregate so the plan is scan → project → hash agg.
-    // Null-path accounting rides along (missing/malformed props must
-    // count, not vanish). All-integer output, oracle-exact.
+    // Null-path accounting rides along, and under Spark 4's default
+    // ANSI mode it MUST be try_cast: a non-integral k ({"k": "abc"},
+    // {"k": 7.5}) would otherwise throw mid-query instead of counting
+    // as null. The oracle mirrors the whole null lattice so the two
+    // engines agree on DIRTY data, not just on this generator:
+    // json_valid guards DuckDB's throwing json_extract, ->> unquotes
+    // string values exactly like get_json_object (so {"k": "7"} reads
+    // 7 in both), and the integral-only regex guard pins the ONE case
+    // where the engines' string→bigint rules differ ({"k": 7.5}:
+    // Spark try_cast nulls it, DuckDB TRY_CAST rounds to 8 — the
+    // contract here is integral-or-null in both).
     QueryDef(
       "p17_json_extract",
       (s, d) =>
         T.events(s, d)
           .select(col("event_type"),
-            get_json_object(col("props"), "$.k").cast("long").as("k"))
+            expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_k"),
             sum(coalesce(col("k"), lit(0L))).as("sum_k"),
             min(col("k")).as("min_k"), max(col("k")).as("max_k"))
           .orderBy(col("event_type")),
-      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-             |  CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL
-             |       THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
-             |  CAST(sum(coalesce(CAST(json_extract(props, '$.k') AS BIGINT), 0))
-             |    AS BIGINT) AS sum_k,
-             |  CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
-             |    AS min_k,
-             |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
-             |    AS max_k
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
-      doc = "projection/semi-structured: JSON field extraction from the events props column via the codegen'd get_json_object builtin (no UDF), rolled into a per-type aggregate with null-path accounting; all-integer oracle-exact")
+      Some("""WITH e AS (
+             |  SELECT event_type,
+             |    CASE WHEN props IS NOT NULL AND json_valid(props)
+             |          AND regexp_matches(props ->> '$.k',
+             |                             '^\s*[-+]?[0-9]+\s*$')
+             |         THEN TRY_CAST(trim(props ->> '$.k') AS BIGINT) END AS k
+             |  FROM events)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_null_k,
+             |  CAST(sum(coalesce(k, 0)) AS BIGINT) AS sum_k,
+             |  CAST(min(k) AS BIGINT) AS min_k,
+             |  CAST(max(k) AS BIGINT) AS max_k
+             |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "projection/semi-structured: JSON field extraction from the events props column via the codegen'd get_json_object + try_cast builtins (no UDF, total under ANSI), rolled into a per-type aggregate with null-path accounting; all-integer oracle-exact incl. the dirty-JSON null lattice")
   )
 }

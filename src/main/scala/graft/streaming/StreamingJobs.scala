@@ -191,11 +191,29 @@ object StreamingJobs {
     * everything ingested so far (StreamingSpec pins the equality).
     */
   def readDataCard(s: SparkSession, storePath: String): DataFrame = {
-    val cells = s.read.parquet(s"$storePath/cells")
+    // a delta dir can exist with ZERO data files: a batch of only
+    // zero-token docs writes no register rows (shardCardRegs is empty),
+    // and parquet then throws "unable to infer schema" — fall back to
+    // an explicit-schema empty frame (the incremental-dedup store
+    // reader's established pattern) so the card still assembles from
+    // whichever side has rows
+    def readOrEmpty(path: String, fields: Seq[String]): DataFrame =
+      try s.read.parquet(path)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(fields.map(f =>
+              org.apache.spark.sql.types.StructField(f,
+                org.apache.spark.sql.types.LongType))))
+      }
+    val cells = readOrEmpty(s"$storePath/cells",
+        Seq("shard", "e", "m", "pw", "cnt", "sv", "mnv", "mxv", "batch_id"))
       .groupBy(col("shard"), col("e"), col("m"), col("pw"))
       .agg(sum(col("cnt")).as("cnt"), sum(col("sv")).as("sv"),
         min(col("mnv")).as("mnv"), max(col("mxv")).as("mxv"))
-    val regs = s.read.parquet(s"$storePath/regs")
+    val regs = readOrEmpty(s"$storePath/regs",
+        Seq("shard", "j", "reg", "batch_id"))
       .groupBy(col("shard"), col("j"))
       .agg(max(col("reg")).as("reg"))
     graft.operators.PipelineOps.assembleShardCard(cells, regs)
@@ -206,20 +224,16 @@ object StreamingJobs {
     * are the counter face): BottomK is a pure function of the input
     * SET, so Structured Streaming's stateful aggregation (update/
     * complete mode) maintains exactly the batch sketch, ≤ 64 longs of
-    * state per source. Shares d23's gram derivation rule (per-doc
-    * array_distinct, IF short-doc guard, md5-portable 60-bit digests).
+    * state per source. The gram rule is d23's BY CONSTRUCTION — both
+    * call [[graft.operators.PipelineOps.gramDigests]], so batch/stream
+    * sketch equality is structural, not a parallel-maintenance promise.
     */
   def streamingKmvSketches(docs: DataFrame, k: Int = 64): DataFrame =
     docs
       .select(col("source"),
         filter(split(lower(col("text")), " "), x => x =!= "").as("ts"))
       .select(col("source"),
-        explode(expr(
-          """IF(size(ts) < 6, CAST(array() AS ARRAY<STRING>),
-            |   array_distinct(transform(sequence(1, size(ts) - 5),
-            |     i -> array_join(slice(ts, i, 6), ' '))))""".stripMargin)).as("g"))
-      .withColumn("h",
-        expr("CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)"))
+        explode(graft.operators.PipelineOps.gramDigests("ts")).as("h"))
       .groupBy(col("source"))
       .agg(graft.functions.BottomK.udaf(k)(col("h")).as("ks"))
 

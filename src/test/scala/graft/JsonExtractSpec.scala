@@ -29,7 +29,10 @@ class JsonExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 2L, "click", 1.0, """{"other": 9}"""), // key missing
       (4L, java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), 2L, "view", 1.0, """not json at all"""), // malformed
       (5L, java.sql.Timestamp.valueOf("2024-01-01 00:04:00"), 3L, "view", 1.0, null.asInstanceOf[String]), // null column
-      (6L, java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 3L, "view", 1.0, """{"k": 100}"""))
+      (6L, java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 3L, "view", 1.0, """{"k": 100}"""),
+      (7L, java.sql.Timestamp.valueOf("2024-01-01 00:06:00"), 4L, "buy", 1.0, """{"k": "7"}"""), // numeric string: reads 7
+      (8L, java.sql.Timestamp.valueOf("2024-01-01 00:07:00"), 4L, "buy", 1.0, """{"k": 7.5}"""), // non-integral: null (ANSI try_cast)
+      (9L, java.sql.Timestamp.valueOf("2024-01-01 00:08:00"), 4L, "buy", 1.0, """{"k": "abc"}""")) // non-numeric string: null
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(s"$dir/events.parquet")
     val out = SparkEntry.queries("p17_json_extract")(spark, dir).collect()
@@ -39,5 +42,8 @@ class JsonExtractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("click") == ((3L, 1L, 4L, -3L, 7L)))
     // view: malformed, null props, k=100 -> n=3, null=2, sum=100
     assert(out("view") == ((3L, 2L, 100L, 100L, 100L)))
+    // buy: "7" reads 7; 7.5 and "abc" must be NULL, never a throw —
+    // the ANSI try_cast contract
+    assert(out("buy") == ((3L, 2L, 7L, 7L, 7L)))
   }
 }
