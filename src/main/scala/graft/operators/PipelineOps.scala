@@ -4923,29 +4923,18 @@ object PipelineOps {
       (s, d) => {
         val M = 65536L
         val toks = filter(split(lower(col("text")), " "), x => x =!= "")
-        // per-doc gram dedup happens INSIDE the array world
-        // (array_distinct before the explode): every gram of a doc lives
-        // in its source row, so deduping there is map-side — the
-        // dropDuplicates formulation shuffled the whole (doc_id, dg)
-        // gram stream twice, which is exactly the shuffle this operator
-        // exists to avoid
-        // the short-doc guard is an IF, not greatest(...): Spark's
-        // sequence(1, 0) DESCENDS to [1, 0] and slice(ts, 0, 6) then
-        // throws — a ≤5-token document must yield zero grams, exactly
-        // as the oracle's range(1, 1) does
-        val grams = T.documents(s, d)
+        // gram rule = the shared gramDigests definition (per-doc dedup
+        // inside the array world, IF short-doc guard, md5 60-bit
+        // digests — d23/streaming-KMV's rule). SharedFrame'd: the
+        // filter-build, eval-digest, probe and accounting legs are FOUR
+        // consumers of the same gram stream in one job — uncached, each
+        // re-ran the corpus scan + gram explode
+        val grams = SharedFrame(T.documents(s, d)
           .select(col("doc_id"), toks.as("ts"))
-          .select(col("doc_id"),
-            explode(expr(
-              """IF(size(ts) < 6, CAST(array() AS ARRAY<STRING>),
-                |   array_distinct(transform(sequence(1, size(ts) - 5),
-                |     i -> array_join(slice(ts, i, 6), ' '))))""".stripMargin))
-              .as("g"))
-          .withColumn("dg", expr(
-            "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)"))
-          .select(col("doc_id"), col("dg"))
+          .select(col("doc_id"), explode(gramDigests("ts")).as("dg"))
           .withColumn("ps", expr(
-            s"transform(sequence(0, 2), j -> pmod(pmod(dg, $M) + j * (1 + pmod(dg div $M, ${M - 1})), $M))"))
+            s"transform(sequence(0, 2), j -> pmod(pmod(dg, $M) + j * (1 + pmod(dg div $M, ${M - 1})), $M))")),
+          "d21_grams", d)
         // the filter is carried as M/64 = 1024 DENSE int64 words, not a
         // position set: array_contains over a ~6.5k-entry set is O(m)
         // per probe (measured 324 s at sf0.1 — 3 probes × 500k grams ×
