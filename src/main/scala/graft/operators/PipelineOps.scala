@@ -533,6 +533,54 @@ object PipelineOps {
        |       i -> array_join(slice($tsName, i, 6), ' ')))),
        |  g -> CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT))""".stripMargin)
 
+  /** d20's Count-Min geometry — ONE definition shared by the batch
+    * query and [[graft.streaming.StreamingJobs.streamingCmsCells]]
+    * (the cdcChunks/gramDigests discipline), so batch/stream cell
+    * equality is structural. ONE md5 per token; the `cmsDepth` row
+    * columns derive by Kirsch-Mitzenmacher composition
+    * c_r = (h1 + r·h2) mod W with h2 forced nonzero (KM 2006 — two
+    * hashes suffice for CMS rows; hashing the token stream D times
+    * would be D× the work). Input frame needs a `tok` column.
+    */
+  private[graft] val cmsDepth = 4
+  private[graft] val cmsWidth = 32
+  private[graft] def cmsRowCols(toks: DataFrame): DataFrame = toks
+    .withColumn("dg", expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)"))
+    .withColumn("r", explode(expr(s"sequence(0, ${cmsDepth - 1})")))
+    .withColumn("c", expr(
+      s"pmod(pmod(dg, $cmsWidth) + r * (1 + pmod(dg div $cmsWidth, ${cmsWidth - 1})), $cmsWidth)"))
+
+  /** The CMS cells of a (text)-carrying document frame: depth×width
+    * additive counters — a plain keyed count, so the SAME definition is
+    * a batch aggregate and a live streaming aggregate (update/complete
+    * mode), ≤ 128 rows of state regardless of volume.
+    */
+  def cmsCells(docs: DataFrame): DataFrame =
+    cmsRowCols(docs.select(
+      explode(filter(split(lower(col("text")), " "), x => x =!= ""))
+        .as("tok")))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cell"))
+
+  /** d24's AMS F2 sign counters of a (lang, text) document frame — ONE
+    * definition for the batch query and
+    * [[graft.streaming.StreamingJobs.streamingAmsCounters]]: 32 linear
+    * ±1-sign counters per lang, signs read from BITS of one md5 60-bit
+    * digest per token. Counters are LINEAR in the stream (sums of
+    * per-row ±1), hence additive, merge-order-independent and a valid
+    * live streaming aggregate with 32 longs of state per lang.
+    */
+  def amsCounters(docs: DataFrame): DataFrame = docs
+    .select(col("lang"),
+      explode(filter(split(lower(col("text")), " "), x => x =!= ""))
+        .as("tok"))
+    .withColumn("hv",
+      expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)"))
+    .withColumn("sx", explode(expr("sequence(0, 31)")))
+    .withColumn("sig", expr(
+      "1 - 2 * pmod(hv div shiftleft(CAST(1 AS BIGINT), CAST(sx AS INT)), 2)"))
+    .groupBy(col("lang"), col("sx"))
+    .agg(sum(col("sig")).as("c"))
+
   /** The per-shard data-card pipeline, factored so ONE definition serves
     * x16 (batch, oracled) and the streaming incremental store
     * ([[graft.streaming.StreamingJobs.incrementalDataCard]] writes the
@@ -4870,24 +4918,16 @@ object PipelineOps {
     QueryDef(
       "d20_count_min",
       (s, d) => {
-        val D = 4
-        val Wd = 32
-        val toks = T.documents(s, d)
+        // cells leg = the shared batch/stream definition; the exact
+        // probe leg re-derives (r, c) for the ~|vocab| distinct tokens
+        // via the same cmsRowCols rule
+        val docs = T.documents(s, d)
+        val cells = cmsCells(docs)
+        val exact = docs
           .select(explode(filter(split(lower(col("text")), " "), x => x =!= ""))
             .as("tok"))
-        val dgExpr = "CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)"
-        val cHash =
-          s"pmod(pmod(dg, $Wd) + r * (1 + pmod(dg div $Wd, ${Wd - 1})), $Wd)"
-        val cells = toks
-          .withColumn("dg", expr(dgExpr))
-          .withColumn("r", explode(expr(s"sequence(0, ${D - 1})")))
-          .withColumn("c", expr(cHash))
-          .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cell"))
-        val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-        exact.select(col("tok"), col("cnt"))
-          .withColumn("dg", expr(dgExpr))
-          .withColumn("r", explode(expr(s"sequence(0, ${D - 1})")))
-          .withColumn("c", expr(cHash))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        cmsRowCols(exact.select(col("tok"), col("cnt")))
           .join(broadcast(cells), Seq("r", "c"))
           .groupBy(col("tok"), col("cnt"))
           .agg(min(col("cell")).as("est"))
@@ -5721,19 +5761,13 @@ object PipelineOps {
     QueryDef(
       "d24_ams_f2_skew",
       (s, d) => {
-        val toks = T.documents(s, d)
+        // counters leg = the shared batch/stream definition
+        val docs = T.documents(s, d)
+        val toks = docs
           .select(col("lang"),
             explode(filter(split(lower(col("text")), " "), x => x =!= ""))
               .as("tok"))
-        val counters = toks
-          .withColumn("hv",
-            expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)"))
-          .withColumn("sx", explode(expr("sequence(0, 31)")))
-          .withColumn("sig", expr(
-            "1 - 2 * pmod(hv div shiftleft(CAST(1 AS BIGINT), CAST(sx AS INT)), 2)"))
-          .groupBy(col("lang"), col("sx"))
-          .agg(sum(col("sig")).as("c"))
-        val sk = counters.groupBy(col("lang"))
+        val sk = amsCounters(docs).groupBy(col("lang"))
           .agg(sum(col("c") * col("c")).as("sum_sq"))
           .withColumn("est_f2", expr("sum_sq div 32"))
         val ex = toks.groupBy(col("lang"), col("tok"))

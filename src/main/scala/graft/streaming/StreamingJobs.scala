@@ -274,6 +274,34 @@ object StreamingJobs {
       .groupBy(col("source"))
       .agg(graft.functions.BottomK.udaf(k)(col("h")).as("ks"))
 
+  /** d20's Count-Min cells as a LIVE streaming aggregate — completing
+    * batch/stream parity for the sketch family's counter face
+    * ([[streamingKmvSketches]] is the set face, [[streamingHdrCells]]
+    * the windowed face): CMS cells are ADDITIVE keyed counts, so a
+    * stateful groupBy((r, c)).count in update/complete mode maintains
+    * exactly the batch sketch with ≤ depth×width = 128 rows of state
+    * total, independent of stream volume. The cell derivation is d20's
+    * BY CONSTRUCTION — both call
+    * [[graft.operators.PipelineOps.cmsCells]] (one md5 per token,
+    * Kirsch-Mitzenmacher row composition), so a streamed corpus and
+    * the same corpus batched produce cell-identical sketches
+    * (StreamingSpec pins it).
+    */
+  def streamingCmsCells(docs: DataFrame): DataFrame =
+    graft.operators.PipelineOps.cmsCells(docs)
+
+  /** d24's AMS F2 sign counters as a LIVE streaming aggregate: the
+    * counters are LINEAR in the stream (per-lang sums of per-row ±1
+    * signs), so stateful aggregation in update/complete mode maintains
+    * exactly the batch counters — 32 longs of state per lang. Shares
+    * [[graft.operators.PipelineOps.amsCounters]] with the batch query,
+    * so the streamed F2/skew estimate equals the batch one by
+    * construction; a downstream reader folds Σc² div 32 exactly as
+    * d24 does.
+    */
+  def streamingAmsCounters(docs: DataFrame): DataFrame =
+    graft.operators.PipelineOps.amsCounters(docs)
+
   /** Windowed HDR-histogram cells over (ts, value) events — ONE
     * derivation serving batch and stream (the cdcChunks precedent): the
     * sketch family is streaming-NATIVE because its carriers are additive

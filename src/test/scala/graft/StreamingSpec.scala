@@ -245,6 +245,75 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming CMS cells converge cell-identical to the batch sketch") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(2024)
+    def doc(i: Int): (Long, String) =
+      (i.toLong, (0 until 25).map(_ => s"tok${rnd.nextInt(30)}").mkString(" "))
+    val batch1 = (1 to 8).map(doc)
+    val batch2 = (9 to 14).map(doc) :+ (15L, "")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingJobs.streamingCmsCells(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cmscells")
+      .outputMode("complete").start()
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    def n3(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue)
+    val streamed = spark.sql("SELECT * FROM cmscells ORDER BY r, c").collect()
+      .map(n3).toSeq
+    q.stop()
+    // batch truth: the SAME shared definition over the union — additive
+    // cells, so streamed-in-two-batches must equal batched-at-once
+    val batch = graft.operators.PipelineOps
+      .cmsCells((batch1 ++ batch2).toDF("doc_id", "text"))
+      .orderBy("r", "c").collect()
+      .map(n3).toSeq
+    assert(streamed == batch,
+      "streaming CMS cells must be cell-identical to the batch sketch")
+    assert(streamed.nonEmpty && streamed.map(_._3).sum == 14 * 25 * 4,
+      "every token increments exactly one cell in each of the 4 rows")
+  }
+
+  test("streaming AMS counters converge counter-identical to the batch sketch") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(4048)
+    def doc(i: Int, lang: String): (Long, String, String) =
+      (i.toLong, (0 until 20).map(_ => s"w${rnd.nextInt(25)}").mkString(" "), lang)
+    val batch1 = (1 to 6).map(i => doc(i, "en")) ++ (7 to 10).map(i => doc(i, "fr"))
+    val batch2 = (11 to 16).map(i => doc(i, "en")) :+ (17L, "", "fr")
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamingJobs.streamingAmsCounters(
+        input.toDF().toDF("doc_id", "text", "lang"))
+      .writeStream.format("memory").queryName("amsctr")
+      .outputMode("complete").start()
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    def ln(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getAs[Number](1).longValue, r.getAs[Number](2).longValue)
+    val streamed = spark.sql("SELECT * FROM amsctr ORDER BY lang, sx").collect()
+      .map(ln).toSeq
+    q.stop()
+    val batch = graft.operators.PipelineOps
+      .amsCounters((batch1 ++ batch2).toDF("doc_id", "text", "lang"))
+      .orderBy("lang", "sx").collect()
+      .map(ln).toSeq
+    assert(streamed == batch,
+      "streaming AMS counters must equal the batch counters (linear sketch)")
+    // 32 counters per lang, and each counter is bounded by the token count
+    assert(streamed.count(_._1 == "en") == 32 && streamed.count(_._1 == "fr") == 32)
+    val nEn = 12 * 20
+    assert(streamed.filter(_._1 == "en").forall(c => math.abs(c._3) <= nEn))
+  }
+
   test("streaming decontamination drops eval-tainted docs across batches") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
