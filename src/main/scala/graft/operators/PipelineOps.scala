@@ -5813,6 +5813,105 @@ object PipelineOps {
              |  CAST((abs(sk.sum_sq // 32 - ex.exact_f2) * 1000) // ex.exact_f2
              |    AS BIGINT) AS abs_err_milli
              |FROM sk JOIN ex USING (lang) ORDER BY sk.lang""".stripMargin),
-      doc = "sketch/AMS F2 skew — 32 linear sign counters per lang (signs from bits of one md5 digest), est F2 = mean counter²; F2 IS the token self-join size, the salting/skew planner signal; counters additive and fully oracle-exact, exact F2 leg rides as the accuracy proof")
+      doc = "sketch/AMS F2 skew — 32 linear sign counters per lang (signs from bits of one md5 digest), est F2 = mean counter²; F2 IS the token self-join size, the salting/skew planner signal; counters additive and fully oracle-exact, exact F2 leg rides as the accuracy proof"),
+
+    // D25: exact substring dedup (Lee et al. 2021, "Deduplicating
+    // Training Data Makes Language Models Better", ExactSubstr) — the
+    // last canonical dedup member: d9/d9b FLAG cross-document gram
+    // coverage; ExactSubstr EDITS — keep ONE canonical occurrence of
+    // every long exact repeat and emit removal spans for the rest,
+    // and repeats WITHIN one document count (d9's docs_with > 1 grain
+    // misses self-repeats by construction). The paper builds a corpus
+    // suffix array; the distributed-equivalent bounded variant is
+    // anchor-gram keep-first: any exact repeat of ≥ L tokens is, at
+    // every one of its positions, an n-gram (n ≤ L) that also occurs
+    // at the matching position of the repeat's other copy — so marking
+    // every NON-FIRST occurrence of each n-gram (first = min
+    // (doc_id, pos), the suffix-array rank-0 analogue), merging marked
+    // coverage per doc (d9b's gaps-and-islands), and keeping spans of
+    // ≥ L tokens yields removal spans that COVER every all-but-first
+    // copy of every ≥L-token exact repeat (coverage-complete; the spec
+    // pins it against a brute-force window scan). Conservative the
+    // other way only at gram granularity: a merged span can bridge two
+    // distinct shorter repeats — the same over-merge d9b accepts.
+    // Scale shape: grams are 8-byte digests BEFORE the shuffle
+    // (hashed_ngrams kernel); canonical selection is d1's keep-min
+    // discipline on the digest partition (row_number over
+    // (doc_id, pos) — one digest-keyed exchange, no join back); the
+    // island merge is a doc-keyed window. Hot boilerplate digests
+    // inherit d9b's documented skew posture (Skew.saltedJoin /
+    // materialize-first when a digest approaches every-doc frequency).
+    QueryDef(
+      "d25_exact_substring_dedup",
+      (s, d) => {
+        graft.functions.GraftExtensions.registerInto(s)
+        val n = 6
+        val L = 15
+        val toks = filter(split(lower(col("text")), " "), x => x =!= "")
+        val base = T.documents(s, d).select(col("doc_id"), toks.as("ts"))
+        val grams = base
+          .select(col("doc_id"),
+            posexplode(expr(s"hashed_ngrams(ts, $n)")).as(Seq("pos0", "h")))
+          .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+        // every occurrence of a digest EXCEPT the corpus-first one is
+        // removable coverage; rn > 1 exists only when the digest
+        // repeats, so no separate count filter
+        val removable = grams
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
+          .filter(col("rn") > 1)
+          .select(col("doc_id"), col("pos"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        removable
+          .withColumn("new_island",
+            when(col("pos") > lag(col("pos"), 1).over(w) + n, 1)
+              .when(lag(col("pos"), 1).over(w).isNull, 1)
+              .otherwise(0))
+          .withColumn("island", sum(col("new_island")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("doc_id"), col("island"))
+          .agg(min(col("pos")).as("span_start"),
+            (max(col("pos")) + (n - 1)).as("span_end"))
+          .withColumn("n_tokens",
+            (col("span_end") - col("span_start") + 1).cast("long"))
+          .filter(col("n_tokens") >= L)
+          .select(col("doc_id"),
+            col("span_start").cast("long").as("span_start"),
+            col("span_end").cast("long").as("span_end"),
+            col("n_tokens"))
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(str_split(lower(text), ' '), x -> x <> '') AS ts
+             |  FROM documents),
+             |pos AS (
+             |  SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 4, 1))) AS i FROM toks),
+             |grams AS (
+             |  SELECT doc_id, i, md5(array_to_string(ts[i : i + 5], ' ')) AS h FROM pos),
+             |rem AS (
+             |  SELECT doc_id, i AS p FROM (
+             |    SELECT doc_id, i,
+             |      row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+             |    FROM grams)
+             |  WHERE rn > 1),
+             |isl AS (
+             |  SELECT doc_id, p,
+             |    CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL THEN 1
+             |         WHEN p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 6 THEN 1
+             |         ELSE 0 END AS new_island
+             |  FROM rem),
+             |grp AS (
+             |  SELECT doc_id, p,
+             |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY p
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM isl)
+             |SELECT doc_id,
+             |  CAST(min(p) AS BIGINT) AS span_start,
+             |  CAST(max(p) + 5 AS BIGINT) AS span_end,
+             |  CAST(max(p) + 5 - min(p) + 1 AS BIGINT) AS n_tokens
+             |FROM grp GROUP BY doc_id, island
+             |HAVING max(p) + 5 - min(p) + 1 >= 15
+             |ORDER BY doc_id, span_start""".stripMargin),
+      doc = "dedup/exact substring removal (Lee et al. 2021 ExactSubstr, bounded anchor-gram variant) — keep-first canonical occurrence per gram digest, within-doc repeats count, merged removal spans of >= 15 tokens; coverage-complete for every >=L-token exact repeat (spec pins vs brute force)")
   )
 }
