@@ -661,6 +661,106 @@ object CorpusRehearsal {
     // whole candidate-generation cost for en queries
     bm25Retrieve("bm25_retrieve_pruned", Some(10000L))
 
+    // X15 at corpus scale — the IVF-PQ composition the query surface
+    // oracles at sf0.1 (x15_ivf_pq), run as production evidence over the
+    // stored embeddings: IVF 2-probe candidate generation (d7) + PQ-ADC
+    // scoring (d16), recall@5 measured against the exact brute-force
+    // ground truth on a bounded query sample — exactly how real recall
+    // evals run (brute force over SAMPLED queries, the index over
+    // everything). Geometry scales with the corpus: ~128 IVF lists and
+    // ~64 PQ codewords per subspace via stride sampling, so the
+    // assignment join (nVec × nlist sims — the build cost a production
+    // index pays once, then amortizes over every query) stays linear
+    // with bounded fan-out. Reads the STORED embedding frame (vectors
+    // embed once at ingest, the materialize boundary).
+    stage("ivfpq_retrieve") {
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val emb = spark.read.parquet(s"$dir/embeddings").persist(mem)
+      val nVec = emb.count()
+      val nQ = 20L
+      val strideIvf = math.max(1L, nVec / 128L)
+      val stridePq = math.max(1L, nVec / 64L)
+      val queries = emb
+        .filter(col("vec_id") >= hotCopies && col("vec_id") < hotCopies + nQ)
+        .select(col("vec_id").as("qid"), col("q").as("qq"), col("nn").as("qn"))
+      val dot = expr(
+        "aggregate(zip_with(q, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+        .cast("double")
+      val gt = emb.join(broadcast(queries), col("vec_id") =!= col("qid"))
+        .withColumn("cos",
+          dot / sqrt(col("qn").cast("double") * col("nn").cast("double")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("vec_id").as("eid"))
+        .persist(mem)
+      // IVF: stride-sampled centroids, every vector assigned to its best
+      // list, queries probe their top-2 lists (d7's geometry)
+      val cents = emb.filter(col("vec_id") % strideIvf === 0)
+        .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
+      val simToCent = expr(
+        "aggregate(zip_with(q, cq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+        .cast("double") / sqrt(col("nn").cast("double") * col("cn").cast("double"))
+      val assigned = emb.join(broadcast(cents))
+        .withColumn("sim", simToCent)
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("list_id"))
+      val probes = queries
+        .select(col("qid"), col("qq").as("q"), col("qn").as("nn"))
+        .join(broadcast(cents))
+        .withColumn("sim", simToCent)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))))
+        .filter(col("rk") <= 2)
+        .select(col("qid"), col("cid").as("probe_list"))
+      val cand = probes.join(assigned,
+          col("list_id") === col("probe_list") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"))
+        .persist(mem) // consumed by the count AND the ADC join
+      val nCand = cand.count()
+      // PQ: 4 subspaces × 8 dims, stride-sampled codebooks, codes for
+      // the candidate-bearing corpus, per-query ADC tables (d16's shape)
+      val subs = emb.select(col("vec_id"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> slice(q, b * 8 + 1, 8))"))
+          .as(Seq("b", "s")))
+      val pqCents = subs.filter(col("vec_id") % stridePq === 0)
+        .select(col("b"), col("vec_id").as("pcid"), col("s").as("cs"))
+      val sqDist = expr(
+        "aggregate(zip_with(s, cs, (a, c) -> (a - c) * (a - c)), 0L, (acc, x) -> acc + x)")
+      val codes = subs.join(broadcast(pqCents), Seq("b"))
+        .withColumn("dist", sqDist)
+        .groupBy(col("vec_id"), col("b"))
+        .agg(min_by(col("pcid"), struct(col("dist"), col("pcid"))).as("pcid"))
+      val adc = queries
+        .select(col("qid"), posexplode(expr(
+          "transform(sequence(0, 3), b -> slice(qq, b * 8 + 1, 8))"))
+          .as(Seq("b", "s")))
+        .join(broadcast(pqCents), Seq("b"))
+        .withColumn("qdist", sqDist)
+        .select(col("qid"), col("b"), col("pcid"), col("qdist"))
+      val approx = cand.join(codes, "vec_id")
+        .join(broadcast(adc), Seq("qid", "b", "pcid"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("qdist")).as("adist"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("vec_id").as("eid"))
+      val hits = gt.join(approx, Seq("qid", "eid"), "left_semi")
+        .agg(coalesce(count(lit(1)), lit(0L))).collect()(0).getLong(0)
+      val nGt = gt.count()
+      cand.unpersist(blocking = true)
+      gt.unpersist(blocking = true)
+      emb.unpersist(blocking = true)
+      put("n_ivfpq_queries", nQ)
+      put("n_ivf_lists", (nVec + strideIvf - 1) / strideIvf)
+      put("n_ivfpq_cand", nCand)
+      put("n_ivfpq_gt", nGt)
+      put("n_ivfpq_hits", hits)
+      put("ivfpq_recall_milli", if (nGt == 0) 0L else hits * 1000L / nGt)
+    }
+
     (timings.toSeq, stats.toSeq)
   }
 

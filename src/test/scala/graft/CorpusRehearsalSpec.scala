@@ -45,7 +45,7 @@ class CorpusRehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
       "decontaminate", "decontaminate_bloom", "mix_shard",
       "surprisal_band", "temperature_mix", "classifier_gate",
       "dsir_select", "data_card", "kmv_overlap",
-      "bm25_retrieve", "bm25_retrieve_pruned"))
+      "bm25_retrieve", "bm25_retrieve_pruned", "ivfpq_retrieve"))
     // pruning can only shrink the candidate-pair workload
     assert(m("n_bm25_cand_pairs_pruned") <= m("n_bm25_cand_pairs"))
     // the bloom gate NEVER misses an exactly-contaminated doc, and its
@@ -127,6 +127,15 @@ class CorpusRehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m("n_bm25_hits") == 5 * m("n_bm25_queries"),
       s"bm25 hits: ${m("n_bm25_hits")} for ${m("n_bm25_queries")} queries")
     assert(m("sum_bm25_top1") > 0 && m("max_bm25_score") > 0)
+    // IVF-PQ retrieval: every query has a full exact-top-5 ground truth,
+    // the 2-probe candidate sets are nonempty and bounded by the corpus,
+    // and the reported recall is a valid fraction
+    assert(m("n_ivfpq_queries") == 20)
+    assert(m("n_ivfpq_gt") == 5 * m("n_ivfpq_queries"))
+    assert(m("n_ivfpq_cand") > 0 && m("n_ivfpq_cand") < 20L * m("n_docs"))
+    assert(m("n_ivfpq_hits") <= m("n_ivfpq_gt"))
+    assert(m("ivfpq_recall_milli") >= 0 && m("ivfpq_recall_milli") <= 1000)
+    assert(m("n_ivf_lists") >= 64, s"degenerate IVF: ${m("n_ivf_lists")} lists")
     graft.operators.Scratch.deleteRecursively(new java.io.File(dir))
   }
 
