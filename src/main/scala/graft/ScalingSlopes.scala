@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling-slope evidence for the most expensive document/embedding
+  * queries: the sf* testdata stops at sf0.1 (5k docs / 2k vectors), so
+  * "the plan you'd want at 100×" is otherwise argued from plan shape
+  * alone. This main synthesizes testdata-SHAPED corpora at 1×/3×/10×
+  * the sf0.1 row counts with [[CorpusRehearsal.synthesize]]'s
+  * planted-structure generator (fresh content per id — dup/eval
+  * structure scales with N instead of replicating one text block,
+  * which would turn every gram key into a hot key and measure skew,
+  * not scale), runs the headline queries from [[SparkEntry.queries]]
+  * at each scale through the same noop sink Bench uses, and writes
+  * `scaling_out.json` with per-scale minima. The genomic family's
+  * slope evidence is the lifecycle rehearsal at 770/1540/3080 strains
+  * (`rehearsal_out*.json`); this covers the corpus family.
+  *
+  * Embeddings derive from document text exactly like the corpus
+  * rehearsal's materialize stage, then export as the testdata schema
+  * (`embedding: array<float>`, `label: int`): q/1000 round-trips the
+  * d5-rule quantization exactly (|q| ≤ ~140k ⇒ float error ≪ 0.5e-3).
+  */
+object ScalingSlopes {
+
+  val queriesUnderTest: Seq[String] = Seq(
+    "d4_ngram_jaccard", "d20_count_min", "d23_kmv_source_overlap",
+    "d25_exact_substring_dedup", "x6b_corpus_pipeline_full",
+    "x10_embedding_curation", "x12_hybrid_retrieval", "x15_ivf_pq")
+
+  def materialize(spark: SparkSession, nDocs: Long, nVecs: Long,
+      dir: String): Unit = {
+    CorpusRehearsal.synthesize(spark, nDocs)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < nVecs)
+      .select(col("doc_id").as("vec_id"),
+        expr("transform(filter(split(text, ' '), x -> x != ''), " +
+          "t -> xxhash64(t))").as("hs"))
+      .select(col("vec_id"),
+        expr("transform(sequence(0, 31), j -> aggregate(" +
+          "hs, 0L, (acc, h) -> acc + pmod(xxhash64(j, h), 2001) - 1000))")
+          .as("q"))
+      .select(col("vec_id"),
+        expr("transform(q, x -> CAST(CAST(x AS DOUBLE) / 1000.0 AS FLOAT))")
+          .as("embedding"),
+        pmod(xxhash64(lit(9), col("vec_id")), lit(16)).cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scales = Seq(1L, 3L, 10L)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt.max(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val root = java.nio.file.Files.createTempDirectory("graft_scaling").toString
+    try {
+      val dirs = scales.map { sc =>
+        val d = s"$root/x$sc"
+        materialize(spark, 5000L * sc, 2000L * sc, d)
+        sc -> d
+      }
+      // one untimed pass at 1× pays JIT + codegen compilation for every
+      // plan family before anything is measured (Bench's warmup rule)
+      queriesUnderTest.foreach { q =>
+        SparkEntry.queries(q)(spark, dirs.head._2)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val results = dirs.map { case (sc, d) =>
+        // drop every persisted SharedFrame from the previous scale so a
+        // larger corpus never rides a smaller one's memory pressure and
+        // each scale pays its own materialization (comparable minima)
+        spark.catalog.clearCache()
+        val qs = queriesUnderTest.map { q =>
+          val ts = (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            SparkEntry.queries(q)(spark, d)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          q -> ts.min
+        }
+        sc -> qs
+      }
+      def f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      val perScale = results.map { case (sc, qs) =>
+        s""""${sc}x":{${qs.map { case (q, t) => s""""$q":${f(t)}""" }.mkString(",")}}"""
+      }.mkString(",")
+      val base = results.head._2.toMap
+      val slopes = results.last._2.map { case (q, t) =>
+        s""""$q":${f(t / base(q))}"""
+      }.mkString(",")
+      val line = s"""{"metric":"scaling_slopes","unit":"sec","reps":$reps,""" +
+        s""""base_docs":5000,"base_vecs":2000,"scales":{$perScale},""" +
+        s""""slope_10x_vs_1x":{$slopes}}"""
+      Raw.stdout.println(line)
+      java.nio.file.Files.write(java.nio.file.Paths.get("scaling_out.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally {
+      graft.operators.Scratch.deleteRecursively(new java.io.File(root))
+      spark.stop()
+    }
+  }
+}
