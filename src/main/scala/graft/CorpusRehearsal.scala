@@ -677,11 +677,25 @@ object CorpusRehearsal {
       val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val emb = spark.read.parquet(s"$dir/embeddings").persist(mem)
       val nVec = emb.count()
-      val nQ = 20L
+      val nQ = 20
       val strideIvf = math.max(1L, nVec / 128L)
       val stridePq = math.max(1L, nVec / 64L)
+      // queries = planted NEAR-DUP docs (id % 41 == 1): their true
+      // nearest neighbor is the seed doc at cos ≈ 0.99 — a GENUINE
+      // neighbor. The synthetic corpus has no similarity structure
+      // beyond the planted clones (fresh docs are near-orthogonal
+      // 32-dim hash sums), so exact-top-5 ranks 2-5 are noise at
+      // cos ≈ 0.5-0.6 and no index can "recall" noise better than
+      // probes/nlist — the meaningful production metric here is
+      // NN-recall@5 (is the true nearest neighbor in the index's
+      // top-5), which is exactly the retrieval job embedding-based
+      // curation runs (find my near-duplicate). The mean GT cosine
+      // split (rank-1 vs ranks 2-5) rides the artifact to document
+      // which regime each recall number measures.
       val queries = emb
-        .filter(col("vec_id") >= hotCopies && col("vec_id") < hotCopies + nQ)
+        .filter(pmod(col("vec_id"), lit(41)) === 1 &&
+          col("vec_id") >= hotCopies && col("vec_id") > 1)
+        .orderBy(col("vec_id")).limit(nQ)
         .select(col("vec_id").as("qid"), col("q").as("qq"), col("nn").as("qn"))
       val dot = expr(
         "aggregate(zip_with(q, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
@@ -692,7 +706,7 @@ object CorpusRehearsal {
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
         .filter(col("rk") <= 5)
-        .select(col("qid"), col("vec_id").as("eid"))
+        .select(col("qid"), col("vec_id").as("eid"), col("rk"), col("cos"))
         .persist(mem)
       // IVF: stride-sampled centroids, every vector assigned to its best
       // list, queries probe their top-2 lists (d7's geometry)
@@ -747,18 +761,34 @@ object CorpusRehearsal {
           Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))))
         .filter(col("rk") <= 5)
         .select(col("qid"), col("vec_id").as("eid"))
-      val hits = gt.join(approx, Seq("qid", "eid"), "left_semi")
-        .agg(coalesce(count(lit(1)), lit(0L))).collect()(0).getLong(0)
-      val nGt = gt.count()
+      val r = gt
+        .join(approx.withColumn("found", lit(1)), Seq("qid", "eid"), "left")
+        .agg(
+          count(lit(1)),                                          // nGt
+          coalesce(sum(col("found")), lit(0L)),                   // hits@5
+          coalesce(sum(when(col("rk") === 1, col("found"))), lit(0L)), // NN hits
+          sum(when(col("rk") === 1, 1L)),                         // nQ actual
+          avg(when(col("rk") === 1, col("cos"))),                 // NN cos
+          avg(when(col("rk") > 1, col("cos"))))                   // noise cos
+        .collect()(0)
+      val nGt = r.getLong(0)
+      val hits = r.getLong(1)
+      val nnHits = r.getLong(2)
+      val nQActual = r.getLong(3)
       cand.unpersist(blocking = true)
       gt.unpersist(blocking = true)
       emb.unpersist(blocking = true)
-      put("n_ivfpq_queries", nQ)
+      put("n_ivfpq_queries", nQActual)
       put("n_ivf_lists", (nVec + strideIvf - 1) / strideIvf)
       put("n_ivfpq_cand", nCand)
       put("n_ivfpq_gt", nGt)
       put("n_ivfpq_hits", hits)
       put("ivfpq_recall_milli", if (nGt == 0) 0L else hits * 1000L / nGt)
+      put("n_ivfpq_nn_hits", nnHits)
+      put("ivfpq_nn_recall_milli",
+        if (nQActual == 0) 0L else nnHits * 1000L / nQActual)
+      put("ivfpq_gt_nn_cos_milli", math.round(r.getDouble(4) * 1000))
+      put("ivfpq_gt_noise_cos_milli", math.round(r.getDouble(5) * 1000))
     }
 
     (timings.toSeq, stats.toSeq)

@@ -136,6 +136,15 @@ class CorpusRehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m("n_ivfpq_hits") <= m("n_ivfpq_gt"))
     assert(m("ivfpq_recall_milli") >= 0 && m("ivfpq_recall_milli") <= 1000)
     assert(m("n_ivf_lists") >= 64, s"degenerate IVF: ${m("n_ivf_lists")} lists")
+    // the queries are planted near-dups: their true NN is a genuine
+    // cos≈0.99 clone and the index must find it (the curation retrieval
+    // job); GT ranks 2-5 are near-orthogonal noise — the cosine split
+    // must separate cleanly or the ground truth itself is degenerate
+    assert(m("ivfpq_nn_recall_milli") >= 800,
+      s"index misses planted near-dup NNs: ${m("ivfpq_nn_recall_milli")}")
+    assert(m("ivfpq_gt_nn_cos_milli") >= 900,
+      s"GT rank-1 not a genuine neighbor: ${m("ivfpq_gt_nn_cos_milli")}")
+    assert(m("ivfpq_gt_noise_cos_milli") < m("ivfpq_gt_nn_cos_milli"))
     graft.operators.Scratch.deleteRecursively(new java.io.File(dir))
   }
 
