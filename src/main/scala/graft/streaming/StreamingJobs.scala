@@ -472,6 +472,110 @@ object StreamingJobs {
     * to batch_id = -1). The store holds 8-byte digests only — at
     * 100 TB the state is the chunk-digest set, never chunk text.
     */
+  /** Incremental exact-substring dedup — d25's removal-span semantics
+    * at ingest time, completing batch/stream parity for the dedup
+    * family (doc d1/near d2-d8/span d9/chunk d18/substring d25 now all
+    * have a live face). Per micro-batch: 6-gram digest every arriving
+    * document, mark every occurrence whose digest was already seen (in
+    * the store from prior batches, or earlier in THIS batch by
+    * (doc_id, pos) keep-first), merge marked coverage per doc with
+    * d25's gaps-and-islands rule and write removal spans of ≥ `minLen`
+    * tokens to `outPath`; ONLY novel digests append to `storePath`.
+    * Both writes are batch_id-partitioned dynamic overwrites (replay
+    * rewrites its own partition) and the store carries the
+    * `_graft_lineage` marker + max-batch-id pairing discipline.
+    *
+    * Canonical-occurrence semantics differ from batch d25 exactly the
+    * way a stream must: the kept copy is the FIRST ARRIVAL (batch d25
+    * keeps the global min (doc_id, pos)); when ingest order follows
+    * doc_id order the two coincide and StreamingSpec pins span-identical
+    * convergence with the oracled batch query. State at 100 TB: the
+    * 8-byte digest set only — never gram text, the CDC store's shape.
+    */
+  def incrementalSubstrDedup(docs: DataFrame, storePath: String,
+      outPath: String, checkpoint: String, minLen: Int = 15) = {
+    val n = 6
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        graft.functions.GraftExtensions.registerInto(s)
+        val W = org.apache.spark.sql.expressions.Window
+        val grams = batch
+          .select(col("doc_id"),
+            expr(s"hashed_ngrams(filter(split(lower(text), ' '), x -> x != ''), $n)")
+              .as("gs"))
+          .select(col("doc_id"), posexplode(col("gs")).as(Seq("pos0", "h")))
+          .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+          .persist()
+        val raw =
+          try s.read.parquet(storePath)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("h",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("batch_id",
+                  org.apache.spark.sql.types.LongType))))
+          }
+        val probe = raw.agg(max(col("batch_id"))).collect()(0)
+        if (!probe.isNullAt(0)) {
+          val maxSeen = probe.getAs[Number](0).longValue
+          require(maxSeen <= batchId,
+            s"digest store $storePath was written by a checkpoint lineage " +
+              s"that reached batch $maxSeen but this stream is at batch " +
+              s"$batchId — store and checkpoint must pair; restore the " +
+              "matching checkpoint or use a fresh storePath")
+        }
+        val adopted = lineageGuard(s, storePath, checkpoint,
+          storeHasRows = !probe.isNullAt(0))
+        val rawNow = if (adopted) s.read.parquet(storePath) else raw
+        // exclude this batch's own half-finished partition on replay
+        val store = rawNow.filter(col("batch_id") < batchId)
+          .select(col("h")).distinct()
+        val marked = grams
+          .withColumn("rn", row_number().over(
+            W.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
+          .join(store.withColumn("seen", lit(1)), Seq("h"), "left")
+          .withColumn("removable", col("seen").isNotNull || col("rn") > 1)
+          .persist() // consumed by the span write AND the store write
+        try {
+          val w = W.partitionBy(col("doc_id")).orderBy(col("pos"))
+          marked.filter(col("removable"))
+            .select(col("doc_id"), col("pos"))
+            .withColumn("new_island",
+              when(col("pos") > lag(col("pos"), 1).over(w) + n, 1)
+                .when(lag(col("pos"), 1).over(w).isNull, 1)
+                .otherwise(0))
+            .withColumn("island", sum(col("new_island")).over(
+              w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+            .groupBy(col("doc_id"), col("island"))
+            .agg(min(col("pos")).as("span_start"),
+              (max(col("pos")) + (n - 1)).as("span_end"))
+            .withColumn("n_tokens",
+              (col("span_end") - col("span_start") + 1).cast("long"))
+            .filter(col("n_tokens") >= minLen)
+            .select(col("doc_id"),
+              col("span_start").cast("long").as("span_start"),
+              col("span_end").cast("long").as("span_end"),
+              col("n_tokens"))
+            .withColumn("batch_id", lit(batchId))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(outPath)
+          // novel digests only: not in the store, and only the kept
+          // (first) occurrence's row — one store row per digest
+          marked.filter(col("rn") === 1 && col("seen").isNull)
+            .select(col("h"))
+            .withColumn("batch_id", lit(batchId))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(storePath)
+        } finally { marked.unpersist(); grams.unpersist() }
+        ()
+      }
+  }
+
   def incrementalCdcDedup(docs: DataFrame, storePath: String, outPath: String,
       checkpoint: String) = {
     docs.writeStream

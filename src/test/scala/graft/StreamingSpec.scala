@@ -245,6 +245,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("incremental substring dedup converges to batch d25 under doc-ordered arrival") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("incsubstr")
+    val (store, out, ckpt) = (s"$dir/store", s"$dir/out", s"$dir/ckpt")
+    def uniq(tag: String, k: Int): Seq[String] = (0 until k).map(i => s"$tag$i")
+    val block20 = (0 until 20).map(i => s"blk$i")
+    val block18 = (0 until 18).map(i => s"rep$i")
+    val doc1 = 1L -> (uniq("a", 8) ++ block20 ++ uniq("b", 7)).mkString(" ")
+    val doc2 = 2L -> (uniq("c", 5) ++ block20 ++ uniq("d", 9)).mkString(" ")
+    val doc3 = 3L -> (uniq("g", 4) ++ block18 ++ uniq("h", 5) ++ block18).mkString(" ")
+    val doc4 = 4L -> uniq("z", 25).mkString(" ")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingJobs.incrementalSubstrDedup(
+      input.toDF().toDF("doc_id", "text"), store, out, ckpt).start()
+    input.addData(doc1, doc4) // batch 0: canonical copies arrive first
+    q.processAllAvailable()
+    input.addData(doc2, doc3) // batch 1: cross-batch repeat + self-repeat
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "span_start", "span_end", "n_tokens")
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // batch truth: the oracled d25 over everything ingested — arrival
+    // followed doc_id order, so first-arrival == min-(doc_id, pos)
+    val bdir = java.nio.file.Files.createTempDirectory("incsubstr_b").toString
+    Seq(doc1, doc2, doc3, doc4).toDF("doc_id", "text")
+      .write.parquet(s"$bdir/documents.parquet")
+    val batchSpans = SparkEntry.queries("d25_exact_substring_dedup")(spark, bdir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(streamed == batchSpans,
+      s"streamed $streamed != batch $batchSpans")
+    assert(streamed.map(_._1).toSet == Set(2L, 3L),
+      "exactly the cross-batch repeat and the self-repeat carry spans")
+    // the store holds 8-byte digests only, never gram text
+    assert(spark.read.parquet(store).columns.toSet == Set("h", "batch_id"))
+  }
+
   test("streaming CMS cells converge cell-identical to the batch sketch") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
