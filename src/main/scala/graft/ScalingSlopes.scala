@@ -24,6 +24,38 @@ import org.apache.spark.sql.functions._
   */
 object ScalingSlopes {
 
+  private def d4Stats(): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val root = java.nio.file.Files.createTempDirectory("graft_d4stats").toString
+    try {
+      Seq(1L, 3L).foreach { sc =>
+        val d = s"$root/x$sc"
+        materialize(spark, 5000L * sc, 1L, d)
+        val docs = spark.read.parquet(s"$d/documents.parquet")
+          .select(col("lang"), floor(col("n_chars") / 32).as("lb"))
+        val blockPairs = docs.groupBy(col("lang"), col("lb"))
+          .agg(count(lit(1)).as("n"))
+          .agg(sum(expr("n * (n - 1) div 2"))).collect()(0)
+          .getAs[Number](0).longValue
+        val out = SparkEntry.queries("d4_ngram_jaccard")(spark, d).count()
+        Raw.stdout.println(
+          s"""{"metric":"d4_stats","scale":$sc,"n_docs":${5000L * sc},""" +
+            s""""in_block_pairs":$blockPairs,"true_pairs":$out}""")
+      }
+    } finally {
+      graft.operators.Scratch.deleteRecursively(new java.io.File(root))
+      spark.stop()
+    }
+  }
+
   val queriesUnderTest: Seq[String] = Seq(
     "d4_ngram_jaccard", "d20_count_min", "d23_kmv_source_overlap",
     "d25_exact_substring_dedup", "x6b_corpus_pipeline_full",
@@ -50,8 +82,34 @@ object ScalingSlopes {
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
 
+  /** `runMain graft.ScalingSlopes d4crossover` — one extra point at 30×
+    * (150k docs), past d4's default 100k dispatch. On THIS corpus shape
+    * the prefix branch is intractable-by-density (the ~37³ trigram
+    * space defeats df-ordered prefix pruning: both r10 attempts spilled
+    * >230 GB of pre-distinct candidates and aborted on disk, positional
+    * filter included), while the d4stats diagnostic shows the true-pair
+    * output is sparse (~0.5% of in-block pairs) — so the mode pins the
+    * QUADRATIC branch via `graft.d4.maxExactRows` and measures it: the
+    * branch streams block pairs through the codegen merge with no
+    * candidate materialization, which is the right plan for
+    * dense-vocabulary corpora at any N whose blocks fit. The r7 sweep's
+    * open-vocabulary corpora are the regime where the prefix branch
+    * wins past the 100k default instead.
+    */
+  /** `runMain graft.ScalingSlopes d4stats` — output-density diagnostic:
+    * how many pairs does d4 actually EMIT on this corpus shape, vs the
+    * in-block cross product? If the true-pair count itself grows
+    * quadratically, no candidate filter can make the exact join
+    * subquadratic — the workload's scale path is the sketch (d2), and
+    * the crossover measurement is bounded by output size, not plan
+    * choice.
+    */
   def main(args: Array[String]): Unit = {
-    val scales = Seq(1L, 3L, 10L)
+    val d4CrossoverMode = args.headOption.contains("d4crossover")
+    val d4StatsMode = args.headOption.contains("d4stats")
+    if (d4StatsMode) { d4Stats(); return }
+    val scales = if (d4CrossoverMode) Seq(30L) else Seq(1L, 3L, 10L)
+    val queries = if (d4CrossoverMode) Seq("d4_ngram_jaccard") else queriesUnderTest
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt.max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -63,6 +121,8 @@ object ScalingSlopes {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dense-vocabulary corpus: pin the quadratic branch (see scaladoc)
+    if (d4CrossoverMode) spark.conf.set("graft.d4.maxExactRows", "10000000")
     val root = java.nio.file.Files.createTempDirectory("graft_scaling").toString
     try {
       val dirs = scales.map { sc =>
@@ -70,9 +130,10 @@ object ScalingSlopes {
         materialize(spark, 5000L * sc, 2000L * sc, d)
         sc -> d
       }
-      // one untimed pass at 1× pays JIT + codegen compilation for every
-      // plan family before anything is measured (Bench's warmup rule)
-      queriesUnderTest.foreach { q =>
+      // one untimed pass at the smallest scale pays JIT + codegen
+      // compilation for every plan family before anything is measured
+      // (Bench's warmup rule)
+      queries.foreach { q =>
         SparkEntry.queries(q)(spark, dirs.head._2)
           .write.format("noop").mode("overwrite").save()
       }
@@ -81,7 +142,7 @@ object ScalingSlopes {
         // larger corpus never rides a smaller one's memory pressure and
         // each scale pays its own materialization (comparable minima)
         spark.catalog.clearCache()
-        val qs = queriesUnderTest.map { q =>
+        val qs = queries.map { q =>
           val ts = (1 to reps).map { _ =>
             val t0 = System.nanoTime()
             SparkEntry.queries(q)(spark, d)
@@ -97,14 +158,17 @@ object ScalingSlopes {
         s""""${sc}x":{${qs.map { case (q, t) => s""""$q":${f(t)}""" }.mkString(",")}}"""
       }.mkString(",")
       val base = results.head._2.toMap
-      val slopes = results.last._2.map { case (q, t) =>
-        s""""$q":${f(t / base(q))}"""
-      }.mkString(",")
-      val line = s"""{"metric":"scaling_slopes","unit":"sec","reps":$reps,""" +
-        s""""base_docs":5000,"base_vecs":2000,"scales":{$perScale},""" +
-        s""""slope_10x_vs_1x":{$slopes}}"""
+      val slopes =
+        if (results.size < 2) ""
+        else s""","slope_10x_vs_1x":{${results.last._2.map { case (q, t) =>
+          s""""$q":${f(t / base(q))}"""
+        }.mkString(",")}}"""
+      val metric = if (d4CrossoverMode) "d4_crossover" else "scaling_slopes"
+      val line = s"""{"metric":"$metric","unit":"sec","reps":$reps,""" +
+        s""""base_docs":5000,"base_vecs":2000,"scales":{$perScale}$slopes}"""
       Raw.stdout.println(line)
-      java.nio.file.Files.write(java.nio.file.Paths.get("scaling_out.json"),
+      val outName = if (d4CrossoverMode) "scaling_d4_out.json" else "scaling_out.json"
+      java.nio.file.Files.write(java.nio.file.Paths.get(outName),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally {
       graft.operators.Scratch.deleteRecursively(new java.io.File(root))

@@ -906,8 +906,26 @@ object PipelineOps {
         // never changes the answer, only the plan. The cardinality comes
         // from the parquet FOOTERS (driver-side metadata, zero Spark jobs
         // at plan build — the same de-eager contract x1/x2/rgpMine honor).
+        // graft.d4.maxExactRows overrides the 100k default: the N-based
+        // dispatch assumes open-vocabulary text (the r7 sweep's corpora),
+        // where df-ordered prefixes are rare tokens and the index prunes.
+        // On DENSE-vocabulary corpora the prefix filter degenerates — the
+        // r10 density diagnostic (ScalingSlopes d4stats) measured true
+        // pairs at 0.5% of in-block pairs while the candidate stage
+        // approached the in-block cross product TIMES the shared-prefix
+        // width (>230 GB of pre-distinct shuffle at 150k docs, run
+        // aborted), because a ~37^3 trigram space makes every prefix
+        // token common. The quadratic branch streams block pairs through
+        // the codegen two-pointer merge with NO candidate
+        // materialization, so on such corpora it stays the right plan at
+        // any N that fits the block structure — raise the conf to pin it.
+        val maxExact = s.conf.getOption("graft.d4.maxExactRows")
+          .map(raw => raw.trim.toLongOption.filter(_ > 0).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft.d4.maxExactRows must be a positive integer, got '$raw'")))
+          .getOrElse(100000L)
         val pairs =
-          if (T.footerRowCount(s, d, "documents") <= 100000) {
+          if (T.footerRowCount(s, d, "documents") <= maxExact) {
             val a = docs.select(col("lang"), col("lb"), col("doc_id").as("id1"), col("g").as("g1"))
             val b = docs.select(col("lang").as("l2"), col("lb").as("lb2"),
               col("doc_id").as("id2"), col("g").as("g2"))
