@@ -93,6 +93,24 @@ object CorpusRehearsal {
         col("source"), col("text"))
   }
 
+  /** The deterministic text → 32-dim integer embedding rule — ONE
+    * definition shared by the materialize stage here, SemDedupAudit and
+    * ScalingSlopes (the cdcChunks/gramDigests one-definition
+    * discipline): the scaling harness's validity claim is that its
+    * corpora are shaped like the rehearsal's, which only holds while
+    * all three derive vectors by the same rule. Input needs (doc_id,
+    * text); output is (vec_id, q) with q = 32 token-hash aggregate
+    * coordinates in [-1000·|toks|, 1000·|toks|].
+    */
+  def embedQ(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id").as("vec_id"),
+      expr("transform(filter(split(text, ' '), x -> x != ''), " +
+        "t -> xxhash64(t))").as("hs"))
+    .select(col("vec_id"),
+      expr("transform(sequence(0, 31), j -> aggregate(" +
+        "hs, 0L, (acc, h) -> acc + pmod(xxhash64(j, h), 2001) - 1000))")
+        .as("q"))
+
   /** Runs the staged funnel against a materialized corpus; returns
     * (per-stage seconds, analysis counts as Locale-ROOT numeric strings).
     *
@@ -131,14 +149,7 @@ object CorpusRehearsal {
     stage("materialize") {
       synthesize(spark, nDocs, hotCopies)
         .write.mode("overwrite").parquet(s"$dir/documents")
-      spark.read.parquet(s"$dir/documents")
-        .select(col("doc_id").as("vec_id"),
-          expr("transform(filter(split(text, ' '), x -> x != ''), " +
-            "t -> xxhash64(t))").as("hs"))
-        .select(col("vec_id"),
-          expr("transform(sequence(0, 31), j -> aggregate(" +
-            "hs, 0L, (acc, h) -> acc + pmod(xxhash64(j, h), 2001) - 1000))")
-            .as("q"))
+      embedQ(spark.read.parquet(s"$dir/documents"))
         .withColumn("nn",
           expr("aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
         .write.mode("overwrite").parquet(s"$dir/embeddings")
@@ -761,15 +772,19 @@ object CorpusRehearsal {
           Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))))
         .filter(col("rk") <= 5)
         .select(col("qid"), col("vec_id").as("eid"))
+      // every aggregate coalesced: an nDocs/hotCopies combination that
+      // leaves no near-dup query docs makes gt EMPTY, and un-coalesced
+      // sums/avgs then return null — the stage must report zeros like
+      // every other stage, not crash the rehearsal on a null unbox
       val r = gt
         .join(approx.withColumn("found", lit(1)), Seq("qid", "eid"), "left")
         .agg(
           count(lit(1)),                                          // nGt
           coalesce(sum(col("found")), lit(0L)),                   // hits@5
           coalesce(sum(when(col("rk") === 1, col("found"))), lit(0L)), // NN hits
-          sum(when(col("rk") === 1, 1L)),                         // nQ actual
-          avg(when(col("rk") === 1, col("cos"))),                 // NN cos
-          avg(when(col("rk") > 1, col("cos"))))                   // noise cos
+          coalesce(sum(when(col("rk") === 1, 1L)), lit(0L)),      // nQ actual
+          coalesce(avg(when(col("rk") === 1, col("cos"))), lit(0.0)), // NN cos
+          coalesce(avg(when(col("rk") > 1, col("cos"))), lit(0.0)))   // noise cos
         .collect()(0)
       val nGt = r.getLong(0)
       val hits = r.getLong(1)

@@ -66,15 +66,9 @@ object ScalingSlopes {
     CorpusRehearsal.synthesize(spark, nDocs)
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    spark.read.parquet(s"$dir/documents.parquet")
-      .filter(col("doc_id") < nVecs)
-      .select(col("doc_id").as("vec_id"),
-        expr("transform(filter(split(text, ' '), x -> x != ''), " +
-          "t -> xxhash64(t))").as("hs"))
-      .select(col("vec_id"),
-        expr("transform(sequence(0, 31), j -> aggregate(" +
-          "hs, 0L, (acc, h) -> acc + pmod(xxhash64(j, h), 2001) - 1000))")
-          .as("q"))
+    CorpusRehearsal.embedQ(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < nVecs))
       .select(col("vec_id"),
         expr("transform(q, x -> CAST(CAST(x AS DOUBLE) / 1000.0 AS FLOAT))")
           .as("embedding"),
@@ -127,7 +121,10 @@ object ScalingSlopes {
     try {
       val dirs = scales.map { sc =>
         val d = s"$root/x$sc"
-        materialize(spark, 5000L * sc, 2000L * sc, d)
+        // crossover mode times d4 only, which reads documents — skip
+        // the (expensive) embedding synthesis it would never read
+        materialize(spark, 5000L * sc,
+          if (d4CrossoverMode) 1L else 2000L * sc, d)
         sc -> d
       }
       // one untimed pass at the smallest scale pays JIT + codegen

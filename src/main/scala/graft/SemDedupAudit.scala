@@ -28,14 +28,7 @@ object SemDedupAudit {
     }
 
     // the corpus rehearsal's deterministic embedding derivation
-    val emb = CorpusRehearsal.synthesize(spark, n)
-      .select(col("doc_id").as("vec_id"),
-        expr("transform(filter(split(text, ' '), x -> x != ''), " +
-          "t -> xxhash64(t))").as("hs"))
-      .select(col("vec_id"),
-        expr("transform(sequence(0, 31), j -> aggregate(" +
-          "hs, 0L, (acc, h) -> acc + pmod(xxhash64(j, h), 2001) - 1000))")
-          .as("q"))
+    val emb = CorpusRehearsal.embedQ(CorpusRehearsal.synthesize(spark, n))
       .withColumn("nn", expr("long_dot(q, q)"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("embed_materialize")(emb.count())

@@ -533,6 +533,36 @@ object PipelineOps {
        |       i -> array_join(slice($tsName, i, 6), ' ')))),
        |  g -> CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT))""".stripMargin)
 
+  /** Gaps-and-islands merge of n-gram coverage positions — ONE
+    * definition of the span arithmetic shared by d9b (duplicated-span
+    * merge), d25 (exact-substring removal spans), x6b's coverage rollup
+    * and the streaming substring dedup, so batch/stream span parity and
+    * the d9b/d25 oracle hashes all rest on the same rule: coverage
+    * intervals [pos, pos+n-1] all have equal length, so "new island" is
+    * pos > lag(pos) + n (adjacent/overlapping merge), and a span is
+    * [min pos, max pos + n - 1]. Input frame needs (doc_id, pos);
+    * output is (doc_id, span_start, span_end, n_tokens), unordered —
+    * consumers filter/order/aggregate.
+    */
+  private[graft] def islandSpans(positions: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    positions
+      .select(col("doc_id"), col("pos"))
+      .withColumn("new_island",
+        when(col("pos") > lag(col("pos"), 1).over(w) + n, 1)
+          .when(lag(col("pos"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"))
+      .select(col("doc_id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("long").as("n_tokens"))
+  }
+
   /** d20's Count-Min geometry — ONE definition shared by the batch
     * query and [[graft.streaming.StreamingJobs.streamingCmsCells]]
     * (the cdcChunks/gramDigests discipline), so batch/stream cell
@@ -1483,21 +1513,7 @@ object PipelineOps {
           .select(col("h"))
         val dupPos = gramStream.join(dupH, Seq("h"))
           .select(col("doc_id"), col("pos"))
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        dupPos
-          .withColumn("new_island",
-            when(col("pos") > lag(col("pos"), 1).over(w) + n, 1)
-              .when(lag(col("pos"), 1).over(w).isNull, 1)
-              .otherwise(0))
-          .withColumn("island", sum(col("new_island")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy(col("doc_id"), col("island"))
-          .agg(min(col("pos")).as("span_start"),
-            (max(col("pos")) + (n - 1)).as("span_end"))
-          .select(col("doc_id"),
-            col("span_start").cast("long").as("span_start"),
-            col("span_end").cast("long").as("span_end"),
-            (col("span_end") - col("span_start") + 1).cast("long").as("n_tokens"))
+        islandSpans(dupPos, n)
           .orderBy(col("doc_id"), col("span_start"))
       },
       Some("""WITH toks AS (
@@ -2189,19 +2205,10 @@ object PipelineOps {
         val dupH = gramStream.groupBy(col("h"))
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") > 1).select(col("h"))
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val cover = gramStream.join(dupH, Seq("h"))
-          .select(col("doc_id"), col("pos"))
-          .withColumn("new_island",
-            when(col("pos") > lag(col("pos"), 1).over(w) + n, 1)
-              .when(lag(col("pos"), 1).over(w).isNull, 1)
-              .otherwise(0))
-          .withColumn("island", sum(col("new_island")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy(col("doc_id"), col("island"))
-          .agg(min(col("pos")).as("s0"), (max(col("pos")) + (n - 1)).as("s1"))
+        val cover = islandSpans(
+            gramStream.join(dupH, Seq("h")).select(col("doc_id"), col("pos")), n)
           .groupBy(col("doc_id"))
-          .agg(sum(col("s1") - col("s0") + 1).as("cov"))
+          .agg(sum(col("n_tokens")).as("cov"))
         val gStats = gated.groupBy(col("pred_lang")).agg(count(lit(1)).as("n_gated"))
         val rStats = repKept.groupBy(col("pred_lang")).agg(count(lit(1)).as("n_after_rep"))
         val dStats = deduped.groupBy(col("pred_lang")).agg(count(lit(1)).as("n_after_exact"))
@@ -5879,24 +5886,8 @@ object PipelineOps {
             Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
           .filter(col("rn") > 1)
           .select(col("doc_id"), col("pos"))
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        removable
-          .withColumn("new_island",
-            when(col("pos") > lag(col("pos"), 1).over(w) + n, 1)
-              .when(lag(col("pos"), 1).over(w).isNull, 1)
-              .otherwise(0))
-          .withColumn("island", sum(col("new_island")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy(col("doc_id"), col("island"))
-          .agg(min(col("pos")).as("span_start"),
-            (max(col("pos")) + (n - 1)).as("span_end"))
-          .withColumn("n_tokens",
-            (col("span_end") - col("span_start") + 1).cast("long"))
+        islandSpans(removable, n)
           .filter(col("n_tokens") >= L)
-          .select(col("doc_id"),
-            col("span_start").cast("long").as("span_start"),
-            col("span_end").cast("long").as("span_end"),
-            col("n_tokens"))
           .orderBy(col("doc_id"), col("span_start"))
       },
       Some("""WITH toks AS (

@@ -171,29 +171,45 @@ object StreamingJobs {
         // a card store whose deltas were written by a lineage that
         // reached a LATER batch than this stream paired with a
         // rolled-back checkpoint would silently double-merge the
-        // rolled-back batches at read time. Probe both delta grains.
-        def maxBatch(path: String): Option[Long] =
-          try {
-            val r = s.read.parquet(path).agg(max(col("batch_id"))).collect()(0)
-            if (r.isNullAt(0)) None else Some(r.getAs[Number](0).longValue)
-          } catch { case _: org.apache.spark.sql.AnalysisException => None }
+        // rolled-back batches at read time. batch_id is the partition
+        // column, so its max comes from ONE FileSystem directory listing
+        // per grain — a per-batch Spark aggregation job over the store
+        // would grow linearly with stream age (one partition per batch
+        // forever) just to validate pairing.
+        def maxBatch(path: String): Option[Long] = {
+          import org.apache.hadoop.fs.Path
+          val p = new Path(path)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (!fs.exists(p)) None
+          else fs.listStatus(p).iterator
+            .filter(_.isDirectory)
+            .map(_.getPath.getName)
+            .filter(_.startsWith("batch_id="))
+            .flatMap(n => n.stripPrefix("batch_id=").toLongOption)
+            .maxOption
+        }
         val seen = (maxBatch(s"$storePath/cells") ++
           maxBatch(s"$storePath/regs")).reduceOption(_ max _)
-        seen.foreach { m =>
-          require(m <= batchId,
-            s"card store $storePath was written by a checkpoint lineage " +
-              s"that reached batch $m but this stream is at batch $batchId " +
-              "— store and checkpoint must pair; restore the matching " +
-              "checkpoint or use a fresh storePath")
-        }
         // lineage marker at the store ROOT (one ownership for both delta
         // grains); on explicit adoption both subdirs rebase to
         // batch_id = -1 — additive deltas, so the adopted rows keep
         // merging into the card forever and -1 never collides with a
-        // partition this lineage dynamically overwrites
-        lineageGuard(s, storePath, checkpoint,
+        // partition this lineage dynamically overwrites. Guard BEFORE
+        // the pairing require: a foreign store's batch numbering is
+        // meaningless (adoption rebases it), so checking it first would
+        // make the documented adoptStore path unreachable whenever the
+        // foreign store is ahead of this stream's batch counter.
+        val adopted = lineageGuard(s, storePath, checkpoint,
           storeHasRows = seen.nonEmpty,
-          rebasePaths = Seq(s"$storePath/cells", s"$storePath/regs")): Unit
+          rebasePaths = Seq(s"$storePath/cells", s"$storePath/regs"))
+        if (!adopted) seen.foreach { m =>
+          require(m <= batchId,
+            s"card store $storePath was written by this checkpoint " +
+              s"lineage up to batch $m but the stream is at batch $batchId " +
+              "— a rolled-back checkpoint must not pair with a newer " +
+              "store; restore the matching checkpoint or use a fresh " +
+              "storePath")
+        }
         val base = graft.operators.PipelineOps
           .shardCardBase(batch.select(col("doc_id"), col("text")))
           .persist() // two grains read it — don't tokenize twice
@@ -402,11 +418,6 @@ object StreamingJobs {
             s"signature store $storePath was written with band geometry " +
               s"(${n(1)}/${n(3)}) but this stream runs ($p/$r) — band keys " +
               "never compare across geometries; use a fresh storePath")
-          require(n(0) <= batchId,
-            s"signature store $storePath was written by a checkpoint lineage " +
-              s"that reached batch ${n(0)} but this stream is at batch " +
-              s"$batchId — store and checkpoint must pair; restore the " +
-              "matching checkpoint or use a fresh storePath")
         }
         // lineage marker: max(batch_id) <= batchId cannot distinguish a
         // legitimate replay of batch 0 (same checkpoint, half-finished
@@ -424,6 +435,20 @@ object StreamingJobs {
         // the marker is rewritten to this checkpoint.
         val adopted = lineageGuard(s, storePath, checkpoint,
           storeHasRows = !probe.isNullAt(0))
+        // rollback pairing check AFTER the guard, and only for a store
+        // this lineage owns: a foreign store's batch numbering is
+        // meaningless (adoption rebases it to -1), so checking it first
+        // made the documented adoptStore path unreachable whenever the
+        // foreign store was ahead of the new stream's batch counter
+        if (!adopted && !probe.isNullAt(0)) {
+          val maxSeen = probe.getAs[Number](0).longValue
+          require(maxSeen <= batchId,
+            s"signature store $storePath was written by this checkpoint " +
+              s"lineage up to batch $maxSeen but the stream is at batch " +
+              s"$batchId — a rolled-back checkpoint must not pair with a " +
+              "newer store; restore the matching checkpoint or use a " +
+              "fresh storePath")
+        }
         val rawNow = if (adopted) s.read.parquet(storePath) else raw
         val store = rawNow.filter(col("batch_id") < batchId)
           .drop("batch_id", "num_perms", "rows_per_band")
@@ -519,16 +544,23 @@ object StreamingJobs {
                   org.apache.spark.sql.types.LongType))))
           }
         val probe = raw.agg(max(col("batch_id"))).collect()(0)
-        if (!probe.isNullAt(0)) {
-          val maxSeen = probe.getAs[Number](0).longValue
-          require(maxSeen <= batchId,
-            s"digest store $storePath was written by a checkpoint lineage " +
-              s"that reached batch $maxSeen but this stream is at batch " +
-              s"$batchId — store and checkpoint must pair; restore the " +
-              "matching checkpoint or use a fresh storePath")
-        }
+        // lineageGuard FIRST: a foreign store must hit the adopt path (or
+        // its adopt-hint error) before the rollback check — its old batch
+        // numbering is meaningless under this lineage, and adoption
+        // rebases it to -1 which passes any pairing check. Only a store
+        // this lineage owns can be "ahead", which is the rollback case
+        // the require protects against.
         val adopted = lineageGuard(s, storePath, checkpoint,
           storeHasRows = !probe.isNullAt(0))
+        if (!adopted && !probe.isNullAt(0)) {
+          val maxSeen = probe.getAs[Number](0).longValue
+          require(maxSeen <= batchId,
+            s"digest store $storePath was written by this checkpoint " +
+              s"lineage up to batch $maxSeen but the stream is at batch " +
+              s"$batchId — a rolled-back checkpoint must not pair with a " +
+              "newer store; restore the matching checkpoint or use a " +
+              "fresh storePath")
+        }
         val rawNow = if (adopted) s.read.parquet(storePath) else raw
         // exclude this batch's own half-finished partition on replay
         val store = rawNow.filter(col("batch_id") < batchId)
@@ -540,25 +572,9 @@ object StreamingJobs {
           .withColumn("removable", col("seen").isNotNull || col("rn") > 1)
           .persist() // consumed by the span write AND the store write
         try {
-          val w = W.partitionBy(col("doc_id")).orderBy(col("pos"))
-          marked.filter(col("removable"))
-            .select(col("doc_id"), col("pos"))
-            .withColumn("new_island",
-              when(col("pos") > lag(col("pos"), 1).over(w) + n, 1)
-                .when(lag(col("pos"), 1).over(w).isNull, 1)
-                .otherwise(0))
-            .withColumn("island", sum(col("new_island")).over(
-              w.rowsBetween(W.unboundedPreceding, W.currentRow)))
-            .groupBy(col("doc_id"), col("island"))
-            .agg(min(col("pos")).as("span_start"),
-              (max(col("pos")) + (n - 1)).as("span_end"))
-            .withColumn("n_tokens",
-              (col("span_end") - col("span_start") + 1).cast("long"))
+          graft.operators.PipelineOps.islandSpans(
+              marked.filter(col("removable")).select(col("doc_id"), col("pos")), n)
             .filter(col("n_tokens") >= minLen)
-            .select(col("doc_id"),
-              col("span_start").cast("long").as("span_start"),
-              col("span_end").cast("long").as("span_end"),
-              col("n_tokens"))
             .withColumn("batch_id", lit(batchId))
             .write.partitionBy("batch_id")
             .option("partitionOverwriteMode", "dynamic")
@@ -574,6 +590,29 @@ object StreamingJobs {
         } finally { marked.unpersist(); grams.unpersist() }
         ()
       }
+  }
+
+  /** The read side of [[incrementalSubstrDedup]]'s span output. A batch
+    * with zero removal spans (the normal case early in a stream) writes
+    * a schemaless parquet partition set — raw `spark.read.parquet`
+    * throws "unable to infer schema" until the first span-bearing batch
+    * — so reads go through the readDataCard readOrEmpty discipline with
+    * an explicit schema. `upToBatchId` bounds the read to completed
+    * batches for readers racing an in-flight batch (readDataCard's
+    * contract).
+    */
+  def readSubstrSpans(s: SparkSession, outPath: String,
+      upToBatchId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val raw =
+      try s.read.parquet(outPath)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq("doc_id", "span_start", "span_end", "n_tokens",
+              "batch_id").map(StructField(_, LongType))))
+      }
+    upToBatchId.map(b => raw.filter(col("batch_id") <= b)).getOrElse(raw)
   }
 
   def incrementalCdcDedup(docs: DataFrame, storePath: String, outPath: String,
@@ -597,16 +636,21 @@ object StreamingJobs {
                   org.apache.spark.sql.types.LongType))))
           }
         val probe = raw.agg(max(col("batch_id"))).collect()(0)
-        if (!probe.isNullAt(0)) {
-          val maxSeen = probe.getAs[Number](0).longValue
-          require(maxSeen <= batchId,
-            s"digest store $storePath was written by a checkpoint lineage " +
-              s"that reached batch $maxSeen but this stream is at batch " +
-              s"$batchId — store and checkpoint must pair; restore the " +
-              "matching checkpoint or use a fresh storePath")
-        }
         val adopted = lineageGuard(s, storePath, checkpoint,
           storeHasRows = !probe.isNullAt(0))
+        // rollback pairing check AFTER the guard and only for an owned
+        // store (a foreign store's batch numbering is meaningless —
+        // adoption rebases to -1; checking first made adoptStore
+        // unreachable for a foreign store ahead of this stream)
+        if (!adopted && !probe.isNullAt(0)) {
+          val maxSeen = probe.getAs[Number](0).longValue
+          require(maxSeen <= batchId,
+            s"digest store $storePath was written by this checkpoint " +
+              s"lineage up to batch $maxSeen but the stream is at batch " +
+              s"$batchId — a rolled-back checkpoint must not pair with a " +
+              "newer store; restore the matching checkpoint or use a " +
+              "fresh storePath")
+        }
         val rawNow = if (adopted) s.read.parquet(storePath) else raw
         // exclude this batch's own half-finished partition on replay
         val store = rawNow.filter(col("batch_id") < batchId)

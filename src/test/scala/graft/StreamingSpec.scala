@@ -262,13 +262,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       input.toDF().toDF("doc_id", "text"), store, out, ckpt).start()
     input.addData(doc1, doc4) // batch 0: canonical copies arrive first
     q.processAllAvailable()
+    // batch 0 is all-novel → zero spans → schemaless output dir; the
+    // reader API must return an empty typed frame, not throw
+    assert(StreamingJobs.readSubstrSpans(spark, out).count() == 0)
     input.addData(doc2, doc3) // batch 1: cross-batch repeat + self-repeat
     q.processAllAvailable()
     q.stop()
-    val streamed = spark.read.parquet(out)
+    val streamed = StreamingJobs.readSubstrSpans(spark, out)
       .select("doc_id", "span_start", "span_end", "n_tokens")
       .orderBy("doc_id", "span_start").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getAs[Number](3).longValue)).toSeq
     // batch truth: the oracled d25 over everything ingested — arrival
     // followed doc_id order, so first-arrival == min-(doc_id, pos)
     val bdir = java.nio.file.Files.createTempDirectory("incsubstr_b").toString
@@ -468,6 +472,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select("doc_id", "batch_id")
         .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toMap
       assert(batches(1L) == -1L, s"adopted rows must be rebased to batch -1: $batches")
+    } finally spark.conf.unset("graft.stream.adoptStore")
+  }
+
+  test("a foreign store AHEAD of a new stream adopts; rolled-back own store refuses") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lineageN").toString
+    // lineage A runs TWO batches, so its digest store reaches batch 1 —
+    // ahead of any fresh checkpoint's batch 0. The rollback pairing
+    // check must not fire for a FOREIGN store (its batch numbering is
+    // meaningless under a new lineage; r10 fix — the pre-fix order ran
+    // the rollback require first, making the documented adoptStore path
+    // unreachable exactly here)
+    val inA = MemoryStream[(Long, String)]
+    def mkText(seed: Int): String = (1 to 300).map(i => s"${seed}w$i").mkString(" ")
+    val qA = StreamingJobs.incrementalCdcDedup(inA.toDF().toDF("doc_id", "text"),
+      s"$dir/store", s"$dir/outA", s"$dir/ckptA").start()
+    inA.addData((1L, mkText(7)))
+    qA.processAllAvailable()
+    inA.addData((2L, mkText(13)))
+    qA.processAllAvailable(); qA.stop()
+    assert(spark.read.parquet(s"$dir/store")
+      .agg(org.apache.spark.sql.functions.max("batch_id"))
+      .collect()(0).getAs[Number](0).longValue == 1L)
+    spark.conf.set("graft.stream.adoptStore", "true")
+    try {
+      val inB = MemoryStream[(Long, String)]
+      val qB = StreamingJobs.incrementalCdcDedup(inB.toDF().toDF("doc_id", "text"),
+        s"$dir/store", s"$dir/outB", s"$dir/ckptB").start()
+      inB.addData((3L, mkText(7))) // exact copy of adopted doc 1's text
+      qB.processAllAvailable(); qB.stop()
+      val rows = spark.read.parquet(s"$dir/outB").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_chunks"), r.getAs[Long]("dup_chunks"))).toMap
+      assert(rows(3L)._2 == rows(3L)._1 && rows(3L)._1 > 0,
+        s"doc 3 must fully dedupe against the adopted store: $rows")
+      // adopted rows rebased to -1
+      val bids = spark.read.parquet(s"$dir/store")
+        .select("batch_id").distinct()
+        .collect().map(_.getAs[Number](0).longValue).toSet
+      assert(bids.contains(-1L), s"adopted digests must sit at batch -1: $bids")
     } finally spark.conf.unset("graft.stream.adoptStore")
   }
 
