@@ -49,6 +49,29 @@ object ScalingSlopes {
         Raw.stdout.println(
           s"""{"metric":"d4_stats","scale":$sc,"n_docs":${5000L * sc},""" +
             s""""in_block_pairs":$blockPairs,"true_pairs":$out}""")
+        // positional-filter delta, measured on the same dense corpus:
+        // both runs are lossless and must emit identical pair counts —
+        // the filter only prunes the CANDIDATE stage, which on dense
+        // vocabularies is the whole cost. Word-token sets (one hash per
+        // token, lang-blocked) keep the probe self-contained.
+        val sets = spark.read.parquet(s"$d/documents.parquet")
+          .select(col("lang"), col("doc_id"), expr(
+            "array_sort(array_distinct(transform(" +
+              "filter(split(lower(text), ' '), x -> x != ''), " +
+              "t -> xxhash64(t))))").as("g"))
+        def timePrefix(positional: Boolean): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val n = graft.operators.PrefixJoin.jaccardPairs(
+            sets, "doc_id", "g", Seq("lang"), 0.35, positional).count()
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        val (tOn, nOn) = timePrefix(positional = true)
+        val (tOff, nOff) = timePrefix(positional = false)
+        def f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+        Raw.stdout.println(
+          s"""{"metric":"prefix_filter_stats","scale":$sc,""" +
+            s""""pairs_with":$nOn,"pairs_without":$nOff,""" +
+            s""""sec_with":${f(tOn)},"sec_without":${f(tOff)}}""")
       }
     } finally {
       graft.operators.Scratch.deleteRecursively(new java.io.File(root))

@@ -32,7 +32,20 @@ object PrefixJoin {
     */
   def jaccardPairs(
       docs0: DataFrame, idCol: String, tokCol: String,
-      blockCols: Seq[String], threshold: Double): DataFrame = {
+      blockCols: Seq[String], threshold: Double): DataFrame =
+    jaccardPairs(docs0, idCol, tokCol, blockCols, threshold,
+      positionalFilter = true)
+
+  /** `positionalFilter = false` exists ONLY for measurement (the
+    * ScalingSlopes d4stats candidate-volume probe): both settings are
+    * lossless and produce identical verified output; the flag controls
+    * whether the ICDE'08 positional filter prunes the candidate stage.
+    * Production callers always leave it on.
+    */
+  private[graft] def jaccardPairs(
+      docs0: DataFrame, idCol: String, tokCol: String,
+      blockCols: Seq[String], threshold: Double,
+      positionalFilter: Boolean): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
     graft.functions.GraftExtensions.registerInto(docs0.sparkSession)
     val bcols = blockCols.map(col)
@@ -85,11 +98,15 @@ object PrefixJoin {
     val blockEq = blockCols.map(c => col(c) === col(s"${c}_r"))
       .foldLeft(col("ptok") === col("ptok_r"))(_ && _)
     val overlapCap = lit(1) + least(col("sz1") - col("p1"), col("sz2") - col("p2"))
-    val cands = a.join(b, blockEq && col("id1") < col("id2") &&
-        col("sz2") >= ceil(col("sz1") * lit(threshold)) &&
-        col("sz1") >= ceil(col("sz2") * lit(threshold)) &&
-        overlapCap.cast("double") * lit(1.0 + threshold) >=
-          lit(threshold) * (col("sz1") + col("sz2")).cast("double") - lit(1e-9))
+    val sizeCond = col("id1") < col("id2") &&
+      col("sz2") >= ceil(col("sz1") * lit(threshold)) &&
+      col("sz1") >= ceil(col("sz2") * lit(threshold))
+    val joinCond =
+      if (positionalFilter)
+        sizeCond && overlapCap.cast("double") * lit(1.0 + threshold) >=
+          lit(threshold) * (col("sz1") + col("sz2")).cast("double") - lit(1e-9)
+      else sizeCond
+    val cands = a.join(b, blockEq && joinCond)
       .select((bcols :+ col("id1") :+ col("id2")): _*)
       .distinct()
 
