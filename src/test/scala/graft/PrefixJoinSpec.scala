@@ -75,6 +75,26 @@ class PrefixJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.size >= 10, s"planted dups must survive t=0.8, got ${want.size}")
   }
 
+  test("positional filter never changes the output (both thresholds)") {
+    // the ICDE'08 positional filter prunes only the candidate stage;
+    // the measurement-only positionalFilter=false path must verify to
+    // the exact same pair set at a loose threshold (cap rarely binds)
+    // and a tight one (cap binds hard — the filter's design regime)
+    for (t <- Seq(0.35, 0.8)) {
+      val on = PrefixJoin.jaccardPairs(docsDf, "doc_id", "g", Seq("blk"), t,
+          positionalFilter = true)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val off = PrefixJoin.jaccardPairs(docsDf, "doc_id", "g", Seq("blk"), t,
+          positionalFilter = false)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(on == off, s"positional filter changed output at t=$t")
+    }
+  }
+
   test("plan has no cartesian/broadcast-nested-loop join") {
     val plan = PrefixJoin.jaccardPairs(docsDf, "doc_id", "g", Seq("blk"), 0.35)
       .queryExecution.executedPlan.toString
