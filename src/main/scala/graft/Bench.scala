@@ -118,7 +118,13 @@ object Bench {
     def fmt3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val suspectJs = episodeSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Both detector signatures need >= 3 reps (warm reps 2..N must exist
+    // and have a spread). With fewer reps an empty list would read as
+    // "checked and clean" when detection never ran — serialize JSON null
+    // instead so under-sampled runs are distinguishable from quiet ones.
+    val suspectJs =
+      if (reps >= 3) episodeSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
+      else "null"
     def line(rs: Seq[(String, Double)], fmt: Double => String): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")

@@ -577,8 +577,14 @@ object PipelineOps {
   private[graft] def cmsRowCols(toks: DataFrame): DataFrame = toks
     .withColumn("dg", expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)"))
     .withColumn("r", explode(expr(s"sequence(0, ${cmsDepth - 1})")))
+    // Kirsch-Mitzenmacher composition c_r = (h1 + r·h2) mod W from ONE
+    // digest. h2 = 1 + 2·(… mod W/2) is ODD by construction: W is a
+    // power of two, so an odd h2 is coprime with W and the r-step walks
+    // distinct columns for every row — an even h2 (gcd > 1 with W) would
+    // let some tokens reuse identical column offsets across rows,
+    // weakening the per-row independence the KM result relies on.
     .withColumn("c", expr(
-      s"pmod(pmod(dg, $cmsWidth) + r * (1 + pmod(dg div $cmsWidth, ${cmsWidth - 1})), $cmsWidth)"))
+      s"pmod(pmod(dg, $cmsWidth) + r * (1 + 2 * pmod(dg div $cmsWidth, ${cmsWidth / 2})), $cmsWidth)"))
 
   /** The CMS cells of a (text)-carrying document frame: depth×width
     * additive counters — a plain keyed count, so the SAME definition is
@@ -4935,7 +4941,8 @@ object PipelineOps {
     // equality covers it since both engines compute the same est.
     // Row hashing is ONE md5 per token with the D row columns derived
     // by Kirsch-Mitzenmacher composition c_r = (h1 + r·h2) mod W
-    // (h2 forced odd-nonzero by the +1) — d21's probe positions and
+    // (h2 forced ODD by the 1 + 2·(… mod W/2) derivation — odd ⇒
+    // coprime with the power-of-two width) — d21's probe positions and
     // d24's sign bits already derive from a single digest; hashing the
     // 100 TB token stream D times for D independent row hashes is 4×
     // the work the operator needs (KM's "two hashes suffice" result,
@@ -4966,7 +4973,7 @@ object PipelineOps {
              |  FROM documents),
              |hashed AS (
              |  SELECT tok, r,
-             |    ((dg % 32) + r * (1 + (dg // 32) % 31)) % 32 AS c
+             |    ((dg % 32) + r * (1 + 2 * ((dg // 32) % 16))) % 32 AS c
              |  FROM (SELECT tok,
              |          CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS dg
              |        FROM toks),
@@ -4978,7 +4985,7 @@ object PipelineOps {
              |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
              |probe AS (
              |  SELECT tok, cnt, r,
-             |    ((dg % 32) + r * (1 + (dg // 32) % 31)) % 32 AS c
+             |    ((dg % 32) + r * (1 + 2 * ((dg // 32) % 16))) % 32 AS c
              |  FROM (SELECT tok, cnt,
              |          CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS dg
              |        FROM ex),

@@ -173,23 +173,11 @@ object StreamingJobs {
         // rolled-back checkpoint would silently double-merge the
         // rolled-back batches at read time. batch_id is the partition
         // column, so its max comes from ONE FileSystem directory listing
-        // per grain — a per-batch Spark aggregation job over the store
-        // would grow linearly with stream age (one partition per batch
-        // forever) just to validate pairing.
-        def maxBatch(path: String): Option[Long] = {
-          import org.apache.hadoop.fs.Path
-          val p = new Path(path)
-          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-          if (!fs.exists(p)) None
-          else fs.listStatus(p).iterator
-            .filter(_.isDirectory)
-            .map(_.getPath.getName)
-            .filter(_.startsWith("batch_id="))
-            .flatMap(n => n.stripPrefix("batch_id=").toLongOption)
-            .maxOption
-        }
-        val seen = (maxBatch(s"$storePath/cells") ++
-          maxBatch(s"$storePath/regs")).reduceOption(_ max _)
+        // per grain ([[maxBatchIn]]) — a per-batch Spark aggregation job
+        // over the store would grow linearly with stream age (one
+        // partition per batch forever) just to validate pairing.
+        val seen = (maxBatchIn(s, s"$storePath/cells") ++
+          maxBatchIn(s, s"$storePath/regs")).reduceOption(_ max _)
         // lineage marker at the store ROOT (one ownership for both delta
         // grains); on explicit adoption both subdirs rebase to
         // batch_id = -1 — additive deltas, so the adopted rows keep
@@ -385,39 +373,51 @@ object StreamingJobs {
               sig.schema.add("num_perms", "int").add("rows_per_band", "int")
                 .add("batch_id", "long"))
           }
-        // store sanity runs on the RAW store, before any batch_id pruning
-        // (a rebound stream's fresh checkpoint restarts batchId at 0 and
-        // would prune the evidence away), as ONE tiny aggregate:
-        //  - schema: a store predating geometry stamping fails with a
-        //    named error, not an unresolved-column crash;
-        //  - stamps: min == max == this stream's geometry, via min/max
-        //    (null-skipping) + an explicit null count, so mixed or
-        //    unstamped rows can't slip through =!='s three-valued logic;
-        //  - lineage: max(batch_id) beyond this stream's batchId means
-        //    the store was written by a checkpoint that ran further —
-        //    continuing would dedup against nothing and then clobber the
-        //    old run's partitions batch by batch.
-        require(raw.columns.contains("num_perms") && raw.columns.contains("rows_per_band"),
-          s"signature store $storePath predates geometry stamping — " +
-            "rebuild it or use a fresh storePath")
-        val probe = raw.agg(
-          max(col("batch_id")),
-          min(col("num_perms")), max(col("num_perms")),
-          min(col("rows_per_band")), max(col("rows_per_band")),
-          sum(when(col("num_perms").isNull || col("rows_per_band").isNull, 1L)
-            .otherwise(0L))).collect()(0)
-        if (!probe.isNullAt(0)) { // store has rows
-          // Number, not getLong/getInt: batch_id is the partition
-          // directory column on read-back, and partition type inference
-          // narrows it to Integer
-          def n(i: Int): Long = probe.getAs[Number](i).longValue
-          require(n(5) == 0,
-            s"signature store $storePath carries rows without geometry stamps; " +
-              "rebuild it or use a fresh storePath")
-          require(n(1) == p && n(2) == p && n(3) == r && n(4) == r,
-            s"signature store $storePath was written with band geometry " +
-              s"(${n(1)}/${n(3)}) but this stream runs ($p/$r) — band keys " +
-              "never compare across geometries; use a fresh storePath")
+        // store sanity, before any batch_id pruning (a rebound stream's
+        // fresh checkpoint restarts batchId at 0 and would prune the
+        // evidence away), with ZERO Spark jobs in steady state:
+        //  - max(batch_id): ONE FileSystem directory listing — it is the
+        //    partition column, the directory names carry it;
+        //  - geometry: ONE read of the `_graft_geometry` marker file.
+        //    Geometry runs BEFORE the lineage guard so a foreign store
+        //    with the wrong band geometry fails with the geometry error,
+        //    not the lineage one (band keys never compare across
+        //    geometries — that diagnosis outranks ownership).
+        // The full row-scan validation (schema + null-stamp + min/max
+        // geometry, the pre-r11 per-batch aggregate) now runs AT MOST
+        // ONCE per store lifetime: only when a populated store carries no
+        // marker — a foreign store ahead of adoption, or one written by a
+        // pre-marker version, self-healed by stamping the marker below.
+        val maxSeen = maxBatchIn(s, storePath)
+        val storeHasRows = maxSeen.nonEmpty
+        val geomMarker = readGeometryMarker(s, storePath)
+        geomMarker match {
+          case Some((mp, mr)) =>
+            require(mp == p && mr == r,
+              s"signature store $storePath was written with band geometry " +
+                s"($mp/$mr) but this stream runs ($p/$r) — band keys " +
+                "never compare across geometries; use a fresh storePath")
+          case None if storeHasRows =>
+            require(raw.columns.contains("num_perms") && raw.columns.contains("rows_per_band"),
+              s"signature store $storePath predates geometry stamping — " +
+                "rebuild it or use a fresh storePath")
+            // min/max are null-skipping, so an explicit null count keeps
+            // mixed or unstamped rows from slipping through =!='s
+            // three-valued logic
+            val probe = raw.agg(
+              min(col("num_perms")), max(col("num_perms")),
+              min(col("rows_per_band")), max(col("rows_per_band")),
+              sum(when(col("num_perms").isNull || col("rows_per_band").isNull, 1L)
+                .otherwise(0L))).collect()(0)
+            def n(i: Int): Long = probe.getAs[Number](i).longValue
+            require(n(4) == 0,
+              s"signature store $storePath carries rows without geometry stamps; " +
+                "rebuild it or use a fresh storePath")
+            require(n(0) == p && n(1) == p && n(2) == r && n(3) == r,
+              s"signature store $storePath was written with band geometry " +
+                s"(${n(0)}/${n(2)}) but this stream runs ($p/$r) — band keys " +
+                "never compare across geometries; use a fresh storePath")
+          case None => () // brand-new store: marker stamped after the guard claims it
         }
         // lineage marker: max(batch_id) <= batchId cannot distinguish a
         // legitimate replay of batch 0 (same checkpoint, half-finished
@@ -434,21 +434,25 @@ object StreamingJobs {
         // -1 < every batchId keeps them in the dedup corpus forever) and
         // the marker is rewritten to this checkpoint.
         val adopted = lineageGuard(s, storePath, checkpoint,
-          storeHasRows = !probe.isNullAt(0))
+          storeHasRows = storeHasRows)
         // rollback pairing check AFTER the guard, and only for a store
         // this lineage owns: a foreign store's batch numbering is
         // meaningless (adoption rebases it to -1), so checking it first
         // made the documented adoptStore path unreachable whenever the
         // foreign store was ahead of the new stream's batch counter
-        if (!adopted && !probe.isNullAt(0)) {
-          val maxSeen = probe.getAs[Number](0).longValue
-          require(maxSeen <= batchId,
+        if (!adopted) maxSeen.foreach { m =>
+          require(m <= batchId,
             s"signature store $storePath was written by this checkpoint " +
-              s"lineage up to batch $maxSeen but the stream is at batch " +
+              s"lineage up to batch $m but the stream is at batch " +
               s"$batchId — a rolled-back checkpoint must not pair with a " +
               "newer store; restore the matching checkpoint or use a " +
               "fresh storePath")
         }
+        // stamp geometry once ownership is settled: a freshly claimed or
+        // self-healed store gains its marker here; an adopted store's
+        // rebase rewrote the directory wholesale (markers included), so
+        // the marker must land again
+        if (geomMarker.isEmpty || adopted) writeGeometryMarker(s, storePath, p, r)
         val rawNow = if (adopted) s.read.parquet(storePath) else raw
         val store = rawNow.filter(col("batch_id") < batchId)
           .drop("batch_id", "num_perms", "rows_per_band")
@@ -543,7 +547,10 @@ object StreamingJobs {
                 org.apache.spark.sql.types.StructField("batch_id",
                   org.apache.spark.sql.types.LongType))))
           }
-        val probe = raw.agg(max(col("batch_id"))).collect()(0)
+        // max(batch_id) from ONE directory listing (it is the partition
+        // column) — the maxBatchIn discipline all four stores share; a
+        // per-batch Spark aggregate over the store grows with stream age.
+        val maxSeen = maxBatchIn(s, storePath)
         // lineageGuard FIRST: a foreign store must hit the adopt path (or
         // its adopt-hint error) before the rollback check — its old batch
         // numbering is meaningless under this lineage, and adoption
@@ -551,12 +558,11 @@ object StreamingJobs {
         // this lineage owns can be "ahead", which is the rollback case
         // the require protects against.
         val adopted = lineageGuard(s, storePath, checkpoint,
-          storeHasRows = !probe.isNullAt(0))
-        if (!adopted && !probe.isNullAt(0)) {
-          val maxSeen = probe.getAs[Number](0).longValue
-          require(maxSeen <= batchId,
+          storeHasRows = maxSeen.nonEmpty)
+        if (!adopted) maxSeen.foreach { m =>
+          require(m <= batchId,
             s"digest store $storePath was written by this checkpoint " +
-              s"lineage up to batch $maxSeen but the stream is at batch " +
+              s"lineage up to batch $m but the stream is at batch " +
               s"$batchId — a rolled-back checkpoint must not pair with a " +
               "newer store; restore the matching checkpoint or use a " +
               "fresh storePath")
@@ -605,7 +611,15 @@ object StreamingJobs {
       upToBatchId: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val raw =
-      try s.read.parquet(outPath)
+      try
+        // batch_id is the partition directory column: inference narrows
+        // it to IntegerType on read-back, while the empty-store branch
+        // below declares LongType — cast so the schema is STABLE across
+        // the empty/non-empty transition (typed getLong access and
+        // unions across stores must not depend on whether a span-bearing
+        // batch has landed yet)
+        s.read.parquet(outPath)
+          .withColumn("batch_id", col("batch_id").cast("long"))
       catch {
         case _: org.apache.spark.sql.AnalysisException =>
           s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -635,18 +649,19 @@ object StreamingJobs {
                 org.apache.spark.sql.types.StructField("batch_id",
                   org.apache.spark.sql.types.LongType))))
           }
-        val probe = raw.agg(max(col("batch_id"))).collect()(0)
+        // max(batch_id) from ONE directory listing — maxBatchIn, the
+        // shared store-probe discipline (zero per-batch Spark jobs)
+        val maxSeen = maxBatchIn(s, storePath)
         val adopted = lineageGuard(s, storePath, checkpoint,
-          storeHasRows = !probe.isNullAt(0))
+          storeHasRows = maxSeen.nonEmpty)
         // rollback pairing check AFTER the guard and only for an owned
         // store (a foreign store's batch numbering is meaningless —
         // adoption rebases to -1; checking first made adoptStore
         // unreachable for a foreign store ahead of this stream)
-        if (!adopted && !probe.isNullAt(0)) {
-          val maxSeen = probe.getAs[Number](0).longValue
-          require(maxSeen <= batchId,
+        if (!adopted) maxSeen.foreach { m =>
+          require(m <= batchId,
             s"digest store $storePath was written by this checkpoint " +
-              s"lineage up to batch $maxSeen but the stream is at batch " +
+              s"lineage up to batch $m but the stream is at batch " +
               s"$batchId — a rolled-back checkpoint must not pair with a " +
               "newer store; restore the matching checkpoint or use a " +
               "fresh storePath")
@@ -690,6 +705,73 @@ object StreamingJobs {
         } finally { marked.unpersist(); chunks.unpersist() }
         ()
       }
+  }
+
+  /** Max `batch_id` across a batch_id-partitioned store from ONE
+    * FileSystem directory listing — the store-probe discipline ALL four
+    * incremental stores share: a per-micro-batch Spark aggregation job
+    * over the store would grow linearly with stream age (one partition
+    * per batch forever) just to read a value the directory names already
+    * carry. None ⇔ the store has no data partitions (adopted stores
+    * surface as the batch_id=-1 partition and parse fine).
+    */
+  private def maxBatchIn(s: SparkSession, path: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .flatMap(n => n.stripPrefix("batch_id=").toLongOption)
+      .maxOption
+  }
+
+  /** The near-dedup store's band geometry, recorded ONCE in a
+    * `_graft_geometry` marker file at the store root (underscore-prefixed:
+    * invisible to parquet listing, travels with the store the way
+    * `_graft_lineage` does). Per-batch geometry validation is then one
+    * O(1) file read instead of a Spark aggregation over every stamped row
+    * — the scan that used to run per micro-batch and grow with stream
+    * age. The per-row num_perms/rows_per_band stamps still ride every
+    * row for read-time tools; the one-shot full-scan validation runs only
+    * when a populated store carries NO marker (a foreign store ahead of
+    * adoption, or one written by a pre-marker version — self-healed by
+    * stamping the marker once it validates).
+    */
+  private def readGeometryMarker(s: SparkSession, storePath: String): Option[(Int, Int)] = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(new Path(storePath), "_graft_geometry")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      val txt =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val b = new Array[Byte](256)
+          var n = in.read(b)
+          while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+          new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+      txt.trim.split("/") match {
+        case Array(p0, r0) =>
+          for (pp <- p0.toIntOption; rr <- r0.toIntOption) yield (pp, rr)
+        case _ => None
+      }
+    }
+  }
+
+  private def writeGeometryMarker(s: SparkSession, storePath: String,
+      p: Int, r: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(storePath)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val out = fs.create(new Path(dir, "_graft_geometry"), true)
+    try out.write(s"$p/$r".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** The store's lineage identity for [[lineageGuard]]: the streaming

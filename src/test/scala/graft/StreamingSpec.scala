@@ -475,6 +475,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("graft.stream.adoptStore")
   }
 
+  test("near-dedup geometry gate is the _graft_geometry marker, not a row scan") {
+    // r11: per-batch store sanity must be O(1) FS reads (the marker +
+    // one directory listing), never a Spark aggregate over every stamped
+    // row — that scan grew linearly with stream age. Pin the marker as
+    // the LIVE gate: it exists after the first batch, records p/r, and a
+    // tampered marker fails the NEXT batch with the geometry error even
+    // though every stored row still carries the stream's own stamps (a
+    // row scan would pass — only the marker read can produce this error).
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_geommark").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingJobs.incrementalNearDedup(input.toDF().toDF("doc_id", "text"),
+      s"$dir/store", s"$dir/out", s"$dir/ckpt").start()
+    input.addData((1L, "seed document text for the geometry marker store"))
+    q.processAllAvailable(); q.stop()
+    val marker = java.nio.file.Paths.get(s"$dir/store/_graft_geometry")
+    assert(java.nio.file.Files.exists(marker), "first batch must stamp the marker")
+    val recorded = new String(java.nio.file.Files.readAllBytes(marker))
+    assert(recorded.matches("""\d+/\d+"""), s"marker must record p/r, got '$recorded'")
+    java.nio.file.Files.write(marker, "9999/3".getBytes)
+    val q2 = StreamingJobs.incrementalNearDedup(input.toDF().toDF("doc_id", "text"),
+      s"$dir/store", s"$dir/out", s"$dir/ckpt").start()
+    input.addData((2L, "a second document under the tampered marker"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    assert(e.getMessage.contains("geometry") ||
+      Option(e.getCause).exists(_.getMessage.contains("geometry")), e.getMessage)
+    q2.stop()
+  }
+
   test("a foreign store AHEAD of a new stream adopts; rolled-back own store refuses") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
