@@ -942,36 +942,46 @@ object PipelineOps {
         // never changes the answer, only the plan. The cardinality comes
         // from the parquet FOOTERS (driver-side metadata, zero Spark jobs
         // at plan build — the same de-eager contract x1/x2/rgpMine honor).
-        // graft.d4.maxExactRows overrides the 100k default: the N-based
-        // dispatch assumes open-vocabulary text (the r7 sweep's corpora),
-        // where df-ordered prefixes are rare tokens and the index prunes.
-        // On DENSE-vocabulary corpora the prefix filter degenerates — the
-        // r10 density diagnostic (ScalingSlopes d4stats) measured true
-        // pairs at 0.5% of in-block pairs while the candidate stage
-        // approached the in-block cross product TIMES the shared-prefix
-        // width (>230 GB of pre-distinct shuffle at 150k docs, run
-        // aborted), because a ~37^3 trigram space makes every prefix
-        // token common. The quadratic branch streams block pairs through
-        // the codegen two-pointer merge with NO candidate
-        // materialization, so on such corpora it stays the right plan at
-        // any N that fits the block structure — raise the conf to pin it.
+        // graft.d4.maxExactRows overrides the 100k default: below it the
+        // quadratic runs UNPROBED (zero Spark jobs at plan build — the
+        // footer count is driver-side metadata, and at these sizes the
+        // quadratic wins in every measured regime). ABOVE it the r7
+        // N-based rule assumed open-vocabulary text, where df-ordered
+        // prefixes are rare tokens and the index prunes — but the r10
+        // density diagnostic (ScalingSlopes d4stats) measured a
+        // DENSE-vocabulary corpus (~37^3 trigram space, every prefix
+        // token common) whose candidate stage approached the in-block
+        // cross product TIMES the shared-prefix width (>230 GB of
+        // pre-distinct shuffle at 150k docs, run aborted) while the
+        // quadratic scan finished in 163.7 s with zero spill. Corpus
+        // SIZE cannot see that regime, so above maxExactRows the
+        // dispatch is VOCABULARY-AWARE (r11): PrefixJoin.jaccardPairsAuto
+        // measures the actual prefix-candidate volume from the df table
+        // (two linear scouting aggregates) before committing to a join —
+        // dense corpora stream the quadratic automatically, absurdly
+        // large dense corpora fail fast naming d2_minhash_lsh, and no
+        // human has to read SCALING.md first. Both branches are lossless
+        // and bit-identical (PrefixJoinSpec); the dispatch never changes
+        // the answer, only the plan.
         val maxExact = s.conf.getOption("graft.d4.maxExactRows")
           .map(raw => raw.trim.toLongOption.filter(_ > 0).getOrElse(
             throw new IllegalArgumentException(
               s"graft.d4.maxExactRows must be a positive integer, got '$raw'")))
           .getOrElse(100000L)
+        def posConf(key: String, default: Double): Double =
+          s.conf.getOption(key)
+            .map(raw => raw.trim.toDoubleOption.filter(_ > 0).getOrElse(
+              throw new IllegalArgumentException(
+                s"$key must be a positive number, got '$raw'")))
+            .getOrElse(default)
         val pairs =
-          if (T.footerRowCount(s, d, "documents") <= maxExact) {
-            val a = docs.select(col("lang"), col("lb"), col("doc_id").as("id1"), col("g").as("g1"))
-            val b = docs.select(col("lang").as("l2"), col("lb").as("lb2"),
-              col("doc_id").as("id2"), col("g").as("g2"))
-            a.join(b, col("lang") === col("l2") && col("lb") === col("lb2") &&
-                col("id1") < col("id2"))
-              .withColumn("inter", expr("sorted_intersect_size(g1, g2)"))
-              .withColumn("jaccard",
-                col("inter").cast("double") / (size(col("g1")) + size(col("g2")) - col("inter")))
-              .filter(col("jaccard") >= 0.35)
-          } else PrefixJoin.jaccardPairs(docs, "doc_id", "g", Seq("lang", "lb"), 0.35)
+          if (T.footerRowCount(s, d, "documents") <= maxExact)
+            PrefixJoin.quadraticPairs(docs, "doc_id", "g", Seq("lang", "lb"), 0.35)
+          else PrefixJoin.jaccardPairsAuto(docs, "doc_id", "g",
+            Seq("lang", "lb"), 0.35,
+            denseRatio = posConf("graft.d4.densePrefixRatio", 0.5),
+            maxQuadraticPairs =
+              posConf("graft.d4.maxQuadraticPairs", 2e10).toLong).pairs
         pairs
           .select(col("lang"), col("id1"), col("id2"), col("jaccard"))
           // land the (small) pair output on a shuffle boundary before the

@@ -36,6 +36,174 @@ object PrefixJoin {
     jaccardPairs(docs0, idCol, tokCol, blockCols, threshold,
       positionalFilter = true)
 
+  /** The df-ordered prefix frame both the candidate stage and the
+    * density probe read: per doc, the first |s| - ceil(t*|s|) + 1 tokens
+    * of the (df, tok)-sorted set, with each prefix token's 1-based
+    * position (for the PPJoin positional filter). Ascending df puts the
+    * rarest tokens first in every prefix. Input must carry
+    * blockCols ++ (pj_id, pj_g); output: blockCols ++ (pj_id, sz, ptok, ppos).
+    */
+  private def orderedPrefixes(docs: DataFrame, bcols: Seq[org.apache.spark.sql.Column],
+      threshold: Double): DataFrame = {
+    // global document frequency per token — ascending df puts the rarest
+    // tokens first in every prefix
+    val toks = docs.select(
+      (bcols :+ col("pj_id") :+ explode(col("pj_g")).as("tok")): _*)
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // per-doc tokens re-sorted by (df, tok) — a deterministic total order —
+    // then cut to the Jaccard prefix |s| - ceil(t*|s|) + 1; posexplode
+    // keeps each prefix token's 1-based POSITION in the df-ordered set
+    toks.join(freq, "tok")
+      .groupBy((bcols :+ col("pj_id")): _*)
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ts"))
+      .withColumn("sz", size(col("ts")))
+      .withColumn("plen",
+        (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))
+      .select((bcols :+ col("pj_id") :+ col("sz") :+
+        posexplode(expr("transform(slice(ts, 1, plen), x -> x.tok)"))
+          .as(Seq("ppos0", "ptok"))): _*)
+      .withColumn("ppos", col("ppos0") + 1)
+      .drop("ppos0")
+  }
+
+  /** The exhaustive in-block pair scan — the other d4 regime: every
+    * (id1 < id2) pair in a block streams through the codegen two-pointer
+    * merge with NO candidate materialization, so there is nothing to
+    * spill no matter how degenerate the vocabulary. The lossless
+    * size-ratio filter (t·|x| ≤ |y| ≤ |x|/t, a necessary condition for
+    * Jaccard ≥ t) prunes pairs before the merge. Output contract is
+    * IDENTICAL to [[jaccardPairs]]: blockCols ++ (id1, id2, jaccard).
+    */
+  def quadraticPairs(
+      docs0: DataFrame, idCol: String, tokCol: String,
+      blockCols: Seq[String], threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    graft.functions.GraftExtensions.registerInto(docs0.sparkSession)
+    val bcols = blockCols.map(col)
+    val a = docs0.select(
+      (bcols :+ col(idCol).as("id1") :+ col(tokCol).as("g1")): _*)
+    val b = docs0.select(
+      (blockCols.map(c => col(c).as(s"${c}_r")) :+ col(idCol).as("id2")
+        :+ col(tokCol).as("g2")): _*)
+    val blockEq = blockCols.map(c => col(c) === col(s"${c}_r"))
+      .reduce(_ && _)
+    a.join(b, blockEq && col("id1") < col("id2") &&
+        size(col("g2")) >= ceil(size(col("g1")) * lit(threshold)) &&
+        size(col("g1")) >= ceil(size(col("g2")) * lit(threshold)))
+      .withColumn("inter", expr("sorted_intersect_size(g1, g2)"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("g1")) + size(col("g2")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select((bcols :+ col("id1") :+ col("id2") :+ col("jaccard")): _*)
+  }
+
+  /** Evidence behind an automatic prefix-vs-quadratic routing decision.
+    * `prefixCandidates` is the EXACT pre-distinct candidate-join row
+    * volume the prefix branch would shuffle (Σ over (block, prefix
+    * token) of c·(c−1)/2 — pairs sharing several prefix tokens count
+    * once per shared token, exactly as the join emits them);
+    * `blockPairs` is the exhaustive in-block comparison count
+    * (Σ over blocks of n·(n−1)/2) the quadratic branch would stream.
+    */
+  final case class DensityProbe(nDocs: Long, blockPairs: Long,
+      prefixCandidates: Long) {
+    /** Dense-vocabulary regime: the prefix "filter" would shuffle at
+      * least `denseRatio` × the exhaustive comparison count — it is not
+      * filtering, it is materializing (and spilling) the cross product.
+      */
+    def dense(denseRatio: Double): Boolean =
+      prefixCandidates >= (denseRatio * blockPairs).toLong
+  }
+
+  /** Measure both regimes' costs with two SMALL aggregation jobs (token
+    * volume each — linear, nothing pair-shaped) so the router commits to
+    * a join only after seeing the evidence. The prefix branch later
+    * re-derives the prefix frame (~one extra linear token pass): caching
+    * it across probe and join would pin O(corpus tokens) of
+    * executor memory for the query's lifetime — the wrong trade at
+    * 100 TB, where the probe exists to AVOID a 230 GB shuffle spill.
+    */
+  def densityProbe(
+      docs0: DataFrame, idCol: String, tokCol: String,
+      blockCols: Seq[String], threshold: Double): DensityProbe = {
+    val bcols = blockCols.map(col)
+    val docs = docs0.select(
+      (bcols :+ col(idCol).as("pj_id") :+ col(tokCol).as("pj_g")): _*)
+    // pair counts are c·(c−1)/2 summed over millions of groups — at
+    // 100 TB that overflows long mid-sum, so the sum runs in decimal(38)
+    // and saturates at Long.MaxValue on the way out (the router only
+    // compares magnitudes; saturation can never flip dense to sparse)
+    def sumPairs(counted: DataFrame): Long = {
+      val d = counted.agg(coalesce(
+        sum(col("c").cast("decimal(38,0)") * (col("c") - 1) / 2),
+        lit(java.math.BigDecimal.ZERO))).collect()(0).getDecimal(0)
+      d.toBigInteger.min(java.math.BigInteger.valueOf(Long.MaxValue)).longValue
+    }
+    val blockCounts = docs.groupBy(bcols: _*).agg(count(lit(1)).as("c"))
+    val nDocs = blockCounts.agg(coalesce(sum(col("c")), lit(0L)).cast("long"))
+      .collect()(0).getLong(0)
+    val blockPairs = sumPairs(blockCounts)
+    val prefixCandidates = sumPairs(
+      orderedPrefixes(docs, bcols, threshold)
+        .groupBy((bcols :+ col("ptok")): _*).agg(count(lit(1)).as("c")))
+    DensityProbe(nDocs, blockPairs, prefixCandidates)
+  }
+
+  /** The routing decision [[jaccardPairsAuto]] took, returned alongside
+    * the (lazy) pair frame so callers and specs can pin WHY a plan was
+    * chosen without re-deriving the probe.
+    */
+  final case class AutoPairs(pairs: DataFrame, probe: DensityProbe,
+      choseQuadratic: Boolean)
+
+  /** Vocabulary-aware automatic dispatch between the two lossless d4
+    * regimes. The r10 scaling study (SCALING.md) measured the failure
+    * this guards: on a dense-vocabulary corpus (~37³ trigrams, every
+    * prefix token common) the prefix candidate stage approached the
+    * in-block cross product × shared-prefix width and spilled > 230 GB
+    * at 150k docs — twice — while the quadratic scan finished the same
+    * corpus in 163.7 s with zero spill. Routing on corpus SIZE cannot
+    * see this; only the df table can, and the probe reads it before any
+    * join is committed. Both branches produce identical verified rows
+    * (PrefixJoinSpec pins bit-identity), so the router never changes the
+    * answer — only the plan.
+    *
+    * `denseRatio`: prefix-candidate volume ≥ this fraction of the
+    * exhaustive comparison count ⇒ dense regime (default 0.5 — at that
+    * point the "filter" shuffles half the cross product AND still pays
+    * the distinct + verify joins, while the quadratic streams with zero
+    * materialization; set it absurdly high to force the prefix branch).
+    * `maxQuadraticPairs`: fail-fast ceiling on the dense regime's
+    * comparison count — beyond it NEITHER exact branch is sane and the
+    * error names the designed fallback (d2 MinHash-LSH banding, which
+    * never materializes pair candidates at all).
+    */
+  def jaccardPairsAuto(
+      docs0: DataFrame, idCol: String, tokCol: String,
+      blockCols: Seq[String], threshold: Double,
+      denseRatio: Double = 0.5,
+      maxQuadraticPairs: Long = 20000000000L): AutoPairs = {
+    require(denseRatio > 0.0, s"denseRatio must be positive: $denseRatio")
+    require(maxQuadraticPairs > 0, s"maxQuadraticPairs must be positive: $maxQuadraticPairs")
+    val probe = densityProbe(docs0, idCol, tokCol, blockCols, threshold)
+    if (probe.dense(denseRatio)) {
+      if (probe.blockPairs > maxQuadraticPairs)
+        throw new IllegalStateException(
+          s"dense-vocabulary corpus: the prefix index would shuffle " +
+            s"${probe.prefixCandidates} candidate rows against " +
+            s"${probe.blockPairs} exhaustive in-block pairs (ratio ≥ " +
+            s"$denseRatio), and the exhaustive scan itself exceeds the " +
+            s"$maxQuadraticPairs-pair ceiling — neither exact branch is " +
+            "viable at this scale; use d2_minhash_lsh (MinHash-LSH " +
+            "banding) for near-dup detection on this corpus, or raise " +
+            "graft.d4.maxQuadraticPairs if the cluster can absorb the scan")
+      AutoPairs(quadraticPairs(docs0, idCol, tokCol, blockCols, threshold),
+        probe, choseQuadratic = true)
+    } else
+      AutoPairs(jaccardPairs(docs0, idCol, tokCol, blockCols, threshold),
+        probe, choseQuadratic = false)
+  }
+
   /** `positionalFilter = false` exists ONLY for measurement (the
     * ScalingSlopes d4stats candidate-volume probe): both settings are
     * lossless and produce identical verified output; the flag controls
@@ -51,28 +219,7 @@ object PrefixJoin {
     val bcols = blockCols.map(col)
     val docs = docs0.select(
       (bcols :+ col(idCol).as("pj_id") :+ col(tokCol).as("pj_g")): _*)
-
-    // global document frequency per token — ascending df puts the rarest
-    // tokens first in every prefix
-    val toks = docs.select(
-      (bcols :+ col("pj_id") :+ explode(col("pj_g")).as("tok")): _*)
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-
-    // per-doc tokens re-sorted by (df, tok) — a deterministic total order —
-    // then cut to the Jaccard prefix |s| - ceil(t*|s|) + 1; posexplode
-    // keeps each prefix token's 1-based POSITION in the df-ordered set
-    // for the positional filter below
-    val ordered = toks.join(freq, "tok")
-      .groupBy((bcols :+ col("pj_id")): _*)
-      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ts"))
-      .withColumn("sz", size(col("ts")))
-      .withColumn("plen",
-        (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))
-      .select((bcols :+ col("pj_id") :+ col("sz") :+
-        posexplode(expr("transform(slice(ts, 1, plen), x -> x.tok)"))
-          .as(Seq("ppos0", "ptok"))): _*)
-      .withColumn("ppos", col("ppos0") + 1)
-      .drop("ppos0")
+    val ordered = orderedPrefixes(docs, bcols, threshold)
 
     // candidate generation: same block, shared prefix token, the
     // (lossless) size-ratio filter t*|x| <= |y| <= |x|/t, AND PPJoin's

@@ -109,6 +109,80 @@ class PrefixJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(PrefixJoin.jaccardPairs(df, "doc_id", "g", Seq("blk"), 0.35).count() == 0)
   }
 
+  test("auto-dispatch routes a dense-vocab corpus to the quadratic, NO conf set") {
+    // the r10 scale hazard: a small token pool makes every df-ordered
+    // prefix token common, so the prefix candidate stage approaches the
+    // in-block cross product (230 GB spill at 150k docs, measured twice).
+    // The router must see that from the probe alone — no
+    // graft.d4.maxExactRows, no human reading SCALING.md — and still
+    // return the exact pair set.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pool = (1L to 12L).map(_ * 104729L) // 12 tokens: every prefix token common
+    val rows = (0 until 240).map { i =>
+      val k = 6 + rnd.nextInt(4)
+      (i.toLong, s"b${i % 2}", rnd.shuffle(pool).take(k).distinct.sorted)
+    }
+    val df = rows.toDF("doc_id", "blk", "g")
+    val auto = PrefixJoin.jaccardPairsAuto(df, "doc_id", "g", Seq("blk"), 0.35)
+    assert(auto.choseQuadratic,
+      s"dense corpus must route quadratic: ${auto.probe}")
+    assert(auto.probe.prefixCandidates >= auto.probe.blockPairs / 2,
+      s"fixture must actually be dense: ${auto.probe}")
+    // exact output regardless of route
+    val want = (for {
+      a <- rows; b <- rows if a._2 == b._2 && a._1 < b._1
+      s1 = a._3.toSet; s2 = b._3.toSet
+      inter = (s1 & s2).size
+      j = inter.toDouble / (s1.size + s2.size - inter) if j >= 0.35
+    } yield (a._2, a._1, b._1, j)).toSet
+    val got = auto.pairs.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "dense fixture must produce qualifying pairs")
+  }
+
+  test("auto-dispatch keeps an open-vocab corpus on the prefix index") {
+    // rare tokens (pool >> corpus token volume) are the regime the
+    // prefix filter was designed for: candidate volume collapses and the
+    // router must keep the near-linear branch
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 240).map { i =>
+      val toks = Seq.fill(10)(1L + rnd.nextInt(1000000).toLong)
+        .map(_ * 7919L).distinct.sorted
+      (i.toLong, s"b${i % 2}", toks)
+    }
+    val df = rows.toDF("doc_id", "blk", "g")
+    val auto = PrefixJoin.jaccardPairsAuto(df, "doc_id", "g", Seq("blk"), 0.35)
+    assert(!auto.choseQuadratic,
+      s"open-vocab corpus must keep the prefix index: ${auto.probe}")
+    assert(auto.probe.prefixCandidates < auto.probe.blockPairs / 2)
+    // and the two routes agree on the output (here: near-certainly empty
+    // overlap — assert equality rather than emptiness to stay honest)
+    val viaQuad = PrefixJoin.quadraticPairs(df, "doc_id", "g", Seq("blk"), 0.35)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val got = auto.pairs.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == viaQuad)
+  }
+
+  test("auto-dispatch fails fast past the quadratic ceiling, naming d2") {
+    import spark.implicits._
+    val pool = (1L to 8L).map(_ * 104729L)
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 120).map { i =>
+      (i.toLong, "b0", rnd.shuffle(pool).take(5).distinct.sorted)
+    }
+    val df = rows.toDF("doc_id", "blk", "g")
+    val e = intercept[IllegalStateException] {
+      PrefixJoin.jaccardPairsAuto(df, "doc_id", "g", Seq("blk"), 0.35,
+        maxQuadraticPairs = 100L)
+    }
+    assert(e.getMessage.contains("d2_minhash_lsh"), e.getMessage)
+    assert(e.getMessage.contains("dense"), e.getMessage)
+  }
+
   test("d4 dispatch reads parquet footers: zero Spark jobs at plan build") {
     // the size dispatch must come from footer metadata, not a count() —
     // the same de-eager contract rgpMine is pinned to in PangenomeSpec
