@@ -359,23 +359,41 @@ object CorpusRehearsal {
         .select(col("doc_id"), explode(toks).as("tok"))
       val vocab = ctoks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       val vtot = vocab.agg(sum(col("cnt")).as("t_total"))
-      val r = ctoks.join(vocab, Seq("tok"))
+      val mb = ctoks.join(vocab, Seq("tok"))
         .crossJoin(broadcast(vtot))
         .withColumn("b", length(conv(expr("t_total div cnt"), 10, 2)).cast("long"))
         .groupBy(col("doc_id"))
         .agg((sum(col("b")).cast("double") / count(lit(1))).as("mean_bits"))
-        .agg(count(lit(1)),
-          sum(when(col("mean_bits") < 8, 1L).otherwise(0L)),
-          sum(when(col("mean_bits") >= 8 && col("mean_bits") < 12, 1L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // r10 finding: FIXED cuts (< 8 / 8–12 / ≥ 12 bits) banded NOTHING
+      // on this corpus — the near-uniform synthetic vocabulary pushes
+      // every doc past 12 mean bits (0/0/487627 head/mid/tail at 500k),
+      // so the three-way split the mix stage rehearsed was a no-op.
+      // Thresholds now come from the corpus itself: the terciles of the
+      // surprisal column (approx_percentile — one extra pass over the
+      // persisted per-doc frame) split ANY corpus shape into materially
+      // non-empty bands, which is also what a production curriculum
+      // does — band by quantile, not absolute bits, because absolute
+      // cuts don't transfer across tokenizers or vocabulary shapes.
+      val q = mb.agg(
+        expr("approx_percentile(mean_bits, 0.3333333)"),
+        expr("approx_percentile(mean_bits, 0.6666667)")).collect()(0)
+      val (lo, hi) = (q.getDouble(0), q.getDouble(1))
+      val r = mb.agg(count(lit(1)),
+          sum(when(col("mean_bits") < lo, 1L).otherwise(0L)),
+          sum(when(col("mean_bits") >= lo && col("mean_bits") < hi, 1L)
             .otherwise(0L)),
-          sum(when(col("mean_bits") >= 12, 1L).otherwise(0L)),
+          sum(when(col("mean_bits") >= hi, 1L).otherwise(0L)),
           min(floor(col("mean_bits") * 1000).cast("long")),
           max(floor(col("mean_bits") * 1000).cast("long")))
         .collect()(0)
+      mb.unpersist(blocking = true): Unit
       put("n_banded_docs", r.getLong(0)); put("n_band_head", r.getLong(1))
       put("n_band_middle", r.getLong(2)); put("n_band_tail", r.getLong(3))
       put("min_mean_bits_milli", r.getLong(4))
       put("max_mean_bits_milli", r.getLong(5))
+      put("band_lo_milli", math.floor(lo * 1000).toLong)
+      put("band_hi_milli", math.floor(hi * 1000).toLong)
     }
 
     // T10: temperature dealing (q_l ∝ sqrt n_l) on the same clean
@@ -595,7 +613,11 @@ object CorpusRehearsal {
     // per-term posting length — the near-uniform synthetic vocabulary
     // makes every posting ~N/|V|, the WAND-free worst case, which is
     // exactly what the stage should time).
-    def bm25Retrieve(tag: String, maxDfPpm: Option[Long]): Unit = {
+    // shared lexical-postings builder for the BM25 AND hybrid stages —
+    // returns (qterms, post, dfr, tot); pruning drops the hottest (least
+    // discriminative, idf→1) posting lists BEFORE the candidate join
+    def lexPostings(maxDfPpm: Option[Long])
+        : (DataFrame, DataFrame, DataFrame, DataFrame) = {
       val train = docs
         .join(canonical.select(col("doc_id")), Seq("doc_id"), "left_semi")
         .filter(!isEval)
@@ -624,6 +646,10 @@ object CorpusRehearsal {
             "(20 * big_l * tf + 6 * big_l + 18 * dl * nd)") *
             lit(1000000) + lit(0.5)).cast("long"))
         .select(col("term"), col("doc_id"), col("contrib"))
+      (qterms, post, dfr, tot)
+    }
+    def bm25Retrieve(tag: String, maxDfPpm: Option[Long]): Unit = {
+      val (qterms, post, dfr, tot) = lexPostings(maxDfPpm)
       // ONLY the retrieval itself is timed — the diagnostic metric jobs
       // below run outside the stage block, so this stage's wall-clock
       // stays comparable with every pre-r9 rehearsal artifact
@@ -671,6 +697,61 @@ object CorpusRehearsal {
     // i.e. the hottest ~45% of postings volume, which is the stage's
     // whole candidate-generation cost for en queries
     bm25Retrieve("bm25_retrieve_pruned", Some(10000L))
+
+    // X12/X12b at corpus scale: RRF fusion (k = 60, integer-exact) of
+    // the BM25 top-5 and the dense-cosine top-5 over the STORED
+    // embeddings (bounded query side broadcast, d5's posture). The two
+    // variants share the dense leg and the query workload, so their
+    // wall-clock delta is exactly the lexical candidate fan-out the
+    // df-cap pruning removes — the fused-retrieval speedup x12b ships.
+    def hybridRetrieve(tag: String, maxDfPpm: Option[Long]): Unit = {
+      val (qterms, post, _, _) = lexPostings(maxDfPpm)
+      val sfx = if (maxDfPpm.isEmpty) "" else "_pruned"
+      stage(tag) {
+        val lex = qterms.join(post, Seq("term"))
+          .groupBy(col("qdoc"), col("doc_id"))
+          .agg(sum(col("contrib")).as("score"))
+          .withColumn("lex_rk", row_number().over(
+            Window.partitionBy(col("qdoc"))
+              .orderBy(col("score").desc, col("doc_id"))))
+          .filter(col("lex_rk") <= 5)
+          .select(col("qdoc"), col("doc_id"), col("lex_rk"))
+        val emb = spark.read.parquet(s"$dir/embeddings")
+        val evalVec = col("vec_id") % 200 === 7 && col("vec_id") >= hotCopies
+        val queries = emb
+          .filter(evalVec && col("vec_id") < lit(hotCopies + 20000L))
+          .select(col("vec_id").as("qdoc"), col("q").as("qq"), col("nn").as("qn"))
+        val dense = emb
+          .join(canonical.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+          .filter(!evalVec)
+          .join(broadcast(queries))
+          .withColumn("cos", expr(
+            "aggregate(zip_with(q, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+            .cast("double") /
+            sqrt(col("qn").cast("double") * col("nn").cast("double")))
+          .withColumn("dense_rk", row_number().over(
+            Window.partitionBy(col("qdoc")).orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("dense_rk") <= 5)
+          .select(col("qdoc"), col("vec_id").as("doc_id"), col("dense_rk"))
+        val fused = lex.join(dense, Seq("qdoc", "doc_id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(expr("1000000 div (60 + lex_rk)"), lit(0L)) +
+              coalesce(expr("1000000 div (60 + dense_rk)"), lit(0L)))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("qdoc")).orderBy(col("rrf").desc, col("doc_id"))))
+          .filter(col("rk") <= 5)
+        val r = fused.agg(count(lit(1)), countDistinct(col("qdoc")),
+          coalesce(sum(when(col("rk") === 1, col("rrf"))), lit(0L)),
+          coalesce(sum(when(col("lex_rk").isNotNull && col("dense_rk").isNotNull,
+            1L)), lit(0L))).collect()(0)
+        put(s"n_hybrid_hits$sfx", r.getLong(0))
+        put(s"n_hybrid_queries$sfx", r.getLong(1))
+        put(s"sum_hybrid_top1_rrf$sfx", r.getLong(2))
+        put(s"n_hybrid_both_legs$sfx", r.getLong(3))
+      }
+    }
+    hybridRetrieve("hybrid_retrieve", None)
+    hybridRetrieve("hybrid_retrieve_pruned", Some(10000L))
 
     // X15 at corpus scale — the IVF-PQ composition the query surface
     // oracles at sf0.1 (x15_ivf_pq), run as production evidence over the

@@ -259,6 +259,155 @@ object PipelineOps {
         .select(col("doc_id"), col("q"), col("nn")),
       "x12_docemb", d)
 
+  /** x12/x12b's shared body: RRF fusion of the BM25 lexical leg (d15's
+    * postings scores, optionally df-cap pruned — d15b's production
+    * stop-word posture) and the dense-cosine leg. Factored so the pruned
+    * composite is the SAME code modulo the one pruning parameter — the
+    * d15/d15b precedent applied to the fusion composite.
+    */
+  private def hybridRetrieval(s: org.apache.spark.sql.SparkSession, d: String,
+      maxDfPpm: Option[Long]): DataFrame = {
+    graft.functions.GraftExtensions.registerInto(s)
+    val W = org.apache.spark.sql.expressions.Window
+    // both legs' top-5 run through the bounded-heap TopK Aggregator
+    // (d5b/d7's shape): at most 5 rows per (query, input partition)
+    // cross the shuffle instead of sorting the full candidate set
+    // per query. Tie-break (score DESC, id ASC) is TopK's contract,
+    // identical to the window formulation; score_q < 2^53 so the
+    // double cast is exact.
+    val lex = maxDfPpm.fold(bm25Scores(s, d))(ppm => bm25Scores(s, d, Some(ppm)))
+      .groupBy(col("qdoc"))
+      .agg(graft.functions.TopK.udaf(5)(
+        col("score_q").cast("double"), col("doc_id")).as("top"))
+      .select(col("qdoc"), posexplode(col("top")).as(Seq("rk0", "sc")))
+      .select(col("qdoc"), col("sc._2").as("doc_id"),
+        (col("rk0") + 1).cast("int").as("lex_rk"))
+    val emb = docEmbed(s, d)
+    val queries = emb.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id").as("qdoc"), col("q").as("qq"), col("nn").as("qn"))
+    // corpus x queries is the dense leg's hot loop: the codegen
+    // long_dot kernel (identical BIGINT arithmetic, d13's proof)
+    val dense = emb.filter(col("doc_id") % 10 =!= 7)
+      .join(broadcast(queries))
+      .withColumn("dot", expr("long_dot(q, qq)"))
+      .withColumn("cos",
+        col("dot").cast("double") /
+          sqrt(col("qn").cast("double") * col("nn").cast("double")))
+      .groupBy(col("qdoc"))
+      .agg(graft.functions.TopK.udaf(5)(col("cos"), col("doc_id")).as("top"))
+      .select(col("qdoc"), posexplode(col("top")).as(Seq("rk0", "sc")))
+      .select(col("qdoc"), col("sc._2").as("doc_id"),
+        (col("rk0") + 1).cast("int").as("dense_rk"))
+    lex.join(dense, Seq("qdoc", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr("1000000 div (60 + lex_rk)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + dense_rk)"), lit(0L)))
+      .withColumn("rk", row_number().over(W.partitionBy(col("qdoc"))
+        .orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rk") <= 5)
+      .select(col("qdoc"), col("rk").cast("int").as("rk"),
+        col("doc_id").as("r_doc"), col("rrf"),
+        coalesce(col("lex_rk"), lit(0)).cast("int").as("lex_rk"),
+        coalesce(col("dense_rk"), lit(0)).cast("int").as("dense_rk"))
+      .orderBy(col("qdoc"), col("rk"))
+  }
+
+  /** x12/x12b's oracle SQL — identical text modulo the d15b pruning
+    * predicate in the postings CTE, so a boundary-term off-by-one in
+    * either engine still mismatches the hash.
+    */
+  private def hybridOracleSql(maxDfPpm: Option[Long]): String = {
+    val prune = maxDfPpm.fold("")(ppm =>
+      s"\n  WHERE df * 1000000 <= $ppm * nd")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(str_split(lower(text), ' '), x -> x <> ''))
+       |      AS term
+       |  FROM documents),
+       |train AS (SELECT * FROM toks WHERE doc_id % 10 != 7),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM train GROUP BY doc_id, term),
+       |dl AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       |  FROM train GROUP BY doc_id),
+       |df AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |tot AS (
+       |  SELECT CAST(sum(dl) AS BIGINT) AS big_l,
+       |         CAST(count(*) AS BIGINT) AS nd
+       |  FROM dl),
+       |qterms AS (
+       |  SELECT DISTINCT doc_id AS qdoc, term FROM toks WHERE doc_id % 10 = 7),
+       |post AS (
+       |  SELECT tf.term, tf.doc_id,
+       |    CAST(floor(
+       |      CAST(CAST(length(bin(nd // df)) AS BIGINT)
+       |             * tf * 44 * big_l AS DOUBLE)
+       |        / (20 * big_l * tf + 6 * big_l + 18 * dl * nd)
+       |      * 1000000 + 0.5) AS BIGINT) AS contrib
+       |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term)
+       |  CROSS JOIN tot$prune),
+       |sc AS (
+       |  SELECT q.qdoc, p.doc_id, CAST(sum(p.contrib) AS BIGINT) AS score_q
+       |  FROM qterms q JOIN post p USING (term)
+       |  GROUP BY q.qdoc, p.doc_id),
+       |lex AS (
+       |  SELECT qdoc, doc_id, rk AS lex_rk FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qdoc
+       |      ORDER BY score_q DESC, doc_id ASC) AS rk
+       |    FROM sc) WHERE rk <= 5),
+       |dts AS (
+       |  SELECT doc_id,
+       |         list_filter(str_split(lower(text), ' '), x -> x <> '') AS ts
+       |  FROM documents),
+       |emb AS (
+       |  SELECT doc_id,
+       |    [list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |       list_transform(ts, tk ->
+       |         ((CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) % 1000003)
+       |            * 2654435761 + j * 97003999) % 2003 - 1001)),
+       |       (a, b) -> a + b)
+       |     FOR j IN range(0, 16)] AS q
+       |  FROM dts WHERE len(ts) > 0),
+       |base AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, q,
+       |      list_reduce([q[i] * q[i] FOR i IN range(1, len(q) + 1)],
+       |                  (a, b) -> a + b) AS nn
+       |    FROM emb) WHERE nn > 0),
+       |queries AS (
+       |  SELECT doc_id AS qdoc, q AS qq, nn AS qn
+       |  FROM base WHERE doc_id % 10 = 7),
+       |dense AS (
+       |  SELECT qdoc, doc_id, rk AS dense_rk FROM (
+       |    SELECT p.qdoc, v.doc_id,
+       |      row_number() OVER (PARTITION BY p.qdoc ORDER BY
+       |        (list_reduce([v.q[i] * p.qq[i] FOR i IN range(1, len(v.q) + 1)],
+       |                     (a, b) -> a + b)::DOUBLE
+       |           / sqrt(p.qn::DOUBLE * v.nn::DOUBLE)) DESC,
+       |        v.doc_id ASC) AS rk
+       |    FROM base v CROSS JOIN queries p
+       |    WHERE v.doc_id % 10 != 7) WHERE rk <= 5),
+       |fused AS (
+       |  SELECT coalesce(l.qdoc, de.qdoc) AS qdoc,
+       |         coalesce(l.doc_id, de.doc_id) AS doc_id,
+       |    CAST(coalesce(1000000 // (60 + l.lex_rk), 0)
+       |           + coalesce(1000000 // (60 + de.dense_rk), 0) AS BIGINT)
+       |      AS rrf,
+       |    coalesce(l.lex_rk, 0) AS lex_rk,
+       |    coalesce(de.dense_rk, 0) AS dense_rk
+       |  FROM lex l FULL OUTER JOIN dense de
+       |    ON l.qdoc = de.qdoc AND l.doc_id = de.doc_id)
+       |SELECT qdoc, rk::INT AS rk, doc_id AS r_doc, rrf,
+       |       lex_rk::INT AS lex_rk, dense_rk::INT AS dense_rk
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qdoc
+       |    ORDER BY rrf DESC, doc_id ASC) AS rk
+       |  FROM fused) WHERE rk <= 5
+       |ORDER BY qdoc, rk""".stripMargin
+  }
+
   /** The x6/x6b shared quality + language gate — t2's exact quality
     * arithmetic and t1's language argmax, verbatim (the oracles mirror
     * those queries' SQL). SharedFrame'd: within each composite it feeds
@@ -4095,139 +4244,28 @@ object PipelineOps {
     // (qdoc, doc) — both sides are top-5-bounded, ≤ 10 rows per query.
     QueryDef(
       "x12_hybrid_retrieval",
-      (s, d) => {
-        graft.functions.GraftExtensions.registerInto(s)
-        val W = org.apache.spark.sql.expressions.Window
-        // both legs' top-5 run through the bounded-heap TopK Aggregator
-        // (d5b/d7's shape): at most 5 rows per (query, input partition)
-        // cross the shuffle instead of sorting the full candidate set
-        // per query. Tie-break (score DESC, id ASC) is TopK's contract,
-        // identical to the window formulation; score_q < 2^53 so the
-        // double cast is exact.
-        val lex = bm25Scores(s, d)
-          .groupBy(col("qdoc"))
-          .agg(graft.functions.TopK.udaf(5)(
-            col("score_q").cast("double"), col("doc_id")).as("top"))
-          .select(col("qdoc"), posexplode(col("top")).as(Seq("rk0", "sc")))
-          .select(col("qdoc"), col("sc._2").as("doc_id"),
-            (col("rk0") + 1).cast("int").as("lex_rk"))
-        val emb = docEmbed(s, d)
-        val queries = emb.filter(col("doc_id") % 10 === 7)
-          .select(col("doc_id").as("qdoc"), col("q").as("qq"), col("nn").as("qn"))
-        // corpus x queries is the dense leg's hot loop: the codegen
-        // long_dot kernel (identical BIGINT arithmetic, d13's proof)
-        val dense = emb.filter(col("doc_id") % 10 =!= 7)
-          .join(broadcast(queries))
-          .withColumn("dot", expr("long_dot(q, qq)"))
-          .withColumn("cos",
-            col("dot").cast("double") /
-              sqrt(col("qn").cast("double") * col("nn").cast("double")))
-          .groupBy(col("qdoc"))
-          .agg(graft.functions.TopK.udaf(5)(col("cos"), col("doc_id")).as("top"))
-          .select(col("qdoc"), posexplode(col("top")).as(Seq("rk0", "sc")))
-          .select(col("qdoc"), col("sc._2").as("doc_id"),
-            (col("rk0") + 1).cast("int").as("dense_rk"))
-        lex.join(dense, Seq("qdoc", "doc_id"), "full_outer")
-          .withColumn("rrf",
-            coalesce(expr("1000000 div (60 + lex_rk)"), lit(0L)) +
-              coalesce(expr("1000000 div (60 + dense_rk)"), lit(0L)))
-          .withColumn("rk", row_number().over(W.partitionBy(col("qdoc"))
-            .orderBy(col("rrf").desc, col("doc_id"))))
-          .filter(col("rk") <= 5)
-          .select(col("qdoc"), col("rk").cast("int").as("rk"),
-            col("doc_id").as("r_doc"), col("rrf"),
-            coalesce(col("lex_rk"), lit(0)).cast("int").as("lex_rk"),
-            coalesce(col("dense_rk"), lit(0)).cast("int").as("dense_rk"))
-          .orderBy(col("qdoc"), col("rk"))
-      },
-      Some("""WITH toks AS (
-             |  SELECT doc_id,
-             |    unnest(list_filter(str_split(lower(text), ' '), x -> x <> ''))
-             |      AS term
-             |  FROM documents),
-             |train AS (SELECT * FROM toks WHERE doc_id % 10 != 7),
-             |tf AS (
-             |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-             |  FROM train GROUP BY doc_id, term),
-             |dl AS (
-             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-             |  FROM train GROUP BY doc_id),
-             |df AS (
-             |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-             |tot AS (
-             |  SELECT CAST(sum(dl) AS BIGINT) AS big_l,
-             |         CAST(count(*) AS BIGINT) AS nd
-             |  FROM dl),
-             |qterms AS (
-             |  SELECT DISTINCT doc_id AS qdoc, term FROM toks WHERE doc_id % 10 = 7),
-             |post AS (
-             |  SELECT tf.term, tf.doc_id,
-             |    CAST(floor(
-             |      CAST(CAST(length(bin(nd // df)) AS BIGINT)
-             |             * tf * 44 * big_l AS DOUBLE)
-             |        / (20 * big_l * tf + 6 * big_l + 18 * dl * nd)
-             |      * 1000000 + 0.5) AS BIGINT) AS contrib
-             |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term)
-             |  CROSS JOIN tot),
-             |sc AS (
-             |  SELECT q.qdoc, p.doc_id, CAST(sum(p.contrib) AS BIGINT) AS score_q
-             |  FROM qterms q JOIN post p USING (term)
-             |  GROUP BY q.qdoc, p.doc_id),
-             |lex AS (
-             |  SELECT qdoc, doc_id, rk AS lex_rk FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY qdoc
-             |      ORDER BY score_q DESC, doc_id ASC) AS rk
-             |    FROM sc) WHERE rk <= 5),
-             |dts AS (
-             |  SELECT doc_id,
-             |         list_filter(str_split(lower(text), ' '), x -> x <> '') AS ts
-             |  FROM documents),
-             |emb AS (
-             |  SELECT doc_id,
-             |    [list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |       list_transform(ts, tk ->
-             |         ((CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) % 1000003)
-             |            * 2654435761 + j * 97003999) % 2003 - 1001)),
-             |       (a, b) -> a + b)
-             |     FOR j IN range(0, 16)] AS q
-             |  FROM dts WHERE len(ts) > 0),
-             |base AS (
-             |  SELECT * FROM (
-             |    SELECT doc_id, q,
-             |      list_reduce([q[i] * q[i] FOR i IN range(1, len(q) + 1)],
-             |                  (a, b) -> a + b) AS nn
-             |    FROM emb) WHERE nn > 0),
-             |queries AS (
-             |  SELECT doc_id AS qdoc, q AS qq, nn AS qn
-             |  FROM base WHERE doc_id % 10 = 7),
-             |dense AS (
-             |  SELECT qdoc, doc_id, rk AS dense_rk FROM (
-             |    SELECT p.qdoc, v.doc_id,
-             |      row_number() OVER (PARTITION BY p.qdoc ORDER BY
-             |        (list_reduce([v.q[i] * p.qq[i] FOR i IN range(1, len(v.q) + 1)],
-             |                     (a, b) -> a + b)::DOUBLE
-             |           / sqrt(p.qn::DOUBLE * v.nn::DOUBLE)) DESC,
-             |        v.doc_id ASC) AS rk
-             |    FROM base v CROSS JOIN queries p
-             |    WHERE v.doc_id % 10 != 7) WHERE rk <= 5),
-             |fused AS (
-             |  SELECT coalesce(l.qdoc, de.qdoc) AS qdoc,
-             |         coalesce(l.doc_id, de.doc_id) AS doc_id,
-             |    CAST(coalesce(1000000 // (60 + l.lex_rk), 0)
-             |           + coalesce(1000000 // (60 + de.dense_rk), 0) AS BIGINT)
-             |      AS rrf,
-             |    coalesce(l.lex_rk, 0) AS lex_rk,
-             |    coalesce(de.dense_rk, 0) AS dense_rk
-             |  FROM lex l FULL OUTER JOIN dense de
-             |    ON l.qdoc = de.qdoc AND l.doc_id = de.doc_id)
-             |SELECT qdoc, rk::INT AS rk, doc_id AS r_doc, rrf,
-             |       lex_rk::INT AS lex_rk, dense_rk::INT AS dense_rk
-             |FROM (
-             |  SELECT *, row_number() OVER (PARTITION BY qdoc
-             |    ORDER BY rrf DESC, doc_id ASC) AS rk
-             |  FROM fused) WHERE rk <= 5
-             |ORDER BY qdoc, rk""".stripMargin),
+      (s, d) => hybridRetrieval(s, d, None),
+      Some(hybridOracleSql(None)),
       doc = "pipeline composite: hybrid retrieval — reciprocal-rank fusion (k=60, integer-exact) of BM25 top-5 (d15's shared postings scores) and dense-cosine top-5 (doc-level hashed embeddings, bounded broadcast query side)"),
+
+    // X12b: x12 with the lexical leg on d15b's PRUNED postings — the
+    // production shape of hybrid retrieval at 100 TB. x12's BM25 leg is
+    // the suite's steepest honest scaling line (slope 7.3 at 10x: the
+    // candidate fan-out is sum of qf*df, and the hottest terms carry
+    // most of it while discriminating least); the 500k-doc rehearsal
+    // measured the pruned postings leg at 15.8 s vs 50.2 s unpruned
+    // (-77% candidates). The df > Nd/2 cutoff is the same integer-exact
+    // inequality d15b pins (df*1e6 <= 500000*nd on BOTH engines), so the
+    // fused ranking is hash-checked end-to-end, including documents
+    // whose lexical evidence was stop-word-only (they keep their dense
+    // rank, lex_rk reads 0 - fusion semantics under pruning, now
+    // oracle-pinned). x12 keeps the unpruned semantics as the exactness
+    // anchor - the d15/d15b precedent applied to the composite.
+    QueryDef(
+      "x12b_hybrid_pruned",
+      (s, d) => hybridRetrieval(s, d, Some(500000L)),
+      Some(hybridOracleSql(Some(500000L))),
+      doc = "pipeline composite: hybrid retrieval on d15b's df-capped postings (df > Nd/2 pruned, integer-exact cutoff) - RRF fusion of pruned-BM25 top-5 and dense-cosine top-5; the production posture of x12"),
 
     // D16: product-quantization ANN with asymmetric-distance scoring
     // (Jégou et al. 2011, public literature) — the MEMORY side of the

@@ -45,7 +45,8 @@ class CorpusRehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
       "decontaminate", "decontaminate_bloom", "mix_shard",
       "surprisal_band", "temperature_mix", "classifier_gate",
       "dsir_select", "data_card", "kmv_overlap",
-      "bm25_retrieve", "bm25_retrieve_pruned", "ivfpq_retrieve"))
+      "bm25_retrieve", "bm25_retrieve_pruned",
+      "hybrid_retrieve", "hybrid_retrieve_pruned", "ivfpq_retrieve"))
     // pruning can only shrink the candidate-pair workload
     assert(m("n_bm25_cand_pairs_pruned") <= m("n_bm25_cand_pairs"))
     // the bloom gate NEVER misses an exactly-contaminated doc, and its
@@ -80,6 +81,24 @@ class CorpusRehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
       == m("n_banded_docs"))
     assert(m("min_mean_bits_milli") > 0 &&
       m("min_mean_bits_milli") <= m("max_mean_bits_milli"))
+    // r11: thresholds are corpus terciles, so ALL THREE bands must be
+    // materially populated — the r10 fixed cuts put 100% in the tail
+    // and rehearsed a no-op three-way split
+    assert(m("n_band_head") > 0 && m("n_band_middle") > 0 &&
+      m("n_band_tail") > 0,
+      s"degenerate banding: ${m("n_band_head")}/${m("n_band_middle")}/${m("n_band_tail")}")
+    assert(m("band_lo_milli") >= m("min_mean_bits_milli") &&
+      m("band_lo_milli") <= m("band_hi_milli") &&
+      m("band_hi_milli") <= m("max_mean_bits_milli"))
+    // hybrid fusion: both variants answer the same bounded query
+    // workload; fused top-5 exists for every query BM25 answered, and
+    // at least one fused hit carries BOTH legs (the planted eval-gram
+    // sharers guarantee lexical+dense agreement on this corpus)
+    assert(m("n_hybrid_queries") == m("n_bm25_queries"))
+    assert(m("n_hybrid_queries_pruned") == m("n_hybrid_queries"))
+    assert(m("n_hybrid_hits") > 0 && m("n_hybrid_hits_pruned") > 0)
+    assert(m("n_hybrid_both_legs") > 0,
+      s"fusion degenerate: no doc ranked by both legs")
     // temperature dealing: Σ copies ≈ n_clean by construction, so the
     // movement pins are per-doc — the en-heavy skew upsamples some
     // tail-lang doc to ≥ 2 copies AND zero-deals some en docs
