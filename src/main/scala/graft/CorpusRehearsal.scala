@@ -359,41 +359,48 @@ object CorpusRehearsal {
         .select(col("doc_id"), explode(toks).as("tok"))
       val vocab = ctoks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       val vtot = vocab.agg(sum(col("cnt")).as("t_total"))
-      val mb = ctoks.join(vocab, Seq("tok"))
-        .crossJoin(broadcast(vtot))
-        .withColumn("b", length(conv(expr("t_total div cnt"), 10, 2)).cast("long"))
-        .groupBy(col("doc_id"))
-        .agg((sum(col("b")).cast("double") / count(lit(1))).as("mean_bits"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // r10 finding: FIXED cuts (< 8 / 8–12 / ≥ 12 bits) banded NOTHING
       // on this corpus — the near-uniform synthetic vocabulary pushes
       // every doc past 12 mean bits (0/0/487627 head/mid/tail at 500k),
       // so the three-way split the mix stage rehearsed was a no-op.
-      // Thresholds now come from the corpus itself: the terciles of the
-      // surprisal column (approx_percentile — one extra pass over the
-      // persisted per-doc frame) split ANY corpus shape into materially
-      // non-empty bands, which is also what a production curriculum
-      // does — band by quantile, not absolute bits, because absolute
-      // cuts don't transfer across tokenizers or vocabulary shapes.
-      val q = mb.agg(
-        expr("approx_percentile(mean_bits, 0.3333333)"),
-        expr("approx_percentile(mean_bits, 0.6666667)")).collect()(0)
-      val (lo, hi) = (q.getDouble(0), q.getDouble(1))
-      val r = mb.agg(count(lit(1)),
-          sum(when(col("mean_bits") < lo, 1L).otherwise(0L)),
-          sum(when(col("mean_bits") >= lo && col("mean_bits") < hi, 1L)
-            .otherwise(0L)),
-          sum(when(col("mean_bits") >= hi, 1L).otherwise(0L)),
-          min(floor(col("mean_bits") * 1000).cast("long")),
-          max(floor(col("mean_bits") * 1000).cast("long")))
+      // This stage now rehearses t11b_quantile_bands' EXACT rule:
+      // integer milli-bit surprisal (mb = bits_sum·1000 div n_toks),
+      // tercile thresholds = smallest mb with 3·cum ≥ n (resp. ≥ 2n) on
+      // the mb-domain cumulative histogram, bands INCLUSIVE (mb ≤ lo is
+      // head). Inclusive matters on real distributions: this corpus
+      // carries a mass atom at exactly 13.000 bits == the minimum, so a
+      // strict `< lo` head reads 0 no matter where the quantile lands —
+      // the first calibrated cut (approx_percentile + exclusive bands)
+      // measured exactly that. Quantile thresholds + atom-inclusive
+      // banding split ANY corpus shape with head ≥ n/3 by construction.
+      val per = ctoks.join(vocab, Seq("tok"))
+        .crossJoin(broadcast(vtot))
+        .withColumn("b", length(conv(expr("t_total div cnt"), 10, 2)).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("b")).as("bits_sum"))
+        .withColumn("mb", expr("bits_sum * 1000 div n_toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hist = per.groupBy(col("mb")).agg(count(lit(1)).as("c"))
+      val thr = hist
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("mb"))))
+        .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
+        .agg(min(when(col("cum") * 3 >= col("n"), col("mb"))).as("lo"),
+          min(when(col("cum") * 3 >= col("n") * 2, col("mb"))).as("hi"))
         .collect()(0)
-      mb.unpersist(blocking = true): Unit
+      val (lo, hi) = (thr.getLong(0), thr.getLong(1))
+      val r = per.agg(count(lit(1)),
+          sum(when(col("mb") <= lo, 1L).otherwise(0L)),
+          sum(when(col("mb") > lo && col("mb") <= hi, 1L).otherwise(0L)),
+          sum(when(col("mb") > hi, 1L).otherwise(0L)),
+          min(col("mb")), max(col("mb")))
+        .collect()(0)
+      per.unpersist(blocking = true): Unit
       put("n_banded_docs", r.getLong(0)); put("n_band_head", r.getLong(1))
       put("n_band_middle", r.getLong(2)); put("n_band_tail", r.getLong(3))
       put("min_mean_bits_milli", r.getLong(4))
       put("max_mean_bits_milli", r.getLong(5))
-      put("band_lo_milli", math.floor(lo * 1000).toLong)
-      put("band_hi_milli", math.floor(hi * 1000).toLong)
+      put("band_lo_milli", lo)
+      put("band_hi_milli", hi)
     }
 
     // T10: temperature dealing (q_l ∝ sqrt n_l) on the same clean

@@ -82,7 +82,8 @@ object ScalingSlopes {
   val queriesUnderTest: Seq[String] = Seq(
     "d4_ngram_jaccard", "d20_count_min", "d23_kmv_source_overlap",
     "d25_exact_substring_dedup", "x6b_corpus_pipeline_full",
-    "x10_embedding_curation", "x12_hybrid_retrieval", "x15_ivf_pq")
+    "x10_embedding_curation", "x12_hybrid_retrieval",
+    "x12b_hybrid_pruned", "x15_ivf_pq")
 
   def materialize(spark: SparkSession, nDocs: Long, nVecs: Long,
       dir: String): Unit = {
@@ -121,12 +122,26 @@ object ScalingSlopes {
     * the crossover measurement is bounded by output size, not plan
     * choice.
     */
+  /** `runMain graft.ScalingSlopes x12crossover` — the same 30× anchor
+    * d4 got, for the steepest HONEST slope in the suite: x12's BM25 leg
+    * grows near-linearly in postings volume (slope 7.3 at 10×), so the
+    * 150k-doc/60k-vec point turns "near-linear, constants are one keyed
+    * shuffle" into a measured number — and running x12b beside it
+    * measures the df-cap pruning's fused-retrieval payoff at the same
+    * scale (the composite-level answer to d15b's 50.2 → 15.8 s
+    * postings-leg rehearsal result).
+    */
   def main(args: Array[String]): Unit = {
     val d4CrossoverMode = args.headOption.contains("d4crossover")
+    val x12CrossoverMode = args.headOption.contains("x12crossover")
     val d4StatsMode = args.headOption.contains("d4stats")
     if (d4StatsMode) { d4Stats(); return }
-    val scales = if (d4CrossoverMode) Seq(30L) else Seq(1L, 3L, 10L)
-    val queries = if (d4CrossoverMode) Seq("d4_ngram_jaccard") else queriesUnderTest
+    val crossover = d4CrossoverMode || x12CrossoverMode
+    val scales = if (crossover) Seq(30L) else Seq(1L, 3L, 10L)
+    val queries =
+      if (d4CrossoverMode) Seq("d4_ngram_jaccard")
+      else if (x12CrossoverMode) Seq("x12_hybrid_retrieval", "x12b_hybrid_pruned")
+      else queriesUnderTest
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt.max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -183,11 +198,13 @@ object ScalingSlopes {
         else s""","slope_10x_vs_1x":{${results.last._2.map { case (q, t) =>
           s""""$q":${f(t / base(q))}"""
         }.mkString(",")}}"""
-      val metric = if (d4CrossoverMode) "d4_crossover" else "scaling_slopes"
+      val metric = if (d4CrossoverMode) "d4_crossover"
+        else if (x12CrossoverMode) "x12_crossover" else "scaling_slopes"
       val line = s"""{"metric":"$metric","unit":"sec","reps":$reps,""" +
         s""""base_docs":5000,"base_vecs":2000,"scales":{$perScale}$slopes}"""
       Raw.stdout.println(line)
-      val outName = if (d4CrossoverMode) "scaling_d4_out.json" else "scaling_out.json"
+      val outName = if (d4CrossoverMode) "scaling_d4_out.json"
+        else if (x12CrossoverMode) "scaling_x12_out.json" else "scaling_out.json"
       java.nio.file.Files.write(java.nio.file.Paths.get(outName),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally {

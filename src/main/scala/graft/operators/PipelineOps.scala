@@ -3272,6 +3272,87 @@ object PipelineOps {
              |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       doc = "pipeline/text: unigram-LM surprisal quality scoring (CCNet-style head/middle/tail banding) via exact integer bit-length surprisal"),
 
+    // T11b: t11's banding with QUANTILE-calibrated thresholds — the
+    // production form of CCNet banding. The r10 500k rehearsal measured
+    // what fixed cuts do off their home corpus: 100% of documents landed
+    // in the tail band (absolute bit cuts don't transfer across
+    // tokenizers or vocabulary shapes), so the three-way split was a
+    // no-op. Real curricula band by corpus quantile; this row makes that
+    // rule an oracled operator. Exactness across the oracle boundary
+    // (approx_percentile's sketch could never hash-match): the per-doc
+    // surprisal quantizes to integer milli-bits mb = bits_sum·1000 div
+    // n_toks (pure int64 — the double mean never crosses the boundary),
+    // and the tercile thresholds are the smallest mb with 3·cum ≥ n
+    // (resp. ≥ 2n) on the cumulative histogram over the mb DOMAIN —
+    // a deterministic rule both engines compute identically. Scale
+    // shape: t11's token shuffles + ONE domain-bounded histogram
+    // (bit-lengths ≤ 64 ⇒ mb ≤ 64000 distinct values) whose cumulative
+    // window runs single-partition over that tiny frame (t13's
+    // bounded-domain precedent) and broadcasts back as a 1-row
+    // threshold scalar — no global sort of the doc grain anywhere.
+    // Ties sit entirely in whichever band their mb falls (band sizes
+    // are ~n/3, not exactly n/3 — the honest quantile semantics).
+    QueryDef(
+      "t11b_quantile_bands",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val toks = T.documents(s, d)
+          .select(col("doc_id"),
+            explode(filter(split(lower(col("text")), " "), x => x =!= ""))
+              .as("tok"))
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val tot = vocab.agg(sum(col("cnt")).as("t_total"))
+        val per = toks.join(vocab, Seq("tok"))
+          .crossJoin(broadcast(tot))
+          .withColumn("bits",
+            length(conv(expr("t_total div cnt"), 10, 2)).cast("long"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_toks"), sum(col("bits")).as("bits_sum"))
+          .withColumn("mb_milli", expr("bits_sum * 1000 div n_toks"))
+        val hist = per.groupBy(col("mb_milli")).agg(count(lit(1)).as("c"))
+        val thr = hist
+          .withColumn("cum", sum(col("c")).over(W.orderBy(col("mb_milli"))))
+          .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
+          .agg(
+            min(when(col("cum") * 3 >= col("n"), col("mb_milli"))).as("lo"),
+            min(when(col("cum") * 3 >= col("n") * 2, col("mb_milli"))).as("hi"))
+        per.crossJoin(broadcast(thr))
+          .withColumn("band",
+            when(col("mb_milli") <= col("lo"), "head")
+              .when(col("mb_milli") <= col("hi"), "middle")
+              .otherwise("tail"))
+          .select(col("doc_id"), col("n_toks"), col("bits_sum"),
+            col("mb_milli"), col("band"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(str_split(lower(text), ' '), x -> x <> '')) AS tok
+             |  FROM documents),
+             |v AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_total FROM v),
+             |per AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+             |    CAST(sum(length(bin(t_total // cnt))) AS BIGINT) AS bits_sum
+             |  FROM toks JOIN v USING (tok) CROSS JOIN tot
+             |  GROUP BY doc_id),
+             |pm AS (SELECT *, bits_sum * 1000 // n_toks AS mb_milli FROM per),
+             |hist AS (SELECT mb_milli, CAST(count(*) AS BIGINT) AS c
+             |         FROM pm GROUP BY mb_milli),
+             |cum AS (SELECT mb_milli,
+             |          CAST(sum(c) OVER (ORDER BY mb_milli) AS BIGINT) AS cum
+             |        FROM hist),
+             |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+             |thr AS (
+             |  SELECT min(CASE WHEN cum * 3 >= n THEN mb_milli END) AS lo,
+             |         min(CASE WHEN cum * 3 >= 2 * n THEN mb_milli END) AS hi
+             |  FROM cum CROSS JOIN nn)
+             |SELECT doc_id, n_toks, bits_sum, CAST(mb_milli AS BIGINT) AS mb_milli,
+             |  CASE WHEN mb_milli <= lo THEN 'head'
+             |       WHEN mb_milli <= hi THEN 'middle' ELSE 'tail' END AS band
+             |FROM pm CROSS JOIN thr ORDER BY doc_id""".stripMargin),
+      doc = "pipeline/data mixing: quantile-calibrated surprisal banding — tercile thresholds from a milli-bit domain histogram (deterministic integer rule, no approx sketch), CCNet banding that transfers across corpus shapes"),
+
     // X9: curriculum assembly — the t11/t10 capstone composite: x6's
     // quality + language gates → t11's surprisal banding computed on the
     // gated TRAIN slice (vocab from the data being curated, the CCNet

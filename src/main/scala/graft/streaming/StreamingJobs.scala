@@ -278,33 +278,48 @@ object StreamingJobs {
       .groupBy(col("source"))
       .agg(graft.functions.BottomK.udaf(k)(col("h")).as("ks"))
 
-  /** d20's Count-Min cells as a LIVE streaming aggregate — completing
-    * batch/stream parity for the sketch family's counter face
-    * ([[streamingKmvSketches]] is the set face, [[streamingHdrCells]]
-    * the windowed face): CMS cells are ADDITIVE keyed counts, so a
-    * stateful groupBy((r, c)).count in update/complete mode maintains
-    * exactly the batch sketch with ≤ depth×width = 128 rows of state
-    * total, independent of stream volume. The cell derivation is d20's
-    * BY CONSTRUCTION — both call
+  /** THE batch/stream-parity contract of the sketch family, as a NAMED
+    * API instead of a convention (r11): `derive` must map a row frame to
+    * ADDITIVE keyed cells — a groupBy over a bounded key domain whose
+    * every aggregate is a sum/count of per-row contributions (CMS cells,
+    * AMS sign counters, HDR bucket counts, the shard card's cell grain
+    * all qualify; min/max carriers qualify too — any commutative
+    * semigroup merge does). Additivity is exactly the property that
+    * makes the SAME plan a batch aggregate and a stateful streaming
+    * aggregate in update/complete mode with |key domain| rows of state:
+    * merging partials IS the aggregation, so a streamed corpus and the
+    * same corpus batched produce cell-identical sketches by
+    * construction — no foreachBatch, no custom state store, no
+    * replay-idempotency machinery. The named faces below are aliases of
+    * this entry point; StreamingSpec pins each one's stream-equals-batch
+    * equality.
+    */
+  def additiveCellStream(df: DataFrame,
+      derive: DataFrame => DataFrame): DataFrame = derive(df)
+
+  /** d20's Count-Min cells as a LIVE streaming aggregate — the counter
+    * face of [[additiveCellStream]] ([[streamingKmvSketches]] is the
+    * set face, [[streamingHdrCells]] the windowed face): ≤ depth×width
+    * = 128 rows of state total, independent of stream volume. The cell
+    * derivation is d20's BY CONSTRUCTION — both call
     * [[graft.operators.PipelineOps.cmsCells]] (one md5 per token,
     * Kirsch-Mitzenmacher row composition), so a streamed corpus and
     * the same corpus batched produce cell-identical sketches
     * (StreamingSpec pins it).
     */
   def streamingCmsCells(docs: DataFrame): DataFrame =
-    graft.operators.PipelineOps.cmsCells(docs)
+    additiveCellStream(docs, graft.operators.PipelineOps.cmsCells)
 
   /** d24's AMS F2 sign counters as a LIVE streaming aggregate: the
     * counters are LINEAR in the stream (per-lang sums of per-row ±1
-    * signs), so stateful aggregation in update/complete mode maintains
-    * exactly the batch counters — 32 longs of state per lang. Shares
-    * [[graft.operators.PipelineOps.amsCounters]] with the batch query,
-    * so the streamed F2/skew estimate equals the batch one by
+    * signs) — [[additiveCellStream]] with 32 longs of state per lang.
+    * Shares [[graft.operators.PipelineOps.amsCounters]] with the batch
+    * query, so the streamed F2/skew estimate equals the batch one by
     * construction; a downstream reader folds Σc² div 32 exactly as
     * d24 does.
     */
   def streamingAmsCounters(docs: DataFrame): DataFrame =
-    graft.operators.PipelineOps.amsCounters(docs)
+    additiveCellStream(docs, graft.operators.PipelineOps.amsCounters)
 
   /** Windowed HDR-histogram cells over (ts, value) events — ONE
     * derivation serving batch and stream (the cdcChunks precedent): the
@@ -328,9 +343,13 @@ object StreamingJobs {
       .select(col("window.start").as("win_start"), col("e"), col("m"),
         col("lo"), col("cnt"))
 
-  /** [[hdrCellsOf]] under a 10-minute watermark — the live form. */
+  /** [[hdrCellsOf]] under a 10-minute watermark — the live form
+    * ([[additiveCellStream]]'s windowed face: window keys are part of
+    * the bounded cell-key domain, the watermark bounds how many windows
+    * stay open).
+    */
   def streamingHdrCells(events: DataFrame): DataFrame =
-    hdrCellsOf(events.withWatermark("ts", "10 minutes"))
+    additiveCellStream(events.withWatermark("ts", "10 minutes"), hdrCellsOf)
 
   /** The static eval digest frame for [[streamingDecontaminate]]: the
     * distinct 6-gram digests of the benchmark documents. Persist (or
