@@ -98,12 +98,19 @@ object PrefixJoin {
   }
 
   /** Evidence behind an automatic prefix-vs-quadratic routing decision.
-    * `prefixCandidates` is the EXACT pre-distinct candidate-join row
-    * volume the prefix branch would shuffle (Σ over (block, prefix
-    * token) of c·(c−1)/2 — pairs sharing several prefix tokens count
-    * once per shared token, exactly as the join emits them);
-    * `blockPairs` is the exhaustive in-block comparison count
-    * (Σ over blocks of n·(n−1)/2) the quadratic branch would stream.
+    * `prefixCandidates` = Σ over (block, prefix token) of c·(c−1)/2 —
+    * the exact number of (id1 < id2, shared-prefix-token) row pairs the
+    * candidate join MATCHES, with pairs sharing several prefix tokens
+    * counted once per shared token, exactly as the join emits them.
+    * The size-ratio and positional conditions evaluate on those matched
+    * rows and prune some before the distinct's exchange, so this is an
+    * UPPER bound on the shuffled volume — tight exactly in the dense
+    * regime the router guards (r10 measured the positional filter as a
+    * wash there: dense vocabularies leave the cap loose), and
+    * conservatively safe in between (overestimating can only route a
+    * borderline corpus to the spill-proof quadratic). `blockPairs` is
+    * the exhaustive in-block comparison count (Σ over blocks of
+    * n·(n−1)/2) the quadratic branch would stream.
     */
   final case class DensityProbe(nDocs: Long, blockPairs: Long,
       prefixCandidates: Long) {

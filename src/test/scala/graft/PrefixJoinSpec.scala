@@ -167,6 +167,32 @@ class PrefixJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == viaQuad)
   }
 
+  test("density probe arithmetic matches brute force on the main fixture") {
+    // the router's evidence must be the number it claims: blockPairs =
+    // sum of n*(n-1)/2 per block; prefixCandidates = sum of c*(c-1)/2
+    // per (block, prefix token) where each doc's prefix is the first
+    // |s| - ceil(t*|s|) + 1 tokens of its (df, tok)-sorted set — the
+    // same derivation the candidate stage explodes
+    val t = 0.35
+    val probe = PrefixJoin.densityProbe(docsDf, "doc_id", "g", Seq("blk"), t)
+    val rows = docRows
+    assert(probe.nDocs == rows.size)
+    val wantBlockPairs = rows.groupBy(_._2).values
+      .map(b => b.size.toLong * (b.size - 1) / 2).sum
+    assert(probe.blockPairs == wantBlockPairs)
+    val df = rows.flatMap(r => r._3.map(tk => tk)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val wantCand = rows
+      .flatMap { case (_, blk, toks) =>
+        val plen = toks.size - math.ceil(toks.size * t).toInt + 1
+        toks.sortBy(tk => (df(tk), tk)).take(plen).map(tk => (blk, tk))
+      }
+      .groupBy(identity).values
+      .map(c => c.size.toLong * (c.size - 1) / 2).sum
+    assert(probe.prefixCandidates == wantCand,
+      s"probe=${probe.prefixCandidates} brute=$wantCand")
+  }
+
   test("auto-dispatch fails fast past the quadratic ceiling, naming d2") {
     import spark.implicits._
     val pool = (1L to 8L).map(_ * 104729L)
