@@ -739,6 +739,15 @@ object PipelineOps {
     * additive counters — a plain keyed count, so the SAME definition is
     * a batch aggregate and a live streaming aggregate (update/complete
     * mode), ≤ 128 rows of state regardless of volume.
+    *
+    * The hash derivation is part of the sketch's IDENTITY: cells hashed
+    * under different derivations never merge meaningfully, so an engine
+    * upgrade that changes [[cmsRowCols]] (r10's one-digest retrofit,
+    * r11's odd-h2 fix) requires a FRESH checkpoint for any live
+    * streaming aggregate built on this definition, and persisted cell
+    * frames must not be unioned across the change — the stateful
+    * groupBy has no schema slot for a version guard, so this contract
+    * is documentation, not enforcement.
     */
   def cmsCells(docs: DataFrame): DataFrame =
     cmsRowCols(docs.select(
@@ -1123,6 +1132,17 @@ object PipelineOps {
               throw new IllegalArgumentException(
                 s"$key must be a positive number, got '$raw'")))
             .getOrElse(default)
+        // integer confs parse as integers: a fractional
+        // maxQuadraticPairs would pass a double filter, floor to 0 in
+        // toLong, and die later with an error naming neither the key
+        // nor the user's value (r11 review) — fail fast here instead,
+        // the maxExactRows convention
+        def posLongConf(key: String, default: Long): Long =
+          s.conf.getOption(key)
+            .map(raw => raw.trim.toLongOption.filter(_ > 0).getOrElse(
+              throw new IllegalArgumentException(
+                s"$key must be a positive integer, got '$raw'")))
+            .getOrElse(default)
         val pairs =
           if (T.footerRowCount(s, d, "documents") <= maxExact)
             PrefixJoin.quadraticPairs(docs, "doc_id", "g", Seq("lang", "lb"), 0.35)
@@ -1130,7 +1150,7 @@ object PipelineOps {
             Seq("lang", "lb"), 0.35,
             denseRatio = posConf("graft.d4.densePrefixRatio", 0.5),
             maxQuadraticPairs =
-              posConf("graft.d4.maxQuadraticPairs", 2e10).toLong).pairs
+              posLongConf("graft.d4.maxQuadraticPairs", 20000000000L)).pairs
         pairs
           .select(col("lang"), col("id1"), col("id2"), col("jaccard"))
           // land the (small) pair output on a shuffle boundary before the
@@ -4340,7 +4360,9 @@ object PipelineOps {
     // fused ranking is hash-checked end-to-end, including documents
     // whose lexical evidence was stop-word-only (they keep their dense
     // rank, lex_rk reads 0 - fusion semantics under pruning, now
-    // oracle-pinned). x12 keeps the unpruned semantics as the exactness
+    // oracle-pinned). x12 keeps the CONF-DEFAULT (unpruned unless the
+    // session sets graft.bm25.maxDfFrac — d15's documented conf, which
+    // changes results wherever it applies) semantics as the exactness
     // anchor - the d15/d15b precedent applied to the composite.
     QueryDef(
       "x12b_hybrid_pruned",

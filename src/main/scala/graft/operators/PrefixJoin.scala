@@ -52,13 +52,21 @@ object PrefixJoin {
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // per-doc tokens re-sorted by (df, tok) — a deterministic total order —
     // then cut to the Jaccard prefix |s| - ceil(t*|s|) + 1; posexplode
-    // keeps each prefix token's 1-based POSITION in the df-ordered set
+    // keeps each prefix token's 1-based POSITION in the df-ordered set.
+    // ceil runs on sz·t MINUS the conservative 1e-9 slack (the positional
+    // filter's discipline): when the rational t·|s| is an exact integer k
+    // but the double product lands at k + 1 ulp, a slack-free ceil reads
+    // k + 1 and cuts the prefix ONE TOKEN SHORT — a candidate the
+    // exhaustive join finds never gets generated, and no downstream
+    // verification can resurrect it (d4's t = 0.35 is safe, but the API
+    // takes arbitrary thresholds; PrefixJoinSpec pins t = 0.07 with
+    // |s| = 100, where 100·0.07 = 7.000000000000001 in doubles)
     toks.join(freq, "tok")
       .groupBy((bcols :+ col("pj_id")): _*)
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ts"))
       .withColumn("sz", size(col("ts")))
       .withColumn("plen",
-        (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))
+        (col("sz") - ceil(col("sz") * lit(threshold) - lit(1e-9)) + 1).cast("int"))
       .select((bcols :+ col("pj_id") :+ col("sz") :+
         posexplode(expr("transform(slice(ts, 1, plen), x -> x.tok)"))
           .as(Seq("ppos0", "ptok"))): _*)
@@ -87,9 +95,13 @@ object PrefixJoin {
         :+ col(tokCol).as("g2")): _*)
     val blockEq = blockCols.map(c => col(c) === col(s"${c}_r"))
       .reduce(_ && _)
+    // size-ratio pre-filter with the 1e-9 ceil slack: the rational
+    // condition is |y| ≥ t·|x|, and a double product one ulp above an
+    // exact integer would otherwise ceil too high and drop a true
+    // boundary pair BEFORE the exact verification can see it
     a.join(b, blockEq && col("id1") < col("id2") &&
-        size(col("g2")) >= ceil(size(col("g1")) * lit(threshold)) &&
-        size(col("g1")) >= ceil(size(col("g2")) * lit(threshold)))
+        size(col("g2")) >= ceil(size(col("g1")) * lit(threshold) - lit(1e-9)) &&
+        size(col("g1")) >= ceil(size(col("g2")) * lit(threshold) - lit(1e-9)))
       .withColumn("inter", expr("sorted_intersect_size(g1, g2)"))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("g1")) + size(col("g2")) - col("inter")))
@@ -140,19 +152,25 @@ object PrefixJoin {
     // 100 TB that overflows long mid-sum, so the sum runs in decimal(38)
     // and saturates at Long.MaxValue on the way out (the router only
     // compares magnitudes; saturation can never flip dense to sparse)
-    def sumPairs(counted: DataFrame): Long = {
-      val d = counted.agg(coalesce(
-        sum(col("c").cast("decimal(38,0)") * (col("c") - 1) / 2),
-        lit(java.math.BigDecimal.ZERO))).collect()(0).getDecimal(0)
+    def satLong(d: java.math.BigDecimal): Long =
       d.toBigInteger.min(java.math.BigInteger.valueOf(Long.MaxValue)).longValue
-    }
-    val blockCounts = docs.groupBy(bcols: _*).agg(count(lit(1)).as("c"))
-    val nDocs = blockCounts.agg(coalesce(sum(col("c")), lit(0L)).cast("long"))
-      .collect()(0).getLong(0)
-    val blockPairs = sumPairs(blockCounts)
-    val prefixCandidates = sumPairs(
+    val pairSum = coalesce(
+      sum(col("c").cast("decimal(38,0)") * (col("c") - 1) / 2),
+      lit(java.math.BigDecimal.ZERO))
+    // ONE aggregate over the block counts carries nDocs AND blockPairs —
+    // the probe's whole job budget is these two linear aggregations, and
+    // splitting this one into separate collects would re-run the corpus
+    // scan + block groupBy a second time for a number the same pass
+    // already holds
+    val bp = docs.groupBy(bcols: _*).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).cast("long"), pairSum)
+      .collect()(0)
+    val nDocs = bp.getLong(0)
+    val blockPairs = satLong(bp.getDecimal(1))
+    val prefixCandidates = satLong(
       orderedPrefixes(docs, bcols, threshold)
-        .groupBy((bcols :+ col("ptok")): _*).agg(count(lit(1)).as("c")))
+        .groupBy((bcols :+ col("ptok")): _*).agg(count(lit(1)).as("c"))
+        .agg(pairSum).collect()(0).getDecimal(0))
     DensityProbe(nDocs, blockPairs, prefixCandidates)
   }
 
@@ -253,8 +271,10 @@ object PrefixJoin {
       .foldLeft(col("ptok") === col("ptok_r"))(_ && _)
     val overlapCap = lit(1) + least(col("sz1") - col("p1"), col("sz2") - col("p2"))
     val sizeCond = col("id1") < col("id2") &&
-      col("sz2") >= ceil(col("sz1") * lit(threshold)) &&
-      col("sz1") >= ceil(col("sz2") * lit(threshold))
+      // same 1e-9 ceil slack as quadraticPairs/orderedPrefixes: the
+      // pre-filter must never drop a pair the exact verification would keep
+      col("sz2") >= ceil(col("sz1") * lit(threshold) - lit(1e-9)) &&
+      col("sz1") >= ceil(col("sz2") * lit(threshold) - lit(1e-9))
     val joinCond =
       if (positionalFilter)
         sizeCond && overlapCap.cast("double") * lit(1.0 + threshold) >=

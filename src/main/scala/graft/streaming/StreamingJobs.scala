@@ -422,20 +422,26 @@ object StreamingJobs {
                 "rebuild it or use a fresh storePath")
             // min/max are null-skipping, so an explicit null count keeps
             // mixed or unstamped rows from slipping through =!='s
-            // three-valued logic
-            val probe = raw.agg(
+            // three-valued logic; count(*) leads because storeHasRows
+            // came from a DIRECTORY listing — batch_id= dirs can outlive
+            // their data files (aborted write, lost parquet), and an
+            // all-null aggregate row over zero rows must read as "nothing
+            // to validate", not throw on the unbox (r11 review)
+            val probe = raw.agg(count(lit(1)),
               min(col("num_perms")), max(col("num_perms")),
               min(col("rows_per_band")), max(col("rows_per_band")),
               sum(when(col("num_perms").isNull || col("rows_per_band").isNull, 1L)
                 .otherwise(0L))).collect()(0)
-            def n(i: Int): Long = probe.getAs[Number](i).longValue
-            require(n(4) == 0,
-              s"signature store $storePath carries rows without geometry stamps; " +
-                "rebuild it or use a fresh storePath")
-            require(n(0) == p && n(1) == p && n(2) == r && n(3) == r,
-              s"signature store $storePath was written with band geometry " +
-                s"(${n(0)}/${n(2)}) but this stream runs ($p/$r) — band keys " +
-                "never compare across geometries; use a fresh storePath")
+            if (probe.getLong(0) > 0) {
+              def n(i: Int): Long = probe.getAs[Number](i).longValue
+              require(n(5) == 0,
+                s"signature store $storePath carries rows without geometry stamps; " +
+                  "rebuild it or use a fresh storePath")
+              require(n(1) == p && n(2) == p && n(3) == r && n(4) == r,
+                s"signature store $storePath was written with band geometry " +
+                  s"(${n(1)}/${n(3)}) but this stream runs ($p/$r) — band keys " +
+                  "never compare across geometries; use a fresh storePath")
+            }
           case None => () // brand-new store: marker stamped after the guard claims it
         }
         // lineage marker: max(batch_id) <= batchId cannot distinguish a

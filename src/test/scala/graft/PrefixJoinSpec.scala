@@ -167,6 +167,27 @@ class PrefixJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == viaQuad)
   }
 
+  test("ceil slack keeps exact boundary-threshold pairs (t = 0.07)") {
+    // 100·0.07 = 7.000000000000001 in doubles: a slack-free ceil reads 8,
+    // so the size filter demands |g2| ≥ 8 and the prefix length cuts one
+    // token short — the (100, 7)-sized subset pair whose true Jaccard is
+    // exactly 0.07 = t gets dropped in BOTH branches before the exact
+    // verification can see it. Branch bit-identity alone cannot catch
+    // this (both branches shared the slack-free formulation); only
+    // brute-force comparison does.
+    import spark.implicits._
+    val big = (1L to 100L).map(_ * 13L)
+    val small = big.take(7)
+    val df = Seq((1L, "b", big), (2L, "b", small)).toDF("doc_id", "blk", "g")
+    for ((tag, got) <- Seq(
+        "quadratic" -> PrefixJoin.quadraticPairs(df, "doc_id", "g", Seq("blk"), 0.07),
+        "prefix" -> PrefixJoin.jaccardPairs(df, "doc_id", "g", Seq("blk"), 0.07))) {
+      val rows = got.collect()
+      assert(rows.length == 1, s"$tag dropped the boundary pair")
+      assert(rows(0).getDouble(3) == 0.07, s"$tag jaccard ${rows(0).getDouble(3)}")
+    }
+  }
+
   test("density probe arithmetic matches brute force on the main fixture") {
     // the router's evidence must be the number it claims: blockPairs =
     // sum of n*(n-1)/2 per block; prefixCandidates = sum of c*(c-1)/2
@@ -184,7 +205,8 @@ class PrefixJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       .view.mapValues(_.size.toLong).toMap
     val wantCand = rows
       .flatMap { case (_, blk, toks) =>
-        val plen = toks.size - math.ceil(toks.size * t).toInt + 1
+        // mirror the engine's slack-guarded ceil (see PrefixJoin)
+        val plen = toks.size - math.ceil(toks.size * t - 1e-9).toInt + 1
         toks.sortBy(tk => (df(tk), tk)).take(plen).map(tk => (blk, tk))
       }
       .groupBy(identity).values
