@@ -495,15 +495,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(java.nio.file.Files.exists(marker), "first batch must stamp the marker")
     val recorded = new String(java.nio.file.Files.readAllBytes(marker))
     assert(recorded.matches("""\d+/\d+"""), s"marker must record p/r, got '$recorded'")
-    java.nio.file.Files.write(marker, "9999/3".getBytes)
+    // rewrite THROUGH the hadoop fs so the sidecar .crc stays consistent:
+    // a raw java.nio write makes the next read die on ChecksumException
+    // (also a failure, but it would pass this assert only because the
+    // marker PATH contains 'geometry' — the parse-and-compare path is
+    // what this test exists to pin)
+    val hp = new org.apache.hadoop.fs.Path(s"$dir/store/_graft_geometry")
+    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(hp, true)
+    try out.write("9999/3".getBytes) finally out.close()
     val q2 = StreamingJobs.incrementalNearDedup(input.toDF().toDF("doc_id", "text"),
       s"$dir/store", s"$dir/out", s"$dir/ckpt").start()
     input.addData((2L, "a second document under the tampered marker"))
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       q2.processAllAvailable()
     }
-    assert(e.getMessage.contains("geometry") ||
-      Option(e.getCause).exists(_.getMessage.contains("geometry")), e.getMessage)
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(c => " | " + Option(c.getMessage).getOrElse("")).getOrElse("")
+    assert(msg(e).contains("band geometry") && msg(e).contains("9999"),
+      s"expected the parse-and-compare mismatch error, got: ${msg(e)}")
     q2.stop()
   }
 
