@@ -122,6 +122,68 @@ object ScalingSlopes {
     * the crossover measurement is bounded by output size, not plan
     * choice.
     */
+  /** `runMain graft.ScalingSlopes d4auto` — end-to-end validation of the
+    * r11 vocabulary-aware dispatch AT the measured hazard point: 150k
+    * dense-vocabulary docs, NO confs set. d4crossover proved the
+    * quadratic branch survives here only when a human pins it
+    * (`graft.d4.maxExactRows`); this mode removes the human. It reports
+    * (a) the density probe's numbers over d4's exact trigram derivation —
+    * the router's evidence — with the probe's own wall-clock, and
+    * (b) the full d4 query's wall-clock through SparkEntry with zero
+    * confs, which is only survivable if the router streamed the
+    * quadratic (the prefix branch spilled > 230 GB on this corpus,
+    * twice, before dying).
+    */
+  private def d4Auto(): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.registerInto(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_d4auto").toString
+    try {
+      val d = s"$root/x30"
+      materialize(spark, 150000L, 1L, d)
+      // d4's exact per-doc token derivation (same normSql + hashed
+      // trigrams + (lang, length-bucket) blocking), so the reported
+      // probe numbers are the ones the router actually sees
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+        .select(col("lang"), floor(col("n_chars") / 32).as("lb"),
+          col("doc_id"), expr(graft.operators.PipelineOps.normSql).as("nt"))
+        .withColumn("g", expr("hashed_trigrams(nt)"))
+        .drop("nt")
+      val t0 = System.nanoTime()
+      val probe = graft.operators.PrefixJoin
+        .densityProbe(docs, "doc_id", "g", Seq("lang", "lb"), 0.35)
+      val probeSec = (System.nanoTime() - t0) / 1e9
+      val dense = probe.dense(0.5)
+      // the full query, zero confs: footer count 150k > the 100k line,
+      // so d4's own jaccardPairsAuto re-probes and routes internally
+      val t1 = System.nanoTime()
+      SparkEntry.queries("d4_ngram_jaccard")(spark, d)
+        .write.format("noop").mode("overwrite").save()
+      val querySec = (System.nanoTime() - t1) / 1e9
+      def f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      val line = s"""{"metric":"d4_auto_dispatch","n_docs":150000,""" +
+        s""""probe_sec":${f(probeSec)},"n_block_pairs":${probe.blockPairs},""" +
+        s""""n_prefix_candidates":${probe.prefixCandidates},""" +
+        s""""dense":$dense,"routed":"${if (dense) "quadratic" else "prefix"}",""" +
+        s""""query_sec":${f(querySec)},"confs_set":0}"""
+      Raw.stdout.println(line)
+      java.nio.file.Files.write(java.nio.file.Paths.get("scaling_d4auto_out.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally {
+      graft.operators.Scratch.deleteRecursively(new java.io.File(root))
+      spark.stop()
+    }
+  }
+
   /** `runMain graft.ScalingSlopes x12crossover` — the same 30× anchor
     * d4 got, for the steepest HONEST slope in the suite: x12's BM25 leg
     * grows near-linearly in postings volume (slope 7.3 at 10×), so the
@@ -134,13 +196,20 @@ object ScalingSlopes {
   def main(args: Array[String]): Unit = {
     val d4CrossoverMode = args.headOption.contains("d4crossover")
     val x12CrossoverMode = args.headOption.contains("x12crossover")
+    // x15 at 30×: the anchor behind "swap the dense exact leg for IVF-PQ
+    // at scale" — x12's 30× growth is the brute-force dense leg, and
+    // this measures what the list-bounded index costs on the same corpus
+    val x15CrossoverMode = args.headOption.contains("x15crossover")
     val d4StatsMode = args.headOption.contains("d4stats")
+    val d4AutoMode = args.headOption.contains("d4auto")
     if (d4StatsMode) { d4Stats(); return }
-    val crossover = d4CrossoverMode || x12CrossoverMode
+    if (d4AutoMode) { d4Auto(); return }
+    val crossover = d4CrossoverMode || x12CrossoverMode || x15CrossoverMode
     val scales = if (crossover) Seq(30L) else Seq(1L, 3L, 10L)
     val queries =
       if (d4CrossoverMode) Seq("d4_ngram_jaccard")
       else if (x12CrossoverMode) Seq("x12_hybrid_retrieval", "x12b_hybrid_pruned")
+      else if (x15CrossoverMode) Seq("x15_ivf_pq")
       else queriesUnderTest
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt.max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -199,12 +268,14 @@ object ScalingSlopes {
           s""""$q":${f(t / base(q))}"""
         }.mkString(",")}}"""
       val metric = if (d4CrossoverMode) "d4_crossover"
-        else if (x12CrossoverMode) "x12_crossover" else "scaling_slopes"
+        else if (x12CrossoverMode) "x12_crossover"
+        else if (x15CrossoverMode) "x15_crossover" else "scaling_slopes"
       val line = s"""{"metric":"$metric","unit":"sec","reps":$reps,""" +
         s""""base_docs":5000,"base_vecs":2000,"scales":{$perScale}$slopes}"""
       Raw.stdout.println(line)
       val outName = if (d4CrossoverMode) "scaling_d4_out.json"
-        else if (x12CrossoverMode) "scaling_x12_out.json" else "scaling_out.json"
+        else if (x12CrossoverMode) "scaling_x12_out.json"
+        else if (x15CrossoverMode) "scaling_x15_out.json" else "scaling_out.json"
       java.nio.file.Files.write(java.nio.file.Paths.get(outName),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally {

@@ -459,7 +459,9 @@ object PipelineOps {
   // whitespace-collapse WITHOUT the regex engine: split/filter/array_join
   // stays in whole-stage codegen and measured 5x faster than
   // regexp_replace(' +') at sf0.1, byte-identical output (TimeAudit)
-  private val normSql = "array_join(filter(split(trim(lower(text)), ' '), x -> x != ''), ' ')"
+  // private[graft]: the ScalingSlopes d4auto diagnostic reconstructs d4's
+  // exact token derivation to report the router's probe numbers
+  private[graft] val normSql = "array_join(filter(split(trim(lower(text)), ' '), x -> x != ''), ' ')"
 
   /** MinHash signature columns for a (doc_id, text) frame: banded LSH keys
     * (`bands`) for candidate generation and the sorted shingle-hash array
