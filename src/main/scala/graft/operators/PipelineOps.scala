@@ -3324,13 +3324,19 @@ object PipelineOps {
               .as("tok"))
         val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
         val tot = vocab.agg(sum(col("cnt")).as("t_total"))
-        val per = toks.join(vocab, Seq("tok"))
-          .crossJoin(broadcast(tot))
-          .withColumn("bits",
-            length(conv(expr("t_total div cnt"), 10, 2)).cast("long"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_toks"), sum(col("bits")).as("bits_sum"))
-          .withColumn("mb_milli", expr("bits_sum * 1000 div n_toks"))
+        // SharedFrame: the per-doc frame feeds BOTH the threshold
+        // derivation and the final band assignment — without it the plan
+        // runs the corpus token shuffle twice (caught by ExplainAudit:
+        // two full Scan→explode→join→agg subtrees in the physical plan)
+        val per = SharedFrame(
+          toks.join(vocab, Seq("tok"))
+            .crossJoin(broadcast(tot))
+            .withColumn("bits",
+              length(conv(expr("t_total div cnt"), 10, 2)).cast("long"))
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_toks"), sum(col("bits")).as("bits_sum"))
+            .withColumn("mb_milli", expr("bits_sum * 1000 div n_toks")),
+          "t11b_per", d)
         val hist = per.groupBy(col("mb_milli")).agg(count(lit(1)).as("c"))
         val thr = hist
           .withColumn("cum", sum(col("c")).over(W.orderBy(col("mb_milli"))))
