@@ -1152,7 +1152,9 @@ object PipelineOps {
             Seq("lang", "lb"), 0.35,
             denseRatio = posConf("graft.d4.densePrefixRatio", 0.5),
             maxQuadraticPairs =
-              posLongConf("graft.d4.maxQuadraticPairs", 20000000000L)).pairs
+              posLongConf("graft.d4.maxQuadraticPairs", 20000000000L),
+            ceilingHint = "set graft.d4.maxQuadraticPairs (this call " +
+              "site's conf-backed ceiling)").pairs
         pairs
           .select(col("lang"), col("id1"), col("id2"), col("jaccard"))
           // land the (small) pair output on a shuffle boundary before the

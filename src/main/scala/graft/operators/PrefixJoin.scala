@@ -123,9 +123,19 @@ object PrefixJoin {
     * borderline corpus to the spill-proof quadratic). `blockPairs` is
     * the exhaustive in-block comparison count (Σ over blocks of
     * n·(n−1)/2) the quadratic branch would stream.
+    *
+    * `exactPrefixCount = false` marks a probe the SPARSE pre-probe
+    * short-circuited (r12): `prefixCandidates` then holds the all-token
+    * candidate bound Σ over (block, token) of c·(c−1)/2 — a superset of
+    * the prefix-token sum (each doc's prefix ⊆ its token set, so every
+    * per-(block, token) prefix count ≤ the all-token count). When even
+    * that bound sits below the dense threshold the corpus is decisively
+    * open-vocabulary and the expensive df-join + per-doc-sort prefix
+    * derivation never runs — the routing decision is identical, proven
+    * by the bound's direction alone.
     */
   final case class DensityProbe(nDocs: Long, blockPairs: Long,
-      prefixCandidates: Long) {
+      prefixCandidates: Long, exactPrefixCount: Boolean = true) {
     /** Dense-vocabulary regime: the prefix "filter" would shuffle at
       * least `denseRatio` × the exhaustive comparison count — it is not
       * filtering, it is materializing (and spilling) the cross product.
@@ -142,36 +152,65 @@ object PrefixJoin {
     * executor memory for the query's lifetime — the wrong trade at
     * 100 TB, where the probe exists to AVOID a 230 GB shuffle spill.
     */
+  // pair counts are c·(c−1)/2 summed over millions of groups — at
+  // 100 TB that overflows long mid-sum, so the sum runs in decimal(38)
+  // and saturates at Long.MaxValue on the way out (the router only
+  // compares magnitudes; saturation can never flip dense to sparse)
+  private def satLong(d: java.math.BigDecimal): Long =
+    d.toBigInteger.min(java.math.BigInteger.valueOf(Long.MaxValue)).longValue
+
+  private def pairSumCol = coalesce(
+    sum(col("c").cast("decimal(38,0)") * (col("c") - 1) / 2),
+    lit(java.math.BigDecimal.ZERO))
+
+  /** nDocs + exhaustive in-block comparison count, from ONE aggregate
+    * over the block counts — splitting it into separate collects would
+    * re-run the corpus scan + block groupBy a second time for a number
+    * the same pass already holds.
+    */
+  private def blockStats(docs: DataFrame,
+      bcols: Seq[org.apache.spark.sql.Column]): (Long, Long) = {
+    val bp = docs.groupBy(bcols: _*).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).cast("long"), pairSumCol)
+      .collect()(0)
+    (bp.getLong(0), satLong(bp.getDecimal(1)))
+  }
+
+  /** The exact prefix-candidate volume (one aggregate over the df-join +
+    * per-doc-sort prefix derivation — the probe's expensive pass).
+    */
+  private def prefixCandidateCount(docs: DataFrame,
+      bcols: Seq[org.apache.spark.sql.Column], threshold: Double): Long =
+    satLong(
+      orderedPrefixes(docs, bcols, threshold)
+        .groupBy((bcols :+ col("ptok")): _*).agg(count(lit(1)).as("c"))
+        .agg(pairSumCol).collect()(0).getDecimal(0))
+
+  /** The all-token candidate bound: Σ over (block, token) of c·(c−1)/2,
+    * with c the per-(block, token) document count over EVERY token (not
+    * just prefix tokens). One linear explode + aggregate — no df join,
+    * no per-doc re-sort, no prefix cut — and an upper bound on
+    * [[prefixCandidateCount]] at any threshold, since each doc's prefix
+    * is a subset of its token set. The r12 pre-probe reads this first:
+    * when even the bound is decisively sparse, the expensive exact pass
+    * never runs.
+    */
+  private def allTokenCandidateBound(docs: DataFrame,
+      bcols: Seq[org.apache.spark.sql.Column]): Long =
+    satLong(
+      docs.select((bcols :+ explode(col("pj_g")).as("tok")): _*)
+        .groupBy((bcols :+ col("tok")): _*).agg(count(lit(1)).as("c"))
+        .agg(pairSumCol).collect()(0).getDecimal(0))
+
   def densityProbe(
       docs0: DataFrame, idCol: String, tokCol: String,
       blockCols: Seq[String], threshold: Double): DensityProbe = {
     val bcols = blockCols.map(col)
     val docs = docs0.select(
       (bcols :+ col(idCol).as("pj_id") :+ col(tokCol).as("pj_g")): _*)
-    // pair counts are c·(c−1)/2 summed over millions of groups — at
-    // 100 TB that overflows long mid-sum, so the sum runs in decimal(38)
-    // and saturates at Long.MaxValue on the way out (the router only
-    // compares magnitudes; saturation can never flip dense to sparse)
-    def satLong(d: java.math.BigDecimal): Long =
-      d.toBigInteger.min(java.math.BigInteger.valueOf(Long.MaxValue)).longValue
-    val pairSum = coalesce(
-      sum(col("c").cast("decimal(38,0)") * (col("c") - 1) / 2),
-      lit(java.math.BigDecimal.ZERO))
-    // ONE aggregate over the block counts carries nDocs AND blockPairs —
-    // the probe's whole job budget is these two linear aggregations, and
-    // splitting this one into separate collects would re-run the corpus
-    // scan + block groupBy a second time for a number the same pass
-    // already holds
-    val bp = docs.groupBy(bcols: _*).agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c")), lit(0L)).cast("long"), pairSum)
-      .collect()(0)
-    val nDocs = bp.getLong(0)
-    val blockPairs = satLong(bp.getDecimal(1))
-    val prefixCandidates = satLong(
-      orderedPrefixes(docs, bcols, threshold)
-        .groupBy((bcols :+ col("ptok")): _*).agg(count(lit(1)).as("c"))
-        .agg(pairSum).collect()(0).getDecimal(0))
-    DensityProbe(nDocs, blockPairs, prefixCandidates)
+    val (nDocs, blockPairs) = blockStats(docs, bcols)
+    DensityProbe(nDocs, blockPairs,
+      prefixCandidateCount(docs, bcols, threshold))
   }
 
   /** The routing decision [[jaccardPairsAuto]] took, returned alongside
@@ -201,27 +240,63 @@ object PrefixJoin {
     * `maxQuadraticPairs`: fail-fast ceiling on the dense regime's
     * comparison count — beyond it NEITHER exact branch is sane and the
     * error names the designed fallback (d2 MinHash-LSH banding, which
-    * never materializes pair candidates at all).
+    * never materializes pair candidates at all). `ceilingHint`: extra
+    * remediation text appended to that error — the message itself is
+    * worded on the maxQuadraticPairs PARAMETER (this API is generic);
+    * a caller whose ceiling is conf-backed (d4) passes its conf key
+    * here so its users get advice that actually affects their call.
+    *
+    * Probe cost (r12): routing starts with the cheap all-token
+    * candidate bound ([[allTokenCandidateBound]] — one explode +
+    * aggregate); only when the bound cannot prove the corpus sparse
+    * does the exact prefix-candidate pass run. Open-vocabulary corpora
+    * — the common case — pay two cheap linear aggregates and never
+    * build the probe's df-ordered prefix frame at all.
     */
   def jaccardPairsAuto(
       docs0: DataFrame, idCol: String, tokCol: String,
       blockCols: Seq[String], threshold: Double,
       denseRatio: Double = 0.5,
-      maxQuadraticPairs: Long = 20000000000L): AutoPairs = {
+      maxQuadraticPairs: Long = 20000000000L,
+      ceilingHint: String = ""): AutoPairs = {
     require(denseRatio > 0.0, s"denseRatio must be positive: $denseRatio")
     require(maxQuadraticPairs > 0, s"maxQuadraticPairs must be positive: $maxQuadraticPairs")
-    val probe = densityProbe(docs0, idCol, tokCol, blockCols, threshold)
+    val bcols = blockCols.map(col)
+    val docs = docs0.select(
+      (bcols :+ col(idCol).as("pj_id") :+ col(tokCol).as("pj_g")): _*)
+    val (nDocs, blockPairs) = blockStats(docs, bcols)
+    // SPARSE pre-probe (r12): the all-token candidate bound costs one
+    // cheap explode + aggregate; when even that superset of the prefix
+    // candidate volume is below the dense threshold, the corpus is
+    // decisively open-vocabulary and the df-join + per-doc-sort exact
+    // pass (the probe's expensive half, ~one extra linear token pass at
+    // 150k docs) is skipped outright. The bound can only OVERestimate
+    // density, so skipping on its say-so can never misroute a dense
+    // corpus to the prefix branch.
+    val bound = allTokenCandidateBound(docs, bcols)
+    val pre = DensityProbe(nDocs, blockPairs, bound, exactPrefixCount = false)
+    if (!pre.dense(denseRatio))
+      return AutoPairs(jaccardPairs(docs0, idCol, tokCol, blockCols, threshold),
+        pre, choseQuadratic = false)
+    val probe = DensityProbe(nDocs, blockPairs,
+      prefixCandidateCount(docs, bcols, threshold))
     if (probe.dense(denseRatio)) {
-      if (probe.blockPairs > maxQuadraticPairs)
+      if (probe.blockPairs > maxQuadraticPairs) {
+        // remediation is worded on the PARAMETER — this API is generic;
+        // callers with a conf-backed ceiling (d4) append their own
+        // conf-key hint via `ceilingHint`
+        val hint = if (ceilingHint.isEmpty) "" else s", or $ceilingHint"
         throw new IllegalStateException(
           s"dense-vocabulary corpus: the prefix index would shuffle " +
             s"${probe.prefixCandidates} candidate rows against " +
             s"${probe.blockPairs} exhaustive in-block pairs (ratio ≥ " +
             s"$denseRatio), and the exhaustive scan itself exceeds the " +
-            s"$maxQuadraticPairs-pair ceiling — neither exact branch is " +
-            "viable at this scale; use d2_minhash_lsh (MinHash-LSH " +
-            "banding) for near-dup detection on this corpus, or raise " +
-            "graft.d4.maxQuadraticPairs if the cluster can absorb the scan")
+            s"$maxQuadraticPairs-pair ceiling (the maxQuadraticPairs " +
+            "parameter) — neither exact branch is viable at this scale; " +
+            "use d2_minhash_lsh (MinHash-LSH banding) for near-dup " +
+            "detection on this corpus, or raise maxQuadraticPairs if " +
+            s"the cluster can absorb the scan$hint")
+      }
       AutoPairs(quadraticPairs(docs0, idCol, tokCol, blockCols, threshold),
         probe, choseQuadratic = true)
     } else

@@ -229,6 +229,85 @@ class PrefixJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("d2_minhash_lsh"), e.getMessage)
     assert(e.getMessage.contains("dense"), e.getMessage)
+    // the generic API's remediation is worded on the PARAMETER — a
+    // non-d4 caller must never be told to set a d4 conf that won't
+    // affect its call site (r11 ADVICE)
+    assert(e.getMessage.contains("maxQuadraticPairs"), e.getMessage)
+    assert(!e.getMessage.contains("graft.d4"), e.getMessage)
+    // a caller WITH a conf-backed ceiling appends its own hint
+    val e2 = intercept[IllegalStateException] {
+      PrefixJoin.jaccardPairsAuto(df, "doc_id", "g", Seq("blk"), 0.35,
+        maxQuadraticPairs = 100L, ceilingHint = "set graft.d4.maxQuadraticPairs")
+    }
+    assert(e2.getMessage.contains("graft.d4.maxQuadraticPairs"), e2.getMessage)
+  }
+
+  test("sparse pre-probe skips the exact prefix pass on open-vocab corpora") {
+    // the r12 probe-cost fix: when the all-token candidate bound (one
+    // cheap explode + aggregate) is already below the dense threshold,
+    // the df-join + per-doc-sort exact pass never runs. The routing
+    // decision is pinned by the bound's DIRECTION (it can only
+    // overestimate density), and exactPrefixCount records which path ran.
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val sparseRows = (0 until 240).map { i =>
+      val toks = Seq.fill(10)(1L + rnd.nextInt(1000000).toLong)
+        .map(_ * 7919L).distinct.sorted
+      (i.toLong, s"b${i % 2}", toks)
+    }
+    val sparse = PrefixJoin.jaccardPairsAuto(
+      sparseRows.toDF("doc_id", "blk", "g"), "doc_id", "g", Seq("blk"), 0.35)
+    assert(!sparse.choseQuadratic)
+    assert(!sparse.probe.exactPrefixCount,
+      s"open-vocab corpus must short-circuit on the pre-probe: ${sparse.probe}")
+    // the reported prefixCandidates is then the all-token bound —
+    // verify its arithmetic against brute force
+    val wantBound = sparseRows
+      .flatMap { case (_, blk, toks) => toks.map(tk => (blk, tk)) }
+      .groupBy(identity).values
+      .map(c => c.size.toLong * (c.size - 1) / 2).sum
+    assert(sparse.probe.prefixCandidates == wantBound,
+      s"bound=${sparse.probe.prefixCandidates} brute=$wantBound")
+    // a dense corpus falls through to the exact probe (the pre-probe
+    // cannot prove it sparse) and exactPrefixCount records that
+    val pool = (1L to 12L).map(_ * 104729L)
+    val denseRows = (0 until 240).map { i =>
+      val k = 6 + rnd.nextInt(4)
+      (i.toLong, s"b${i % 2}", rnd.shuffle(pool).take(k).distinct.sorted)
+    }
+    val dense = PrefixJoin.jaccardPairsAuto(
+      denseRows.toDF("doc_id", "blk", "g"), "doc_id", "g", Seq("blk"), 0.35)
+    assert(dense.choseQuadratic)
+    assert(dense.probe.exactPrefixCount, s"dense corpus: ${dense.probe}")
+  }
+
+  test("above maxExactRows the d4 plan build DOES run probe jobs (documented)") {
+    // the explicit exception to the zero-jobs-at-plan-build contract
+    // (r11 ADVICE): jaccardPairsAuto's probe is eager — routing must see
+    // the evidence before committing to a join — so a plan built above
+    // graft.d4.maxExactRows pays the probe's linear aggregates at BUILD
+    // time. Below the threshold (the previous test) the build stays
+    // job-free; the r12 sparse pre-probe bounds the eager cost at two
+    // cheap aggregates on open-vocabulary corpora.
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    Tables.documents(spark, "/root/testdata/sf0.001").queryExecution.analyzed
+    Thread.sleep(300)
+    spark.conf.set("graft.d4.maxExactRows", "1")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries("d4_ngram_jaccard")(spark, "/root/testdata/sf0.001")
+        .queryExecution.analyzed
+      Thread.sleep(500)
+      assert(jobs > 0,
+        "above maxExactRows the router must probe before committing to a join")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.unset("graft.d4.maxExactRows")
+    }
   }
 
   test("d4 dispatch reads parquet footers: zero Spark jobs at plan build") {
