@@ -711,9 +711,11 @@ object CorpusRehearsal {
     // variants share the dense leg and the query workload, so their
     // wall-clock delta is exactly the lexical candidate fan-out the
     // df-cap pruning removes — the fused-retrieval speedup x12b ships.
-    def hybridRetrieve(tag: String, maxDfPpm: Option[Long]): Unit = {
+    def hybridRetrieve(tag: String, maxDfPpm: Option[Long],
+        denseIvf: Boolean = false): Unit = {
       val (qterms, post, _, _) = lexPostings(maxDfPpm)
-      val sfx = if (maxDfPpm.isEmpty) "" else "_pruned"
+      val sfx =
+        if (denseIvf) "_ivf" else if (maxDfPpm.isEmpty) "" else "_pruned"
       stage(tag) {
         val lex = qterms.join(post, Seq("term"))
           .groupBy(col("qdoc"), col("doc_id"))
@@ -728,14 +730,48 @@ object CorpusRehearsal {
         val queries = emb
           .filter(evalVec && col("vec_id") < lit(hotCopies + 20000L))
           .select(col("vec_id").as("qdoc"), col("q").as("qq"), col("nn").as("qn"))
-        val dense = emb
+        val corpusVecs = emb
           .join(canonical.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
           .filter(!evalVec)
-          .join(broadcast(queries))
-          .withColumn("cos", expr(
-            "aggregate(zip_with(q, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
-            .cast("double") /
-            sqrt(col("qn").cast("double") * col("nn").cast("double")))
+        val cosExpr = expr(
+          "aggregate(zip_with(q, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+          .cast("double") /
+          sqrt(col("qn").cast("double") * col("nn").cast("double"))
+        // x12c's strategy split: the exact leg is corpus × queries (the
+        // measured growth term); the IVF leg swaps in d7's inverted-file
+        // pruning (ivfpq_retrieve's geometry: ~128 stride-sampled lists,
+        // 2-probe) so the dense candidate volume is list-bounded. The
+        // lexical leg and the fusion below are IDENTICAL — the stage
+        // pair's wall-clock delta is exactly the dense-leg swap.
+        val denseCands =
+          if (!denseIvf) corpusVecs.join(broadcast(queries))
+          else {
+            val nVec = corpusVecs.count()
+            val strideIvf = math.max(1L, nVec / 128L)
+            val cents = corpusVecs.filter(col("vec_id") % strideIvf === 0)
+              .select(col("vec_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
+            val simToCent = expr(
+              "aggregate(zip_with(q, cq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+              .cast("double") / sqrt(col("nn").cast("double") * col("cn").cast("double"))
+            val assigned = corpusVecs.join(broadcast(cents))
+              .withColumn("sim", simToCent)
+              .groupBy(col("vec_id"))
+              .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("list_id"))
+            val probes = queries
+              .select(col("qdoc"), col("qq").as("q"), col("qn").as("nn"))
+              .join(broadcast(cents))
+              .withColumn("sim", simToCent)
+              .withColumn("prk", row_number().over(
+                Window.partitionBy(col("qdoc")).orderBy(col("sim").desc, col("cid"))))
+              .filter(col("prk") <= 2)
+              .select(col("qdoc"), col("q").as("qq"), col("nn").as("qn"),
+                col("cid").as("probe_list"))
+            corpusVecs.join(assigned, "vec_id")
+              .join(probes, col("list_id") === col("probe_list"))
+              .drop("list_id", "probe_list")
+          }
+        val dense = denseCands
+          .withColumn("cos", cosExpr)
           .withColumn("dense_rk", row_number().over(
             Window.partitionBy(col("qdoc")).orderBy(col("cos").desc, col("vec_id"))))
           .filter(col("dense_rk") <= 5)
@@ -759,6 +795,10 @@ object CorpusRehearsal {
     }
     hybridRetrieve("hybrid_retrieve", None)
     hybridRetrieve("hybrid_retrieve_pruned", Some(10000L))
+    // x12c's production shape: pruned postings + IVF dense leg — the
+    // stage triple decomposes the fused cost (unpruned vs pruned = the
+    // lexical fan-out; pruned vs ivf = the dense candidate volume)
+    hybridRetrieve("hybrid_retrieve_ivf", Some(10000L), denseIvf = true)
 
     // X15 at corpus scale — the IVF-PQ composition the query surface
     // oracles at sf0.1 (x15_ivf_pq), run as production evidence over the

@@ -83,7 +83,7 @@ object ScalingSlopes {
     "d4_ngram_jaccard", "d20_count_min", "d23_kmv_source_overlap",
     "d25_exact_substring_dedup", "x6b_corpus_pipeline_full",
     "x10_embedding_curation", "x12_hybrid_retrieval",
-    "x12b_hybrid_pruned", "x15_ivf_pq")
+    "x12b_hybrid_pruned", "x12c_hybrid_ivf", "x15_ivf_pq")
 
   def materialize(spark: SparkSession, nDocs: Long, nVecs: Long,
       dir: String): Unit = {
@@ -208,7 +208,8 @@ object ScalingSlopes {
     val scales = if (crossover) Seq(30L) else Seq(1L, 3L, 10L)
     val queries =
       if (d4CrossoverMode) Seq("d4_ngram_jaccard")
-      else if (x12CrossoverMode) Seq("x12_hybrid_retrieval", "x12b_hybrid_pruned")
+      else if (x12CrossoverMode)
+        Seq("x12_hybrid_retrieval", "x12b_hybrid_pruned", "x12c_hybrid_ivf")
       else if (x15CrossoverMode) Seq("x15_ivf_pq")
       else queriesUnderTest
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt.max(1)

@@ -259,14 +259,34 @@ object PipelineOps {
         .select(col("doc_id"), col("q"), col("nn")),
       "x12_docemb", d)
 
-  /** x12/x12b's shared body: RRF fusion of the BM25 lexical leg (d15's
-    * postings scores, optionally df-cap pruned — d15b's production
-    * stop-word posture) and the dense-cosine leg. Factored so the pruned
-    * composite is the SAME code modulo the one pruning parameter — the
-    * d15/d15b precedent applied to the fusion composite.
+  /** x12/x12b/x12c's shared body: RRF fusion of the BM25 lexical leg
+    * (d15's postings scores, optionally df-cap pruned — d15b's production
+    * stop-word posture) and a dense leg chosen by `denseLeg`:
+    *
+    *  - `"exact"` — brute-force corpus × queries cosine (d5's baseline;
+    *    oracle-exact by definition). Both sides scale with the corpus
+    *    (queries are 10% of docs by this query's definition), so the leg
+    *    is the fusion composite's measured super-linear growth term
+    *    (scaling_x12_out.json: ~12.5× per 3× docs at the 30× point).
+    *  - `"ivf"` — d7's inverted-file pruning dropped in as the dense
+    *    leg: deterministic stride-sampled coarse centroids (bounded
+    *    ≈ 4096 by the footer-count stride rule), every corpus doc
+    *    assigned to its nearest list, queries probe their 2 nearest
+    *    lists and run exact cosine + bounded-heap top-k INSIDE them —
+    *    search cost scales with list size, not corpus size
+    *    (scaling_x15_out.json measured the same swap at 57.0 s where
+    *    the exact leg read 127.2 s on the identical 150k-doc corpus).
+    *    Bounded recall: a true neighbor outside the probed lists is
+    *    unseen; RRF semantics under misses are unchanged (lex-only
+    *    docs keep dense_rk = 0, the x12b stop-word precedent).
+    *
+    * Factored so every composite is the SAME code modulo its two
+    * parameters — the d15/d15b precedent applied twice.
     */
   private def hybridRetrieval(s: org.apache.spark.sql.SparkSession, d: String,
-      maxDfPpm: Option[Long]): DataFrame = {
+      maxDfPpm: Option[Long], denseLeg: String = "exact"): DataFrame = {
+    require(denseLeg == "exact" || denseLeg == "ivf",
+      s"denseLeg must be 'exact' or 'ivf', got '$denseLeg'")
     graft.functions.GraftExtensions.registerInto(s)
     val W = org.apache.spark.sql.expressions.Window
     // both legs' top-5 run through the bounded-heap TopK Aggregator
@@ -285,14 +305,51 @@ object PipelineOps {
     val emb = docEmbed(s, d)
     val queries = emb.filter(col("doc_id") % 10 === 7)
       .select(col("doc_id").as("qdoc"), col("q").as("qq"), col("nn").as("qn"))
-    // corpus x queries is the dense leg's hot loop: the codegen
-    // long_dot kernel (identical BIGINT arithmetic, d13's proof)
-    val dense = emb.filter(col("doc_id") % 10 =!= 7)
-      .join(broadcast(queries))
-      .withColumn("dot", expr("long_dot(q, qq)"))
-      .withColumn("cos",
-        col("dot").cast("double") /
-          sqrt(col("qn").cast("double") * col("nn").cast("double")))
+    val corpus = emb.filter(col("doc_id") % 10 =!= 7)
+    val cosine =
+      expr("long_dot(q, qq)").cast("double") /
+        sqrt(col("qn").cast("double") * col("nn").cast("double"))
+    // candidate generation is the legs' only difference; scoring,
+    // top-k and fusion below are shared verbatim
+    val cands =
+      if (denseLeg == "exact")
+        // corpus x queries is the exact leg's hot loop: the codegen
+        // long_dot kernel (identical BIGINT arithmetic, d13's proof)
+        corpus.join(broadcast(queries))
+      else {
+        // d7's index over the hashed doc embeddings: stride-sampled
+        // centroids (deterministic — the oracle re-derives them; the
+        // cap keeps the broadcast and the O(N·K) assignment bounded)
+        val stride = math.max(50L, T.footerRowCount(s, d, "documents") / 4096L)
+        val cents = emb.filter(col("doc_id") % stride === 0)
+          .select(col("doc_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
+        val simToCent =
+          expr("long_dot(q, cq)").cast("double") /
+            sqrt(col("nn").cast("double") * col("cn").cast("double"))
+        // inverted lists: every corpus doc -> nearest centroid (ids-only
+        // exchange; q/nn ride the original frame, not the assignment)
+        val assigned = corpus.join(broadcast(cents))
+          .withColumn("sim", simToCent)
+          .groupBy(col("doc_id"))
+          .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("list_id"))
+        val listed = corpus.join(assigned, "doc_id")
+        // queries probe their 2 nearest lists; a doc lives in exactly
+        // ONE list, so (qdoc, doc_id) candidates are already unique
+        val probes = queries.withColumnRenamed("qq", "q")
+          .join(broadcast(cents))
+          .withColumn("sim",
+            expr("long_dot(q, cq)").cast("double") /
+              sqrt(col("qn").cast("double") * col("cn").cast("double")))
+          .withColumn("rk", row_number().over(
+            W.partitionBy(col("qdoc")).orderBy(col("sim").desc, col("cid"))))
+          .filter(col("rk") <= 2)
+          .select(col("qdoc"), col("q").as("qq"), col("qn"),
+            col("cid").as("probe_list"))
+        listed.join(probes, col("list_id") === col("probe_list"))
+          .drop("list_id", "probe_list")
+      }
+    val dense = cands
+      .withColumn("cos", cosine)
       .groupBy(col("qdoc"))
       .agg(graft.functions.TopK.udaf(5)(col("cos"), col("doc_id")).as("top"))
       .select(col("qdoc"), posexplode(col("top")).as(Seq("rk0", "sc")))
@@ -312,13 +369,68 @@ object PipelineOps {
       .orderBy(col("qdoc"), col("rk"))
   }
 
-  /** x12/x12b's oracle SQL — identical text modulo the d15b pruning
-    * predicate in the postings CTE, so a boundary-term off-by-one in
-    * either engine still mismatches the hash.
+  /** x12/x12b/x12c's oracle SQL — identical text modulo the d15b pruning
+    * predicate in the postings CTE and the dense-leg CTE block (exact
+    * cross vs full IVF re-derivation: stride-50 centroids, nearest-list
+    * assignment with d7's (sim DESC, cid ASC) tiebreak, 2-probe,
+    * exact cosine inside the probed lists), so a boundary off-by-one in
+    * either engine still mismatches the hash. The stride is the literal
+    * 50: footerRowCount/4096 < 50 at every test SF (d7's precedent —
+    * the cap only widens beyond ~205k documents).
     */
-  private def hybridOracleSql(maxDfPpm: Option[Long]): String = {
+  private def hybridOracleSql(maxDfPpm: Option[Long],
+      denseIvf: Boolean = false): String = {
     val prune = maxDfPpm.fold("")(ppm =>
       s"\n  WHERE df * 1000000 <= $ppm * nd")
+    val denseCte =
+      if (!denseIvf)
+        """dense AS (
+          |  SELECT qdoc, doc_id, rk AS dense_rk FROM (
+          |    SELECT p.qdoc, v.doc_id,
+          |      row_number() OVER (PARTITION BY p.qdoc ORDER BY
+          |        (list_reduce([v.q[i] * p.qq[i] FOR i IN range(1, len(v.q) + 1)],
+          |                     (a, b) -> a + b)::DOUBLE
+          |           / sqrt(p.qn::DOUBLE * v.nn::DOUBLE)) DESC,
+          |        v.doc_id ASC) AS rk
+          |    FROM base v CROSS JOIN queries p
+          |    WHERE v.doc_id % 10 != 7) WHERE rk <= 5)"""
+      else
+        """cents AS (
+          |  SELECT doc_id AS cid, q AS cq, nn AS cn FROM base WHERE doc_id % 50 = 0),
+          |corpus AS (SELECT * FROM base WHERE doc_id % 10 != 7),
+          |asim AS (
+          |  SELECT v.doc_id, c.cid,
+          |    list_reduce([v.q[i] * c.cq[i] FOR i IN range(1, len(v.q) + 1)],
+          |                (a, b) -> a + b)::DOUBLE
+          |      / sqrt(v.nn::DOUBLE * c.cn::DOUBLE) AS sim
+          |  FROM corpus v CROSS JOIN cents c),
+          |assigned AS (
+          |  SELECT doc_id, cid AS list_id FROM (
+          |    SELECT doc_id, cid,
+          |      row_number() OVER (PARTITION BY doc_id
+          |        ORDER BY sim DESC, cid ASC) AS rn
+          |    FROM asim) WHERE rn = 1),
+          |probes AS (
+          |  SELECT qdoc, probe_list FROM (
+          |    SELECT p.qdoc, c.cid AS probe_list,
+          |      row_number() OVER (PARTITION BY p.qdoc ORDER BY
+          |        (list_reduce([p.qq[i] * c.cq[i] FOR i IN range(1, len(p.qq) + 1)],
+          |                     (a, b) -> a + b)::DOUBLE
+          |           / sqrt(p.qn::DOUBLE * c.cn::DOUBLE)) DESC,
+          |        c.cid ASC) AS rn
+          |    FROM queries p CROSS JOIN cents c) WHERE rn <= 2),
+          |dense AS (
+          |  SELECT qdoc, doc_id, rk AS dense_rk FROM (
+          |    SELECT p.qdoc, v.doc_id,
+          |      row_number() OVER (PARTITION BY p.qdoc ORDER BY
+          |        (list_reduce([v.q[i] * p.qq[i] FOR i IN range(1, len(v.q) + 1)],
+          |                     (a, b) -> a + b)::DOUBLE
+          |           / sqrt(p.qn::DOUBLE * v.nn::DOUBLE)) DESC,
+          |        v.doc_id ASC) AS rk
+          |    FROM probes pr
+          |    JOIN queries p ON p.qdoc = pr.qdoc
+          |    JOIN assigned a ON a.list_id = pr.probe_list
+          |    JOIN corpus v ON v.doc_id = a.doc_id) WHERE rk <= 5)"""
     s"""WITH toks AS (
        |  SELECT doc_id,
        |    unnest(list_filter(str_split(lower(text), ' '), x -> x <> ''))
@@ -379,16 +491,7 @@ object PipelineOps {
        |queries AS (
        |  SELECT doc_id AS qdoc, q AS qq, nn AS qn
        |  FROM base WHERE doc_id % 10 = 7),
-       |dense AS (
-       |  SELECT qdoc, doc_id, rk AS dense_rk FROM (
-       |    SELECT p.qdoc, v.doc_id,
-       |      row_number() OVER (PARTITION BY p.qdoc ORDER BY
-       |        (list_reduce([v.q[i] * p.qq[i] FOR i IN range(1, len(v.q) + 1)],
-       |                     (a, b) -> a + b)::DOUBLE
-       |           / sqrt(p.qn::DOUBLE * v.nn::DOUBLE)) DESC,
-       |        v.doc_id ASC) AS rk
-       |    FROM base v CROSS JOIN queries p
-       |    WHERE v.doc_id % 10 != 7) WHERE rk <= 5),
+       |$denseCte,
        |fused AS (
        |  SELECT coalesce(l.qdoc, de.qdoc) AS qdoc,
        |         coalesce(l.doc_id, de.doc_id) AS doc_id,
@@ -3381,7 +3484,88 @@ object PipelineOps {
              |  CASE WHEN mb_milli <= lo THEN 'head'
              |       WHEN mb_milli <= hi THEN 'middle' ELSE 'tail' END AS band
              |FROM pm CROSS JOIN thr ORDER BY doc_id""".stripMargin),
-      doc = "pipeline/data mixing: quantile-calibrated surprisal banding — tercile thresholds from a milli-bit domain histogram (deterministic integer rule, no approx sketch), CCNet banding that transfers across corpus shapes"),
+      doc = "pipeline/data mixing: quantile-calibrated surprisal banding — tercile thresholds from a milli-bit domain histogram (deterministic integer rule, no approx sketch), CCNet banding that transfers across corpus shapes. CAVEAT: 'tercile' is nominal — a mass atom (many docs sharing one mb value, common on templated corpora) sits entirely in one band, so achieved fractions can be far from 1/3 each (the r11 500k rehearsal read 43/55/2%); t11c_band_fractions reports the achieved split"),
+
+    // T11b-companion: the ACHIEVED band fractions — quantile banding
+    // under mass atoms is honest but surprising (inclusive bands put
+    // every doc on an atom's mb value in ONE band; the 500k rehearsal's
+    // "terciles" split 43/55/2% because ~43% of docs share a single
+    // mb = 13000 atom), so the split t11b actually produced must be a
+    // first-class, oracled readout rather than a rehearsal-analysis
+    // footnote (r11 verdict #3). Exact integers over the SAME histogram
+    // + threshold frames t11b already computes (SharedFrame'd, so a
+    // session running both pays the token shuffles once): per band,
+    // the doc count and the exact ppm fraction n_docs·1e6 div n_total.
+    // A curator reads this BEFORE trusting the bands as mix weights.
+    QueryDef(
+      "t11c_band_fractions",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val toks = T.documents(s, d)
+          .select(col("doc_id"),
+            explode(filter(split(lower(col("text")), " "), x => x =!= ""))
+              .as("tok"))
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val tot = vocab.agg(sum(col("cnt")).as("t_total"))
+        val per = SharedFrame(
+          toks.join(vocab, Seq("tok"))
+            .crossJoin(broadcast(tot))
+            .withColumn("bits",
+              length(conv(expr("t_total div cnt"), 10, 2)).cast("long"))
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_toks"), sum(col("bits")).as("bits_sum"))
+            .withColumn("mb_milli", expr("bits_sum * 1000 div n_toks")),
+          "t11b_per", d)
+        val hist = per.groupBy(col("mb_milli")).agg(count(lit(1)).as("c"))
+        val thr = hist
+          .withColumn("cum", sum(col("c")).over(W.orderBy(col("mb_milli"))))
+          .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
+          .agg(
+            min(when(col("cum") * 3 >= col("n"), col("mb_milli"))).as("lo"),
+            min(when(col("cum") * 3 >= col("n") * 2, col("mb_milli"))).as("hi"))
+        per.crossJoin(broadcast(thr))
+          .withColumn("band",
+            when(col("mb_milli") <= col("lo"), "head")
+              .when(col("mb_milli") <= col("hi"), "middle")
+              .otherwise("tail"))
+          .groupBy(col("band")).agg(count(lit(1)).as("n_docs"))
+          .crossJoin(broadcast(per.agg(count(lit(1)).as("n_total"))))
+          .withColumn("frac_ppm", expr("n_docs * 1000000 div n_total"))
+          .select(col("band"), col("n_docs"), col("frac_ppm"))
+          .orderBy(col("band"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(str_split(lower(text), ' '), x -> x <> '')) AS tok
+             |  FROM documents),
+             |v AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_total FROM v),
+             |per AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+             |    CAST(sum(length(bin(t_total // cnt))) AS BIGINT) AS bits_sum
+             |  FROM toks JOIN v USING (tok) CROSS JOIN tot
+             |  GROUP BY doc_id),
+             |pm AS (SELECT *, bits_sum * 1000 // n_toks AS mb_milli FROM per),
+             |hist AS (SELECT mb_milli, CAST(count(*) AS BIGINT) AS c
+             |         FROM pm GROUP BY mb_milli),
+             |cum AS (SELECT mb_milli,
+             |          CAST(sum(c) OVER (ORDER BY mb_milli) AS BIGINT) AS cum
+             |        FROM hist),
+             |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+             |thr AS (
+             |  SELECT min(CASE WHEN cum * 3 >= n THEN mb_milli END) AS lo,
+             |         min(CASE WHEN cum * 3 >= 2 * n THEN mb_milli END) AS hi
+             |  FROM cum CROSS JOIN nn),
+             |bands AS (
+             |  SELECT CASE WHEN mb_milli <= lo THEN 'head'
+             |              WHEN mb_milli <= hi THEN 'middle'
+             |              ELSE 'tail' END AS band
+             |  FROM pm CROSS JOIN thr)
+             |SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(*) * 1000000 // n AS BIGINT) AS frac_ppm
+             |FROM bands CROSS JOIN nn
+             |GROUP BY band, n ORDER BY band""".stripMargin),
+      doc = "pipeline/data mixing: achieved band fractions for t11b's quantile banding — per-band doc counts and exact ppm shares over the same histogram/threshold frames; the mass-atom reality check a curator reads before using the bands as mix weights"),
 
     // X9: curriculum assembly — the t11/t10 capstone composite: x6's
     // quality + language gates → t11's surprisal banding computed on the
@@ -4379,6 +4563,28 @@ object PipelineOps {
       (s, d) => hybridRetrieval(s, d, Some(500000L)),
       Some(hybridOracleSql(Some(500000L))),
       doc = "pipeline composite: hybrid retrieval on d15b's df-capped postings (df > Nd/2 pruned, integer-exact cutoff) - RRF fusion of pruned-BM25 top-5 and dense-cosine top-5; the production posture of x12"),
+
+    // X12c: hybrid retrieval with the IVF dense leg — the last measured
+    // super-linear line in the suite wired as a dispatchable strategy
+    // instead of a hand-assembled rewrite (r11 verdict #1). x12's 30×
+    // crossover (scaling_x12_out.json) showed the exact dense leg —
+    // whose BOTH sides scale with the corpus — dominating growth
+    // (127.2 s, vs 109.4 s pruned) while x15's IVF shape read 57.0 s on
+    // the identical corpus; x12c is that swap INSIDE hybridRetrieval:
+    // d15b's pruned postings (x12b's lexical leg, unchanged) fused with
+    // d7's inverted-file dense leg (stride-sampled centroids, 2-probe,
+    // exact cosine within the probed lists). Oracle-exact like d7: the
+    // centroids are deterministic, assignment/probe tiebreaks are
+    // (sim DESC, cid ASC) on identical doubles from exact int64 dots,
+    // so DuckDB re-derives the whole index. Recall is bounded (misses
+    // outside probed lists), which RRF absorbs by design — a doc's
+    // missing dense evidence reads dense_rk = 0, exactly like x12b's
+    // stop-word-only docs on the lexical side.
+    QueryDef(
+      "x12c_hybrid_ivf",
+      (s, d) => hybridRetrieval(s, d, Some(500000L), denseLeg = "ivf"),
+      Some(hybridOracleSql(Some(500000L), denseIvf = true)),
+      doc = "pipeline composite: hybrid retrieval with d7's IVF dense leg (deterministic stride centroids, 2-probe, exact cosine inside lists) over d15b's pruned postings - the measured scale path for x12's dense growth term, as a strategy parameter"),
 
     // D16: product-quantization ANN with asymmetric-distance scoring
     // (Jégou et al. 2011, public literature) — the MEMORY side of the

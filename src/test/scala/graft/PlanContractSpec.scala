@@ -97,7 +97,9 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d23_kmv_source_overlap", // source-domain sketch pairs, src_a<src_b theta, sketches broadcast
     "x12_hybrid_retrieval",   // d15's scalar + bounded broadcast query side (d5's shape)
     "x12b_hybrid_pruned",     // x12's shape on d15b's pruned postings
+    "x12c_hybrid_ivf",        // d15's scalar + d7's broadcast centroids (IVF dense leg)
     "t11b_quantile_bands",    // broadcast 1-row tercile-threshold scalar (t11's shape)
+    "t11c_band_fractions",    // t11b's threshold scalar + 1-row n_total scalar
     "x2_rgp_mine", "x3_anchor_phylo", "x4_core_genes", // broadcast scalars
     "x8_training_mix",        // broadcast quota/funnel 1-row scalars
     "x9_curriculum_mix")      // broadcast token-total/weight/funnel scalars
@@ -128,8 +130,10 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d22_hdr_quantiles",      // 1-row bucket-summary + value-histogram scalars
     "x12_hybrid_retrieval",   // 1-row corpus-stats scalar (d15's frame)
     "x12b_hybrid_pruned",     // x12's scalar frame, pruned postings
+    "x12c_hybrid_ivf",        // x12b's scalar frame, IVF dense leg
     "t11b_quantile_bands",    // milli-bit DOMAIN cumulative window (≤64k rows,
                               // t13's bounded-domain precedent) + 1-row scalars
+    "t11c_band_fractions",    // t11b's domain window + scalars, band-grain output
     "t13_vocab_coverage",     // vocab-domain ranking window (c1/c2 precedent)
     "x2_rgp_mine", "x3_anchor_phylo", "x4_core_genes",
     "x8_training_mix",        // 1-row quota + funnel-count scalars
@@ -212,7 +216,9 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d23_kmv_source_overlap",                 // source-domain (≤64-long) sketch frame
     "x12_hybrid_retrieval",                   // bounded query-side broadcast
     "x12b_hybrid_pruned",                     // x12's bounded query side, pruned postings
+    "x12c_hybrid_ivf",                        // x12b's query side + d7-capped centroids
     "t11b_quantile_bands",                    // 1-row token-total + tercile-threshold scalars
+    "t11c_band_fractions",                    // t11b's scalars + 1-row n_total
     "x9_curriculum_mix",                      // lang targets + 1-row totals
     "x1_genome_track",                        // per-event-type counts
     "x2_rgp_mine", "x3_anchor_phylo",         // type-pair anchors + 1-row scalars

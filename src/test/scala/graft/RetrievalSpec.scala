@@ -196,4 +196,36 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d3.isDefined, s"dense-only doc 3 missing from fusion: ${out.toSeq}")
     assert(d3.get._5 == 0 && d3.get._6 > 0)
   }
+
+  test("x12c: IVF dense leg with full list coverage equals the exact leg (x12b)") {
+    // the IVF law worth pinning structurally (the sf0.01 oracle already
+    // re-derives the whole index in DuckDB): pruning only ever REMOVES
+    // candidates outside the probed lists, so when every corpus doc's
+    // list IS probed the leg degenerates to the exact brute force and
+    // x12c must equal x12b row for row. 100 docs → centroids {0, 50}
+    // (the stride-50 rule) → 2 inverted lists → every query's 2-probe
+    // covers both → full coverage by construction.
+    import spark.implicits._
+    val words = Seq("zebra", "apple", "pear", "kiwi", "common", "words",
+      "other", "things", "table", "river")
+    val docs = (0L until 100L).map { id =>
+      val t = (0 until 4 + (id % 5).toInt)
+        .map(j => words(((id * 7 + j * 3) % 10).toInt)).mkString(" ")
+      (id, t, "en", s"src$id")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_x12c").toString
+    docs.toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => (r.getAs[Long]("qdoc"), r.getAs[Int]("rk"),
+          r.getAs[Long]("r_doc"), r.getAs[Long]("rrf"),
+          r.getAs[Int]("lex_rk"), r.getAs[Int]("dense_rk"))).toSeq
+    val ivf = rows("x12c_hybrid_ivf")
+    val exact = rows("x12b_hybrid_pruned")
+    assert(ivf == exact,
+      s"full-coverage IVF must equal exact dense leg:\nivf=$ivf\nexact=$exact")
+    assert(ivf.nonEmpty && ivf.exists(_._6 > 0),
+      "fixture must exercise the dense leg")
+  }
 }
