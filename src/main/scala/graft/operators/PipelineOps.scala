@@ -828,6 +828,14 @@ object PipelineOps {
     */
   private[graft] val cmsDepth = 4
   private[graft] val cmsWidth = 32
+  /** Version of the CMS hash derivation — part of the sketch's IDENTITY
+    * (cells hashed under different derivations never merge meaningfully).
+    * Bump on ANY change to [[cmsRowCols]]'s digest/row-composition rule;
+    * [[graft.streaming.StreamingJobs.sketchVersionGuard]] enforces the
+    * pairing on checkpoints/stores. History: v1 = the r10 one-digest KM
+    * retrofit (h2 parity unconstrained); v2 = r11's odd-h2 composition.
+    */
+  private[graft] val cmsDerivationVersion = 2
   private[graft] def cmsRowCols(toks: DataFrame): DataFrame = toks
     .withColumn("dg", expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)"))
     .withColumn("r", explode(expr(s"sequence(0, ${cmsDepth - 1})")))
@@ -850,9 +858,14 @@ object PipelineOps {
     * upgrade that changes [[cmsRowCols]] (r10's one-digest retrofit,
     * r11's odd-h2 fix) requires a FRESH checkpoint for any live
     * streaming aggregate built on this definition, and persisted cell
-    * frames must not be unioned across the change — the stateful
-    * groupBy has no schema slot for a version guard, so this contract
-    * is documentation, not enforcement.
+    * frames must not be unioned across the change. The stateful groupBy
+    * has no schema slot for a version column, so the contract is
+    * ENFORCED beside the state instead (r12): [[cmsDerivationVersion]] +
+    * [[graft.streaming.StreamingJobs.sketchVersionGuard]] stamp a
+    * `_graft_sketch_version` marker on the checkpoint/store directory
+    * and fail fast when state predates or mismatches the current
+    * derivation — use the checkpoint-taking streamingCmsCells overload
+    * (or call the guard directly on persisted-cell directories).
     */
   def cmsCells(docs: DataFrame): DataFrame =
     cmsRowCols(docs.select(

@@ -190,14 +190,13 @@ object StreamingJobs {
         val adopted = lineageGuard(s, storePath, checkpoint,
           storeHasRows = seen.nonEmpty,
           rebasePaths = Seq(s"$storePath/cells", s"$storePath/regs"))
-        if (!adopted) seen.foreach { m =>
-          require(m <= batchId,
-            s"card store $storePath was written by this checkpoint " +
-              s"lineage up to batch $m but the stream is at batch $batchId " +
-              "— a rolled-back checkpoint must not pair with a newer " +
-              "store; restore the matching checkpoint or use a fresh " +
-              "storePath")
-        }
+        if (!adopted) requirePairing("card", storePath, batchId, seen,
+          // confirm across BOTH delta grains (whichever have rows)
+          () => Seq(s"$storePath/cells", s"$storePath/regs")
+            .flatMap(p =>
+              try rowMaxBatch(s.read.parquet(p))
+              catch { case _: org.apache.spark.sql.AnalysisException => None })
+            .maxOption)
         val base = graft.operators.PipelineOps
           .shardCardBase(batch.select(col("doc_id"), col("text")))
           .persist() // two grains read it — don't tokenize twice
@@ -309,6 +308,22 @@ object StreamingJobs {
     */
   def streamingCmsCells(docs: DataFrame): DataFrame =
     additiveCellStream(docs, graft.operators.PipelineOps.cmsCells)
+
+  /** [[streamingCmsCells]] with the derivation-version guard wired in
+    * (r12): `checkpoint` is the directory the caller will pass as
+    * `checkpointLocation` — the guard stamps/validates its
+    * `_graft_sketch_version` marker at stream-DEFINITION time, so a
+    * checkpoint whose CMS state predates the current [[graft.operators
+    * .PipelineOps.cmsRowCols]] derivation (e.g. pre-r11 even-h2 cells)
+    * fails fast here instead of silently merging old-keyed (r, c) state
+    * with new-keyed increments on resume. The no-checkpoint overload
+    * stays for callers who run the guard themselves.
+    */
+  def streamingCmsCells(docs: DataFrame, checkpoint: String): DataFrame = {
+    sketchVersionGuard(docs.sparkSession, checkpoint, "cms-km",
+      graft.operators.PipelineOps.cmsDerivationVersion)
+    streamingCmsCells(docs)
+  }
 
   /** d24's AMS F2 sign counters as a LIVE streaming aggregate: the
     * counters are LINEAR in the stream (per-lang sums of per-row ±1
@@ -465,14 +480,9 @@ object StreamingJobs {
         // meaningless (adoption rebases it to -1), so checking it first
         // made the documented adoptStore path unreachable whenever the
         // foreign store was ahead of the new stream's batch counter
-        if (!adopted) maxSeen.foreach { m =>
-          require(m <= batchId,
-            s"signature store $storePath was written by this checkpoint " +
-              s"lineage up to batch $m but the stream is at batch " +
-              s"$batchId — a rolled-back checkpoint must not pair with a " +
-              "newer store; restore the matching checkpoint or use a " +
-              "fresh storePath")
-        }
+        if (!adopted)
+          requirePairing("signature", storePath, batchId, maxSeen,
+            () => rowMaxBatch(raw))
         // stamp geometry once ownership is settled: a freshly claimed or
         // self-healed store gains its marker here; an adopted store's
         // rebase rewrote the directory wholesale (markers included), so
@@ -584,14 +594,9 @@ object StreamingJobs {
         // the require protects against.
         val adopted = lineageGuard(s, storePath, checkpoint,
           storeHasRows = maxSeen.nonEmpty)
-        if (!adopted) maxSeen.foreach { m =>
-          require(m <= batchId,
-            s"digest store $storePath was written by this checkpoint " +
-              s"lineage up to batch $m but the stream is at batch " +
-              s"$batchId — a rolled-back checkpoint must not pair with a " +
-              "newer store; restore the matching checkpoint or use a " +
-              "fresh storePath")
-        }
+        if (!adopted)
+          requirePairing("digest", storePath, batchId, maxSeen,
+            () => rowMaxBatch(raw))
         val rawNow = if (adopted) s.read.parquet(storePath) else raw
         // exclude this batch's own half-finished partition on replay
         val store = rawNow.filter(col("batch_id") < batchId)
@@ -683,14 +688,9 @@ object StreamingJobs {
         // store (a foreign store's batch numbering is meaningless —
         // adoption rebases to -1; checking first made adoptStore
         // unreachable for a foreign store ahead of this stream)
-        if (!adopted) maxSeen.foreach { m =>
-          require(m <= batchId,
-            s"digest store $storePath was written by this checkpoint " +
-              s"lineage up to batch $m but the stream is at batch " +
-              s"$batchId — a rolled-back checkpoint must not pair with a " +
-              "newer store; restore the matching checkpoint or use a " +
-              "fresh storePath")
-        }
+        if (!adopted)
+          requirePairing("digest", storePath, batchId, maxSeen,
+            () => rowMaxBatch(raw))
         val rawNow = if (adopted) s.read.parquet(storePath) else raw
         // exclude this batch's own half-finished partition on replay
         val store = rawNow.filter(col("batch_id") < batchId)
@@ -751,6 +751,106 @@ object StreamingJobs {
       .filter(_.startsWith("batch_id="))
       .flatMap(n => n.stripPrefix("batch_id=").toLongOption)
       .maxOption
+  }
+
+  /** The rollback pairing check all four stores run (an OWNED store must
+    * never be ahead of its stream's batch counter), with a
+    * phantom-directory fallback (r11 review): [[maxBatchIn]] reads
+    * DIRECTORY names, and a `batch_id=N` directory can outlive its data
+    * files (aborted write, lost parquet — the same failure mode the
+    * geometry path's count(*) guard covers). When the listing claims the
+    * store is ahead, ONE row-scan max(batch_id) confirms the claim
+    * before refusing: phantom directories (row max ≤ batchId, or no rows
+    * at all) pass instead of bricking the stream on state that does not
+    * exist. The scan runs ONLY on the would-refuse path, so the steady
+    * state keeps its zero-per-batch-Spark-jobs contract.
+    */
+  private def requirePairing(what: String, storePath: String, batchId: Long,
+      dirMax: Option[Long], rowMax: () => Option[Long]): Unit =
+    dirMax.filter(_ > batchId).foreach { m =>
+      val confirmed = rowMax()
+      require(confirmed.forall(_ <= batchId),
+        s"$what store $storePath was written by this checkpoint " +
+          s"lineage up to batch ${confirmed.getOrElse(m)} but the stream " +
+          s"is at batch $batchId — a rolled-back checkpoint must not " +
+          "pair with a newer store; restore the matching checkpoint or " +
+          "use a fresh storePath")
+    }
+
+  /** Row-scan max(batch_id) of a store frame, for [[requirePairing]]'s
+    * confirm step (partition-directory columns read back as int — hence
+    * the Number access).
+    */
+  private def rowMaxBatch(df: DataFrame): Option[Long] = {
+    val r = df.agg(max(col("batch_id"))).collect()(0)
+    if (r.isNullAt(0)) None else Some(r.getAs[Number](0).longValue)
+  }
+
+  /** Fail-fast version pairing for sketch state whose HASH DERIVATION is
+    * part of its identity (the r11 advice gap): CMS cells are (r, c)
+    * keyed by the Kirsch-Mitzenmacher composition, so a live streaming
+    * aggregate's checkpoint state — or a persisted cell frame — written
+    * under one derivation merges with increments computed under another
+    * into silently corrupt estimates. The docstring contract
+    * ("fresh checkpoint after a derivation change") becomes enforcement:
+    * a `_graft_sketch_version` marker (`<tag>/<version>`, the
+    * `_graft_geometry` pattern) rides the guarded directory.
+    *
+    *  - marker matches → proceed (O(1) file read);
+    *  - marker mismatches → fail fast naming both versions;
+    *  - no marker, directory absent/empty → claim it (stamp + proceed);
+    *  - no marker, directory populated → state predates version
+    *    stamping (or is foreign): refuse unless
+    *    `graft.sketch.adoptVersion=true` asserts it was built under the
+    *    CURRENT derivation and re-stamps.
+    *
+    * Call on the checkpoint dir of a live sketch aggregate (the
+    * [[streamingCmsCells]] checkpoint overload does) and on any
+    * directory persisting cell frames that later batches union/merge.
+    */
+  def sketchVersionGuard(s: SparkSession, dir: String, tag: String,
+      version: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val d = new Path(dir)
+    val fs = d.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new Path(d, "_graft_sketch_version")
+    def stamp(): Unit = {
+      fs.mkdirs(d)
+      val out = fs.create(marker, true)
+      try out.write(s"$tag/$version".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val txt =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val b = new Array[Byte](256)
+          var n = in.read(b)
+          while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+          new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+      require(txt.trim == s"$tag/$version",
+        s"sketch state at $dir was written under derivation version " +
+          s"'${txt.trim}' but this engine computes '$tag/$version' — " +
+          "cells hashed under different derivations must never merge; " +
+          "use a fresh checkpoint/store (and rebuild persisted cells) " +
+          "after a derivation change")
+    } else {
+      val populated = fs.exists(d) && fs.listStatus(d).nonEmpty
+      if (!populated) stamp()
+      else {
+        require(s.conf.getOption("graft.sketch.adoptVersion").contains("true"),
+          s"sketch state at $dir predates derivation-version stamping — " +
+            s"it may have been written under an older '$tag' derivation, " +
+            "and merging across derivations silently corrupts estimates; " +
+            "use a fresh checkpoint/store, or set " +
+            "graft.sketch.adoptVersion=true to assert it was built under " +
+            "the current derivation and stamp it")
+        stamp()
+      }
+    }
   }
 
   /** The near-dedup store's band geometry, recorded ONCE in a

@@ -559,6 +559,158 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("graft.stream.adoptStore")
   }
 
+  test("phantom batch_id directory passes the pairing check; real rows ahead refuse") {
+    // r11 review: maxBatchIn reads DIRECTORY names, and a batch_id=N dir
+    // can outlive its data files (aborted write, lost parquet). The
+    // pairing check must confirm the listing's claim with one row scan
+    // before refusing — phantom dirs pass, genuinely-ahead rows refuse.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_phantom").toString
+    def mkText(seed: Int): String = (1 to 300).map(i => s"${seed}w$i").mkString(" ")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingJobs.incrementalCdcDedup(input.toDF().toDF("doc_id", "text"),
+      s"$dir/store", s"$dir/out", s"$dir/ckpt").start()
+    input.addData((1L, mkText(7)))
+    q.processAllAvailable()
+    input.addData((2L, mkText(13)))
+    q.processAllAvailable(); q.stop()
+    // plant a PHANTOM partition: directory exists, zero data files
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/store/batch_id=99"))
+    // same checkpoint resumes at batch 2 < 99: pre-fix this bricked the
+    // stream; the row-scan fallback sees max(batch_id) = 1 and proceeds
+    val q2 = StreamingJobs.incrementalCdcDedup(input.toDF().toDF("doc_id", "text"),
+      s"$dir/store", s"$dir/out", s"$dir/ckpt").start()
+    input.addData((3L, mkText(7))) // copy of doc 1: dedups against the store
+    q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(s"$dir/out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("dup_chunks"))).toMap
+    assert(rows(3L)._2 == rows(3L)._1 && rows(3L)._1 > 0,
+      s"the stream must proceed past the phantom dir and still dedup: $rows")
+    // now make batch 99 REAL: rows genuinely ahead of the stream refuse
+    Seq((12345L, 99L)).toDF("dg", "batch_id")
+      .write.partitionBy("batch_id").mode("append").parquet(s"$dir/store")
+    val q3 = StreamingJobs.incrementalCdcDedup(input.toDF().toDF("doc_id", "text"),
+      s"$dir/store", s"$dir/out", s"$dir/ckpt").start()
+    input.addData((4L, mkText(23)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    val m = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(m.contains("rolled-back checkpoint"), m)
+    q3.stop()
+  }
+
+  test("sketch version guard: stamp, mismatch fail-fast, pre-version adopt") {
+    val base = java.nio.file.Files.createTempDirectory("graft_skver").toString
+    // fresh dir: claimed and stamped
+    StreamingJobs.sketchVersionGuard(spark, s"$base/fresh", "cms-km", 2)
+    val marker = java.nio.file.Paths.get(s"$base/fresh/_graft_sketch_version")
+    assert(java.nio.file.Files.exists(marker))
+    assert(new String(java.nio.file.Files.readAllBytes(marker)) == "cms-km/2")
+    // same version: idempotent
+    StreamingJobs.sketchVersionGuard(spark, s"$base/fresh", "cms-km", 2)
+    // derivation bump: the stale state fails fast naming both versions
+    val e = intercept[IllegalArgumentException] {
+      StreamingJobs.sketchVersionGuard(spark, s"$base/fresh", "cms-km", 3)
+    }
+    assert(e.getMessage.contains("cms-km/2") && e.getMessage.contains("cms-km/3"),
+      e.getMessage)
+    // populated-but-unmarked dir (pre-stamping state): refuse without the
+    // explicit adoption conf; adopt re-stamps
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/old"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/old/state"), "x".getBytes)
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingJobs.sketchVersionGuard(spark, s"$base/old", "cms-km", 2)
+    }
+    assert(e2.getMessage.contains("predates"), e2.getMessage)
+    spark.conf.set("graft.sketch.adoptVersion", "true")
+    try StreamingJobs.sketchVersionGuard(spark, s"$base/old", "cms-km", 2)
+    finally spark.conf.unset("graft.sketch.adoptVersion")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/old/_graft_sketch_version")))
+  }
+
+  test("streaming CMS via the checkpoint overload guards the derivation version") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cmsver").toString + "/ckpt"
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingJobs.streamingCmsCells(
+        input.toDF().toDF("doc_id", "text"), ckpt)
+      .writeStream.format("memory").queryName("cmsver")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    input.addData((1L, "alpha beta gamma"))
+    q.processAllAvailable(); q.stop()
+    // the checkpoint now carries the version marker beside the state
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$ckpt/_graft_sketch_version")))
+    // tamper: a checkpoint written under an older derivation must refuse
+    // at stream-DEFINITION time, before any state merges
+    val hp = new org.apache.hadoop.fs.Path(s"$ckpt/_graft_sketch_version")
+    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(hp, true)
+    try out.write("cms-km/1".getBytes) finally out.close()
+    val e = intercept[IllegalArgumentException] {
+      StreamingJobs.streamingCmsCells(input.toDF().toDF("doc_id", "text"), ckpt)
+    }
+    assert(e.getMessage.contains("cms-km/1"), e.getMessage)
+  }
+
+  test("per-micro-batch Spark job count stays constant as the store ages") {
+    // r11 verdict #2: the zero-per-batch-store-probe claim, pinned by a
+    // listener instead of code reading. Every batch of identical shape
+    // must run the SAME number of Spark jobs regardless of how many
+    // batches preceded it — a reintroduced per-batch store aggregate
+    // (the pre-r11 geometry row-scan, a count() probe) adds at least one
+    // job to every later batch and fails the equality.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jobage").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingJobs.incrementalNearDedup(input.toDF().toDF("doc_id", "text"),
+      s"$dir/store", s"$dir/out", s"$dir/ckpt").start()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // identical batch SHAPE each round (one fresh 10-token doc) so the
+      // only thing that varies across rounds is store age
+      val counts = (0 until 6).map { i =>
+        // drain async listener events from the previous round first
+        // (the PrefixJoinSpec convention — the bus is private[spark])
+        Thread.sleep(400)
+        val before = jobs.get()
+        input.addData((100L + i, (1 to 10).map(w => s"b${i}w$w").mkString(" ")))
+        q.processAllAvailable()
+        Thread.sleep(400)
+        jobs.get() - before
+      }
+      q.stop()
+      // batch 0 creates the store (different job shape); compare 1..5.
+      // Two teeth: (a) the count must not VARY with store age, and
+      // (b) it must not exceed the measured write-path constant — 22 on
+      // Spark 4.1.2 / local[2] / AQE for this exact batch shape
+      // (validated: a planted per-batch raw.count() store probe reads
+      // 24). (a) alone cannot catch a probe (constant +k per batch);
+      // (b) alone would allow age-proportional growth on the last batch.
+      val steady = counts.drop(1)
+      assert(steady.distinct.size == 1,
+        s"per-batch job count must not vary with stream age: $counts")
+      assert(steady.head <= 22,
+        s"steady-state batch runs more jobs than the write path needs " +
+          s"(probe reintroduced?): $counts")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("watermark drops late rows once the window is past") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
