@@ -184,6 +184,73 @@ object ScalingSlopes {
     }
   }
 
+  /** `runMain graft.ScalingSlopes streamage` — micro-batch latency vs
+    * STREAM AGE for an incremental store (r11 verdict #6): now that all
+    * four stores probe state in O(1) FS reads (maxBatchIn directory
+    * listing + marker files), "no per-batch growth" should be a measured
+    * curve, not a code-reading claim. Runs incrementalCdcDedup against a
+    * memory stream for SPARK_GRAFT_STREAM_BATCHES (default 1000)
+    * identical-shape batches — the store accretes one batch_id partition
+    * per batch, the exact regime where the pre-r11 per-batch row-scan
+    * probe grew linearly — and reports windowed mean latencies (early /
+    * mid / late) plus the late/early ratio. StreamingSpec pins the
+    * job-count constancy; this pins the wall-clock. NOTE: the store
+    * SCAN (digest distinct) legitimately grows with total novel digests
+    * — batches are small here so that term stays ~flat; the curve
+    * isolates the probe/bookkeeping overhead the r11 rework removed.
+    */
+  private def streamAge(): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "1000").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val root = java.nio.file.Files.createTempDirectory("graft_streamage").toString
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingJobs.incrementalCdcDedup(
+        input.toDF().toDF("doc_id", "text"),
+        s"$root/store", s"$root/out", s"$root/ckpt").start()
+      val latMs = (0 until nBatches).map { i =>
+        // identical batch shape, fresh tokens: 5 docs × 60 tokens — the
+        // store grows by ~a few novel digests per batch while the batch
+        // work stays constant, so latency drift isolates age overhead
+        val docs = (0 until 5).map(j =>
+          (i * 5L + j, (1 to 60).map(w => s"b${i}d${j}w$w").mkString(" ")))
+        val t0 = System.nanoTime()
+        input.addData(docs: _*)
+        q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e6
+      }
+      q.stop()
+      def winMean(lo: Int, hi: Int): Double = {
+        val w = latMs.slice(lo, hi); w.sum / w.size
+      }
+      // windows skip batch 0 (store creation) and the JIT warm-up head
+      val early = winMean(10, 60)
+      val mid = winMean(nBatches / 2 - 25, nBatches / 2 + 25)
+      val late = winMean(nBatches - 50, nBatches)
+      def f(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+      val line = s"""{"metric":"stream_age_latency","store":"cdc_dedup",""" +
+        s""""n_batches":$nBatches,"early_ms":${f(early)},"mid_ms":${f(mid)},""" +
+        s""""late_ms":${f(late)},"late_over_early":${f(late / early)}}"""
+      Raw.stdout.println(line)
+      java.nio.file.Files.write(java.nio.file.Paths.get("scaling_stream_out.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally {
+      graft.operators.Scratch.deleteRecursively(new java.io.File(root))
+      spark.stop()
+    }
+  }
+
   /** `runMain graft.ScalingSlopes x12crossover` — the same 30× anchor
     * d4 got, for the steepest HONEST slope in the suite: x12's BM25 leg
     * grows near-linearly in postings volume (slope 7.3 at 10×), so the
@@ -204,6 +271,7 @@ object ScalingSlopes {
     val d4AutoMode = args.headOption.contains("d4auto")
     if (d4StatsMode) { d4Stats(); return }
     if (d4AutoMode) { d4Auto(); return }
+    if (args.headOption.contains("streamage")) { streamAge(); return }
     val crossover = d4CrossoverMode || x12CrossoverMode || x15CrossoverMode
     val scales = if (crossover) Seq(30L) else Seq(1L, 3L, 10L)
     val queries =

@@ -936,7 +936,7 @@ object StreamingJobs {
     * [[incrementalNearDedup]]). Returns true when a foreign or pre-marker
     * store was adopted and rebased — the caller must re-read the path.
     */
-  private def lineageGuard(s: SparkSession, storePath: String,
+  private[streaming] def lineageGuard(s: SparkSession, storePath: String,
       checkpoint: String, storeHasRows: Boolean,
       rebasePaths: Seq[String] = Nil): Boolean = {
     import org.apache.hadoop.fs.Path
@@ -944,10 +944,19 @@ object StreamingJobs {
     val fs = storeDir.getFileSystem(s.sparkContext.hadoopConfiguration)
     // multi-grain stores (the data card's cells/ + regs/) keep ONE
     // marker at the root but rebase each delta dir separately; a grain
-    // the old store never wrote (e.g. zero-token-only regs) is skipped
+    // the old store never wrote (e.g. zero-token-only regs) is skipped,
+    // and so is a dir holding only underscore markers — a foreign store
+    // whose old lineage claimed it but crashed before writing data has
+    // nothing to rebase, and reading it as parquet would throw (r12
+    // matrix review: adoption of an empty-but-marked store must succeed)
+    def hasData(p: Path): Boolean =
+      fs.exists(p) && fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
     def rebaseAll(): Unit =
       (if (rebasePaths.isEmpty) Seq(storePath) else rebasePaths)
-        .foreach(p => if (fs.exists(new Path(p))) rebase(s, fs, p))
+        .foreach(p => if (hasData(new Path(p))) rebase(s, fs, p))
     val id = lineageId(s, checkpoint)
     val marker = new Path(storeDir, "_graft_lineage")
     def writeMarker(): Unit = {
