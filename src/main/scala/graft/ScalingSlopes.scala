@@ -184,6 +184,57 @@ object ScalingSlopes {
     }
   }
 
+  /** `runMain graft.ScalingSlopes d4probe` — probe-cost measurement for
+    * the r12 sparse pre-probe on an OPEN-VOCABULARY corpus (the common
+    * case at 150k docs): the r11 router always paid the df-join +
+    * per-doc-sort exact pass before routing; the r12 pre-probe reads
+    * the all-token candidate bound first (one explode + aggregate) and
+    * skips the exact pass when the bound already proves the corpus
+    * sparse. Reports both wall-clocks on the same corpus — the routing
+    * decision itself is pinned by PrefixJoinSpec; this is the cost
+    * evidence. The corpus: 150k docs × ≤40 tokens from a 3M-token
+    * space (mean df ≈ 2 — prefixes are rare tokens, the prefix
+    * branch's design regime).
+    */
+  private def d4Probe(): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.range(150000L)
+      .select(col("id").as("doc_id"), (col("id") % 7).as("lb"),
+        expr("array_sort(array_distinct(transform(sequence(1, 40), " +
+          "j -> pmod(xxhash64(id * 40 + j), 3000000))))").as("g"))
+      .persist()
+    try {
+      docs.count() // materialize: both timings below see the same input
+      val t0 = System.nanoTime()
+      val auto = graft.operators.PrefixJoin.jaccardPairsAuto(
+        docs, "doc_id", "g", Seq("lb"), 0.35)
+      val preSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val exact = graft.operators.PrefixJoin.densityProbe(
+        docs, "doc_id", "g", Seq("lb"), 0.35)
+      val exactSec = (System.nanoTime() - t1) / 1e9
+      require(!auto.choseQuadratic && !auto.probe.exactPrefixCount,
+        s"fixture must take the sparse pre-probe path: ${auto.probe}")
+      require(!exact.dense(0.5), s"exact probe must agree on sparse: $exact")
+      def f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      val line = s"""{"metric":"d4_probe_cost","n_docs":150000,""" +
+        s""""pre_probe_sec":${f(preSec)},"exact_probe_sec":${f(exactSec)},""" +
+        s""""bound":${auto.probe.prefixCandidates},""" +
+        s""""exact_candidates":${exact.prefixCandidates},""" +
+        s""""block_pairs":${auto.probe.blockPairs},"routed":"prefix"}"""
+      Raw.stdout.println(line)
+      java.nio.file.Files.write(java.nio.file.Paths.get("scaling_d4probe_out.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally { docs.unpersist(); spark.stop() }
+  }
+
   /** `runMain graft.ScalingSlopes streamage` — micro-batch latency vs
     * STREAM AGE for an incremental store (r11 verdict #6): now that all
     * four stores probe state in O(1) FS reads (maxBatchIn directory
@@ -272,6 +323,7 @@ object ScalingSlopes {
     if (d4StatsMode) { d4Stats(); return }
     if (d4AutoMode) { d4Auto(); return }
     if (args.headOption.contains("streamage")) { streamAge(); return }
+    if (args.headOption.contains("d4probe")) { d4Probe(); return }
     val crossover = d4CrossoverMode || x12CrossoverMode || x15CrossoverMode
     val scales = if (crossover) Seq(30L) else Seq(1L, 3L, 10L)
     val queries =

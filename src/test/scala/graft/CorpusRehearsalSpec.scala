@@ -46,7 +46,8 @@ class CorpusRehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
       "surprisal_band", "temperature_mix", "classifier_gate",
       "dsir_select", "data_card", "kmv_overlap",
       "bm25_retrieve", "bm25_retrieve_pruned",
-      "hybrid_retrieve", "hybrid_retrieve_pruned", "ivfpq_retrieve"))
+      "hybrid_retrieve", "hybrid_retrieve_pruned", "hybrid_retrieve_ivf",
+      "ivfpq_retrieve"))
     // pruning can only shrink the candidate-pair workload
     assert(m("n_bm25_cand_pairs_pruned") <= m("n_bm25_cand_pairs"))
     // the bloom gate NEVER misses an exactly-contaminated doc, and its
@@ -99,6 +100,10 @@ class CorpusRehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m("n_hybrid_hits") > 0 && m("n_hybrid_hits_pruned") > 0)
     assert(m("n_hybrid_both_legs") > 0,
       s"fusion degenerate: no doc ranked by both legs")
+    // r12: the IVF dense-leg variant answers the same workload — misses
+    // outside probed lists shrink the dense leg, never the query set
+    assert(m("n_hybrid_queries_ivf") == m("n_hybrid_queries"))
+    assert(m("n_hybrid_hits_ivf") > 0)
     // temperature dealing: Σ copies ≈ n_clean by construction, so the
     // movement pins are per-doc — the en-heavy skew upsamples some
     // tail-lang doc to ≥ 2 copies AND zero-deals some en docs
