@@ -235,6 +235,69 @@ object ScalingSlopes {
     } finally { docs.unpersist(); spark.stop() }
   }
 
+  /** `runMain graft.ScalingSlopes x12diag` — stage-grain diagnosis of
+    * the hybrid-retrieval family at the 30× point: runs each variant
+    * twice (cold, then SharedFrame-warm) under a stage listener and
+    * reports, for the warm execution, the top stages by wall-clock with
+    * their shuffle read/write and spill bytes. Exists because composite
+    * wall-clocks (scaling_x12_out.json) can move for environment reasons
+    * a single number can't explain — this mode shows WHERE the seconds
+    * sit so a regression reads as "stage X spills" instead of a guess.
+    */
+  private def x12Diag(): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val root = java.nio.file.Files.createTempDirectory("graft_x12diag").toString
+    final case class St(id: Int, name: String, ms: Long, shufR: Long,
+      shufW: Long, spillMem: Long, spillDisk: Long, out: Long)
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val m = i.taskMetrics
+        val ms = (for {s <- i.submissionTime; c <- i.completionTime}
+          yield c - s).getOrElse(0L)
+        stages.add(St(i.stageId, i.name.takeWhile(_ != '\n').take(80), ms,
+          m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
+          m.memoryBytesSpilled, m.diskBytesSpilled, m.outputMetrics.bytesWritten))
+        (): Unit
+      }
+    }
+    try {
+      materialize(spark, 150000L, 60000L, root)
+      spark.sparkContext.addSparkListener(listener)
+      Seq("x12_hybrid_retrieval", "x12b_hybrid_pruned", "x12c_hybrid_ivf")
+        .foreach { q =>
+          (1 to 2).foreach { rep =>
+            stages.clear()
+            val t0 = System.nanoTime()
+            SparkEntry.queries(q)(spark, root)
+              .write.format("noop").mode("overwrite").save()
+            val sec = (System.nanoTime() - t0) / 1e9
+            Raw.stdout.println(f"== $q rep$rep: $sec%.1f s")
+            import scala.jdk.CollectionConverters._
+            stages.asScala.toSeq.sortBy(-_.ms).take(12).foreach { s =>
+              Raw.stdout.println(f"   stage ${s.id}%5d ${s.ms / 1000.0}%7.1fs " +
+                f"shufR=${s.shufR / 1e9}%6.2fG shufW=${s.shufW / 1e9}%6.2fG " +
+                f"spillD=${s.spillDisk / 1e9}%6.2fG ${s.name}")
+            }
+          }
+        }
+    } finally {
+      graft.operators.Scratch.deleteRecursively(new java.io.File(root))
+      spark.stop()
+    }
+  }
+
   /** `runMain graft.ScalingSlopes streamage` — micro-batch latency vs
     * STREAM AGE for an incremental store (r11 verdict #6): now that all
     * four stores probe state in O(1) FS reads (maxBatchIn directory
@@ -324,14 +387,23 @@ object ScalingSlopes {
     if (d4AutoMode) { d4Auto(); return }
     if (args.headOption.contains("streamage")) { streamAge(); return }
     if (args.headOption.contains("d4probe")) { d4Probe(); return }
+    if (args.headOption.contains("x12diag")) { x12Diag(); return }
     val crossover = d4CrossoverMode || x12CrossoverMode || x15CrossoverMode
     val scales = if (crossover) Seq(30L) else Seq(1L, 3L, 10L)
-    val queries =
+    val allQueries =
       if (d4CrossoverMode) Seq("d4_ngram_jaccard")
       else if (x12CrossoverMode)
         Seq("x12_hybrid_retrieval", "x12b_hybrid_pruned", "x12c_hybrid_ivf")
       else if (x15CrossoverMode) Seq("x15_ivf_pq")
       else queriesUnderTest
+    // SPARK_GRAFT_SCALING_QUERIES (comma-separated) narrows any mode's
+    // query list — a noisy single-query anomaly can be re-measured in
+    // isolation without paying the full mode's wall-clock
+    val queries = sys.env.get("SPARK_GRAFT_SCALING_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .fold(allQueries)(want => allQueries.filter(want))
+    require(queries.nonEmpty,
+      s"SPARK_GRAFT_SCALING_QUERIES selected none of: ${allQueries.mkString(", ")}")
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt.max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -394,9 +466,12 @@ object ScalingSlopes {
       val line = s"""{"metric":"$metric","unit":"sec","reps":$reps,""" +
         s""""base_docs":5000,"base_vecs":2000,"scales":{$perScale}$slopes}"""
       Raw.stdout.println(line)
-      val outName = if (d4CrossoverMode) "scaling_d4_out.json"
+      val outBase = if (d4CrossoverMode) "scaling_d4_out.json"
         else if (x12CrossoverMode) "scaling_x12_out.json"
         else if (x15CrossoverMode) "scaling_x15_out.json" else "scaling_out.json"
+      // a narrowed re-measurement must not clobber the mode's full artifact
+      val outName = if (queries == allQueries) outBase
+        else outBase.stripSuffix(".json") + "_subset.json"
       java.nio.file.Files.write(java.nio.file.Paths.get(outName),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally {

@@ -288,6 +288,11 @@ object PipelineOps {
     require(denseLeg == "exact" || denseLeg == "ivf",
       s"denseLeg must be 'exact' or 'ivf', got '$denseLeg'")
     graft.functions.GraftExtensions.registerInto(s)
+    // both TopK aggregations below group on the QUERY side — thousands
+    // of groups per task, far past Spark's 128-key ObjectHashAggregate
+    // fallback, which would silently SORT the full candidate stream
+    // (measured: 31 GB of sort spill at the 30× point)
+    graft.functions.TopK.ensureHashAggCapacity(s)
     val W = org.apache.spark.sql.expressions.Window
     // both legs' top-5 run through the bounded-heap TopK Aggregator
     // (d5b/d7's shape): at most 5 rows per (query, input partition)
@@ -1347,6 +1352,10 @@ object PipelineOps {
     QueryDef(
       "d5b_cosine_topk_agg",
       (s, d) => {
+        // the bounded heap only stays a HASH aggregation while the task's
+        // group count fits the ObjectHashAggregate fallback threshold —
+        // raise it so a wider query side never silently sorts (TopK doc)
+        graft.functions.TopK.ensureHashAggCapacity(s)
         val q = expr("transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))")
         val base = T.embeddings(s, d).select(col("vec_id"), q.as("q"))
           .withColumn("nn",
@@ -1456,6 +1465,7 @@ object PipelineOps {
     QueryDef(
       "d7_ann_ivf",
       (s, d) => {
+        graft.functions.TopK.ensureHashAggCapacity(s) // see TopK doc
         val q = expr("transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))")
         // four consumers (centroids, assignment, listing, probes) with
         // different prunings re-derive the quantized frame — lazy persist
@@ -5646,6 +5656,7 @@ object PipelineOps {
     QueryDef(
       "x15_ivf_pq",
       (s, d) => {
+        graft.functions.TopK.ensureHashAggCapacity(s) // see TopK doc
         val q = expr("transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))")
         val base = SharedFrame(
           T.embeddings(s, d).select(col("vec_id"), q.as("q"))
