@@ -5524,6 +5524,7 @@ object PipelineOps {
     QueryDef(
       "x14_ann_recall",
       (s, d) => {
+        graft.functions.TopK.ensureHashAggCapacity(s) // see TopK doc
         val q = expr("transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))")
         val base = SharedFrame(
           T.embeddings(s, d).select(col("vec_id"), q.as("q"))
@@ -5656,7 +5657,6 @@ object PipelineOps {
     QueryDef(
       "x15_ivf_pq",
       (s, d) => {
-        graft.functions.TopK.ensureHashAggCapacity(s) // see TopK doc
         val q = expr("transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))")
         val base = SharedFrame(
           T.embeddings(s, d).select(col("vec_id"), q.as("q"))
