@@ -243,6 +243,16 @@ object ScalingSlopes {
     * wall-clocks (scaling_x12_out.json) can move for environment reasons
     * a single number can't explain — this mode shows WHERE the seconds
     * sit so a regression reads as "stage X spills" instead of a guess.
+    *
+    * Listener caveat: SparkListener events are delivered asynchronously
+    * on the listener bus, so stage-completed events can still be in
+    * flight when the noop write returns. Each rep therefore SETTLES the
+    * bus (polls the captured-stage count until it is stable across two
+    * consecutive polls, bounded at ~2 s) before reading, and clears the
+    * queue only AFTER the read — a late straggler past the settle bound
+    * can at worst be dropped from its own rep's report (it is cleared
+    * before the next rep's timer starts), never misattributed to a
+    * later rep or query.
     */
   private def x12Diag(): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -278,11 +288,20 @@ object ScalingSlopes {
       Seq("x12_hybrid_retrieval", "x12b_hybrid_pruned", "x12c_hybrid_ivf")
         .foreach { q =>
           (1 to 2).foreach { rep =>
-            stages.clear()
             val t0 = System.nanoTime()
             SparkEntry.queries(q)(spark, root)
               .write.format("noop").mode("overwrite").save()
             val sec = (System.nanoTime() - t0) / 1e9
+            // settle the async listener bus: events for just-finished
+            // stages may not have been delivered yet (doc comment above)
+            var prev = -1
+            var stable = 0
+            var waited = 0
+            while (stable < 2 && waited < 2000) {
+              Thread.sleep(100); waited += 100
+              val n = stages.size()
+              if (n == prev) stable += 1 else { stable = 0; prev = n }
+            }
             Raw.stdout.println(f"== $q rep$rep: $sec%.1f s")
             import scala.jdk.CollectionConverters._
             stages.asScala.toSeq.sortBy(-_.ms).take(12).foreach { s =>
@@ -290,6 +309,9 @@ object ScalingSlopes {
                 f"shufR=${s.shufR / 1e9}%6.2fG shufW=${s.shufW / 1e9}%6.2fG " +
                 f"spillD=${s.spillDisk / 1e9}%6.2fG ${s.name}")
             }
+            // clear AFTER reading, BEFORE the next rep's timer: stragglers
+            // from this rep can be lost but never bleed into the next
+            stages.clear()
           }
         }
     } finally {

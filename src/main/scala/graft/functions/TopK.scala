@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Bounded top-k per group as a typed Aggregator — the scale-correct shape
@@ -24,17 +24,19 @@ object TopK {
     "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
   private val SparkDefault = "128"
 
-  /** Threshold [[ensureHashAggCapacity]] raises the session to: 2^20
-    * groups per task. TopK state is ~(k+1)·16 B per group plus map
-    * overhead, so a FULL map at this threshold is on the order of
-    * 100–200 MB per task — bounded, unlike the unbounded collect_list
-    * buffers the Spark default protects against. A workload with more
-    * than ~1M distinct groups PER TASK should pre-partition on the
-    * group key instead (each task then sees only its own groups).
+  /** Threshold the capacity helpers raise a session to: 2^20 groups per
+    * task. TopK state is ~(k+1)·16 B per group plus map overhead, so a
+    * FULL map at this threshold is on the order of 100–200 MB per task —
+    * bounded, unlike the unbounded collect_list buffers the Spark
+    * default protects against. A workload with more than ~1M distinct
+    * groups PER TASK should pre-partition on the group key instead
+    * (each task then sees only its own groups).
     */
   val RaisedFallbackThreshold: Int = 1 << 20
 
-  /** ObjectHashAggregateExec (the physical operator behind every typed
+  /** The session to build a bounded-heap TopK aggregation on.
+    *
+    * ObjectHashAggregateExec (the physical operator behind every typed
     * Aggregator UDAF) falls back to SORT-BASED aggregation the moment a
     * task's hash map exceeds `spark.sql.objectHashAggregate.sortBased.
     * fallbackThreshold` distinct keys — Spark's default is 128, sized
@@ -47,32 +49,106 @@ object TopK {
     * of sort runs to disk because the query side held 15k > 128 groups
     * (scaling_x12_out.json / the x12diag stage dump).
     *
-    * Call before building a TopK aggregation. Respects an explicit
-    * session override: only a session still at Spark's default is
-    * raised (a user who deliberately re-set the default value is
-    * indistinguishable from one who never touched it — documented
-    * trade; set any other value to opt out).
+    * The raise is SCOPED, not session-wide (r13, on r12 advice): the
+    * returned session is a state clone of the caller's (same
+    * SparkContext, SharedState, block-manager cache; copied runtime
+    * confs and temp functions) with only the fallback threshold raised.
+    * SQLConf is read from the plan's OWN session at execution time, so
+    * every frame built from the returned session carries the raise
+    * through execution no matter who runs it or when — and the caller's
+    * session keeps Spark's 128-key memory-safety valve for genuinely
+    * unbounded object aggregations (collect_list / collect_set) that
+    * share it. Build the WHOLE query from the returned session: a frame
+    * mixed from both sessions executes under the conf of whichever
+    * session owns the root Dataset.
+    *
+    * A session whose threshold was explicitly set away from the Spark
+    * default is returned unchanged (a deliberate override — including a
+    * deliberately re-set 128 being indistinguishable from untouched —
+    * is respected; set any non-default value to opt out).
     */
-  def ensureHashAggCapacity(spark: org.apache.spark.sql.SparkSession): Unit =
+  def sessionWithHashAggCapacity(spark: SparkSession): SparkSession =
+    if (spark.conf.get(FallbackConfKey, SparkDefault) != SparkDefault) spark
+    else {
+      val scoped = org.apache.spark.sql.GraftSqlShim.cloneSession(spark)
+      scoped.conf.set(FallbackConfKey, RaisedFallbackThreshold.toString)
+      scoped
+    }
+
+  /** Session-WIDE variant of [[sessionWithHashAggCapacity]]: raises the
+    * given session's fallback threshold in place. This is the documented
+    * posture for USER code that aggregates with [[udaf]] on its own
+    * session and wants every TopK it builds covered without threading a
+    * cloned session around — at the cost of also raising the valve for
+    * any unbounded object aggregation (collect_list/collect_set) run on
+    * the same session afterwards, up to [[RaisedFallbackThreshold]]
+    * growing buffers per task before sort fallback. The engine's own
+    * call sites use the scoped variant instead. Same override semantics:
+    * only a session still at the Spark default is touched. NOTE the conf
+    * is read at EXECUTION time — the raise must still be in effect when
+    * the frame actually runs, not just when it is built.
+    */
+  def ensureHashAggCapacity(spark: SparkSession): Unit =
     if (spark.conf.get(FallbackConfKey, SparkDefault) == SparkDefault)
       spark.conf.set(FallbackConfKey, RaisedFallbackThreshold.toString)
 
-  /** Keep the k largest by (score desc, id asc). */
+  /** Keep the k largest by (score desc, id asc).
+    *
+    * Buffer invariant: SORTED by [[aggregator.better]] (best first) and
+    * at most k long — maintained by a one-pass O(k) ordered insert
+    * ([[reduce]]) and an O(k) sorted-list merge ([[merge]]), so `finish`
+    * is the identity. The earlier shape re-sorted the ≤(k+1)-element
+    * buffer per input row (O(k log k) + a sort allocation per row); on
+    * the dominant path of a long candidate stream — buffer full, new
+    * element no better than the current worst — the insert now returns
+    * the buffer untouched: one O(k) traversal, zero allocation.
+    */
   def aggregator(k: Int): Aggregator[Scored, List[Scored], Seq[Scored]] =
     new Aggregator[Scored, List[Scored], Seq[Scored]] {
 
       private def better(a: Scored, b: Scored): Boolean =
         a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
 
-      private def trim(xs: List[Scored]): List[Scored] =
-        xs.sortWith(better).take(k)
+      /** One-pass insert of `a` into the sorted, ≤k buffer `xs`. */
+      private def insert(xs: List[Scored], a: Scored): List[Scored] = {
+        // fast reject: buffer already full and `a` is no better than the
+        // current worst element — the steady state on a long stream
+        if (xs.lengthCompare(k) >= 0 && !better(a, xs.last)) xs
+        else {
+          def go(rest: List[Scored], taken: Int): List[Scored] =
+            if (taken >= k) Nil
+            else rest match {
+              case Nil => a :: Nil
+              case h :: t =>
+                if (better(a, h)) a :: rest.take(k - taken - 1)
+                else h :: go(t, taken + 1)
+            }
+          go(xs, 0)
+        }
+      }
+
+      /** Merge two sorted ≤k buffers into the sorted top-k of their union. */
+      private def mergeSorted(x: List[Scored], y: List[Scored]): List[Scored] = {
+        val out = List.newBuilder[Scored]
+        var n = 0
+        var a = x
+        var b = y
+        while (n < k && a.nonEmpty && b.nonEmpty) {
+          if (better(b.head, a.head)) { out += b.head; b = b.tail }
+          else { out += a.head; a = a.tail }
+          n += 1
+        }
+        var rest = if (a.isEmpty) b else a
+        while (n < k && rest.nonEmpty) { out += rest.head; rest = rest.tail; n += 1 }
+        out.result()
+      }
 
       override def zero: List[Scored] = Nil
       override def reduce(b: List[Scored], a: Scored): List[Scored] =
-        trim(a :: b) // bounded: never holds more than k+1
+        insert(b, a) // bounded: never holds more than k
       override def merge(b1: List[Scored], b2: List[Scored]): List[Scored] =
-        trim(b1 ::: b2)
-      override def finish(r: List[Scored]): Seq[Scored] = r.sortWith(better)
+        mergeSorted(b1, b2)
+      override def finish(r: List[Scored]): Seq[Scored] = r // already sorted
       override def bufferEncoder: Encoder[List[Scored]] = Encoders.kryo[List[Scored]]
       override def outputEncoder: Encoder[Seq[Scored]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()

@@ -259,6 +259,40 @@ object PipelineOps {
         .select(col("doc_id"), col("q"), col("nn")),
       "x12_docemb", d)
 
+  /** Executable form of COVERAGE.md's retrieval-family decision rule
+    * (r12 wrote the rule as prose + measured anchors; r13 makes it a
+    * dispatch): the exact dense leg's candidate volume is
+    * |queries| × |corpus| ≈ (Nd/10) · (9·Nd/10) — BOTH sides scale with
+    * the corpus, the family's measured super-linear growth term — while
+    * the IVF leg's search cost scales with list size. Route exact while
+    * the pair product is at or below `graft.x12.maxExactDensePairs`
+    * (default 1e8 — between the sf0.1 bench point at 2.25e6 pairs,
+    * where exact is both fastest and the exactness anchor, and the 30×
+    * crossover at 2.0e9 pairs, where exact read 71–78 s vs IVF 18.4 s
+    * on the identical corpus; extrapolating the 30× rate puts the
+    * default boundary at ~3–4 s of dense-leg work). Both cardinalities
+    * come from the documents parquet FOOTERS (driver-side metadata,
+    * zero Spark jobs at plan build — the d4/rgpMine de-eager contract),
+    * and the %10 probe-set split is definitional, so the route is a
+    * deterministic function of the snapshot + conf: on every test
+    * corpus it resolves to "exact", which is what x12d's oracle pins.
+    * The product is compared in BigInt — at 100 TB (Nd ~ 1e10) the
+    * long product overflows, and a silently negative product would
+    * route a trillion-pair corpus to the exact leg.
+    */
+  private[graft] def denseLegAuto(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val ceiling = s.conf.getOption("graft.x12.maxExactDensePairs")
+      .map(raw => raw.trim.toLongOption.filter(_ > 0).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft.x12.maxExactDensePairs must be a positive integer, got '$raw'")))
+      .getOrElse(100000000L)
+    val nd = T.footerRowCount(s, d, "documents")
+    val nQueries = nd / 10 // the deterministic doc_id % 10 === 7 probe set
+    val nCorpus = nd - nQueries
+    if (BigInt(nQueries) * BigInt(nCorpus) <= BigInt(ceiling)) "exact" else "ivf"
+  }
+
   /** x12/x12b/x12c's shared body: RRF fusion of the BM25 lexical leg
     * (d15's postings scores, optionally df-cap pruned — d15b's production
     * stop-word posture) and a dense leg chosen by `denseLeg`:
@@ -283,16 +317,19 @@ object PipelineOps {
     * Factored so every composite is the SAME code modulo its two
     * parameters — the d15/d15b precedent applied twice.
     */
-  private def hybridRetrieval(s: org.apache.spark.sql.SparkSession, d: String,
+  private def hybridRetrieval(s0: org.apache.spark.sql.SparkSession, d: String,
       maxDfPpm: Option[Long], denseLeg: String = "exact"): DataFrame = {
     require(denseLeg == "exact" || denseLeg == "ivf",
       s"denseLeg must be 'exact' or 'ivf', got '$denseLeg'")
-    graft.functions.GraftExtensions.registerInto(s)
     // both TopK aggregations below group on the QUERY side — thousands
     // of groups per task, far past Spark's 128-key ObjectHashAggregate
     // fallback, which would silently SORT the full candidate stream
-    // (measured: 31 GB of sort spill at the 30× point)
-    graft.functions.TopK.ensureHashAggCapacity(s)
+    // (measured: 31 GB of sort spill at the 30× point). The raise rides
+    // a scoped session clone so the CALLER's session keeps the 128-key
+    // valve for its unbounded object aggs (r13); the whole plan below is
+    // built from the clone, which owns the conf at execution time.
+    val s = graft.functions.TopK.sessionWithHashAggCapacity(s0)
+    graft.functions.GraftExtensions.registerInto(s)
     val W = org.apache.spark.sql.expressions.Window
     // both legs' top-5 run through the bounded-heap TopK Aggregator
     // (d5b/d7's shape): at most 5 rows per (query, input partition)
@@ -1275,7 +1312,13 @@ object PipelineOps {
             maxQuadraticPairs =
               posLongConf("graft.d4.maxQuadraticPairs", 20000000000L),
             ceilingHint = "set graft.d4.maxQuadraticPairs (this call " +
-              "site's conf-backed ceiling)").pairs
+              "site's conf-backed ceiling)",
+            // the per-round testdata dir is an immutable snapshot, so the
+            // routing decision is cached across plan builds (r13): only
+            // the FIRST build above maxExactRows pays the probe's
+            // scouting aggregates; explain/audit/bench-rep rebuilds run
+            // zero probe jobs (PrefixJoinSpec pins both halves)
+            snapshotKey = Some(s"d4:$d")).pairs
         pairs
           .select(col("lang"), col("id1"), col("id2"), col("jaccard"))
           // land the (small) pair output on a shuffle boundary before the
@@ -1351,11 +1394,12 @@ object PipelineOps {
     // sorted. Same oracle as d5 — identical output proves the rewrite.
     QueryDef(
       "d5b_cosine_topk_agg",
-      (s, d) => {
+      (s0, d) => {
         // the bounded heap only stays a HASH aggregation while the task's
         // group count fits the ObjectHashAggregate fallback threshold —
-        // raise it so a wider query side never silently sorts (TopK doc)
-        graft.functions.TopK.ensureHashAggCapacity(s)
+        // build the plan on a scoped session clone carrying the raised
+        // threshold so a wider query side never silently sorts (TopK doc)
+        val s = graft.functions.TopK.sessionWithHashAggCapacity(s0)
         val q = expr("transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))")
         val base = T.embeddings(s, d).select(col("vec_id"), q.as("q"))
           .withColumn("nn",
@@ -1464,8 +1508,8 @@ object PipelineOps {
     // size — the complementary scale path to d6's hyperplane LSH.
     QueryDef(
       "d7_ann_ivf",
-      (s, d) => {
-        graft.functions.TopK.ensureHashAggCapacity(s) // see TopK doc
+      (s0, d) => {
+        val s = graft.functions.TopK.sessionWithHashAggCapacity(s0) // see TopK doc
         val q = expr("transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))")
         // four consumers (centroids, assignment, listing, probes) with
         // different prunings re-derive the quantized frame — lazy persist
@@ -4609,6 +4653,25 @@ object PipelineOps {
       Some(hybridOracleSql(Some(500000L), denseIvf = true)),
       doc = "pipeline composite: hybrid retrieval with d7's IVF dense leg (deterministic stride centroids, 2-probe, exact cosine inside lists) over d15b's pruned postings - the measured scale path for x12's dense growth term, as a strategy parameter"),
 
+    // X12d: the retrieval family's decision RULE as an executable
+    // dispatch (r12 wrote it as prose in COVERAGE.md; the d4
+    // jaccardPairsAuto precedent applied to retrieval): pick the dense
+    // leg from the two numbers the rule already uses — the corpus
+    // footer count and the definitional query-side fraction — and run
+    // x12b's production posture (pruned lexical leg) with it. Zero
+    // Spark jobs at plan build (footer metadata only); on every test
+    // corpus the product sits far under the boundary so the route
+    // deterministically resolves to the exact leg and the oracle is
+    // x12b's, which is exactly the property the oracle row pins (a
+    // mis-route to IVF would hash-mismatch wherever recall drops);
+    // RetrievalSpec pins the other side of the boundary by conf.
+    QueryDef(
+      "x12d_hybrid_auto",
+      (s, d) => hybridRetrieval(s, d, Some(500000L),
+        denseLeg = denseLegAuto(s, d)),
+      Some(hybridOracleSql(Some(500000L))),
+      doc = "pipeline composite: hybrid retrieval with the dense leg chosen by COVERAGE.md's measured decision rule (exact at/below graft.x12.maxExactDensePairs ~ |queries|x|corpus| pairs, IVF above) from parquet-footer cardinalities - zero plan-build jobs, deterministic per snapshot+conf"),
+
     // D16: product-quantization ANN with asymmetric-distance scoring
     // (Jégou et al. 2011, public literature) — the MEMORY side of the
     // ANN family: d6 buckets (hyperplane LSH), d7 prunes candidates
@@ -5523,8 +5586,8 @@ object PipelineOps {
     // probe set), IVF over everything.
     QueryDef(
       "x14_ann_recall",
-      (s, d) => {
-        graft.functions.TopK.ensureHashAggCapacity(s) // see TopK doc
+      (s0, d) => {
+        val s = graft.functions.TopK.sessionWithHashAggCapacity(s0) // see TopK doc
         val q = expr("transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))")
         val base = SharedFrame(
           T.embeddings(s, d).select(col("vec_id"), q.as("q"))

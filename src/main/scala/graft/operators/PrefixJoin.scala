@@ -253,55 +253,91 @@ object PrefixJoin {
     * — the common case — pay two cheap linear aggregates and never
     * build the probe's df-ordered prefix frame at all.
     */
+  /** Routing decisions cached per immutable snapshot (r13, the r11/r12
+    * probe-cost follow-up): above its size threshold every d4 plan BUILD
+    * — including plan-only consumers (explain, audits) and repeated
+    * builds of the same query (bench reps) — re-ran the probe's scouting
+    * aggregates against the corpus. A caller that can prove its input
+    * snapshot immutable passes `snapshotKey`; the (probe, route) DECISION
+    * (a few longs — never data) is then derived once per (application,
+    * snapshot, routing params) and reused, so repeated builds over the
+    * same snapshot run zero probe jobs. The pair frames themselves are
+    * rebuilt per call (lazy, job-free). A throwing decision (the
+    * quadratic ceiling) records no entry and rethrows on every call.
+    */
+  private val routeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DensityProbe, Boolean)]()
+
+  /** Test hook: forget cached routing decisions (specs that pin the
+    * probe's job behavior need a cold cache regardless of suite order).
+    */
+  private[graft] def clearRouteCache(): Unit = routeCache.clear()
+
   def jaccardPairsAuto(
       docs0: DataFrame, idCol: String, tokCol: String,
       blockCols: Seq[String], threshold: Double,
       denseRatio: Double = 0.5,
       maxQuadraticPairs: Long = 20000000000L,
-      ceilingHint: String = ""): AutoPairs = {
+      ceilingHint: String = "",
+      snapshotKey: Option[String] = None): AutoPairs = {
     require(denseRatio > 0.0, s"denseRatio must be positive: $denseRatio")
     require(maxQuadraticPairs > 0, s"maxQuadraticPairs must be positive: $maxQuadraticPairs")
     val bcols = blockCols.map(col)
     val docs = docs0.select(
       (bcols :+ col(idCol).as("pj_id") :+ col(tokCol).as("pj_g")): _*)
-    val (nDocs, blockPairs) = blockStats(docs, bcols)
-    // SPARSE pre-probe (r12): the all-token candidate bound costs one
-    // cheap explode + aggregate; when even that superset of the prefix
-    // candidate volume is below the dense threshold, the corpus is
-    // decisively open-vocabulary and the df-join + per-doc-sort exact
-    // pass (the probe's expensive half, ~one extra linear token pass at
-    // 150k docs) is skipped outright. The bound can only OVERestimate
-    // density, so skipping on its say-so can never misroute a dense
-    // corpus to the prefix branch.
-    val bound = allTokenCandidateBound(docs, bcols)
-    val pre = DensityProbe(nDocs, blockPairs, bound, exactPrefixCount = false)
-    if (!pre.dense(denseRatio))
-      return AutoPairs(jaccardPairs(docs0, idCol, tokCol, blockCols, threshold),
-        pre, choseQuadratic = false)
-    val probe = DensityProbe(nDocs, blockPairs,
-      prefixCandidateCount(docs, bcols, threshold))
-    if (probe.dense(denseRatio)) {
-      if (probe.blockPairs > maxQuadraticPairs) {
-        // remediation is worded on the PARAMETER — this API is generic;
-        // callers with a conf-backed ceiling (d4) append their own
-        // conf-key hint via `ceilingHint`
-        val hint = if (ceilingHint.isEmpty) "" else s", or $ceilingHint"
-        throw new IllegalStateException(
-          s"dense-vocabulary corpus: the prefix index would shuffle " +
-            s"${probe.prefixCandidates} candidate rows against " +
-            s"${probe.blockPairs} exhaustive in-block pairs (ratio ≥ " +
-            s"$denseRatio), and the exhaustive scan itself exceeds the " +
-            s"$maxQuadraticPairs-pair ceiling (the maxQuadraticPairs " +
-            "parameter) — neither exact branch is viable at this scale; " +
-            "use d2_minhash_lsh (MinHash-LSH banding) for near-dup " +
-            "detection on this corpus, or raise maxQuadraticPairs if " +
-            s"the cluster can absorb the scan$hint")
+    def decide(): (DensityProbe, Boolean) = {
+      val (nDocs, blockPairs) = blockStats(docs, bcols)
+      // SPARSE pre-probe (r12): the all-token candidate bound costs one
+      // cheap explode + aggregate; when even that superset of the prefix
+      // candidate volume is below the dense threshold, the corpus is
+      // decisively open-vocabulary and the df-join + per-doc-sort exact
+      // pass (the probe's expensive half, ~one extra linear token pass at
+      // 150k docs) is skipped outright. The bound can only OVERestimate
+      // density, so skipping on its say-so can never misroute a dense
+      // corpus to the prefix branch.
+      val bound = allTokenCandidateBound(docs, bcols)
+      val pre = DensityProbe(nDocs, blockPairs, bound, exactPrefixCount = false)
+      if (!pre.dense(denseRatio)) (pre, false)
+      else {
+        val probe = DensityProbe(nDocs, blockPairs,
+          prefixCandidateCount(docs, bcols, threshold))
+        if (probe.dense(denseRatio)) {
+          if (probe.blockPairs > maxQuadraticPairs) {
+            // remediation is worded on the PARAMETER — this API is generic;
+            // callers with a conf-backed ceiling (d4) append their own
+            // conf-key hint via `ceilingHint`
+            val hint = if (ceilingHint.isEmpty) "" else s", or $ceilingHint"
+            throw new IllegalStateException(
+              s"dense-vocabulary corpus: the prefix index would shuffle " +
+                s"${probe.prefixCandidates} candidate rows against " +
+                s"${probe.blockPairs} exhaustive in-block pairs (ratio ≥ " +
+                s"$denseRatio), and the exhaustive scan itself exceeds the " +
+                s"$maxQuadraticPairs-pair ceiling (the maxQuadraticPairs " +
+                "parameter) — neither exact branch is viable at this scale; " +
+                "use d2_minhash_lsh (MinHash-LSH banding) for near-dup " +
+                "detection on this corpus, or raise maxQuadraticPairs if " +
+                s"the cluster can absorb the scan$hint")
+          }
+          (probe, true)
+        } else (probe, false)
       }
-      AutoPairs(quadraticPairs(docs0, idCol, tokCol, blockCols, threshold),
-        probe, choseQuadratic = true)
-    } else
-      AutoPairs(jaccardPairs(docs0, idCol, tokCol, blockCols, threshold),
-        probe, choseQuadratic = false)
+    }
+    val (probe, choseQuadratic) = snapshotKey match {
+      case Some(k) =>
+        // applicationId scopes the cache to one JVM/app lifetime (the
+        // SharedFrame convention); params are part of the key so a conf
+        // change re-probes rather than reusing a decision it didn't make
+        val full = docs0.sparkSession.sparkContext.applicationId +
+          s"|$k|t=$threshold|r=$denseRatio|q=$maxQuadraticPairs" +
+          s"|b=${blockCols.mkString(",")}"
+        routeCache.computeIfAbsent(full, _ => decide())
+      case None => decide()
+    }
+    AutoPairs(
+      if (choseQuadratic)
+        quadraticPairs(docs0, idCol, tokCol, blockCols, threshold)
+      else jaccardPairs(docs0, idCol, tokCol, blockCols, threshold),
+      probe, choseQuadratic)
   }
 
   /** `positionalFilter = false` exists ONLY for measurement (the

@@ -228,4 +228,45 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf.nonEmpty && ivf.exists(_._6 > 0),
       "fixture must exercise the dense leg")
   }
+
+  test("x12d: auto dispatch routes on the footer-pair boundary and defaults to the exact leg") {
+    // the COVERAGE.md decision rule as code (r13): route exact while
+    // |queries| × |corpus| ≤ graft.x12.maxExactDensePairs, IVF above.
+    // 100 docs → 10 × 90 = 900 pairs: the boundary is pinned EXACTLY
+    // (≤, not <) by straddling it with the conf — 900 stays exact,
+    // 899 flips to IVF — and the default (1e8) resolves to the exact
+    // leg, so x12d must equal x12b row for row on the same corpus.
+    import spark.implicits._
+    val words = Seq("zebra", "apple", "pear", "kiwi", "common", "words",
+      "other", "things", "table", "river")
+    val docs = (0L until 100L).map { id =>
+      val t = (0 until 4 + (id % 5).toInt)
+        .map(j => words(((id * 7 + j * 3) % 10).toInt)).mkString(" ")
+      (id, t, "en", s"src$id")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_x12d").toString
+    docs.toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    assert(graft.operators.PipelineOps.denseLegAuto(spark, dir) == "exact",
+      "default boundary (1e8 pairs) must keep a 900-pair corpus exact")
+    try {
+      spark.conf.set("graft.x12.maxExactDensePairs", "900")
+      assert(graft.operators.PipelineOps.denseLegAuto(spark, dir) == "exact",
+        "the boundary is inclusive: product == ceiling stays exact")
+      spark.conf.set("graft.x12.maxExactDensePairs", "899")
+      assert(graft.operators.PipelineOps.denseLegAuto(spark, dir) == "ivf",
+        "one pair past the ceiling must route to the IVF leg")
+      spark.conf.set("graft.x12.maxExactDensePairs", "bogus")
+      intercept[IllegalArgumentException] {
+        graft.operators.PipelineOps.denseLegAuto(spark, dir)
+      }
+    } finally spark.conf.unset("graft.x12.maxExactDensePairs")
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => (r.getAs[Long]("qdoc"), r.getAs[Int]("rk"),
+          r.getAs[Long]("r_doc"), r.getAs[Long]("rrf"),
+          r.getAs[Int]("lex_rk"), r.getAs[Int]("dense_rk"))).toSeq
+    assert(rows("x12d_hybrid_auto") == rows("x12b_hybrid_pruned"),
+      "at the default boundary x12d is x12b (pruned lexical + exact dense)")
+  }
 }

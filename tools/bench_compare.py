@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Compare two graft.Bench JSON artifacts (BENCH_PROTOCOL.md step 3).
+
+Usage: python3 tools/bench_compare.py baseline.json candidate.json [topN]
+
+Prints totals, the per-query ratio (candidate/baseline) for the worst
+inflations and best improvements over the SHARED query set, and the
+max_inflation acceptance line. Queries present in only one artifact are
+listed but excluded from ratios (suite growth is not noise).
+"""
+import json
+import sys
+
+
+def load(path):
+    """Accept either a raw graft.Bench line/file or a driver BENCH_rN.json
+    wrapper (whose 'parsed' field — or failing that its 'tail' log text —
+    carries the bench line)."""
+    with open(path) as f:
+        text = f.read()
+    try:
+        d = json.loads(text)
+        if "queries" in d:
+            return d
+        if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
+            return d["parsed"]
+        text = d.get("tail", "")
+    except json.JSONDecodeError:
+        pass
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"queries"' in line:
+            d = json.loads(line)
+            if "queries" in d:
+                return d
+    raise SystemExit(f"no bench JSON line found in {path}")
+
+
+def main():
+    if len(sys.argv) < 3:
+        raise SystemExit(__doc__)
+    a, b = load(sys.argv[1]), load(sys.argv[2])
+    top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    qa = {k: v for k, v in a["queries"].items() if v and v > 0}
+    qb = {k: v for k, v in b["queries"].items() if v and v > 0}
+    shared = sorted(set(qa) & set(qb))
+    only_a, only_b = sorted(set(qa) - set(qb)), sorted(set(qb) - set(qa))
+    ratios = sorted(((qb[k] / qa[k], k) for k in shared), reverse=True)
+    shared_a = sum(qa[k] for k in shared)
+    shared_b = sum(qb[k] for k in shared)
+    print(f"total: {a['value']:.1f}s/{len(qa)}q -> {b['value']:.1f}s/{len(qb)}q"
+          f"  (shared set: {shared_a:.1f}s -> {shared_b:.1f}s,"
+          f" ratio {shared_b / shared_a:.3f})")
+    if only_a:
+        print(f"only in baseline: {', '.join(only_a)}")
+    if only_b:
+        print(f"only in candidate: {', '.join(only_b)}")
+    print(f"\nworst inflations (candidate/baseline):")
+    for r, k in ratios[:top_n]:
+        print(f"  {r:6.2f}x  {k}  ({qa[k]:.3f}s -> {qb[k]:.3f}s)")
+    print(f"\nbest improvements:")
+    for r, k in ratios[-top_n:][::-1]:
+        print(f"  {r:6.2f}x  {k}  ({qa[k]:.3f}s -> {qb[k]:.3f}s)")
+    # acceptance line: BENCH_PROTOCOL step 3 — worst shared-query ratio,
+    # and whether any single query explains >10% of the total delta
+    worst_r, worst_k = ratios[0]
+    delta = shared_b - shared_a
+    dominant = [k for k in shared
+                if delta > 0 and (qb[k] - qa[k]) > 0.10 * delta]
+    print(f"\nmax_inflation: {worst_r:.2f}x ({worst_k})"
+          f"  [accept needs < 1.30x]")
+    if delta > 0 and dominant:
+        print(f"queries explaining >10% of the +{delta:.1f}s delta: "
+              + ", ".join(f"{k} (+{qb[k] - qa[k]:.1f}s)" for k in dominant))
+
+
+if __name__ == "__main__":
+    main()
