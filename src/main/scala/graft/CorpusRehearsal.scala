@@ -128,10 +128,52 @@ object CorpusRehearsal {
     graft.functions.GraftExtensions.registerInto(spark)
     val timings = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val stats = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // SPARK_GRAFT_REHEARSAL_DIAG=1: x12diag's stage-grain listener under
+    // every rehearsal stage — top Spark stages by wall-clock with shuffle
+    // and spill bytes, printed per stage. Diagnostic only (the r13
+    // retrieval-triple investigation); settles the async listener bus
+    // before reading, clears after, same caveats as ScalingSlopes.x12Diag.
+    val diag = sys.env.get("SPARK_GRAFT_REHEARSAL_DIAG").contains("1")
+    final case class StInfo(id: Int, name: String, ms: Long, shufR: Long,
+      shufW: Long, spillDisk: Long)
+    val diagStages = new java.util.concurrent.ConcurrentLinkedQueue[StInfo]()
+    if (diag) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val m = i.taskMetrics
+          val ms = (for { s <- i.submissionTime; c <- i.completionTime }
+            yield c - s).getOrElse(0L)
+          diagStages.add(StInfo(i.stageId, i.name.takeWhile(_ != '\n').take(80),
+            ms, m.shuffleReadMetrics.totalBytesRead,
+            m.shuffleWriteMetrics.bytesWritten, m.diskBytesSpilled))
+          (): Unit
+        }
+      })
+    def settleDiag(): Unit = {
+      var prev = -1; var stable = 0; var waited = 0
+      while (stable < 2 && waited < 2000) {
+        Thread.sleep(100); waited += 100
+        val n = diagStages.size()
+        if (n == prev) stable += 1 else { stable = 0; prev = n }
+      }
+    }
     def stage[A](name: String)(body: => A): A = {
+      if (diag) { settleDiag(); diagStages.clear() }
       val t0 = System.nanoTime()
       val r = body
       timings += name -> (System.nanoTime() - t0) / 1e9
+      if (diag) {
+        settleDiag()
+        import scala.jdk.CollectionConverters._
+        Raw.stdout.println(f"== diag $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        diagStages.asScala.toSeq.sortBy(-_.ms).take(8).foreach { st =>
+          Raw.stdout.println(f"   stage ${st.id}%5d ${st.ms / 1000.0}%7.1fs " +
+            f"shufR=${st.shufR / 1e9}%6.2fG shufW=${st.shufW / 1e9}%6.2fG " +
+            f"spillD=${st.spillDisk / 1e9}%6.2fG ${st.name}")
+        }
+      }
       r
     }
     def put(k: String, v: Long): Unit = stats += k -> v.toString
@@ -793,12 +835,22 @@ object CorpusRehearsal {
         put(s"n_hybrid_both_legs$sfx", r.getLong(3))
       }
     }
-    hybridRetrieve("hybrid_retrieve", None)
-    hybridRetrieve("hybrid_retrieve_pruned", Some(10000L))
-    // x12c's production shape: pruned postings + IVF dense leg — the
-    // stage triple decomposes the fused cost (unpruned vs pruned = the
-    // lexical fan-out; pruned vs ivf = the dense candidate volume)
-    hybridRetrieve("hybrid_retrieve_ivf", Some(10000L), denseIvf = true)
+    // SPARK_GRAFT_REHEARSAL_RETR_ORDER=reverse runs the triple in
+    // reverse — the r13 position-vs-plan discriminator for the observed
+    // stage-order inversion (if a variant's cost moves with its POSITION
+    // in the sequence the effect is JVM/cache aging, not plan shape)
+    val triple = Seq[(String, Option[Long], Boolean)](
+      ("hybrid_retrieve", None, false),
+      ("hybrid_retrieve_pruned", Some(10000L), false),
+      // x12c's production shape: pruned postings + IVF dense leg — the
+      // stage triple decomposes the fused cost (unpruned vs pruned = the
+      // lexical fan-out; pruned vs ivf = the dense candidate volume)
+      ("hybrid_retrieve_ivf", Some(10000L), true))
+    val ordered =
+      if (sys.env.get("SPARK_GRAFT_REHEARSAL_RETR_ORDER").contains("reverse"))
+        triple.reverse
+      else triple
+    ordered.foreach { case (tag, ppm, ivf) => hybridRetrieve(tag, ppm, ivf) }
 
     // X15 at corpus scale — the IVF-PQ composition the query surface
     // oracles at sf0.1 (x15_ivf_pq), run as production evidence over the
