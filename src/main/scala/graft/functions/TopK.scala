@@ -66,14 +66,54 @@ object TopK {
     * default is returned unchanged (a deliberate override — including a
     * deliberately re-set 128 being indistinguishable from untouched —
     * is respected; set any non-default value to opt out).
+    *
+    * The clone is CACHED per parent session and reused: cloneSession +
+    * the clone's lazy SessionState materialization cost a measured
+    * ~0.5 s on first use, which a fresh clone per plan build would pay
+    * on every bench rep / repeated query construction (r13 CloneProbe:
+    * d5b build+run 1.16 s with a per-build clone vs 0.59 s on a warm
+    * session). To keep the cached clone semantically equivalent to a
+    * fresh one, every access re-syncs the parent's runtime conf into
+    * the clone (sets diffs, unsets keys the parent dropped, never
+    * touching the raised threshold key) — a conf the user changes on
+    * the parent between builds is still honored by the next build.
     */
   def sessionWithHashAggCapacity(spark: SparkSession): SparkSession =
     if (spark.conf.get(FallbackConfKey, SparkDefault) != SparkDefault) spark
-    else {
-      val scoped = org.apache.spark.sql.GraftSqlShim.cloneSession(spark)
+    else scopedSessions.synchronized {
+      val scoped = Option(scopedSessions.get(spark)).getOrElse {
+        val c = org.apache.spark.sql.GraftSqlShim.cloneSession(spark)
+        scopedSessions.put(spark, c)
+        c
+      }
+      syncConf(spark, scoped)
       scoped.conf.set(FallbackConfKey, RaisedFallbackThreshold.toString)
       scoped
     }
+
+  // WeakHashMap so a stopped/collected parent releases its clone; the few
+  // long-lived sessions a process holds (Verify/Bench: one) cache one
+  // clone each. Guarded by its own lock — SparkSession access is cheap,
+  // creation rare.
+  private val scopedSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+
+  /** Make the cached clone's runtime conf mirror the parent's (except the
+    * raised threshold key): set entries that differ, unset entries the
+    * parent no longer carries. Static confs throw on set — skipped; they
+    * cannot diverge between sessions sharing one SparkContext anyway.
+    */
+  private def syncConf(parent: SparkSession, scoped: SparkSession): Unit = {
+    val p = parent.conf.getAll
+    val s = scoped.conf.getAll
+    p.foreach { case (k, v) =>
+      if (k != FallbackConfKey && !s.get(k).contains(v))
+        try scoped.conf.set(k, v) catch { case _: Exception => () }
+    }
+    (s.keySet -- p.keySet - FallbackConfKey).foreach { k =>
+      try scoped.conf.unset(k) catch { case _: Exception => () }
+    }
+  }
 
   /** Session-WIDE variant of [[sessionWithHashAggCapacity]]: raises the
     * given session's fallback threshold in place. This is the documented
