@@ -754,10 +754,10 @@ object CorpusRehearsal {
     // wall-clock delta is exactly the lexical candidate fan-out the
     // df-cap pruning removes — the fused-retrieval speedup x12b ships.
     def hybridRetrieve(tag: String, maxDfPpm: Option[Long],
-        denseIvf: Boolean = false): Unit = {
+        denseIvf: Boolean = false, sfxOverride: Option[String] = None): Unit = {
       val (qterms, post, _, _) = lexPostings(maxDfPpm)
-      val sfx =
-        if (denseIvf) "_ivf" else if (maxDfPpm.isEmpty) "" else "_pruned"
+      val sfx = sfxOverride.getOrElse(
+        if (denseIvf) "_ivf" else if (maxDfPpm.isEmpty) "" else "_pruned")
       stage(tag) {
         val lex = qterms.join(post, Seq("term"))
           .groupBy(col("qdoc"), col("doc_id"))
@@ -851,6 +851,36 @@ object CorpusRehearsal {
         triple.reverse
       else triple
     ordered.foreach { case (tag, ppm, ivf) => hybridRetrieve(tag, ppm, ivf) }
+
+    // X12d at rehearsal scale (r14): run the DISPATCH itself on the
+    // rehearsal's own cardinalities and execute whichever leg it picks.
+    // The rehearsal's query side is BOUNDED (~100 eval vectors), so
+    // |queries| × |corpus| ≈ 100 × nDocs sits far under the 1e8 default
+    // at 500k docs and the route must resolve to the EXACT leg — the
+    // r13 boundary analysis (IVF pays only when the query count exceeds
+    // the list count), recorded as a measured artifact line instead of
+    // a prose claim. The route evidence (pair product, chosen leg) goes
+    // into the stats so the artifact itself shows WHY the leg was
+    // picked; the decision's two counts run in their own stage so their
+    // cost is visible, not smeared into the retrieval timing.
+    val autoIvf = stage("hybrid_auto_route") {
+      val emb = spark.read.parquet(s"$dir/embeddings")
+      val evalVec = col("vec_id") % 200 === 7 && col("vec_id") >= hotCopies
+      val nQ = emb.filter(evalVec && col("vec_id") < lit(hotCopies + 20000L))
+        .count()
+      val nC = emb
+        .join(canonical.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        .filter(!evalVec).count()
+      val ceiling = spark.conf.getOption("graft.x12.maxExactDensePairs")
+        .flatMap(_.toLongOption).getOrElse(100000000L)
+      val pairs = BigInt(nQ) * BigInt(nC)
+      put("hybrid_auto_pairs", pairs.min(BigInt(Long.MaxValue)).toLong)
+      val ivf = pairs > BigInt(ceiling)
+      put("hybrid_auto_leg_ivf", if (ivf) 1L else 0L)
+      ivf
+    }
+    hybridRetrieve("hybrid_retrieve_auto", Some(10000L), denseIvf = autoIvf,
+      sfxOverride = Some("_auto"))
 
     // X15 at corpus scale — the IVF-PQ composition the query surface
     // oracles at sf0.1 (x15_ivf_pq), run as production evidence over the

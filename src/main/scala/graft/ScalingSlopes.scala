@@ -418,9 +418,12 @@ object ScalingSlopes {
         // x12d rides along since r13: at the 30× corpus the footer product
         // (15k × 135k pairs) sits far past graft.x12.maxExactDensePairs,
         // so the auto dispatch must land at x12c's IVF time — the measured
-        // proof that the routing picks the fast leg exactly where it matters
+        // proof that the routing picks the fast leg exactly where it
+        // matters. x12e (r14) measures the third leg — IVF-PQ — on the
+        // identical corpus, anchoring what the RAM-residency trade costs
+        // in wall-clock when the byte rule would fire.
         Seq("x12_hybrid_retrieval", "x12b_hybrid_pruned", "x12c_hybrid_ivf",
-          "x12d_hybrid_auto")
+          "x12d_hybrid_auto", "x12e_hybrid_ivfpq")
       else if (x15CrossoverMode) Seq("x15_ivf_pq")
       else queriesUnderTest
     // SPARK_GRAFT_SCALING_QUERIES (comma-separated) narrows any mode's
@@ -478,34 +481,55 @@ object ScalingSlopes {
         // cache rides would corrupt the slope itself.
         if (!crossover) spark.catalog.clearCache()
         val qs = queries.map { q =>
-          if (crossover)
-            SparkEntry.queries(q)(spark, d)
-              .write.format("noop").mode("overwrite").save()
+          // in crossover mode the untimed warm pass IS the cold
+          // first-run (index frames materialize here) — time it anyway
+          // and report it SEPARATELY, so the one-time build cost stays
+          // visible next to the steady-state number instead of being
+          // mixed into it (the r13 bimodal-capture lesson)
+          val cold =
+            if (crossover) {
+              val c0 = System.nanoTime()
+              SparkEntry.queries(q)(spark, d)
+                .write.format("noop").mode("overwrite").save()
+              Some((System.nanoTime() - c0) / 1e9)
+            } else None
           val ts = (1 to reps).map { _ =>
             val t0 = System.nanoTime()
             SparkEntry.queries(q)(spark, d)
               .write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
           }
-          q -> ts.min
+          (q, ts.min, cold)
         }
         sc -> qs
       }
       def f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       val perScale = results.map { case (sc, qs) =>
-        s""""${sc}x":{${qs.map { case (q, t) => s""""$q":${f(t)}""" }.mkString(",")}}"""
+        s""""${sc}x":{${qs.map { case (q, t, _) => s""""$q":${f(t)}""" }.mkString(",")}}"""
       }.mkString(",")
-      val base = results.head._2.toMap
+      val base = results.head._2.map { case (q, t, _) => q -> t }.toMap
       val slopes =
         if (results.size < 2) ""
-        else s""","slope_10x_vs_1x":{${results.last._2.map { case (q, t) =>
+        else s""","slope_10x_vs_1x":{${results.last._2.map { case (q, t, _) =>
           s""""$q":${f(t / base(q))}"""
         }.mkString(",")}}"""
+      // crossover reports the one-time index-build cost (the untimed
+      // warm pass) as its own field, never mixed into the timed minima
+      val coldLine = results.flatMap { case (sc, qs) =>
+        val cs = qs.collect { case (q, _, Some(c)) => s""""$q":${f(c)}""" }
+        if (cs.isEmpty) None
+        else Some(s""""${sc}x":{${cs.mkString(",")}}""")
+      }
+      val cold = if (coldLine.isEmpty) ""
+        else s""","cold_first_run":{${coldLine.mkString(",")}}"""
       val metric = if (d4CrossoverMode) "d4_crossover"
         else if (x12CrossoverMode) "x12_crossover"
         else if (x15CrossoverMode) "x15_crossover" else "scaling_slopes"
-      val line = s"""{"metric":"$metric","unit":"sec","reps":$reps,""" +
-        s""""base_docs":5000,"base_vecs":2000,"scales":{$perScale}$slopes}"""
+      // name the measurement state in the artifact (r13 VERDICT: three
+      // documents, three numbers, and the mode was the hidden variable)
+      val mode = if (crossover) "warm-steady-state" else "cold-per-scale"
+      val line = s"""{"metric":"$metric","mode":"$mode","unit":"sec","reps":$reps,""" +
+        s""""base_docs":5000,"base_vecs":2000,"scales":{$perScale}$slopes$cold}"""
       Raw.stdout.println(line)
       val outBase = if (d4CrossoverMode) "scaling_d4_out.json"
         else if (x12CrossoverMode) "scaling_x12_out.json"

@@ -81,6 +81,15 @@ object TopK {
   def sessionWithHashAggCapacity(spark: SparkSession): SparkSession =
     if (spark.conf.get(FallbackConfKey, SparkDefault) != SparkDefault) spark
     else scopedSessions.synchronized {
+      // evict clones of stopped parents first: the clone's SessionState
+      // strongly reaches its parent (cloneSession keeps the parent
+      // state's builder closures), so the WeakHashMap KEY never becomes
+      // weakly reachable while its value lives — without this sweep a
+      // process cycling getOrCreate/stop (test JVMs) accumulates one
+      // dead (parent, clone) pair per cycle for the JVM lifetime. The
+      // clone shares the parent's SparkContext, so parent-stopped ⇒
+      // context-stopped ⇒ the cached clone is unusable anyway.
+      scopedSessions.entrySet().removeIf(e => e.getKey.sparkContext.isStopped)
       val scoped = Option(scopedSessions.get(spark)).getOrElse {
         val c = org.apache.spark.sql.GraftSqlShim.cloneSession(spark)
         scopedSessions.put(spark, c)
@@ -91,10 +100,10 @@ object TopK {
       scoped
     }
 
-  // WeakHashMap so a stopped/collected parent releases its clone; the few
-  // long-lived sessions a process holds (Verify/Bench: one) cache one
-  // clone each. Guarded by its own lock — SparkSession access is cheap,
-  // creation rare.
+  // WeakHashMap + the stopped-parent sweep above: the few long-lived
+  // sessions a process holds (Verify/Bench: one) cache one clone each,
+  // and stopped parents are evicted on the next access. Guarded by its
+  // own lock — SparkSession access is cheap, creation rare.
   private val scopedSessions =
     new java.util.WeakHashMap[SparkSession, SparkSession]()
 
@@ -143,27 +152,41 @@ object TopK {
     * element no better than the current worst — the insert now returns
     * the buffer untouched: one O(k) traversal, zero allocation.
     */
-  def aggregator(k: Int): Aggregator[Scored, List[Scored], Seq[Scored]] =
+  def aggregator(k: Int): Aggregator[Scored, List[Scored], Seq[Scored]] = {
+    // k ≤ 0 has no meaningful top-k; the old trim shape returned Nil but
+    // the fast-reject below would read Nil.last on an empty full-at-0
+    // buffer — fail at construction, not per-row
+    require(k > 0, s"top-k needs k > 0, got $k")
     new Aggregator[Scored, List[Scored], Seq[Scored]] {
 
       private def better(a: Scored, b: Scored): Boolean =
         a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
 
-      /** One-pass insert of `a` into the sorted, ≤k buffer `xs`. */
+      /** One-pass insert of `a` into the sorted, ≤k buffer `xs` —
+        * iterative (a recursive walk would grow the stack to k frames;
+        * user-supplied k is unbounded).
+        */
       private def insert(xs: List[Scored], a: Scored): List[Scored] = {
         // fast reject: buffer already full and `a` is no better than the
         // current worst element — the steady state on a long stream
-        if (xs.lengthCompare(k) >= 0 && !better(a, xs.last)) xs
+        // (xs.nonEmpty is implied by k > 0 when the length check passes,
+        // but the guard keeps Nil.last structurally unreachable)
+        if (xs.nonEmpty && xs.lengthCompare(k) >= 0 && !better(a, xs.last)) xs
         else {
-          def go(rest: List[Scored], taken: Int): List[Scored] =
-            if (taken >= k) Nil
-            else rest match {
-              case Nil => a :: Nil
-              case h :: t =>
-                if (better(a, h)) a :: rest.take(k - taken - 1)
-                else h :: go(t, taken + 1)
+          val out = List.newBuilder[Scored]
+          var rest = xs
+          var taken = 0
+          // copy the elements that stay ahead of `a`
+          while (taken < k && rest.nonEmpty && !better(a, rest.head)) {
+            out += rest.head; rest = rest.tail; taken += 1
+          }
+          if (taken < k) {
+            out += a; taken += 1
+            while (taken < k && rest.nonEmpty) {
+              out += rest.head; rest = rest.tail; taken += 1
             }
-          go(xs, 0)
+          }
+          out.result()
         }
       }
 
@@ -193,6 +216,7 @@ object TopK {
       override def outputEncoder: Encoder[Seq[Scored]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
     }
+  }
 
   def udaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(aggregator(k))

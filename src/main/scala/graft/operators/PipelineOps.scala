@@ -279,18 +279,39 @@ object PipelineOps {
     * The product is compared in BigInt — at 100 TB (Nd ~ 1e10) the
     * long product overflows, and a silently negative product would
     * route a trillion-pair corpus to the exact leg.
+    *
+    * The THIRD route (r14, closing the prose rule's last clause: "when
+    * vectors no longer fit, move the dense leg to x15's IVF-PQ"): past
+    * the pair boundary, compare the corpus's raw dense-vector bytes —
+    * nCorpus × 16 dims × 8 B, the hashed doc embedding's exact storage
+    * — against `graft.x12.maxIvfVectorBytes` (default 32 GiB). At or
+    * below it the IVF leg's full-vector inverted lists are a
+    * RAM-scale working set and exact-cosine-inside-lists is optimal;
+    * above it the leg switches to `"pq"` — the same IVF pruning with
+    * d16's 4-subspace PQ codes + ADC scoring inside the probed lists,
+    * which shrinks the resident corpus 32× (4 small codes vs 16
+    * int64s) at a bounded recall cost (x15's measured machinery). The
+    * default sits between the largest corpus this engine has measured
+    * (150k docs ≈ 19 MB of vectors — decisively IVF) and the
+    * billion-vector regime the PQ literature targets (1e9 × 128 B =
+    * 128 GB — decisively PQ). Same BigInt discipline: byte math on a
+    * 100 TB footer count must not overflow-route.
     */
   private[graft] def denseLegAuto(s: org.apache.spark.sql.SparkSession,
       d: String): String = {
-    val ceiling = s.conf.getOption("graft.x12.maxExactDensePairs")
+    def confLong(key: String, dflt: Long): Long = s.conf.getOption(key)
       .map(raw => raw.trim.toLongOption.filter(_ > 0).getOrElse(
         throw new IllegalArgumentException(
-          s"graft.x12.maxExactDensePairs must be a positive integer, got '$raw'")))
-      .getOrElse(100000000L)
+          s"$key must be a positive integer, got '$raw'")))
+      .getOrElse(dflt)
+    val pairCeiling = confLong("graft.x12.maxExactDensePairs", 100000000L)
+    val byteCeiling = confLong("graft.x12.maxIvfVectorBytes", 34359738368L)
     val nd = T.footerRowCount(s, d, "documents")
     val nQueries = nd / 10 // the deterministic doc_id % 10 === 7 probe set
     val nCorpus = nd - nQueries
-    if (BigInt(nQueries) * BigInt(nCorpus) <= BigInt(ceiling)) "exact" else "ivf"
+    if (BigInt(nQueries) * BigInt(nCorpus) <= BigInt(pairCeiling)) "exact"
+    else if (BigInt(nCorpus) * 16 * 8 <= BigInt(byteCeiling)) "ivf"
+    else "pq"
   }
 
   /** x12/x12b/x12c's shared body: RRF fusion of the BM25 lexical leg
@@ -313,14 +334,28 @@ object PipelineOps {
     *    Bounded recall: a true neighbor outside the probed lists is
     *    unseen; RRF semantics under misses are unchanged (lex-only
     *    docs keep dense_rk = 0, the x12b stop-word precedent).
+    *  - `"pq"` — x15's IVF-PQ composition as the dense leg (r14):
+    *    d7's 2-probe candidate generation UNCHANGED, but inside the
+    *    probed lists candidates are scored by d16's asymmetric
+    *    distance over 4-subspace PQ codes (each 4-dim subvector of
+    *    the 16-dim embedding encoded as its nearest stride-sampled
+    *    subspace centroid) instead of exact cosine — the resident
+    *    corpus shrinks from 16 int64s to 4 small codes per doc, THE
+    *    enabler when the vectors themselves no longer fit (Jégou et
+    *    al. 2011). Ranking is (ADC distance ASC, doc_id ASC) —
+    *    int64-exact end to end (quantized coords, squared L2 sums;
+    *    the TopK double cast is exact below 2^53, far above any
+    *    realistic ADC magnitude at 16 dims). Recall is bounded twice
+    *    (probe misses + code approximation); RRF absorbs both the
+    *    same way (dense_rk = 0).
     *
     * Factored so every composite is the SAME code modulo its two
     * parameters — the d15/d15b precedent applied twice.
     */
   private def hybridRetrieval(s0: org.apache.spark.sql.SparkSession, d: String,
       maxDfPpm: Option[Long], denseLeg: String = "exact"): DataFrame = {
-    require(denseLeg == "exact" || denseLeg == "ivf",
-      s"denseLeg must be 'exact' or 'ivf', got '$denseLeg'")
+    require(denseLeg == "exact" || denseLeg == "ivf" || denseLeg == "pq",
+      s"denseLeg must be 'exact', 'ivf' or 'pq', got '$denseLeg'")
     // both TopK aggregations below group on the QUERY side — thousands
     // of groups per task, far past Spark's 128-key ObjectHashAggregate
     // fallback, which would silently SORT the full candidate stream
@@ -352,7 +387,9 @@ object PipelineOps {
       expr("long_dot(q, qq)").cast("double") /
         sqrt(col("qn").cast("double") * col("nn").cast("double"))
     // candidate generation is the legs' only difference; scoring,
-    // top-k and fusion below are shared verbatim
+    // top-k and fusion below are shared verbatim (the pq leg swaps the
+    // SCORING too — ADC over codes instead of exact cosine)
+    val stride = math.max(50L, T.footerRowCount(s, d, "documents") / 4096L)
     val cands =
       if (denseLeg == "exact")
         // corpus x queries is the exact leg's hot loop: the codegen
@@ -362,7 +399,6 @@ object PipelineOps {
         // d7's index over the hashed doc embeddings: stride-sampled
         // centroids (deterministic — the oracle re-derives them; the
         // cap keeps the broadcast and the O(N·K) assignment bounded)
-        val stride = math.max(50L, T.footerRowCount(s, d, "documents") / 4096L)
         val cents = emb.filter(col("doc_id") % stride === 0)
           .select(col("doc_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
         val simToCent =
@@ -390,10 +426,57 @@ object PipelineOps {
         listed.join(probes, col("list_id") === col("probe_list"))
           .drop("list_id", "probe_list")
       }
-    val dense = cands
-      .withColumn("cos", cosine)
+    // per-(qdoc, doc_id) dense evidence: exact/ivf score by cosine on
+    // the candidate row; pq re-scores the SAME candidates by d16's
+    // asymmetric distance over PQ codes
+    val scored =
+      if (denseLeg != "pq") cands.withColumn("s", cosine)
+      else {
+        // subspace views: (doc_id, b, s) with s = dims [b*4+1, b*4+4]
+        // of the 16-dim hashed embedding — m = 4 subspaces of 4 dims,
+        // d16's geometry scaled to this embedding width
+        val subs = emb.select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, 3), b -> slice(q, b * 4 + 1, 4))"))
+            .as(Seq("b", "s")))
+        // codebooks: the stride-sampled docs' subvectors (same stride
+        // rule as the coarse quantizer; deterministic, oracle-re-derived)
+        val pqCents = subs.filter(col("doc_id") % stride === 0)
+          .select(col("b"), col("doc_id").as("pcid"), col("s").as("cs"))
+        val sqDist = expr(
+          "aggregate(zip_with(s, cs, (a, c) -> (a - c) * (a - c)), 0L, (acc, x) -> acc + x)")
+        // encode the corpus: nearest subspace centroid per (doc, b) —
+        // O(N·K) with a broadcast codebook, the one-time index build
+        val codes = subs.filter(col("doc_id") % 10 =!= 7)
+          .join(broadcast(pqCents), Seq("b"))
+          .withColumn("dist", sqDist)
+          .groupBy(col("doc_id"), col("b"))
+          .agg(min_by(col("pcid"), struct(col("dist"), col("pcid"))).as("pcid"))
+        // per-query ADC table: distance to every codebook entry. NOT
+        // broadcast-hinted: x12's query side is Nd/10 (scales with the
+        // corpus), so the table is (Nd/10)·K·4 rows — the scoring join
+        // below is equi-keyed on (qdoc, b, pcid) and shuffles fine;
+        // Spark still auto-broadcasts it under the size threshold
+        val adcTab = subs.filter(col("doc_id") % 10 === 7)
+          .select(col("doc_id").as("qdoc"), col("b"), col("s"))
+          .join(broadcast(pqCents), Seq("b"))
+          .withColumn("qdist", sqDist)
+          .select(col("qdoc"), col("b"), col("pcid"), col("qdist"))
+        // ADC distance = Σ over subspaces of the table entry for the
+        // candidate's code; negate so the shared TopK (largest-first)
+        // ranks by (adist ASC, doc_id ASC). Int64-exact; the double
+        // view is exact below 2^53 (16-dim int coords keep ADC sums
+        // orders of magnitude under it)
+        cands.select(col("qdoc"), col("doc_id"))
+          .join(codes, Seq("doc_id"))
+          .join(adcTab, Seq("qdoc", "b", "pcid"))
+          .groupBy(col("qdoc"), col("doc_id"))
+          .agg(sum(col("qdist")).as("adist"))
+          .withColumn("s", -col("adist").cast("double"))
+      }
+    val dense = scored
       .groupBy(col("qdoc"))
-      .agg(graft.functions.TopK.udaf(5)(col("cos"), col("doc_id")).as("top"))
+      .agg(graft.functions.TopK.udaf(5)(col("s"), col("doc_id")).as("top"))
       .select(col("qdoc"), posexplode(col("top")).as(Seq("rk0", "sc")))
       .select(col("qdoc"), col("sc._2").as("doc_id"),
         (col("rk0") + 1).cast("int").as("dense_rk"))
@@ -411,21 +494,63 @@ object PipelineOps {
       .orderBy(col("qdoc"), col("rk"))
   }
 
-  /** x12/x12b/x12c's oracle SQL — identical text modulo the d15b pruning
-    * predicate in the postings CTE and the dense-leg CTE block (exact
-    * cross vs full IVF re-derivation: stride-50 centroids, nearest-list
-    * assignment with d7's (sim DESC, cid ASC) tiebreak, 2-probe,
-    * exact cosine inside the probed lists), so a boundary off-by-one in
+  /** x12/x12b/x12c/x12e's oracle SQL — identical text modulo the d15b
+    * pruning predicate in the postings CTE and the dense-leg CTE block
+    * (exact cross vs full IVF re-derivation: stride-50 centroids,
+    * nearest-list assignment with d7's (sim DESC, cid ASC) tiebreak,
+    * 2-probe, exact cosine inside the probed lists; the pq leg extends
+    * the IVF chain with d16's machinery — 4×4-dim subspace codebooks
+    * from the same stride sample, nearest-codebook codes with
+    * (dist ASC, pcid ASC) tiebreak, per-query ADC tables, candidates
+    * ranked by (ADC sum ASC, doc_id ASC)), so a boundary off-by-one in
     * either engine still mismatches the hash. The stride is the literal
     * 50: footerRowCount/4096 < 50 at every test SF (d7's precedent —
     * the cap only widens beyond ~205k documents).
     */
   private def hybridOracleSql(maxDfPpm: Option[Long],
-      denseIvf: Boolean = false): String = {
+      denseLeg: String = "exact"): String = {
     val prune = maxDfPpm.fold("")(ppm =>
       s"\n  WHERE df * 1000000 <= $ppm * nd")
+    // the pq leg shares the whole IVF candidate chain (cents → asim →
+    // assigned → probes) and swaps only the scoring tail
+    val pqTail =
+      """cand AS (
+        |  SELECT pr.qdoc, a.doc_id
+        |  FROM probes pr JOIN assigned a ON a.list_id = pr.probe_list),
+        |subs AS (
+        |  SELECT doc_id, b, q[b * 4 + 1 : b * 4 + 4] AS s
+        |  FROM base, (SELECT unnest(range(0, 4)) AS b)),
+        |pqcents AS (
+        |  SELECT b, doc_id AS pcid, s AS cs FROM subs WHERE doc_id % 50 = 0),
+        |codes AS (
+        |  SELECT doc_id, b, pcid FROM (
+        |    SELECT v.doc_id, v.b, c.pcid,
+        |      row_number() OVER (PARTITION BY v.doc_id, v.b ORDER BY
+        |        list_reduce([(v.s[i] - c.cs[i]) * (v.s[i] - c.cs[i])
+        |                     FOR i IN range(1, len(v.s) + 1)],
+        |                    (a, x) -> a + x) ASC, c.pcid ASC) AS rn
+        |    FROM subs v JOIN pqcents c USING (b)
+        |    WHERE v.doc_id % 10 != 7) WHERE rn = 1),
+        |adctab AS (
+        |  SELECT v.doc_id AS qdoc, v.b, c.pcid,
+        |    list_reduce([(v.s[i] - c.cs[i]) * (v.s[i] - c.cs[i])
+        |                 FOR i IN range(1, len(v.s) + 1)],
+        |                (a, x) -> a + x) AS qdist
+        |  FROM subs v JOIN pqcents c USING (b)
+        |  WHERE v.doc_id % 10 = 7),
+        |dense AS (
+        |  SELECT qdoc, doc_id, rk AS dense_rk FROM (
+        |    SELECT sc.qdoc, sc.doc_id,
+        |      row_number() OVER (PARTITION BY sc.qdoc
+        |        ORDER BY sc.adist ASC, sc.doc_id ASC) AS rk
+        |    FROM (
+        |      SELECT cd.qdoc, cd.doc_id, CAST(sum(a.qdist) AS BIGINT) AS adist
+        |      FROM cand cd
+        |      JOIN codes e ON e.doc_id = cd.doc_id
+        |      JOIN adctab a ON a.qdoc = cd.qdoc AND a.b = e.b AND a.pcid = e.pcid
+        |      GROUP BY cd.qdoc, cd.doc_id) sc) WHERE rk <= 5)"""
     val denseCte =
-      if (!denseIvf)
+      if (denseLeg == "exact")
         """dense AS (
           |  SELECT qdoc, doc_id, rk AS dense_rk FROM (
           |    SELECT p.qdoc, v.doc_id,
@@ -461,7 +586,8 @@ object PipelineOps {
           |           / sqrt(p.qn::DOUBLE * c.cn::DOUBLE)) DESC,
           |        c.cid ASC) AS rn
           |    FROM queries p CROSS JOIN cents c) WHERE rn <= 2),
-          |dense AS (
+          |""" + (if (denseLeg == "pq") pqTail else
+        """dense AS (
           |  SELECT qdoc, doc_id, rk AS dense_rk FROM (
           |    SELECT p.qdoc, v.doc_id,
           |      row_number() OVER (PARTITION BY p.qdoc ORDER BY
@@ -472,7 +598,7 @@ object PipelineOps {
           |    FROM probes pr
           |    JOIN queries p ON p.qdoc = pr.qdoc
           |    JOIN assigned a ON a.list_id = pr.probe_list
-          |    JOIN corpus v ON v.doc_id = a.doc_id) WHERE rk <= 5)"""
+          |    JOIN corpus v ON v.doc_id = a.doc_id) WHERE rk <= 5)""")
     s"""WITH toks AS (
        |  SELECT doc_id,
        |    unnest(list_filter(str_split(lower(text), ' '), x -> x <> ''))
@@ -4650,7 +4776,7 @@ object PipelineOps {
     QueryDef(
       "x12c_hybrid_ivf",
       (s, d) => hybridRetrieval(s, d, Some(500000L), denseLeg = "ivf"),
-      Some(hybridOracleSql(Some(500000L), denseIvf = true)),
+      Some(hybridOracleSql(Some(500000L), denseLeg = "ivf")),
       doc = "pipeline composite: hybrid retrieval with d7's IVF dense leg (deterministic stride centroids, 2-probe, exact cosine inside lists) over d15b's pruned postings - the measured scale path for x12's dense growth term, as a strategy parameter"),
 
     // X12d: the retrieval family's decision RULE as an executable
@@ -4670,7 +4796,26 @@ object PipelineOps {
       (s, d) => hybridRetrieval(s, d, Some(500000L),
         denseLeg = denseLegAuto(s, d)),
       Some(hybridOracleSql(Some(500000L))),
-      doc = "pipeline composite: hybrid retrieval with the dense leg chosen by COVERAGE.md's measured decision rule (exact at/below graft.x12.maxExactDensePairs ~ |queries|x|corpus| pairs, IVF above) from parquet-footer cardinalities - zero plan-build jobs, deterministic per snapshot+conf"),
+      doc = "pipeline composite: hybrid retrieval with the dense leg chosen by COVERAGE.md's measured decision rule (exact at/below graft.x12.maxExactDensePairs ~ |queries|x|corpus| pairs; IVF above; IVF-PQ once corpus vector bytes exceed graft.x12.maxIvfVectorBytes) from parquet-footer cardinalities - zero plan-build jobs, deterministic per snapshot+conf"),
+
+    // X12e: the decision rule's THIRD leg as an oracled row (r14 —
+    // COVERAGE.md's "when vectors no longer fit, move the dense leg to
+    // x15's IVF-PQ machinery", now executable): x12b's pruned lexical
+    // leg fused with x15's IVF-PQ dense leg — d7's 2-probe candidate
+    // generation unchanged, candidates scored by d16's asymmetric
+    // distance over 4×4-dim PQ codes instead of exact cosine. The whole
+    // index (coarse centroids, lists, probes, subspace codebooks, codes,
+    // per-query ADC tables) is re-derived in DuckDB, so the oracle pins
+    // every tiebreak in the twice-approximate leg exactly (assignment
+    // (sim DESC, cid ASC); encoding (dist ASC, pcid ASC); ranking
+    // (ADC ASC, doc_id ASC)) — the recall contract is structural:
+    // misses (outside probed lists OR ADC-reordered) read dense_rk = 0
+    // in the fusion, x12b's stop-word precedent on the dense side.
+    QueryDef(
+      "x12e_hybrid_ivfpq",
+      (s, d) => hybridRetrieval(s, d, Some(500000L), denseLeg = "pq"),
+      Some(hybridOracleSql(Some(500000L), denseLeg = "pq")),
+      doc = "pipeline composite: hybrid retrieval with the IVF-PQ dense leg (d7's 2-probe lists + d16's int64 ADC over 4-subspace PQ codes) over d15b's pruned postings - the RAM-residency leg denseLegAuto routes to past graft.x12.maxIvfVectorBytes; the full index re-derived in DuckDB"),
 
     // D16: product-quantization ANN with asymmetric-distance scoring
     // (Jégou et al. 2011, public literature) — the MEMORY side of the

@@ -265,13 +265,38 @@ object PrefixJoin {
     * rebuilt per call (lazy, job-free). A throwing decision (the
     * quadratic ceiling) records no entry and rethrows on every call.
     */
+  /** Bounded LRU (access-order LinkedHashMap): entries are a few longs
+    * each, but a long-lived service iterating over many snapshots would
+    * otherwise grow the map for the JVM lifetime — the cap evicts the
+    * least-recently-used decision, which simply re-probes if asked again.
+    */
+  private[graft] val RouteCacheMaxEntries = 1024
   private val routeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DensityProbe, Boolean)]()
+    new java.util.LinkedHashMap[String, (DensityProbe, Boolean)](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (DensityProbe, Boolean)]): Boolean =
+        size() > RouteCacheMaxEntries
+    }
 
   /** Test hook: forget cached routing decisions (specs that pin the
     * probe's job behavior need a cold cache regardless of suite order).
     */
-  private[graft] def clearRouteCache(): Unit = routeCache.clear()
+  private[graft] def clearRouteCache(): Unit =
+    routeCache.synchronized(routeCache.clear())
+
+  private[graft] def routeCacheSize: Int =
+    routeCache.synchronized(routeCache.size())
+
+  /** Test hooks for the LRU bound: plant a synthetic decision / ask
+    * whether a key is still resident (specs can't afford 1000+ real
+    * probe runs just to watch the eviction fire).
+    */
+  private[graft] def plantRouteForTest(key: String): Unit =
+    routeCache.synchronized(
+      routeCache.put(key, (DensityProbe(0L, 0L, 0L), false)): Unit)
+
+  private[graft] def routeCachedForTest(key: String): Boolean =
+    routeCache.synchronized(routeCache.containsKey(key))
 
   def jaccardPairsAuto(
       docs0: DataFrame, idCol: String, tokCol: String,
@@ -325,12 +350,25 @@ object PrefixJoin {
     val (probe, choseQuadratic) = snapshotKey match {
       case Some(k) =>
         // applicationId scopes the cache to one JVM/app lifetime (the
-        // SharedFrame convention); params are part of the key so a conf
-        // change re-probes rather than reusing a decision it didn't make
+        // SharedFrame convention); ALL data-shaping params are part of
+        // the key — id/token columns included (two calls over the same
+        // snapshot but different token columns probe different data) —
+        // so a param change re-probes rather than reusing a decision it
+        // didn't make
         val full = docs0.sparkSession.sparkContext.applicationId +
-          s"|$k|t=$threshold|r=$denseRatio|q=$maxQuadraticPairs" +
-          s"|b=${blockCols.mkString(",")}"
-        routeCache.computeIfAbsent(full, _ => decide())
+          s"|$k|id=$idCol|tok=$tokCol|t=$threshold|r=$denseRatio" +
+          s"|q=$maxQuadraticPairs|b=${blockCols.mkString(",")}"
+        // decide() runs Spark jobs — keep it outside the lock so two
+        // concurrent first-builds never serialize behind each other;
+        // the decision is deterministic per key, so a racing duplicate
+        // probe is wasted work at worst, never a wrong answer (first
+        // writer wins, both writes are equal)
+        Option(routeCache.synchronized(routeCache.get(full))).getOrElse {
+          val d = decide()
+          routeCache.synchronized {
+            Option(routeCache.get(full)).getOrElse { routeCache.put(full, d); d }
+          }
+        }
       case None => decide()
     }
     AutoPairs(

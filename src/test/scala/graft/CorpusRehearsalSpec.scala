@@ -47,6 +47,7 @@ class CorpusRehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dsir_select", "data_card", "kmv_overlap",
       "bm25_retrieve", "bm25_retrieve_pruned",
       "hybrid_retrieve", "hybrid_retrieve_pruned", "hybrid_retrieve_ivf",
+      "hybrid_auto_route", "hybrid_retrieve_auto",
       "ivfpq_retrieve"))
     // pruning can only shrink the candidate-pair workload
     assert(m("n_bm25_cand_pairs_pruned") <= m("n_bm25_cand_pairs"))
@@ -104,6 +105,18 @@ class CorpusRehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // outside probed lists shrink the dense leg, never the query set
     assert(m("n_hybrid_queries_ivf") == m("n_hybrid_queries"))
     assert(m("n_hybrid_hits_ivf") > 0)
+    // r14: the auto dispatch at rehearsal scale — the bounded query side
+    // (~n/200 queries x canonical corpus pairs, far under the 1e8
+    // default) must route EXACT, and the executed stage must then be
+    // bit-identical in its summary stats to the pruned-exact variant it
+    // dispatches to (same leg, same postings, same workload)
+    assert(m("hybrid_auto_leg_ivf") == 0,
+      s"bounded query side must route exact: pairs=${m("hybrid_auto_pairs")}")
+    assert(m("hybrid_auto_pairs") > 0)
+    assert(m("n_hybrid_queries_auto") == m("n_hybrid_queries"))
+    assert(m("n_hybrid_hits_auto") == m("n_hybrid_hits_pruned"))
+    assert(m("sum_hybrid_top1_rrf_auto") == m("sum_hybrid_top1_rrf_pruned"))
+    assert(m("n_hybrid_both_legs_auto") == m("n_hybrid_both_legs_pruned"))
     // temperature dealing: Σ copies ≈ n_clean by construction, so the
     // movement pins are per-doc — the en-heavy skew upsamples some
     // tail-lang doc to ≥ 2 copies AND zero-deals some en docs

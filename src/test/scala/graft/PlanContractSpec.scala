@@ -99,6 +99,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "x12b_hybrid_pruned",     // x12's shape on d15b's pruned postings
     "x12c_hybrid_ivf",        // d15's scalar + d7's broadcast centroids (IVF dense leg)
     "x12d_hybrid_auto",       // resolves to x12b's plan on test corpora (footer-routed)
+    "x12e_hybrid_ivfpq",      // d15's scalar + d7's centroids + d16's PQ codebooks (all broadcast/bounded)
     "t11b_quantile_bands",    // broadcast 1-row tercile-threshold scalar (t11's shape)
     "t11c_band_fractions",    // t11b's threshold scalar + 1-row n_total scalar
     "x2_rgp_mine", "x3_anchor_phylo", "x4_core_genes", // broadcast scalars
@@ -133,6 +134,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "x12b_hybrid_pruned",     // x12's scalar frame, pruned postings
     "x12c_hybrid_ivf",        // x12b's scalar frame, IVF dense leg
     "x12d_hybrid_auto",       // x12b's scalar frame (auto routes exact here)
+    "x12e_hybrid_ivfpq",      // x12b's scalar frame, IVF-PQ dense leg
     "t11b_quantile_bands",    // milli-bit DOMAIN cumulative window (≤64k rows,
                               // t13's bounded-domain precedent) + 1-row scalars
     "t11c_band_fractions",    // t11b's domain window + scalars, band-grain output
@@ -220,6 +222,7 @@ class PlanContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     "x12b_hybrid_pruned",                     // x12's bounded query side, pruned postings
     "x12c_hybrid_ivf",                        // x12b's query side + d7-capped centroids
     "x12d_hybrid_auto",                       // x12b's bounded query side (auto dispatch)
+    "x12e_hybrid_ivfpq",                      // x12b's query side + capped centroids/codebooks
     "t11b_quantile_bands",                    // 1-row token-total + tercile-threshold scalars
     "t11c_band_fractions",                    // t11b's scalars + 1-row n_total
     "x9_curriculum_mix",                      // lang targets + 1-row totals

@@ -350,6 +350,65 @@ class PrefixJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally PrefixJoin.clearRouteCache()
   }
 
+  test("route-cache key includes the token column: same snapshot, different column re-probes") {
+    // ADVICE r13: the key carried threshold/ratio/ceiling/blocks but not
+    // id/token columns — two calls over the same snapshotKey with
+    // different token columns would silently reuse a routing decision
+    // made for DIFFERENT data. Pin it with one frame carrying a dense
+    // column (12-token pool → quadratic) and a sparse one (open vocab →
+    // prefix): under one snapshotKey the two calls must reach opposite
+    // routes, which a key collision makes impossible.
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val pool = (1L to 12L).map(_ * 104729L)
+    val rows = (0 until 240).map { i =>
+      val dense = rnd.shuffle(pool).take(6 + rnd.nextInt(4)).distinct.sorted
+      val sparse = Seq.fill(10)(1L + rnd.nextInt(1000000).toLong)
+        .map(_ * 7919L).distinct.sorted
+      (i.toLong, s"b${i % 2}", dense, sparse)
+    }
+    val df = rows.toDF("doc_id", "blk", "g_dense", "g_sparse")
+    PrefixJoin.clearRouteCache()
+    try {
+      val dense = PrefixJoin.jaccardPairsAuto(
+        df, "doc_id", "g_dense", Seq("blk"), 0.35, snapshotKey = Some("spec:cols"))
+      assert(dense.choseQuadratic, s"dense column must route quadratic: ${dense.probe}")
+      val sparse = PrefixJoin.jaccardPairsAuto(
+        df, "doc_id", "g_sparse", Seq("blk"), 0.35, snapshotKey = Some("spec:cols"))
+      assert(!sparse.choseQuadratic,
+        s"sparse column reused the dense column's cached decision: ${sparse.probe}")
+    } finally PrefixJoin.clearRouteCache()
+  }
+
+  test("route cache is LRU-bounded; recently-touched decisions survive eviction") {
+    // VERDICT r13 #5: entries are tiny but were never evicted — a
+    // long-lived service iterating snapshots grew the map for the JVM
+    // lifetime. The cap evicts least-recently-used; an evicted key just
+    // re-probes on its next call (semantics unchanged — the decision is
+    // a pure function of snapshot + params).
+    PrefixJoin.clearRouteCache()
+    try {
+      val cap = PrefixJoin.RouteCacheMaxEntries
+      (0 until cap).foreach(i => PrefixJoin.plantRouteForTest(s"spec:lru:$i"))
+      assert(PrefixJoin.routeCacheSize == cap)
+      // a real cached call touches its entry (access order), then the
+      // overflow evicts the OLDEST untouched plant, never the live entry
+      val first = PrefixJoin.jaccardPairsAuto(
+        docsDf, "doc_id", "g", Seq("blk"), 0.35, snapshotKey = Some("spec:lru:live"))
+      (0 until 200).foreach(i => PrefixJoin.plantRouteForTest(s"spec:lru:extra$i"))
+      assert(PrefixJoin.routeCacheSize == cap,
+        s"cache must stay bounded at $cap, got ${PrefixJoin.routeCacheSize}")
+      val liveKey = spark.sparkContext.applicationId +
+        "|spec:lru:live|id=doc_id|tok=g|t=0.35|r=0.5|q=20000000000|b=blk"
+      assert(PrefixJoin.routeCachedForTest(liveKey),
+        "the recently-inserted live decision must survive the planted flood")
+      // and the cached entry still serves: same decision, zero re-probe
+      val again = PrefixJoin.jaccardPairsAuto(
+        docsDf, "doc_id", "g", Seq("blk"), 0.35, snapshotKey = Some("spec:lru:live"))
+      assert(again.probe == first.probe && again.choseQuadratic == first.choseQuadratic)
+    } finally PrefixJoin.clearRouteCache()
+  }
+
   test("d4 dispatch reads parquet footers: zero Spark jobs at plan build") {
     // the size dispatch must come from footer metadata, not a count() —
     // the same de-eager contract rgpMine is pinned to in PangenomeSpec

@@ -19,7 +19,21 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  override def afterAll(): Unit = spark.stop()
+  // every fixture dir is registered here and deleted in afterAll — the
+  // suite used to leak one temp dir per test run (ADVICE r13)
+  private val tempDirs = scala.collection.mutable.ListBuffer.empty[String]
+
+  private def tempDir(tag: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    tempDirs.synchronized(tempDirs += dir)
+    dir
+  }
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    tempDirs.foreach(d =>
+      graft.operators.Scratch.deleteRecursively(new java.io.File(d)))
+  }
 
   // train docs 1-3, eval docs 7 and 17 (doc_id % 10 == 7)
   private val corpus = Seq(
@@ -31,7 +45,7 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def writeCorpus(tag: String): String = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    val dir = tempDir(tag)
     corpus.map { case (id, t) => (id, t, "en", s"src$id") }
       .toDF("doc_id", "text", "lang", "source")
       .write.parquet(s"$dir/documents.parquet")
@@ -114,7 +128,7 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "the kiwi kiwi kiwi"),
       (7L, "the zebra apple"),   // query: stop word + two discriminative
       (17L, "the"))              // query made ENTIRELY of the stop word
-    val dir = java.nio.file.Files.createTempDirectory("graft_d15prune").toString
+    val dir = tempDir("d15prune")
     docs.map { case (id, t) => (id, t, "en", s"src$id") }
       .toDF("doc_id", "text", "lang", "source")
       .write.parquet(s"$dir/documents.parquet")
@@ -213,7 +227,7 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(j => words(((id * 7 + j * 3) % 10).toInt)).mkString(" ")
       (id, t, "en", s"src$id")
     }
-    val dir = java.nio.file.Files.createTempDirectory("graft_x12c").toString
+    val dir = tempDir("x12c")
     docs.toDF("doc_id", "text", "lang", "source")
       .write.parquet(s"$dir/documents.parquet")
     def rows(name: String) =
@@ -244,7 +258,7 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(j => words(((id * 7 + j * 3) % 10).toInt)).mkString(" ")
       (id, t, "en", s"src$id")
     }
-    val dir = java.nio.file.Files.createTempDirectory("graft_x12d").toString
+    val dir = tempDir("x12d")
     docs.toDF("doc_id", "text", "lang", "source")
       .write.parquet(s"$dir/documents.parquet")
     assert(graft.operators.PipelineOps.denseLegAuto(spark, dir) == "exact",
@@ -268,5 +282,64 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
           r.getAs[Int]("lex_rk"), r.getAs[Int]("dense_rk"))).toSeq
     assert(rows("x12d_hybrid_auto") == rows("x12b_hybrid_pruned"),
       "at the default boundary x12d is x12b (pruned lexical + exact dense)")
+  }
+
+  test("x12d third route: vector-byte boundary straddles ivf vs pq; forced pq equals x12e") {
+    // COVERAGE.md's last prose clause as code (r14): past the pair
+    // boundary, the dense leg stays IVF while corpus vector bytes
+    // (nCorpus × 16 dims × 8 B) fit graft.x12.maxIvfVectorBytes, and
+    // moves to IVF-PQ above it. 100 docs → 90 corpus docs → 11520
+    // bytes: straddle the ceiling exactly (inclusive at ==).
+    import spark.implicits._
+    val words = Seq("zebra", "apple", "pear", "kiwi", "common", "words",
+      "other", "things", "table", "river")
+    val docs = (0L until 100L).map { id =>
+      val t = (0 until 4 + (id % 5).toInt)
+        .map(j => words(((id * 7 + j * 3) % 10).toInt)).mkString(" ")
+      (id, t, "en", s"src$id")
+    }
+    val dir = tempDir("x12pq")
+    docs.toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    def leg = graft.operators.PipelineOps.denseLegAuto(spark, dir)
+    try {
+      spark.conf.set("graft.x12.maxExactDensePairs", "1") // past exact
+      assert(leg == "ivf",
+        "below the byte ceiling the dense leg stays IVF (default 32 GiB)")
+      spark.conf.set("graft.x12.maxIvfVectorBytes", "11520")
+      assert(leg == "ivf", "the byte boundary is inclusive: bytes == ceiling stays IVF")
+      spark.conf.set("graft.x12.maxIvfVectorBytes", "11519")
+      assert(leg == "pq", "one byte past the ceiling must route to IVF-PQ")
+      spark.conf.set("graft.x12.maxIvfVectorBytes", "0")
+      intercept[IllegalArgumentException](leg)
+      // precedence: the pair rule wins first — a corpus inside the pair
+      // boundary routes exact no matter how small the byte ceiling is
+      spark.conf.set("graft.x12.maxExactDensePairs", "900")
+      spark.conf.set("graft.x12.maxIvfVectorBytes", "1")
+      assert(leg == "exact",
+        "inside the pair boundary the byte rule must never fire")
+    } finally {
+      spark.conf.unset("graft.x12.maxExactDensePairs")
+      spark.conf.unset("graft.x12.maxIvfVectorBytes")
+    }
+    // the dispatch wiring end-to-end: x12d under confs that force the
+    // pq route must equal the explicit x12e row for row
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => (r.getAs[Long]("qdoc"), r.getAs[Int]("rk"),
+          r.getAs[Long]("r_doc"), r.getAs[Long]("rrf"),
+          r.getAs[Int]("lex_rk"), r.getAs[Int]("dense_rk"))).toSeq
+    val viaPq = rows("x12e_hybrid_ivfpq")
+    assert(viaPq.nonEmpty && viaPq.exists(_._6 > 0),
+      "x12e must produce dense (ADC-ranked) evidence on this fixture")
+    try {
+      spark.conf.set("graft.x12.maxExactDensePairs", "1")
+      spark.conf.set("graft.x12.maxIvfVectorBytes", "1")
+      assert(rows("x12d_hybrid_auto") == viaPq,
+        "x12d forced past both ceilings must BE x12e (pruned lexical + IVF-PQ dense)")
+    } finally {
+      spark.conf.unset("graft.x12.maxExactDensePairs")
+      spark.conf.unset("graft.x12.maxIvfVectorBytes")
+    }
   }
 }

@@ -197,4 +197,51 @@ class TopKFallbackSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == want, s"trial $trial k=$k xs=$xs")
     }
   }
+
+  test("aggregator rejects k <= 0 at construction and survives very large k") {
+    // k = 0 used to return Nil from the trim shape; the ordered-insert
+    // fast-reject would instead read Nil.last per row — the contract is
+    // now explicit at construction, not a per-row crash
+    intercept[IllegalArgumentException](graft.functions.TopK.aggregator(0))
+    intercept[IllegalArgumentException](graft.functions.TopK.aggregator(-3))
+    // the insert walk is iterative: a k in the millions must not blow
+    // the stack (the recursive shape grew one frame per buffer element)
+    val agg = graft.functions.TopK.aggregator(5000000)
+    val buf = (0 until 200000).foldLeft(agg.zero)((b, i) =>
+      agg.reduce(b, (i.toDouble, i.toLong)))
+    assert(buf.length == 200000 && buf.head._1 == 199999.0)
+    // and the worst case for the walk itself: insert at the very tail
+    // of a long full-ish buffer
+    assert(agg.reduce(buf, (-1.0, 7L)).last == ((-1.0, 7L)))
+  }
+
+  test("syncConf keeps clone conf identical to parent under random set/unset churn") {
+    // VERDICT r13 #6: the set/unset reconciliation swallows exceptions;
+    // a key that silently failed to sync would leave the cached clone
+    // diverging from the parent. Property: after ANY sequence of runtime
+    // set/unset operations on the parent, a fresh access returns a clone
+    // whose conf equals the parent's except the raised threshold key.
+    spark.conf.unset(ConfKey)
+    val keys = (0 until 5).map(i => s"graft.prop.churn$i")
+    val rnd = new scala.util.Random(20260817L)
+    try {
+      for (trial <- 0 until 100) {
+        val ops = 1 + rnd.nextInt(6)
+        for (_ <- 0 until ops) {
+          val k = keys(rnd.nextInt(keys.length))
+          if (rnd.nextBoolean()) spark.conf.set(k, rnd.nextInt(1000).toString)
+          else spark.conf.unset(k)
+        }
+        val scoped = graft.functions.TopK.sessionWithHashAggCapacity(spark)
+        val p = spark.conf.getAll - ConfKey
+        val s = scoped.conf.getAll - ConfKey
+        assert(s == p,
+          s"trial $trial: clone conf diverged from parent\n" +
+            s"only in clone: ${(s.toSet -- p.toSet).take(5)}\n" +
+            s"only in parent: ${(p.toSet -- s.toSet).take(5)}")
+        assert(scoped.conf.get(ConfKey) ==
+          graft.functions.TopK.RaisedFallbackThreshold.toString)
+      }
+    } finally keys.foreach(spark.conf.unset)
+  }
 }

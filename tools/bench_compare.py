@@ -44,6 +44,10 @@ def main():
     qa = {k: v for k, v in a["queries"].items() if v and v > 0}
     qb = {k: v for k, v in b["queries"].items() if v and v > 0}
     shared = sorted(set(qa) & set(qb))
+    if not shared:
+        raise SystemExit(
+            "no shared queries between artifacts (disjoint suites or "
+            "all-zero timings) — nothing to compare")
     only_a, only_b = sorted(set(qa) - set(qb)), sorted(set(qb) - set(qa))
     ratios = sorted(((qb[k] / qa[k], k) for k in shared), reverse=True)
     shared_a = sum(qa[k] for k in shared)
@@ -61,17 +65,28 @@ def main():
     print(f"\nbest improvements:")
     for r, k in ratios[-top_n:][::-1]:
         print(f"  {r:6.2f}x  {k}  ({qa[k]:.3f}s -> {qb[k]:.3f}s)")
-    # acceptance line: BENCH_PROTOCOL step 3 — worst shared-query ratio,
-    # and whether any single query explains >10% of the total delta
+    # acceptance lines: BENCH_PROTOCOL step 3 (r14 revision) — aggregate
+    # criteria vs the quiet baseline. Per-query ratios are printed for
+    # the record but are NOT the acceptance bar: sub-second queries flip
+    # 2x on a single page-cache miss, and every capture on this host has
+    # SOME episode-inflated subset (the r13 three-capture reconciliation),
+    # so a per-query <1.3x bar is structurally unattainable at 156
+    # queries. The aggregate ratio against per-query minima IS attainable
+    # and still catches both diffuse inflation and single-query
+    # regressions (the dominant-query check).
     worst_r, worst_k = ratios[0]
     delta = shared_b - shared_a
     dominant = [k for k in shared
-                if delta > 0 and (qb[k] - qa[k]) > 0.10 * delta]
-    print(f"\nmax_inflation: {worst_r:.2f}x ({worst_k})"
-          f"  [accept needs < 1.30x]")
+                if delta > 0 and (qb[k] - qa[k]) > 0.10 * delta
+                and (qb[k] - qa[k]) > 0.5]
+    agg = shared_b / shared_a
+    print(f"\nmax_inflation: {worst_r:.2f}x ({worst_k})  [for the record]")
+    print(f"aggregate_ratio: {agg:.3f}  [accept needs < 1.15 vs quiet baseline]")
     if delta > 0 and dominant:
-        print(f"queries explaining >10% of the +{delta:.1f}s delta: "
+        print("dominant_queries (>10% of delta and >0.5s): "
               + ", ".join(f"{k} (+{qb[k] - qa[k]:.1f}s)" for k in dominant))
+    ok = agg < 1.15 and not dominant
+    print(f"acceptance: {'ACCEPT' if ok else 'REJECT'}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Maintain QUIET_BASELINE.json — per-query best-known quiet timings.
+
+Usage: python3 tools/quiet_baseline.py out.json artifact1.json [artifact2.json ...]
+
+Takes the elementwise per-query MINIMUM over every given bench artifact
+(plus out.json itself if it already exists), which is the estimator that
+reconciled the r13 captures: this host's noise arrives in minutes-long
+contention episodes that inflate a different query subset per capture,
+so the per-query min across captures is the best available proxy for
+the quiet value of each query. BENCH_PROTOCOL.md step 3 points
+bench_compare.py at the result instead of the previous round's
+(possibly episode-inflated) single capture.
+
+Artifacts may be raw graft.Bench lines or driver BENCH_rN.json wrappers
+(same loader as bench_compare.py). Queries flagged in an artifact's
+episode_suspect list are EXCLUDED from that artifact's contribution —
+an episode minimum is still an episode sample.
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench_compare import load  # noqa: E402
+
+
+def main():
+    if len(sys.argv) < 3:
+        raise SystemExit(__doc__)
+    out_path, srcs = sys.argv[1], sys.argv[2:]
+    best = {}
+    rounds = []
+    if os.path.exists(out_path):
+        prev = json.load(open(out_path))
+        best = dict(prev.get("queries", {}))
+        rounds = list(prev.get("sources", []))
+    for p in srcs:
+        d = load(p)
+        suspect = set(d.get("episode_suspect") or [])
+        n_used = 0
+        for q, v in d["queries"].items():
+            if not v or v <= 0 or q in suspect:
+                continue
+            if q not in best or v < best[q]:
+                best[q] = v
+            n_used += 1
+        rounds.append({"path": os.path.basename(p),
+                       "total": round(d.get("value", 0.0), 3),
+                       "queries_used": n_used,
+                       "episode_suspect": sorted(suspect)})
+    doc = {"metric": "quiet_baseline",
+           "value": round(sum(best.values()), 3),
+           "unit": "sec",
+           "queries": {k: best[k] for k in sorted(best)},
+           "sources": rounds}
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=False)
+        f.write("\n")
+    print(f"{out_path}: {len(best)} queries, per-query-min total "
+          f"{doc['value']:.1f}s (from {len(srcs)} new artifacts)")
+
+
+if __name__ == "__main__":
+    main()
