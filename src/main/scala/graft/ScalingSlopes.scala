@@ -443,6 +443,13 @@ object ScalingSlopes {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // shuffle files are only deleted when their ShuffleDependency is
+      // GC'd and the ContextCleaner notices; the default periodic-GC
+      // interval (30 min) lets a multi-query 30× crossover accumulate
+      // >70 GB of dead shuffle data (the r14 first attempt died on
+      // ENOSPC mid-run). One minute keeps disk bounded at roughly one
+      // query's live working set without touching any timed plan.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // dense-vocabulary corpus: pin the quadratic branch (see scaladoc)
