@@ -871,8 +871,10 @@ object CorpusRehearsal {
       val nC = emb
         .join(canonical.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
         .filter(!evalVec).count()
-      val ceiling = spark.conf.getOption("graft.x12.maxExactDensePairs")
-        .flatMap(_.toLongOption).getOrElse(100000000L)
+      // strict parse shared with denseLegAuto: malformed conf fails
+      // loudly instead of silently recording evidence for the default
+      val ceiling = graft.operators.PipelineOps.confPosLong(
+        spark, "graft.x12.maxExactDensePairs", 100000000L)
       val pairs = BigInt(nQ) * BigInt(nC)
       put("hybrid_auto_pairs", pairs.min(BigInt(Long.MaxValue)).toLong)
       val ivf = pairs > BigInt(ceiling)

@@ -466,11 +466,20 @@ object ScalingSlopes {
       }
       // one untimed pass at the smallest scale pays JIT + codegen
       // compilation for every plan family before anything is measured
-      // (Bench's warmup rule)
-      queries.foreach { q =>
-        SparkEntry.queries(q)(spark, dirs.head._2)
-          .write.format("noop").mode("overwrite").save()
-      }
+      // (Bench's warmup rule). SKIPPED in crossover mode (r14): there
+      // is only ONE scale there, so this loop would execute every
+      // query against the measured dir with the cache live — the
+      // per-query "cold first run" would then be a SECOND execution
+      // (warm or eviction-luck, the exact ambiguity the mode exists to
+      // remove). In crossover mode the per-query cold pass genuinely
+      // pays JIT + codegen + index build, and is reported as exactly
+      // that (the first query's cold additionally carries the plan
+      // family's JIT).
+      if (!crossover)
+        queries.foreach { q =>
+          SparkEntry.queries(q)(spark, dirs.head._2)
+            .write.format("noop").mode("overwrite").save()
+        }
       val results = dirs.map { case (sc, d) =>
         // drop every persisted SharedFrame from the previous scale so a
         // larger corpus never rides a smaller one's memory pressure and

@@ -297,15 +297,23 @@ object PipelineOps {
     * 128 GB — decisively PQ). Same BigInt discipline: byte math on a
     * 100 TB footer count must not overflow-route.
     */
+  /** Strict positive-long conf read shared by every consumer of the
+    * retrieval-dispatch ceilings (denseLegAuto, the rehearsal's
+    * hybrid_auto_route): a malformed or non-positive value FAILS with
+    * the key named — a silent fallback to the default would record
+    * routing evidence for a ceiling the operator never configured.
+    */
+  private[graft] def confPosLong(s: org.apache.spark.sql.SparkSession,
+      key: String, dflt: Long): Long = s.conf.getOption(key)
+    .map(raw => raw.trim.toLongOption.filter(_ > 0).getOrElse(
+      throw new IllegalArgumentException(
+        s"$key must be a positive integer, got '$raw'")))
+    .getOrElse(dflt)
+
   private[graft] def denseLegAuto(s: org.apache.spark.sql.SparkSession,
       d: String): String = {
-    def confLong(key: String, dflt: Long): Long = s.conf.getOption(key)
-      .map(raw => raw.trim.toLongOption.filter(_ > 0).getOrElse(
-        throw new IllegalArgumentException(
-          s"$key must be a positive integer, got '$raw'")))
-      .getOrElse(dflt)
-    val pairCeiling = confLong("graft.x12.maxExactDensePairs", 100000000L)
-    val byteCeiling = confLong("graft.x12.maxIvfVectorBytes", 34359738368L)
+    val pairCeiling = confPosLong(s, "graft.x12.maxExactDensePairs", 100000000L)
+    val byteCeiling = confPosLong(s, "graft.x12.maxIvfVectorBytes", 34359738368L)
     val nd = T.footerRowCount(s, d, "documents")
     val nQueries = nd / 10 // the deterministic doc_id % 10 === 7 probe set
     val nCorpus = nd - nQueries
@@ -388,8 +396,12 @@ object PipelineOps {
         sqrt(col("qn").cast("double") * col("nn").cast("double"))
     // candidate generation is the legs' only difference; scoring,
     // top-k and fusion below are shared verbatim (the pq leg swaps the
-    // SCORING too — ADC over codes instead of exact cosine)
-    val stride = math.max(50L, T.footerRowCount(s, d, "documents") / 4096L)
+    // SCORING too — ADC over codes instead of exact cosine). The footer
+    // read is lazy and shared: the exact leg never pays the driver-side
+    // parquet-footer I/O it doesn't use, and the pq leg's two stride
+    // rules read the count once.
+    lazy val nd = T.footerRowCount(s, d, "documents")
+    lazy val stride = math.max(50L, nd / 4096L)
     val cands =
       if (denseLeg == "exact")
         // corpus x queries is the exact leg's hot loop: the codegen
@@ -439,9 +451,20 @@ object PipelineOps {
           posexplode(expr(
             "transform(sequence(0, 3), b -> slice(q, b * 4 + 1, 4))"))
             .as(Seq("b", "s")))
-        // codebooks: the stride-sampled docs' subvectors (same stride
-        // rule as the coarse quantizer; deterministic, oracle-re-derived)
-        val pqCents = subs.filter(col("doc_id") % stride === 0)
+        // codebooks: stride-sampled subvectors, but with the PQ-specific
+        // cap of ≤ 256 codewords per subspace (8-bit codes — Jégou et
+        // al.'s k* = 256, every production PQ deployment's geometry).
+        // The coarse quantizer's ≈4096-doc stride rule is WRONG here at
+        // scale: the encode join is O(N·K) per subspace, and the r14 30×
+        // crossover measured K ≈ 3000 (stride 50 on 150k docs) making
+        // that encode the leg's dominant term (179 s warm) — a cost that
+        // buys recall the 8-bit code can't even store. Below 12,800 docs
+        // (footer/256 < 50) the two rules coincide at stride 50, so
+        // every test-SF result — and the DuckDB oracle's literal 50 —
+        // is unchanged; the cap only bites at the corpus sizes where
+        // the encode term matters.
+        val pqStride = math.max(stride, nd / 256L)
+        val pqCents = subs.filter(col("doc_id") % pqStride === 0)
           .select(col("b"), col("doc_id").as("pcid"), col("s").as("cs"))
         val sqDist = expr(
           "aggregate(zip_with(s, cs, (a, c) -> (a - c) * (a - c)), 0L, (acc, x) -> acc + x)")
@@ -505,7 +528,9 @@ object PipelineOps {
     * ranked by (ADC sum ASC, doc_id ASC)), so a boundary off-by-one in
     * either engine still mismatches the hash. The stride is the literal
     * 50: footerRowCount/4096 < 50 at every test SF (d7's precedent —
-    * the cap only widens beyond ~205k documents).
+    * the cap only widens beyond ~205k documents), and the PQ codebook
+    * stride (max(stride, footer/256) — the ≤256-codeword 8-bit-code
+    * cap) also reads 50 below 12,800 documents, which every test SF is.
     */
   private def hybridOracleSql(maxDfPpm: Option[Long],
       denseLeg: String = "exact"): String = {

@@ -87,6 +87,9 @@ def main():
               + ", ".join(f"{k} (+{qb[k] - qa[k]:.1f}s)" for k in dominant))
     ok = agg < 1.15 and not dominant
     print(f"acceptance: {'ACCEPT' if ok else 'REJECT'}")
+    # machine-checkable: a scripted protocol step must not treat a
+    # rejected capture as success
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":

@@ -38,17 +38,22 @@ def main():
     for p in srcs:
         d = load(p)
         suspect = set(d.get("episode_suspect") or [])
-        n_used = 0
+        n_lowered = 0
         for q, v in d["queries"].items():
             if not v or v <= 0 or q in suspect:
                 continue
             if q not in best or v < best[q]:
                 best[q] = v
-            n_used += 1
-        rounds.append({"path": os.path.basename(p),
-                       "total": round(d.get("value", 0.0), 3),
-                       "queries_used": n_used,
-                       "episode_suspect": sorted(suspect)})
+                n_lowered += 1
+        entry = {"path": os.path.basename(p),
+                 "total": round(d.get("value", 0.0), 3),
+                 "queries_lowered": n_lowered,
+                 "episode_suspect": sorted(suspect)}
+        # idempotent: re-merging an already-recorded artifact (same
+        # name + total) must not duplicate its provenance row
+        if not any(r.get("path") == entry["path"]
+                   and r.get("total") == entry["total"] for r in rounds):
+            rounds.append(entry)
     doc = {"metric": "quiet_baseline",
            "value": round(sum(best.values()), 3),
            "unit": "sec",
