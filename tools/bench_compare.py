@@ -79,13 +79,27 @@ def main():
     dominant = [k for k in shared
                 if delta > 0 and (qb[k] - qa[k]) > 0.10 * delta
                 and (qb[k] - qa[k]) > 0.5]
+    # per-query regressions INDEPENDENT of the aggregate sign (r15): the
+    # dominant-query clause above is delta-gated, so a single query
+    # regressing badly (+8s) while unrelated queries improve more
+    # (net delta <= 0) used to sail through. Any shared query that is
+    # BOTH >2x its baseline AND >0.5s over it rejects on its own.
+    # Calibration: the accepted r14 capture's max ratio vs the quiet
+    # baseline was 1.48x, so the 2x bound sits above legitimate-capture
+    # noise; episode captures (which this also catches) should reject
+    # anyway per BENCH_PROTOCOL step 3 (re-measure, don't accept).
+    regressed = [k for k in shared
+                 if qb[k] / qa[k] > 2.0 and (qb[k] - qa[k]) > 0.5]
     agg = shared_b / shared_a
     print(f"\nmax_inflation: {worst_r:.2f}x ({worst_k})  [for the record]")
     print(f"aggregate_ratio: {agg:.3f}  [accept needs < 1.15 vs quiet baseline]")
     if delta > 0 and dominant:
         print("dominant_queries (>10% of delta and >0.5s): "
               + ", ".join(f"{k} (+{qb[k] - qa[k]:.1f}s)" for k in dominant))
-    ok = agg < 1.15 and not dominant
+    if regressed:
+        print("regressed_queries (>2x baseline and >0.5s, aggregate-independent): "
+              + ", ".join(f"{k} ({qa[k]:.2f}s -> {qb[k]:.2f}s)" for k in regressed))
+    ok = agg < 1.15 and not dominant and not regressed
     print(f"acceptance: {'ACCEPT' if ok else 'REJECT'}")
     # machine-checkable: a scripted protocol step must not treat a
     # rejected capture as success
