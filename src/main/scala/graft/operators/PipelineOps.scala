@@ -203,25 +203,79 @@ object PipelineOps {
 
   private def bm25Scores(s: org.apache.spark.sql.SparkSession, d: String,
       maxDfPpm: Option[Long]): DataFrame = {
-    val toks = T.documents(s, d)
-      .select(col("doc_id"),
-        explode(filter(split(lower(col("text")), " "), x => x =!= ""))
-          .as("term"))
-    val train = toks.filter(col("doc_id") % 10 =!= 7)
-    val tf = train.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dl = train.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val tot = dl.agg(sum(col("dl")).as("big_l"), count(lit(1)).as("nd"))
-    val qterms = toks.filter(col("doc_id") % 10 === 7)
-      .select(col("doc_id").as("qdoc"), col("term")).distinct()
-    val kept = maxDfPpm.fold(tf.join(dl, "doc_id").join(df, "term")
-      .crossJoin(broadcast(tot))) { ppm =>
-      tf.join(dl, "doc_id").join(df, "term")
-        .crossJoin(broadcast(tot))
-        .filter(col("df") * lit(1000000L) <= lit(ppm) * col("nd"))
-    }
-    val postings = kept
+    // r15 cold-build rewrite (the r14 crossover measured this frame's
+    // one-time build at 519-629 s at the 30x point — the retrieval
+    // family's dominant cold term): tf and dl are PER-DOCUMENT facts,
+    // and a document's tokens already live in one row, so the old
+    // explode -> groupBy(doc_id, term) / groupBy(doc_id) pipeline
+    // shuffled tens of millions of token rows to compute values each
+    // row already held. Replaced with map-side sorted-run counting:
+    // sort the token array, find run starts, emit (term, tf) pairs per
+    // doc; dl = size(tokens). The tf/dl equi-join disappears with the
+    // shuffles. Counts are exact integers either way, so every
+    // downstream contrib/score — and the DuckDB oracle hash — is
+    // bit-identical to the shuffled formulation. The only shuffles
+    // left are the ones that genuinely cross documents: df
+    // (groupBy term), the qterms x postings join, and the final
+    // (qdoc, doc_id) aggregation.
+    //
+    // ANSI-safe run counting: element_at THROWS on index 0 /
+    // out-of-bounds under spark.sql.ansi.enabled (the 4.x default), so
+    // both edge lookups use try_element_at (null at the edges;
+    // `i = 1 OR <null>` still admits the first run start — true OR
+    // null = true).
+    //
+    // The sorted array and the run-start index array are bound as
+    // one-element-`transform` lambda variables (`sa`, `starts`) — SQL's
+    // only let-binding — NOT as withColumn aliases: Catalyst's
+    // CollapseProject inlines chained projection aliases into the
+    // downstream lambda bodies, re-evaluating sort_array / the
+    // run-start scan PER ARRAY ELEMENT (measured 25 s for 4500 sf0.1
+    // docs, ~30x the whole old build). A lambda variable is evaluated
+    // exactly once per row by construction, optimizer-proof.
+    val toksCol = filter(split(lower(col("text")), " "), x => x =!= "")
+    // run length = next run start (or the end-of-array sentinel) - own
+    // start; element_at(sa, st) is always in bounds (st from
+    // sequence(1, size)) so the plain ANSI form is safe there.
+    val pairsExpr =
+      """element_at(transform(array(sort_array(ts)), sa ->
+        |  element_at(transform(array(filter(sequence(1, size(sa)),
+        |                i -> i = 1 OR try_element_at(sa, i) != try_element_at(sa, i - 1))),
+        |      starts ->
+        |    zip_with(starts,
+        |             concat(slice(starts, 2, size(starts)), array(size(sa) + 1)),
+        |             (st, en) -> named_struct('term', element_at(sa, st),
+        |                                      'tf', CAST(en - st AS BIGINT)))), 1)), 1)"""
+        .stripMargin
+    // size > 0 matches the exploded formulation: a tokenless doc
+    // contributed no tf/dl rows, so it must not count toward nd/big_l
+    val base = T.documents(s, d)
+      .filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"), toksCol.as("ts"))
+      .filter(size(col("ts")) > 0)
+    val perDoc = base
+      .withColumn("dl", size(col("ts")).cast("long"))
+      .withColumn("pairs", expr(pairsExpr))
+      .select(col("doc_id"), col("dl"), explode(col("pairs")).as("p"))
+      .select(col("doc_id"), col("dl"),
+        col("p.term").as("term"), col("p.tf").as("tf"))
+    val dfreq = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // big_l/nd from the doc-level frame directly — no dl shuffle either
+    val tot = base.agg(sum(size(col("ts")).cast("long")).as("big_l"),
+      count(lit(1)).as("nd"))
+    // the df cap prunes the TERM dimension before the fan-out join (the
+    // r15 upstream move): hot-term postings never enter the join's
+    // probe at all, instead of being filtered out of its output
+    val enriched = dfreq.crossJoin(broadcast(tot))
+    val kept = maxDfPpm.fold(enriched)(ppm =>
+      enriched.filter(col("df") * lit(1000000L) <= lit(ppm) * col("nd")))
+    // per-doc array_distinct makes (qdoc, term) unique by construction
+    // — the old explode + global distinct() shuffle is unnecessary
+    val qterms = T.documents(s, d)
+      .filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id").as("qdoc"),
+        explode(array_distinct(toksCol)).as("term"))
+    val postings = perDoc.join(kept, Seq("term"))
       .withColumn("idf",
         length(conv(expr("nd div df"), 10, 2)).cast("long"))
       .withColumn("contrib", floor(
@@ -4615,12 +4669,15 @@ object PipelineOps {
     // BEFORE the per-doc sum (d12's rule: never aggregate raw doubles).
     // Magnitudes: numerators stay < 2^63 up to L ≈ 1e14 corpus tokens;
     // beyond that the same rational moves to grouped decimals. Scale
-    // shape: ONE term-keyed shuffle builds tf/df (the inverted index IS
-    // the postings aggregate), the 1-row (L, Nd) scalar broadcasts,
-    // query terms join the postings term-keyed (stop-word-grade hot
-    // terms are the documented skew spot — production prunes postings
-    // via WAND/block-max; AQE/salting absorb them here), and the
-    // per-query top-5 is a bounded window per qdoc.
+    // shape (r15): tf and dl are MAP-SIDE per-document facts (sorted-run
+    // counting over each doc's own token array — see bm25Scores), so
+    // the only term-keyed shuffle left in the index build is the df
+    // aggregate; the 1-row (L, Nd) scalar broadcasts, query terms join
+    // the postings term-keyed (stop-word-grade hot terms are the
+    // documented skew spot — production prunes postings via
+    // WAND/block-max; the df-cap conf is that rule here, applied to the
+    // term dimension BEFORE the join), and the per-query top-5 is a
+    // bounded window per qdoc.
     QueryDef(
       "d15_bm25_topk",
       (s, d) =>
