@@ -67,7 +67,17 @@ object Bench {
     // (-0.0 >= 0 is true) and on any consumer of the raw runs array.
     // Failed queries surface in "failed" below and never contribute to
     // per-query mins or the total.
+    // host-state sampling (r15): one /proc/stat reading around each
+    // query's rep block. The within-run detector below cannot see a
+    // STEADY episode (it inflates all back-to-back reps equally — the
+    // driver's r14 capture was 35% inflated with a near-empty suspect
+    // list), so the capture also records the iowait fraction each
+    // query ran under; the quiet-floor clause turns that into
+    // per-query suspicion with a named mechanical cause.
+    val runStartHost = BenchDetect.sampleHost()
+    val hostFrac = scala.collection.mutable.Map.empty[String, Double]
     val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val h0 = BenchDetect.sampleHost()
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -79,8 +89,11 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         if (ok) dt else Double.NaN
       }
+      for (a <- h0; b <- BenchDetect.sampleHost())
+        hostFrac(name) = BenchDetect.iowaitFrac(a, b)
       name -> ts
     }
+    val runEndHost = BenchDetect.sampleHost()
     val results = runs.map { case (k, ts) =>
       val good = ts.filterNot(_.isNaN)
       // -1.0 is the every-rep-failed marker in the per-query map; such
@@ -109,22 +122,47 @@ object Bench {
       val good = ts.filterNot(_.isNaN)
       k -> (if (good.size >= 2 && good.min > 0) good.max / good.min else 1.0)
     }
-    val episodeSuspect = runs.collect { case (k, ts)
-        if ts.forall(t => !t.isNaN && t > 0) && ts.size >= 3 &&
-          (ts.tail.max / ts.tail.min > 3.0 || ts.tail.max > 3.0 * ts.head) =>
-      k
+    val withinRunSuspect = BenchDetect.withinRunSuspects(runs)
+    // Third clause (r15): best rep > 2x the query's QUIET_BASELINE
+    // floor AND the query's window spent >= 5% in iowait — the steady
+    // episodes the within-run signatures are blind to. The floor file
+    // rides the repo; SPARK_GRAFT_QUIET_BASELINE overrides the path.
+    val floorPath =
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_BASELINE", "QUIET_BASELINE.json")
+    val floors = BenchDetect.loadQuietFloors(floorPath)
+    val quietFloorSuspect = floors.map { fl =>
+      BenchDetect.quietFloorSuspects(
+        results.collect { case (k, v) if v > 0 => k -> v }.toMap,
+        fl, hostFrac.toMap)
     }
+    val episodeSuspect =
+      (withinRunSuspect ++ quietFloorSuspect.getOrElse(Nil)).distinct.sorted
     val total = results.map(_._2).filter(_ >= 0).sum
     def fmt3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Both detector signatures need >= 3 reps (warm reps 2..N must exist
-    // and have a spread). With fewer reps an empty list would read as
-    // "checked and clean" when detection never ran — serialize JSON null
-    // instead so under-sampled runs are distinguishable from quiet ones.
+    // The within-run signatures need >= 3 reps (warm reps 2..N must
+    // exist and have a spread); the quiet-floor clause needs a
+    // readable baseline file plus host samples. When NEITHER detector
+    // ran, an empty list would read as "checked and clean" — serialize
+    // JSON null instead so unchecked runs are distinguishable from
+    // quiet ones. (With only one detector live, its names still ride
+    // the list; "episode_evidence" in the file JSON says which clauses
+    // actually ran.)
+    val withinRan = reps >= 3
+    val quietRan = floors.isDefined && hostFrac.nonEmpty
+    def names(xs: Seq[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val suspectJs =
-      if (reps >= 3) episodeSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
-      else "null"
+      if (withinRan || quietRan) names(episodeSuspect) else "null"
+    // run-level host posture rides the stdout line: one number that
+    // says whether the WHOLE capture ran on a quiet host, so a judge
+    // reading only BENCH_rN.json sees the iowait context next to the
+    // totals it qualifies
+    val runIowait = for (a <- runStartHost; b <- runEndHost)
+      yield BenchDetect.iowaitFrac(a, b)
+    val hostJs = runIowait
+      .map(f => s"""{"run_iowait_frac":${fmt3(f)}}""").getOrElse("null")
     def line(rs: Seq[(String, Double)], fmt: Double => String): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -134,7 +172,7 @@ object Bench {
       // "episode_suspect" rides too (normally "[]", a handful of names
       // during a contention episode): it tells the artifact's consumer
       // which per-query numbers to distrust before comparing rounds.
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failedJs,"episode_suspect":$suspectJs,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failedJs,"episode_suspect":$suspectJs,"host":$hostJs,"queries":$qs,"sf":"$sfDir"}"""
     }
     // The driver captures a 2000-char LOG TAIL and sbt's trailing
     // [success] line eats ~85 of it: a 98-query map (~2.2 KB) gets its
@@ -165,11 +203,40 @@ object Bench {
     val spreadQs = spreads.map { case (k, r) =>
       "\"" + k + "\":" + fmt3(r)
     }.mkString("{", ",", "}")
+    // per-query iowait fractions + which detector clauses ran and what
+    // each flagged: the file artifact carries the full attribution so a
+    // reader can separate "within-run spike" from "steady episode over
+    // the quiet floor" without re-deriving either
+    val iowaitQs = hostFrac.toSeq.sortBy(_._1).map { case (k, f) =>
+      "\"" + k + "\":" + fmt3(f)
+    }.mkString("{", ",", "}")
+    val evidenceJs =
+      s"""{"within_run":${if (withinRan) names(withinRunSuspect.sorted) else "null"},""" +
+        s""""quiet_floor":${quietFloorSuspect.map(q => names(q.sorted)).getOrElse("null")},""" +
+        s""""quiet_floor_path":${if (floors.isDefined) "\"" + floorPath + "\"" else "null"}}"""
     val fileJson = line(results, _.toString).dropRight(1) +
-      s""","reps":$reps,"rep_spread":$spreadQs,"runs":$rawQs}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (fileJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
+      s""","reps":$reps,"rep_spread":$spreadQs,"iowait_frac":$iowaitQs,""" +
+      s""""episode_evidence":$evidenceJs,"runs":$rawQs}"""
+    // temp-file + atomic rename: a smoke run must never leave a
+    // half-written artifact, and the write is all-or-nothing even if
+    // the JVM dies mid-write (the r14 judge session lost the driver's
+    // uncommitted capture to a plain overwrite)
+    try {
+      val target = java.nio.file.Paths.get(outPath).toAbsolutePath
+      val tmp = java.nio.file.Files.createTempFile(
+        target.getParent, ".bench_out", ".tmp")
+      java.nio.file.Files.write(tmp,
+        (fileJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: could not write $outPath: $e")
+    }
     spark.stop()
   }
 }
