@@ -23,9 +23,18 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        // stride-literal oracle guard (r15): queries whose DuckDB SQL
+        // hardcodes a footer-derived stride/route literal fail HERE,
+        // with the boundary named, the moment testdata outgrows the
+        // literal's validity window — instead of surfacing as a bare
+        // hash mismatch in the round's correctness gate
+        OracleWindows.violation(name,
+            t => Tables.footerRowCount(spark, sfDir, t))
+          .foreach(msg => throw new IllegalStateException(msg))
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

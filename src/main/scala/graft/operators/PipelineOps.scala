@@ -464,8 +464,15 @@ object PipelineOps {
       else {
         // d7's index over the hashed doc embeddings: stride-sampled
         // centroids (deterministic — the oracle re-derives them; the
-        // cap keeps the broadcast and the O(N·K) assignment bounded)
-        val cents = emb.filter(col("doc_id") % stride === 0)
+        // cap keeps the broadcast and the O(N·K) assignment bounded).
+        // Query docs are excluded from the sample (r15): below the
+        // oracle window stride is 50 and doc_id % 50 = 0 already
+        // implies % 10 = 0 ≠ 7, so every test-SF result — and the
+        // oracle's literal WHERE — is unchanged; at scale the stride
+        // stops being a multiple of 10 and without the predicate the
+        // held-out query set would leak into the index geometry
+        val cents = emb.filter(
+            col("doc_id") % stride === 0 && col("doc_id") % 10 =!= 7)
           .select(col("doc_id").as("cid"), col("q").as("cq"), col("nn").as("cn"))
         val simToCent =
           expr("long_dot(q, cq)").cast("double") /
@@ -518,7 +525,11 @@ object PipelineOps {
         // is unchanged; the cap only bites at the corpus sizes where
         // the encode term matters.
         val pqStride = math.max(stride, nd / 256L)
-        val pqCents = subs.filter(col("doc_id") % pqStride === 0)
+        // same query-doc exclusion as the coarse sample above: a no-op
+        // below the PQ oracle window (stride 50 ⇒ % 10 = 0), a
+        // train/query leak-stopper past it
+        val pqCents = subs.filter(
+            col("doc_id") % pqStride === 0 && col("doc_id") % 10 =!= 7)
           .select(col("b"), col("doc_id").as("pcid"), col("s").as("cs"))
         val sqDist = expr(
           "aggregate(zip_with(s, cs, (a, c) -> (a - c) * (a - c)), 0L, (acc, x) -> acc + x)")
@@ -600,7 +611,8 @@ object PipelineOps {
         |  SELECT doc_id, b, q[b * 4 + 1 : b * 4 + 4] AS s
         |  FROM base, (SELECT unnest(range(0, 4)) AS b)),
         |pqcents AS (
-        |  SELECT b, doc_id AS pcid, s AS cs FROM subs WHERE doc_id % 50 = 0),
+        |  SELECT b, doc_id AS pcid, s AS cs FROM subs
+        |  WHERE doc_id % 50 = 0 AND doc_id % 10 != 7),
         |codes AS (
         |  SELECT doc_id, b, pcid FROM (
         |    SELECT v.doc_id, v.b, c.pcid,
@@ -642,7 +654,8 @@ object PipelineOps {
           |    WHERE v.doc_id % 10 != 7) WHERE rk <= 5)"""
       else
         """cents AS (
-          |  SELECT doc_id AS cid, q AS cq, nn AS cn FROM base WHERE doc_id % 50 = 0),
+          |  SELECT doc_id AS cid, q AS cq, nn AS cn FROM base
+          |  WHERE doc_id % 50 = 0 AND doc_id % 10 != 7),
           |corpus AS (SELECT * FROM base WHERE doc_id % 10 != 7),
           |asim AS (
           |  SELECT v.doc_id, c.cid,
@@ -4893,6 +4906,12 @@ object PipelineOps {
     // (ADC ASC, doc_id ASC)) — the recall contract is structural:
     // misses (outside probed lists OR ADC-reordered) read dense_rk = 0
     // in the fusion, x12b's stop-word precedent on the dense side.
+    // ORACLE COVERAGE LIMIT (r15, enforced by OracleWindows/Verify):
+    // the SQL's stride literals only match the footer rules below
+    // 13,056 documents (PQ codebook stride) / 208,896 (coarse stride)
+    // — past either boundary the Spark plan stays correct but the
+    // oracle text stops covering it, and Verify fails the row loudly
+    // instead of hash-mismatching.
     QueryDef(
       "x12e_hybrid_ivfpq",
       (s, d) => hybridRetrieval(s, d, Some(500000L), denseLeg = "pq"),
