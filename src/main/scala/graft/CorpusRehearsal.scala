@@ -873,13 +873,28 @@ object CorpusRehearsal {
         .filter(!evalVec).count()
       // strict parse shared with denseLegAuto: malformed conf fails
       // loudly instead of silently recording evidence for the default
-      val ceiling = graft.operators.PipelineOps.confPosLong(
+      val pairCeiling = graft.operators.PipelineOps.confPosLong(
         spark, "graft.x12.maxExactDensePairs", 100000000L)
+      val byteCeiling = graft.operators.PipelineOps.confPosLong(
+        spark, "graft.x12.maxIvfVectorBytes", 34359738368L)
+      // the rule is the SHARED denseLegRoute (r15) — this stage used to
+      // re-implement only the pair clause with its own hardcoded
+      // default, so the "dispatch evidence" could never route to pq
+      // and would silently diverge from any future rule change
+      val leg = graft.operators.PipelineOps.denseLegRoute(
+        nQ, nC, pairCeiling, byteCeiling)
       val pairs = BigInt(nQ) * BigInt(nC)
       put("hybrid_auto_pairs", pairs.min(BigInt(Long.MaxValue)).toLong)
-      val ivf = pairs > BigInt(ceiling)
-      put("hybrid_auto_leg_ivf", if (ivf) 1L else 0L)
-      ivf
+      put("hybrid_auto_leg_ivf", if (leg == "ivf") 1L else 0L)
+      put("hybrid_auto_leg_pq", if (leg == "pq") 1L else 0L)
+      // the rehearsal's executable stage below only has exact/ivf
+      // bodies; a pq route (268M+ vectors at this geometry) must fail
+      // loudly rather than record pq evidence while executing ivf
+      require(leg != "pq",
+        "hybrid_auto_route resolved to the pq leg; the rehearsal's " +
+          "retrieve stage has no pq body — raise graft.x12.maxIvfVectorBytes " +
+          "or shrink the corpus")
+      leg != "exact"
     }
     hybridRetrieve("hybrid_retrieve_auto", Some(10000L), denseIvf = autoIvf,
       sfxOverride = Some("_auto"))

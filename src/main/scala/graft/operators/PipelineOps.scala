@@ -364,16 +364,42 @@ object PipelineOps {
         s"$key must be a positive integer, got '$raw'")))
     .getOrElse(dflt)
 
+  /** The three-way decision rule ITSELF, factored out (r15) so the
+    * production dispatch ([[denseLegAuto]]) and the rehearsal's
+    * routing-evidence stage (CorpusRehearsal `hybrid_auto_route`) run
+    * the SAME arithmetic — the rehearsal used to re-implement only the
+    * pair clause with its own hardcoded default, so it could never
+    * route to the pq leg and a future rule change would silently
+    * diverge from the recorded evidence. The 16 × 8 B term is the
+    * family's dense-embedding geometry (16 int64 dims per vector —
+    * docEmbed and the rehearsal's embedQ share it).
+    */
+  private[graft] def denseLegRoute(nQueries: Long, nCorpus: Long,
+      pairCeiling: Long, byteCeiling: Long): String =
+    if (BigInt(nQueries) * BigInt(nCorpus) <= BigInt(pairCeiling)) "exact"
+    else if (BigInt(nCorpus) * 16 * 8 <= BigInt(byteCeiling)) "ivf"
+    else "pq"
+
   private[graft] def denseLegAuto(s: org.apache.spark.sql.SparkSession,
       d: String): String = {
     val pairCeiling = confPosLong(s, "graft.x12.maxExactDensePairs", 100000000L)
     val byteCeiling = confPosLong(s, "graft.x12.maxIvfVectorBytes", 34359738368L)
     val nd = T.footerRowCount(s, d, "documents")
-    val nQueries = nd / 10 // the deterministic doc_id % 10 === 7 probe set
-    val nCorpus = nd - nQueries
-    if (BigInt(nQueries) * BigInt(nCorpus) <= BigInt(pairCeiling)) "exact"
-    else if (BigInt(nCorpus) * 16 * 8 <= BigInt(byteCeiling)) "ivf"
-    else "pq"
+    // r15: the `nd / 10` query cardinality is the CONVENTION of this
+    // family's synthetic corpus (the doc_id % 10 === 7 probe slice),
+    // not a law of the dispatch — on a production corpus the query set
+    // lives outside the documents table and its cardinality is the
+    // caller's knowledge. `graft.x12.queryCount` supplies it: when set,
+    // the whole table is corpus and the conf is the query side; when
+    // unset, the probe convention splits nd as before. The x12 family's
+    // own query SET stays definitional either way — the conf only
+    // feeds the routing arithmetic.
+    val (nQueries, nCorpus) =
+      s.conf.getOption("graft.x12.queryCount") match {
+        case Some(_) => (confPosLong(s, "graft.x12.queryCount", 0L), nd)
+        case None    => (nd / 10, nd - nd / 10)
+      }
+    denseLegRoute(nQueries, nCorpus, pairCeiling, byteCeiling)
   }
 
   /** x12/x12b/x12c's shared body: RRF fusion of the BM25 lexical leg

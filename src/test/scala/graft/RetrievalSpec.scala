@@ -342,4 +342,48 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.unset("graft.x12.maxIvfVectorBytes")
     }
   }
+
+  test("x12d: graft.x12.queryCount replaces the probe convention in the routing arithmetic") {
+    // r15: nQueries = nd/10 is the synthetic corpus's %10 probe
+    // convention, not the dispatch's — with an explicit query
+    // cardinality the whole documents table is corpus and the conf is
+    // the query side. 100 docs: convention gives 10 × 90 = 900 pairs;
+    // queryCount=5 gives 5 × 100 = 500 pairs and 100 × 128 = 12,800
+    // corpus vector bytes. Both boundaries straddled under the conf.
+    import spark.implicits._
+    val docs = (0L until 100L).map(id => (id, s"alpha beta g$id", "en", "s"))
+    val dir = tempDir("x12qc")
+    docs.toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    def leg = graft.operators.PipelineOps.denseLegAuto(spark, dir)
+    try {
+      spark.conf.set("graft.x12.queryCount", "5")
+      spark.conf.set("graft.x12.maxExactDensePairs", "500")
+      assert(leg == "exact",
+        "5 × 100 = 500 pairs at an inclusive 500 ceiling stays exact")
+      spark.conf.set("graft.x12.maxExactDensePairs", "499")
+      assert(leg == "ivf", "one pair past the ceiling routes to IVF")
+      // byte rule under an explicit query count: nCorpus is the WHOLE
+      // table (the query set lives elsewhere), so 100 × 16 × 8 bytes
+      spark.conf.set("graft.x12.maxIvfVectorBytes", "12800")
+      assert(leg == "ivf", "bytes == ceiling stays IVF (inclusive)")
+      spark.conf.set("graft.x12.maxIvfVectorBytes", "12799")
+      assert(leg == "pq", "one byte past the ceiling routes to IVF-PQ")
+      spark.conf.set("graft.x12.queryCount", "zero-ish")
+      intercept[IllegalArgumentException](leg)
+      spark.conf.set("graft.x12.queryCount", "-3")
+      intercept[IllegalArgumentException](leg)
+    } finally {
+      spark.conf.unset("graft.x12.queryCount")
+      spark.conf.unset("graft.x12.maxExactDensePairs")
+      spark.conf.unset("graft.x12.maxIvfVectorBytes")
+    }
+    // conf removed -> the probe convention is back (900 pairs)
+    try {
+      spark.conf.set("graft.x12.maxExactDensePairs", "899")
+      assert(leg == "ivf", "without the conf the 10 × 90 convention routes")
+      spark.conf.set("graft.x12.maxExactDensePairs", "900")
+      assert(leg == "exact")
+    } finally spark.conf.unset("graft.x12.maxExactDensePairs")
+  }
 }
