@@ -170,10 +170,12 @@ object PipelineOps {
       .drop("text") // digest computed — only doc_id/start/clen/dg ride the dg shuffle
   }
 
-  /** d15/x12's shared BM25 scored frame: (qdoc, doc_id, score_q) with
-    * score_q the 1e-6 fixed-pointed BM25 sum (exact int64 — see the d15
-    * QueryDef comment for the rational rewrite). SharedFrame'd so the
-    * lexical leg of the hybrid composite reuses the postings work.
+  /** The FULL BM25 score matrix: (qdoc, doc_id, score_q) with score_q
+    * the 1e-6 fixed-pointed BM25 sum (exact int64 — see the d15
+    * QueryDef comment for the rational rewrite). Since r15 this is the
+    * shuffle strategy's internal stream only — every consumer goes
+    * through [[bm25Top5]], which shares the top-5 head instead of
+    * caching the matrix.
     *
     * `graft.bm25.maxDfFrac` (double in (0,1], default off) is the
     * standard stop-word/hot-term pruning every production BM25 engine
@@ -187,8 +189,9 @@ object PipelineOps {
     * prunes the same term set on every run. Off by default: the oracled
     * d15 row scores the full postings list.
     */
-  private def bm25Scores(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    bm25Scores(s, d, s.conf.getOption("graft.bm25.maxDfFrac").map { raw =>
+  private def confMaxDfPpm(
+      s: org.apache.spark.sql.SparkSession): Option[Long] =
+    s.conf.getOption("graft.bm25.maxDfFrac").map { raw =>
       // name the conf key on a non-numeric value too — a bare
       // NumberFormatException("x") doesn't say which conf was bad
       val f = raw.trim.toDoubleOption.getOrElse(
@@ -199,7 +202,7 @@ object PipelineOps {
       require(f > 0 && f <= 1,
         s"graft.bm25.maxDfFrac must be in (0, 1], got $raw")
       math.round(f * 1e6)
-    })
+    }
 
   private def bm25Scores(s: org.apache.spark.sql.SparkSession, d: String,
       maxDfPpm: Option[Long]): DataFrame = {
@@ -233,10 +236,43 @@ object PipelineOps {
     // run-start scan PER ARRAY ELEMENT (measured 25 s for 4500 sf0.1
     // docs, ~30x the whole old build). A lambda variable is evaluated
     // exactly once per row by construction, optimizer-proof.
-    val toksCol = filter(split(lower(col("text")), " "), x => x =!= "")
-    // run length = next run start (or the end-of-array sentinel) - own
-    // start; element_at(sa, st) is always in bounds (st from
-    // sequence(1, size)) so the plain ANSI form is safe there.
+    val base = bm25Base(s, d)
+    val perDoc = bm25PerDoc(base)
+    val dfreq = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // the df cap prunes the TERM dimension before the fan-out join (the
+    // r15 upstream move): hot-term postings never enter the join's
+    // probe at all, instead of being filtered out of its output
+    val enriched = dfreq.crossJoin(broadcast(bm25Tot(base)))
+    val kept = maxDfPpm.fold(enriched)(ppm =>
+      enriched.filter(col("df") * lit(1000000L) <= lit(ppm) * col("nd")))
+    val postings = bm25Contrib(perDoc.join(kept, Seq("term")))
+      .select(col("term"), col("doc_id"), col("contrib"))
+    bm25Qterms(s, d).join(postings, Seq("term"))
+      .groupBy(col("qdoc"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score_q"))
+  }
+
+  private def bm25ToksCol: org.apache.spark.sql.Column =
+    filter(split(lower(col("text")), " "), x => x =!= "")
+
+  /** Corpus-side doc rows: (doc_id, ts). size > 0 matches the exploded
+    * formulation — a tokenless doc contributed no tf/dl rows, so it
+    * must not count toward nd/big_l either.
+    */
+  private def bm25Base(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    T.documents(s, d)
+      .filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"), bm25ToksCol.as("ts"))
+      .filter(size(col("ts")) > 0)
+
+  /** Map-side (doc_id, dl, term, tf) via per-doc sorted-run counting —
+    * see the strategy comment in bm25Scores. The run-length arithmetic:
+    * run length = next run start (or the end-of-array sentinel) - own
+    * start; element_at(sa, st) is always in bounds (st from
+    * sequence(1, size)) so the plain ANSI form is safe there.
+    */
+  private def bm25PerDoc(base: DataFrame): DataFrame = {
     val pairsExpr =
       """element_at(transform(array(sort_array(ts)), sa ->
         |  element_at(transform(array(filter(sequence(1, size(sa)),
@@ -247,49 +283,169 @@ object PipelineOps {
         |             (st, en) -> named_struct('term', element_at(sa, st),
         |                                      'tf', CAST(en - st AS BIGINT)))), 1)), 1)"""
         .stripMargin
-    // size > 0 matches the exploded formulation: a tokenless doc
-    // contributed no tf/dl rows, so it must not count toward nd/big_l
-    val base = T.documents(s, d)
-      .filter(col("doc_id") % 10 =!= 7)
-      .select(col("doc_id"), toksCol.as("ts"))
-      .filter(size(col("ts")) > 0)
-    val perDoc = base
+    base
       .withColumn("dl", size(col("ts")).cast("long"))
       .withColumn("pairs", expr(pairsExpr))
       .select(col("doc_id"), col("dl"), explode(col("pairs")).as("p"))
       .select(col("doc_id"), col("dl"),
         col("p.term").as("term"), col("p.tf").as("tf"))
-    val dfreq = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // big_l/nd from the doc-level frame directly — no dl shuffle either
-    val tot = base.agg(sum(size(col("ts")).cast("long")).as("big_l"),
+  }
+
+  /** 1-row (big_l, nd) from the doc-level frame directly — no dl
+    * shuffle (big_l = Σ size(ts), nd = doc count).
+    */
+  private def bm25Tot(base: DataFrame): DataFrame =
+    base.agg(sum(size(col("ts")).cast("long")).as("big_l"),
       count(lit(1)).as("nd"))
-    // the df cap prunes the TERM dimension before the fan-out join (the
-    // r15 upstream move): hot-term postings never enter the join's
-    // probe at all, instead of being filtered out of its output
-    val enriched = dfreq.crossJoin(broadcast(tot))
-    val kept = maxDfPpm.fold(enriched)(ppm =>
-      enriched.filter(col("df") * lit(1000000L) <= lit(ppm) * col("nd")))
-    // per-doc array_distinct makes (qdoc, term) unique by construction
-    // — the old explode + global distinct() shuffle is unnecessary
-    val qterms = T.documents(s, d)
+
+  /** (qdoc, term), unique by construction: per-doc array_distinct makes
+    * the old explode + global distinct() shuffle unnecessary.
+    */
+  private def bm25Qterms(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    T.documents(s, d)
       .filter(col("doc_id") % 10 === 7)
       .select(col("doc_id").as("qdoc"),
-        explode(array_distinct(toksCol)).as("term"))
-    val postings = perDoc.join(kept, Seq("term"))
+        explode(array_distinct(bm25ToksCol)).as("term"))
+
+  /** Attaches idf + the exact-rational 1e-6 fixed-point contribution to
+    * a frame carrying (tf, dl, df, big_l, nd) — see the d15 QueryDef
+    * comment for the rational rewrite.
+    */
+  private def bm25Contrib(joined: DataFrame): DataFrame =
+    joined
       .withColumn("idf",
         length(conv(expr("nd div df"), 10, 2)).cast("long"))
       .withColumn("contrib", floor(
         expr("CAST(idf * tf * 44 * big_l AS DOUBLE) / " +
           "(20 * big_l * tf + 6 * big_l + 18 * dl * nd)") *
           lit(1000000) + lit(0.5)).cast("long"))
-      .select(col("term"), col("doc_id"), col("contrib"))
+
+  /** The shared top-5-per-query BM25 head (r15): EVERY consumer of the
+    * scores frame (d15, d15b, the x12 family's lexical leg) reduces it
+    * to top-5 per qdoc under the same (score DESC, doc ASC) tie-break,
+    * so this — not the full (qdoc, doc) score matrix — is the frame
+    * worth SharedFrame-ing: at the 30× crossover the full matrix was
+    * ~0.5e9 rows and its build the retrieval family's dominant
+    * one-time cold cost (18.6 GB shuffle + 17 GB spill measured); the
+    * head is 5 rows per query.
+    *
+    * Two physical strategies, result-identical (RetrievalSpec pins the
+    * equality law by running both on one fixture):
+    *
+    *  - shuffle (any scale): bm25Scores' term-keyed fan-out join +
+    *    full (qdoc, doc) aggregation, then bounded-heap TopK — the
+    *    Σ qf·df fan-out crosses the shuffle. The only safe plan when
+    *    the query side itself is corpus-scale.
+    *  - broadcast+combine (bounded query side): the query-term map and
+    *    the query-vocabulary df rows broadcast; postings stay
+    *    partitioned by DOCUMENT (they derive map-side from the scan),
+    *    so every (qdoc, doc) sum completes inside its own partition
+    *    and a mapPartitions combiner emits only each partition's local
+    *    top-5 per query — the shuffle carries ≤ 5·|qdocs| rows per
+    *    partition instead of the fan-out. mapPartitions is justified
+    *    here by the guideline's own escape hatch: this is the
+    *    two-level combine (sum on (qdoc, doc), then top-k on qdoc)
+    *    that Catalyst cannot fuse across different grouping keys —
+    *    expressed as two groupBys, the first exchange alone carries
+    *    the full score matrix. Local sums are globally complete
+    *    because a document's postings never leave their partition
+    *    (both joins are broadcast; the explicit repartition is
+    *    doc-row-atomic).
+    *
+    * Route: footer count ≤ `graft.bm25.maxBroadcastQueryDocs`
+    * (default 500k docs — ≈130 MB of query-term broadcast at the %10
+    * convention's worst case) takes the broadcast path; above it the
+    * shuffle plan. Like every routed operator here the decision is a
+    * deterministic function of snapshot + conf, zero plan-build jobs.
+    */
+  private def bm25Top5(s0: org.apache.spark.sql.SparkSession, d: String,
+      maxDfPpm0: Option[Long]): DataFrame = {
+    // the TopK group count is |qdocs| — far past the 128-key
+    // ObjectHashAggregate valve; same scoped-session raise as x12
+    val s = graft.functions.TopK.sessionWithHashAggCapacity(s0)
+    val maxDfPpm = maxDfPpm0.orElse(confMaxDfPpm(s))
+    val nd = T.footerRowCount(s, d, "documents")
+    val bcastCeiling =
+      confPosLong(s, "graft.bm25.maxBroadcastQueryDocs", 500000L)
+    val topAgg =
+      if (nd > bcastCeiling)
+        bm25Scores(s, d, maxDfPpm)
+          .groupBy(col("qdoc"))
+          .agg(graft.functions.TopK.udaf(5)(
+            col("score_q").cast("double"), col("doc_id")).as("top"))
+      else {
+        // per-task combiner state is the partition's distinct
+        // (qdoc, doc) pairs; size the doc repartition so that stays
+        // ~4M entries (~150 MB) from the footer-count worst case
+        // (pairs ≤ (nd/10)·(9nd/10)), bounded to [shuffle
+        // partitions, 4096]
+        val shufP = s.sessionState.conf.numShufflePartitions
+        val pairsEst = BigInt(nd / 10) * BigInt(nd - nd / 10)
+        val nParts = (pairsEst / 4000000L)
+          .max(BigInt(shufP)).min(BigInt(4096)).toInt
+        val base = bm25Base(s, d).repartition(nParts)
+        val perDoc = bm25PerDoc(base)
+        val qterms = bm25Qterms(s, d)
+        // df over the FULL corpus (semantics unchanged), but only the
+        // query-vocabulary rows ride the broadcast — the corpus
+        // vocabulary is unbounded, the query vocabulary is what the
+        // route just bounded. Non-query terms never survive the
+        // qterms join anyway, so dropping them early changes nothing.
+        val dfreq = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val qdf = dfreq
+          .join(qterms.select(col("term")).distinct(), Seq("term"), "left_semi")
+          .crossJoin(broadcast(bm25Tot(base)))
+        val kept = maxDfPpm.fold(qdf)(ppm =>
+          qdf.filter(col("df") * lit(1000000L) <= lit(ppm) * col("nd")))
+        import s.implicits._
+        val fanout = bm25Contrib(perDoc.join(broadcast(kept), Seq("term")))
+          .join(broadcast(qterms), Seq("term"))
+          .select(col("qdoc").as("_1"), col("doc_id").as("_2"),
+            col("contrib").as("_3"))
+          .as[(Long, Long, Long)]
+        val localTop = fanout.mapPartitions { it =>
+          val sums = scala.collection.mutable.LongMap
+            .empty[scala.collection.mutable.LongMap[Long]]
+          it.foreach { case (q, doc, c) =>
+            val inner = sums.getOrElseUpdate(q,
+              scala.collection.mutable.LongMap.empty[Long])
+            inner(doc) = inner.getOrElse(doc, 0L) + c
+          }
+          sums.iterator.flatMap { case (q, inner) =>
+            // bounded local top-5 by (score DESC, doc ASC) — the exact
+            // order TopK applies globally; deterministic regardless of
+            // map iteration order because (score, doc) is a total
+            // order (doc unique within a partition's pair set)
+            val top = new java.util.ArrayList[(Long, Long)](6)
+            inner.foreach { case (doc, sc) =>
+              var i = 0
+              while (i < top.size && {
+                  val (s0, d0) = top.get(i)
+                  s0 > sc || (s0 == sc && d0 < doc)
+                }) i += 1
+              if (i < 5) {
+                top.add(i, (sc, doc))
+                if (top.size > 5) top.remove(5)
+              }
+            }
+            (0 until top.size).iterator
+              .map { i => val (sc, doc) = top.get(i); (q, doc, sc) }
+          }
+        }
+        localTop.toDF("qdoc", "doc_id", "score_q")
+          .groupBy(col("qdoc"))
+          .agg(graft.functions.TopK.udaf(5)(
+            col("score_q").cast("double"), col("doc_id")).as("top"))
+      }
     SharedFrame(
-      qterms.join(postings, Seq("term"))
-        .groupBy(col("qdoc"), col("doc_id"))
-        .agg(sum(col("contrib")).as("score_q")),
+      topAgg
+        .select(col("qdoc"), posexplode(col("top")).as(Seq("rk0", "sc")))
+        .select(col("qdoc"), (col("rk0") + 1).cast("int").as("rk"),
+          col("sc._2").as("doc_id"), col("sc._1").cast("long").as("score_q")),
       // the df cap changes the frame's contents: key it so a session
       // toggling the conf never reads a stale cached variant
-      maxDfPpm.fold("d15_scores")(ppm => s"d15_scores_df$ppm"), d)
+      maxDfPpm.fold("d15_top5")(ppm => s"d15_top5_df$ppm"), d)
   }
 
   /** x12's doc-level hashed bag-of-words embedding: (doc_id, q, nn) with
@@ -460,13 +616,8 @@ object PipelineOps {
     // per query. Tie-break (score DESC, id ASC) is TopK's contract,
     // identical to the window formulation; score_q < 2^53 so the
     // double cast is exact.
-    val lex = maxDfPpm.fold(bm25Scores(s, d))(ppm => bm25Scores(s, d, Some(ppm)))
-      .groupBy(col("qdoc"))
-      .agg(graft.functions.TopK.udaf(5)(
-        col("score_q").cast("double"), col("doc_id")).as("top"))
-      .select(col("qdoc"), posexplode(col("top")).as(Seq("rk0", "sc")))
-      .select(col("qdoc"), col("sc._2").as("doc_id"),
-        (col("rk0") + 1).cast("int").as("lex_rk"))
+    val lex = bm25Top5(s, d, maxDfPpm)
+      .select(col("qdoc"), col("doc_id"), col("rk").as("lex_rk"))
     val emb = docEmbed(s, d)
     val queries = emb.filter(col("doc_id") % 10 === 7)
       .select(col("doc_id").as("qdoc"), col("q").as("qq"), col("nn").as("qn"))
@@ -4715,17 +4866,14 @@ object PipelineOps {
     // the postings term-keyed (stop-word-grade hot terms are the
     // documented skew spot — production prunes postings via
     // WAND/block-max; the df-cap conf is that rule here, applied to the
-    // term dimension BEFORE the join), and the per-query top-5 is a
-    // bounded window per qdoc.
+    // term dimension BEFORE the join), and the per-query top-5 is
+    // bm25Top5's shared bounded-heap head — on a bounded query side its
+    // combiner route keeps the whole score matrix off the shuffle.
     QueryDef(
       "d15_bm25_topk",
       (s, d) =>
-        bm25Scores(s, d)
-          .withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("qdoc"))
-              .orderBy(col("score_q").desc, col("doc_id"))))
-          .filter(col("rk") <= 5)
-          .select(col("qdoc"), col("rk").cast("int").as("rk"),
+        bm25Top5(s, d, None)
+          .select(col("qdoc"), col("rk"),
             col("doc_id").as("r_doc"),
             (col("score_q").cast("double") / lit(1000000)).as("bm25"))
           .orderBy(col("qdoc"), col("rk")),
@@ -4787,12 +4935,8 @@ object PipelineOps {
     QueryDef(
       "d15b_bm25_pruned",
       (s, d) =>
-        bm25Scores(s, d, Some(500000L))
-          .withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("qdoc"))
-              .orderBy(col("score_q").desc, col("doc_id"))))
-          .filter(col("rk") <= 5)
-          .select(col("qdoc"), col("rk").cast("int").as("rk"),
+        bm25Top5(s, d, Some(500000L))
+          .select(col("qdoc"), col("rk"),
             col("doc_id").as("r_doc"),
             (col("score_q").cast("double") / lit(1000000)).as("bm25"))
           .orderBy(col("qdoc"), col("rk")),

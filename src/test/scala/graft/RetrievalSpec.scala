@@ -386,4 +386,48 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(leg == "exact")
     } finally spark.conf.unset("graft.x12.maxExactDensePairs")
   }
+
+  test("d15: the broadcast+combiner strategy equals the shuffle strategy row for row") {
+    // r15 equality law for bm25Top5's two physical plans: the
+    // broadcast route (per-partition sum + local top-5 combiner, only
+    // heads cross the shuffle) and the term-keyed shuffle route (full
+    // score matrix + TopK) must agree exactly — same pairs, same
+    // integer scores, same (score DESC, doc ASC) head. The fixture
+    // plants tied scores (repeated token multisets) so the tie-break
+    // is exercised, plus a stop-word so the pruned variant's term set
+    // differs between routes' inputs identically.
+    import spark.implicits._
+    val words = Seq("zebra", "apple", "pear", "kiwi", "common")
+    val docs = (0L until 120L).map { id =>
+      val t = (0 until 6 + (id % 4).toInt)
+        .map(j => words(((id / 3 + j) % 5).toInt)).mkString(" ")
+      (id, s"$t common", "en", s"src${id % 7}")
+    }
+    val dir = tempDir("d15routes")
+    docs.toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, dir).collect().map(_.toSeq).toSeq
+    // default ceiling (500k) routes broadcast at 120 docs
+    val viaBroadcast = rows("d15_bm25_topk")
+    val viaBroadcastPruned = rows("d15b_bm25_pruned")
+    assert(viaBroadcast.nonEmpty)
+    try {
+      spark.conf.set("graft.bm25.maxBroadcastQueryDocs", "1")
+      // SharedFrame keys on name+dir, not on the route conf — clear so
+      // the shuffle plan actually executes instead of reading the
+      // broadcast run's cached (identical) head
+      spark.catalog.clearCache()
+      assert(rows("d15_bm25_topk") == viaBroadcast,
+        "shuffle route must reproduce the broadcast route's head exactly")
+      assert(rows("d15b_bm25_pruned") == viaBroadcastPruned,
+        "pruned variant: routes must agree under the df cap too")
+      spark.conf.set("graft.bm25.maxBroadcastQueryDocs", "nope")
+      intercept[IllegalArgumentException](
+        SparkEntry.queries("d15_bm25_topk")(spark, dir))
+    } finally {
+      spark.conf.unset("graft.bm25.maxBroadcastQueryDocs")
+      spark.catalog.clearCache()
+    }
+  }
 }
