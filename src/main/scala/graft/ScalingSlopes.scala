@@ -403,6 +403,15 @@ object ScalingSlopes {
     // at scale" — x12's 30× growth is the brute-force dense leg, and
     // this measures what the list-bounded index costs on the same corpus
     val x15CrossoverMode = args.headOption.contains("x15crossover")
+    // 100× (500k docs) anchor for the BOUNDED retrieval legs only —
+    // x12c (IVF), x12d (the dispatch, which must route away from exact
+    // here: 50k × 450k = 2.25e10 pairs) and x12e (IVF-PQ). The exact
+    // leg is deliberately absent: those pairs are the quadratic regime
+    // the dispatch exists to avoid, so the plans measured here are
+    // exactly the plans a 100 TB deployment would run. Same
+    // cold-vs-warm reporting as the 30× crossover; the r14 ENOSPC
+    // lesson's periodicGC pin rides the shared session builder.
+    val x12Bounded100Mode = args.headOption.contains("x12bounded100")
     val d4StatsMode = args.headOption.contains("d4stats")
     val d4AutoMode = args.headOption.contains("d4auto")
     if (d4StatsMode) { d4Stats(); return }
@@ -410,10 +419,15 @@ object ScalingSlopes {
     if (args.headOption.contains("streamage")) { streamAge(); return }
     if (args.headOption.contains("d4probe")) { d4Probe(); return }
     if (args.headOption.contains("x12diag")) { x12Diag(); return }
-    val crossover = d4CrossoverMode || x12CrossoverMode || x15CrossoverMode
-    val scales = if (crossover) Seq(30L) else Seq(1L, 3L, 10L)
+    val crossover = d4CrossoverMode || x12CrossoverMode ||
+      x15CrossoverMode || x12Bounded100Mode
+    val scales =
+      if (x12Bounded100Mode) Seq(100L)
+      else if (crossover) Seq(30L) else Seq(1L, 3L, 10L)
     val allQueries =
       if (d4CrossoverMode) Seq("d4_ngram_jaccard")
+      else if (x12Bounded100Mode)
+        Seq("x12c_hybrid_ivf", "x12d_hybrid_auto", "x12e_hybrid_ivfpq")
       else if (x12CrossoverMode)
         // x12d rides along since r13: at the 30× corpus the footer product
         // (15k × 135k pairs) sits far past graft.x12.maxExactDensePairs,
@@ -458,10 +472,10 @@ object ScalingSlopes {
     try {
       val dirs = scales.map { sc =>
         val d = s"$root/x$sc"
-        // crossover mode times d4 only, which reads documents — skip
-        // the (expensive) embedding synthesis it would never read
+        // d4 and the x12 family read documents only — skip the
+        // (expensive) embedding synthesis those modes would never read
         materialize(spark, 5000L * sc,
-          if (d4CrossoverMode) 1L else 2000L * sc, d)
+          if (d4CrossoverMode || x12Bounded100Mode) 1L else 2000L * sc, d)
         sc -> d
       }
       // one untimed pass at the smallest scale pays JIT + codegen
@@ -540,6 +554,7 @@ object ScalingSlopes {
         else s""","cold_first_run":{${coldLine.mkString(",")}}"""
       val metric = if (d4CrossoverMode) "d4_crossover"
         else if (x12CrossoverMode) "x12_crossover"
+        else if (x12Bounded100Mode) "x12_bounded_100x"
         else if (x15CrossoverMode) "x15_crossover" else "scaling_slopes"
       // name the measurement state in the artifact (r13 VERDICT: three
       // documents, three numbers, and the mode was the hidden variable)
@@ -549,6 +564,7 @@ object ScalingSlopes {
       Raw.stdout.println(line)
       val outBase = if (d4CrossoverMode) "scaling_d4_out.json"
         else if (x12CrossoverMode) "scaling_x12_out.json"
+        else if (x12Bounded100Mode) "scaling_x12b100_out.json"
         else if (x15CrossoverMode) "scaling_x15_out.json" else "scaling_out.json"
       // a narrowed re-measurement must not clobber the mode's full artifact
       val outName = if (queries == allQueries) outBase
