@@ -44,6 +44,15 @@ object BottomK {
     }
   }
 
+  /** Memoized per k — same plan-equality rule as TopK.udaf (r15): a
+    * fresh Aggregator instance per call defeats CacheManager's
+    * sameResult on every frame whose subtree contains the UDAF
+    * (d23's sketch SharedFrame rebuilt per bench rep without this).
+    */
+  private val udafCache = new java.util.concurrent.ConcurrentHashMap[
+    Int, org.apache.spark.sql.expressions.UserDefinedFunction]()
+
   def udaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    org.apache.spark.sql.functions.udaf(aggregator(k))
+    udafCache.computeIfAbsent(k,
+      kk => org.apache.spark.sql.functions.udaf(aggregator(kk)))
 }

@@ -64,6 +64,11 @@ object MisraGries {
         ExpressionEncoder[Seq[(String, Long)]]()
     }
 
+  /** Memoized per k — same plan-equality rule as TopK.udaf (r15). */
+  private val udafCache = new java.util.concurrent.ConcurrentHashMap[
+    Int, org.apache.spark.sql.expressions.UserDefinedFunction]()
+
   def udaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    org.apache.spark.sql.functions.udaf(aggregator(k))
+    udafCache.computeIfAbsent(k,
+      kk => org.apache.spark.sql.functions.udaf(aggregator(kk)))
 }

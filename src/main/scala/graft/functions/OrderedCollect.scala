@@ -29,7 +29,9 @@ object OrderedCollect {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
     }
 
-  /** Column-world handle: `df.groupBy(k).agg(OrderedCollect.udafColumn(col("pos"), col("x")))`. */
-  def udaf: org.apache.spark.sql.expressions.UserDefinedFunction =
+  /** Column-world handle: `df.groupBy(k).agg(OrderedCollect.udafColumn(col("pos"), col("x")))`.
+    * One shared instance — same plan-equality rule as TopK.udaf (r15).
+    */
+  lazy val udaf: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(aggregator)
 }

@@ -218,6 +218,22 @@ object TopK {
     }
   }
 
+  /** Memoized per k (r15): `functions.udaf(aggregator(k))` wraps a FRESH
+    * anonymous Aggregator instance, and the resulting ScalaAggregator
+    * expression compares by the instance's reference equality — so two
+    * plan builds of the *same* query were never `sameResult`. Any
+    * cached frame whose subtree contains the UDAF (bm25Top5's shared
+    * head, d23's sketch) then MISSES the CacheManager lookup on every
+    * re-build and re-materializes per bench rep (measured: d15 warm
+    * reps 2.1–2.4 s vs the 0.65 s quiet floor; x12b/c/d flat ~2×).
+    * The Aggregator is stateless (buffers are passed explicitly), so
+    * one shared instance per k is safe, and plans built at different
+    * times now canonicalize equal.
+    */
+  private val udafCache = new java.util.concurrent.ConcurrentHashMap[
+    Int, org.apache.spark.sql.expressions.UserDefinedFunction]()
+
   def udaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    org.apache.spark.sql.functions.udaf(aggregator(k))
+    udafCache.computeIfAbsent(k,
+      kk => org.apache.spark.sql.functions.udaf(aggregator(kk)))
 }
